@@ -1,23 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every declared query on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Each query is fully materialized through the `noop` datasource writer
+  * (forces evaluation of every column without collecting to the driver, and
+  * without counting short-circuits like limit-only plans). One warm-up run of
+  * the whole suite, then median of 3 timed runs per query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.local(defaultCpus = 32)
+
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(once) // warm-up: JIT + codegen + file footers
+    val results = names.map { n =>
+      val ts = Seq.fill(3)(once(n)).sorted
+      n -> ts(1) // median
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

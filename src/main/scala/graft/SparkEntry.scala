@@ -1,13 +1,61 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CoreQueries, Oracles}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator from SURVEY.md §2 to a DataFrame
+  * program over the testdata dir; `oracleSql` carries the DuckDB-dialect
+  * equivalent for the driver's hash-compare. Column aliases match on both
+  * sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue per nation: 3-way join (two broadcastable dims) + hash agg —
+    * exercises the pipeline a user of the reference would care about most.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6).as("revenue"),
+        count(lit(1)).as("items"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_project"        -> CoreQueries.q01 _,
+    "q02_trunc_cast"     -> CoreQueries.q02 _,
+    "q03_intdiv_ts"      -> CoreQueries.q03 _,
+    "q04_filter"         -> CoreQueries.q04 _,
+    "q05_agg"            -> CoreQueries.q05 _,
+    "q06_distinct"       -> CoreQueries.q06 _,
+    "q07_join_broadcast" -> CoreQueries.q07 _,
+    "q08_join_topk"      -> CoreQueries.q08 _,
+    "q09_left_join"      -> CoreQueries.q09 _,
+    "q10_anti_join"      -> CoreQueries.q10 _,
+    "q11_rollup"         -> CoreQueries.q11 _,
+    "q12_window_rank"    -> CoreQueries.q12 _,
+    "q13_window_frame"   -> CoreQueries.q13 _,
+    "q14_intersect"      -> CoreQueries.q14 _,
+    "q15_time_bucket"    -> CoreQueries.q15 _,
+    "q16_dedup_distinct" -> CoreQueries.q16 _,
+    "q17_text_stats"     -> CoreQueries.q17 _,
+    "q18_wordcount"      -> CoreQueries.q18 _,
+    "q19_cosine_topk"    -> CoreQueries.q19 _
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the same
+    * parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Oracles.core
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md §2).
+  *
+  * One parquet file per table under `\$dir/\$name.parquet`. Reads are plain
+  * `spark.read.parquet` so Catalyst column pruning and predicate pushdown reach
+  * the scan (verify via `.explain`: `PushedFilters`, `ReadSchema`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Graft sessions). The
+    * raw long nanos are converted to a proper TimestampType here; the testdata
+    * has no sub-microsecond components (verified), so `div 1000` is lossless.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

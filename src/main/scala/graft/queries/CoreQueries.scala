@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** The declared relational query set (FIXTURES.md §3, Q01-Q19), written
+  * DataFrame-first so Catalyst plans them (column pruning + filter pushdown to
+  * the parquet scans, broadcast joins for the small dimension tables, partial
+  * aggregation before shuffles, TakeOrderedAndProject for top-k).
+  *
+  * Determinism contract for the DuckDB oracle: every query ends in a total
+  * ORDER BY (ties broken by a key column) and every column produced by float
+  * arithmetic is rounded to 6 decimals in BOTH engines.
+  *
+  * Reference capability mapping (see SURVEY.md §2): Q01-Q03 cover the
+  * reference's own scalar surface — projection/alias/limit
+  * (`/root/reference/pkg/clickhouse/connect.go:52`), truncating numeric cast
+  * (`/root/reference/pkg/clickhouse/export_clickhouse.go:76,79`), and the
+  * README verification query's `intDiv` + `fromUnixTimestamp`
+  * (`/root/reference/README.md:91-107`). Q04+ are the Layer C extensions.
+  */
+object CoreQueries {
+
+  /** Q01 — projection + alias + coalesce + LIMIT (SURVEY A4/A5/B3). */
+  def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy("event_id")
+      .limit(50)
+      .select(
+        col("event_id"),
+        col("event_type").as("kind"),
+        coalesce(col("props"), lit("")).as("props"))
+
+  /** Q02 — truncating double->long cast, parity with the reference's
+    * `int(v.(float64))` (`export_clickhouse.go:76`). Spark's cast truncates
+    * toward zero; the oracle uses `trunc()` because DuckDB's cast rounds.
+    */
+  def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy("event_id")
+      .limit(100)
+      .select(col("event_id"), col("value").cast("long").as("v"))
+
+  /** Q03 — `intDiv` + epoch->timestamp, parity with the README verification
+    * query `fromUnixTimestamp(intDiv(start,1000))` (`README.md:94-95`).
+    */
+  def q03(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy("event_id")
+      .limit(100)
+      .selectExpr("event_id", "timestamp_seconds(unix_millis(ts) div 1000) AS sec")
+
+  /** Q04 — filter with conjunctive predicates, pushed to the parquet scan. */
+  def q04(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_quantity")
+
+  /** Q05 — hash aggregate with partial+final (map-side combine). */
+  def q05(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 6).as("sq"),
+        round(avg("l_extendedprice"), 6).as("ap"),
+        count(lit(1)).as("c"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q06 — distinct aggregation. */
+  def q06(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        countDistinct(col("user_id")).as("u"),
+        countDistinct(col("event_type")).as("t"))
+
+  /** Q07 — inner join against a small dim; explicitly broadcast. */
+  def q07(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("n_name")
+
+  /** Q08 — join + aggregate + top-k (TakeOrderedAndProject). */
+  def q08(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_name")
+      .agg(round(sum("o_totalprice"), 6).as("s"))
+      .orderBy(desc("s"), asc("c_name"))
+      .limit(10)
+
+  /** Q09 — left outer join; count(col) skips the nulls from unmatched rows. */
+  def q09(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n"))
+      .orderBy("c_custkey")
+
+  /** Q10 — anti join (NOT EXISTS). */
+  def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("no_orders"))
+
+  /** Q11 — rollup (grouping sets). */
+  def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 6).as("s"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+
+  /** Q12 — ranking + offset window functions. */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        rank().over(w).cast("long").as("r"),
+        lag("value", 1).over(w).as("pv"))
+      .orderBy("event_id")
+  }
+
+  /** Q13 — window frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        round(sum("value").over(w), 6).as("mv"))
+      .orderBy("event_id")
+  }
+
+  /** Q14 — set op: INTERSECT (distinct semantics in both engines). */
+  def q14(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** Q15 — tumbling time bucket, batch form of the streaming window (C9). */
+  def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("HOUR", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 6).as("sv"))
+      .orderBy("w", "event_type")
+
+  /** Q16 — dedup via DISTINCT projection. */
+  def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select("user_id", "event_type")
+      .distinct()
+      .agg(count(lit(1)).as("c"))
+
+  /** Q17 — text-corpus stats per language. */
+  def q17(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum("n_chars").as("chars"),
+        countDistinct(col("source")).as("srcs"))
+      .orderBy("lang")
+
+  /** Q18 — tokenize + explode + word count top-k. */
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w"))
+      .limit(20)
+
+  /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
+    * (C12). The single query vector is broadcast; similarity is a Catalyst
+    * higher-order-function expression (no UDF), so the scan is pruned to
+    * `(vec_id, embedding)` and the top-k is TakeOrderedAndProject.
+    */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+}

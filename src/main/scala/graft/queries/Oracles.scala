@@ -1,0 +1,66 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the declared query set. Keys match
+  * `SparkEntry.queries`; the driver executes these against views named after
+  * the parquet tables in the same sf dir and hash-compares with the Spark
+  * results (columns sorted by name, so aliases must match exactly).
+  *
+  * Dialect notes (Spark -> DuckDB):
+  *  - double->long cast: Spark truncates toward zero, DuckDB rounds, so the
+  *    oracle wraps with `trunc()`.
+  *  - `timestamp_seconds(x)` -> `make_timestamp(x*1000000)` (DuckDB's
+  *    `to_timestamp` yields TIMESTAMPTZ, not TIMESTAMP).
+  *  - `a div b` -> `a // b`; `explode(split(...))` -> `unnest(string_split(...))`.
+  *  - integer SUM: DuckDB widens to HUGEINT, so the oracle casts back to BIGINT.
+  */
+object Oracles {
+  val core: Map[String, String] = Map(
+    "q01_project" ->
+      "SELECT event_id, event_type AS kind, coalesce(props,'') AS props FROM events ORDER BY event_id LIMIT 50",
+    "q02_trunc_cast" ->
+      "SELECT event_id, CAST(trunc(value) AS BIGINT) AS v FROM events ORDER BY event_id LIMIT 100",
+    "q03_intdiv_ts" ->
+      "SELECT event_id, make_timestamp((epoch_ms(ts)//1000)*1000000) AS sec FROM events ORDER BY event_id LIMIT 100",
+    "q04_filter" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+    "q05_agg" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),6) AS sq, round(avg(l_extendedprice),6) AS ap, count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q06_distinct" ->
+      "SELECT count(DISTINCT user_id) AS u, count(DISTINCT event_type) AS t FROM events",
+    "q07_join_broadcast" ->
+      "SELECT n_name, count(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q08_join_topk" ->
+      "SELECT c_name, round(sum(o_totalprice),6) AS s FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_name ORDER BY s DESC, c_name LIMIT 10",
+    "q09_left_join" ->
+      "SELECT c_custkey, count(o_orderkey) AS n FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
+    "q10_anti_join" ->
+      "SELECT count(*) AS no_orders FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q11_rollup" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),6) AS s FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST",
+    "q12_window_rank" ->
+      "SELECT event_id, user_id, rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv FROM events ORDER BY event_id",
+    "q13_window_frame" ->
+      "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),6) AS mv FROM events ORDER BY event_id",
+    "q14_intersect" ->
+      "SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier ORDER BY k",
+    "q15_time_bucket" ->
+      "SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS c, round(sum(value),6) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q16_dedup_distinct" ->
+      "SELECT count(*) AS c FROM (SELECT DISTINCT user_id, event_type FROM events) t",
+    "q17_text_stats" ->
+      "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, count(DISTINCT source) AS srcs FROM documents GROUP BY lang ORDER BY lang",
+    "q18_wordcount" ->
+      "SELECT w, count(*) AS c FROM (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20",
+    "q19_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       round(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+        |         / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+        |                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))), 6) AS cos_sim
+        |FROM embeddings e, q
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+  )
+}
