@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CoreQueries, Oracles}
+import graft.queries.{CoreQueries, Oracles, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,11 +51,12 @@ object SparkEntry {
     "q16_dedup_distinct" -> CoreQueries.q16 _,
     "q17_text_stats"     -> CoreQueries.q17 _,
     "q18_wordcount"      -> CoreQueries.q18 _,
-    "q19_cosine_topk"    -> CoreQueries.q19 _
+    "q19_cosine_topk"    -> CoreQueries.q19 _,
+    "q20_flow_pipeline"  -> PipelineQueries.q20 _
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = Oracles.core
+  def oracleSql: Map[String, String] = Oracles.core ++ PipelineQueries.oracle
 }
