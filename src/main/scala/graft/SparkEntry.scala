@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CoreQueries, Oracles, PipelineQueries}
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -52,11 +52,28 @@ object SparkEntry {
     "q17_text_stats"     -> CoreQueries.q17 _,
     "q18_wordcount"      -> CoreQueries.q18 _,
     "q19_cosine_topk"    -> CoreQueries.q19 _,
-    "q20_flow_pipeline"  -> PipelineQueries.q20 _
+    "q20_flow_pipeline"  -> PipelineQueries.q20 _,
+    // --- training-data pipeline extensions ---
+    "text_langid"        -> TextQueries.langid _,
+    "text_quality"       -> TextQueries.quality _,
+    "text_tokens"        -> TextQueries.tokens _,
+    "text_fingerprint"   -> TextQueries.fingerprints _,
+    "dedup_exact"        -> DedupQueries.exact _,
+    "dedup_minhash"      -> DedupQueries.minhash _,
+    "dedup_jaccard"      -> DedupQueries.jaccard _,
+    "dedup_simhash"      -> DedupQueries.simhash _,
+    "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
+    "dedup_embed"        -> DedupQueries.embedNearDup _,
+    "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
+    "mm_meta"            -> MultimodalQueries.meta _,
+    "mm_features"        -> MultimodalQueries.features _,
+    "mm_frames"          -> MultimodalQueries.frames _
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] = Oracles.core ++ PipelineQueries.oracle
+  def oracleSql: Map[String, String] =
+    Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle
 }

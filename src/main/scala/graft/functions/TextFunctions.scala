@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the `documents` corpus: language ID,
+  * quality scoring, token counting, fingerprinting (SURVEY Layer C11 + the
+  * training-data-pipeline extensions).
+  *
+  * Every function is pure Catalyst expression composition (codegen-friendly,
+  * no UDFs) and is written to have an exact SQL rendering in the DuckDB
+  * oracle: only `replace`/`length` arithmetic, `md5`, `split`, and simple
+  * regexes with identical semantics in Java regex and RE2.
+  */
+object TextFunctions {
+
+  /** Occurrences of `needle` in `hay` by replace-counting — identical
+    * left-to-right non-overlapping semantics in every SQL engine.
+    */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(replace(hay, lit(needle), lit("")))) / needle.length).cast("long")
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def wsTokens(c: Column): Column = split(c, " ")
+
+  def tokenCount(c: Column): Column = size(wsTokens(c)).cast("long")
+
+  /** BPE-ish token count: maximal runs of letters or digits on the lowered
+    * text (`[a-z]+|[0-9]+` means the same thing in Java regex and RE2).
+    */
+  def regexTokenCount(c: Column): Column = regexp_count(lower(c), lit("[a-z]+|[0-9]+"))
+
+  /** Tiny per-language stopword inventories for the n-gram-free heuristic
+    * language ID. Counting happens on `' '||text||' '` so word boundaries
+    * need no regex.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("la", "el", "de", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"))
+
+  /** Number of stopword hits for one language. */
+  def stopwordHits(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    stopwords(lang).map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+  }
+
+  /** Heuristic language ID: argmax of stopword hits with deterministic
+    * priority en > es > de > fr; zero hits everywhere -> 'und' (undetermined,
+    * the BCP-47 convention).
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, "en"); val es = stopwordHits(text, "es")
+    val de = stopwordHits(text, "de"); val fr = stopwordHits(text, "fr")
+    when(en + es + de + fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Punctuation character ratio over total length. */
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,;:!?]", ""))).cast("double") / length(c)
+
+  /** English-stopword token ratio. */
+  def stopwordRatio(c: Column): Column =
+    stopwordHits(c, "en").cast("double") / tokenCount(c)
+
+  /** Composite quality score in [0,1]: enough tokens, little punctuation,
+    * natural stopword density.
+    */
+  def qualityScore(c: Column): Column =
+    least(tokenCount(c).cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - punctRatio(c)) * 0.3 +
+      least(stopwordRatio(c) * 5.0, lit(1.0)) * 0.3
+
+  /** Key-collapsing fingerprint (the OpenRefine "fingerprint" method): sorted
+    * distinct lowered words, md5'd. Collisions = same word set = candidate
+    * duplicates.
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(lower(c), " ")))))
+}

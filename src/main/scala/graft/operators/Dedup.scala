@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashOps
+
+/** Document deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, n-gram Jaccard verification, and SimHash.
+  *
+  * Scale design (the point of these being Spark ops at all):
+  *  - exact dedup is a hash-groupBy — one shuffle on a 128-bit key, no window
+  *    over the full corpus;
+  *  - MinHash signatures are one explode + one partial-aggregated groupBy
+  *    (map-side combine collapses each doc's shingles before the shuffle);
+  *  - candidate pairs come from banding (equi-join on (band, hash) — a plain
+  *    shuffle join on a high-cardinality key, never an O(n²) cross join);
+  *  - exact Jaccard runs only on LSH candidates (the standard verify step).
+  *
+  * All hashing is md5-derived ([[HashOps.h60]]) so the DuckDB oracle
+  * reproduces every signature exactly.
+  */
+object Dedup {
+
+  /** Exact dedup via hash-groupBy: keep the smallest doc_id per distinct
+    * text. groupBy(min) rather than a row_number window — at 100 TB a window
+    * over md5 partitions would sort the whole corpus; min-per-key needs only
+    * partial aggregation.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Distinct word n-gram shingles per doc (docs shorter than n words have no
+    * shingles and drop out, like every shingling dedup does).
+    */
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("shingle"))
+      .distinct()
+
+  /** MinHash signature: k independent 60-bit hash functions, min over the
+    * doc's shingle set. One row per doc with columns sig_0..sig_{k-1}.
+    */
+  def minhashSignatures(sh: DataFrame, k: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    val hashed = sh.select(
+      col(idCol) +: (0 until k).map(i => HashOps.h60(col("shingle"), i).as(s"h$i")): _*)
+    hashed.groupBy(idCol)
+      .agg(min(col("h0")).as("sig_0"), (1 until k).map(i => min(col(s"h$i")).as(s"sig_$i")): _*)
+  }
+
+  /** LSH banding: r signature rows per band, md5 of the concatenated rows as
+    * the bucket key. Returns (id, band, bh).
+    */
+  def bands(sig: DataFrame, bandsN: Int = 8, r: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val bandCols = (0 until bandsN).map { j =>
+      md5(concat_ws(",", (0 until r).map(i => col(s"sig_${j * r + i}")): _*))
+    }
+    sig.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+  }
+
+  /** Candidate pairs: docs sharing any band bucket (id1 < id2, distinct). */
+  def candidatePairs(bandsDf: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val a = bandsDf.as("a"); val b = bandsDf.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH candidate generation from raw docs. */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bandsN: Int = 8): DataFrame =
+    candidatePairs(bands(minhashSignatures(shingles(docs, n), k), bandsN, k / bandsN))
+
+  /** Exact n-gram Jaccard, evaluated only on the given candidate pairs
+    * (intersection via shingle equi-join, sizes via per-doc counts).
+    */
+  def jaccardOnCandidates(docs: DataFrame, cands: DataFrame, n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("sa")
+      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
+      .select(col("sa.doc_id").as("d1"), col("sb.doc_id").as("d2"))
+      .join(cands, Seq("d1", "d2"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** SimHash bits used (low 32 of the 60-bit token hash). */
+  val simhashBits = 32
+
+  /** 32-bit SimHash per doc over the word multiset: per-bit ±1 votes summed,
+    * bit set where the vote is positive. One groupBy with 32 conditional sums
+    * — partial-aggregable, no sort, no window.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol), HashOps.h60(col("tok"), 0).as("h"))
+    val votes = toks.groupBy(idCol).agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+      (1 until simhashBits).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+    val fp: Column = (0 until simhashBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: candidates share at least one of four 8-bit
+    * bands, verified by Hamming distance <= maxHamming. The band join keeps
+    * this an equi-join (LSH for Hamming space), not a cross join.
+    */
+  def simhashPairs(sims: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val banded = sims.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("simhash"), j * 8).bitwiseAND(255)): _*)).as(Seq("band", "bv")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("d1"), col(s"b.$idCol").as("d2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+  }
+}

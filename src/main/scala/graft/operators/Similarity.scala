@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`), SURVEY Layer C12 + training-data extensions.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine against a broadcast query vector —
+  *    the correctness baseline, and still the right plan when the query set
+  *    is small (scan stays fully parallel, top-k is TakeOrderedAndProject,
+  *    no shuffle of the big side).
+  *  - [[withLshCode]] / LSH-bucketed variants: 8 signed random hyperplanes →
+  *    8-bit code; candidates = buckets within Hamming distance 1-2. At 100 TB
+  *    the code is a partitioning/bucketing key: candidate generation is an
+  *    equi-join on `code`, never a cross join.
+  *
+  * Hyperplane components come from a fixed LCG (`(1103515245*i+12345) mod
+  * 2001`, scaled to [-1,1]) rather than a runtime RNG, so codes are
+  * deterministic and bit-identical in the DuckDB oracle.
+  */
+object Similarity {
+
+  val lshPlanes = 8
+  val dims = 64
+
+  /** SQL fragment for plane p's d-th component, shared Spark/DuckDB shape. */
+  private def planeComponent(p: Int, dExpr: String): String =
+    s"(CAST((CAST(1103515245 AS BIGINT)*(${p * dims}+$dExpr)+12345) % 2001 AS DOUBLE) - 1000)/1000.0"
+
+  /** Dot product of the embedding with pseudo-random plane p (Spark side). */
+  private def planeDot(vec: String, p: Int): Column =
+    expr(s"""aggregate(
+      zip_with($vec, transform(sequence(0, ${dims - 1}), d -> ${planeComponent(p, "d")}),
+               (x, h) -> CAST(x AS DOUBLE) * h),
+      CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  /** Append an `lsh_code` column: bit p set iff dot(v, plane_p) > 0. */
+  def withLshCode(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val code: Column = (0 until lshPlanes)
+      .map(p => when(planeDot(vecCol, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.withColumn("lsh_code", code)
+  }
+
+  /** DuckDB rendering of the same code (kept adjacent to prevent drift). */
+  def lshCodeSql(vecCol: String): String =
+    (0 until lshPlanes).map { p =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
+         | i -> CAST($vecCol[i] AS DOUBLE) * ${planeComponent(p, "(i-1)")})) > 0
+         | THEN ${1L << p} ELSE 0 END)""".stripMargin.replaceAll("\n", "")
+    }.mkString("(", " + ", ")")
+
+  /** Exact cosine top-k vs one stored vector, by id. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
+    emb.crossJoin(broadcast(q))
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("qe")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed top-k vs one stored vector: candidates are rows whose code
+    * is within `maxHamming` of the query's code, then exact cosine on the
+    * survivors. The scale path: the expensive similarity runs on a small
+    * candidate set; everything before it is scan + equi-ish join.
+    */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, maxHamming: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = withLshCode(emb, vecCol)
+    val q = coded.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qe"), col("lsh_code").as("qcode"))
+    coded.crossJoin(broadcast(q))
+      .filter(expr(s"bit_count(lsh_code ^ qcode)") <= maxHamming)
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("qe")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: LSH-candidate join (codes within
+    * Hamming distance 1) + exact cosine threshold. Equi-join on band-expanded
+    * codes would be the 100 TB plan; at bench scale the code-pair filter join
+    * keeps the comparison count ~3% of n².
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = withLshCode(emb, vecCol)
+    val a = coded.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("lsh_code").as("c1"))
+    val b = coded.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("lsh_code").as("c2"))
+    a.join(b, col("d1") < col("d2"))
+      .filter(expr("bit_count(c1 ^ c2)") <= 1)
+      .select(col("d1"), col("d2"), round(VectorOps.cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.functions.{HashOps, TextFunctions}
+
+/** DuckDB SQL fragments mirroring the Scala Column builders, generated from
+  * the same constants (stopword lists, hash seeds, band layout) so the two
+  * sides cannot drift.
+  */
+object SqlGen {
+
+  /** Cosine similarity between two FLOAT[] expressions, computed in DOUBLE
+    * with left-to-right summation — same fold order as Spark's `aggregate`.
+    */
+  def cosSql(a: String, b: String, dims: Int = 64): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dims + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Replace-counting occurrences (mirror of TextFunctions.occurrences). */
+  def occSql(hay: String, needle: String): String =
+    s"CAST((length($hay)-length(replace($hay,'$needle','')))/${needle.length} AS BIGINT)"
+
+  /** Stopword hits for a language (mirror of TextFunctions.stopwordHits). */
+  def hitsSql(lang: String): String =
+    TextFunctions.stopwords(lang)
+      .map(w => occSql("(' '||text||' ')", s" $w ")).mkString("(", " + ", ")")
+
+  /** Mirror of TextFunctions.langId. */
+  def langIdSql: String = {
+    val (en, es, de, fr) = (hitsSql("en"), hitsSql("es"), hitsSql("de"), hitsSql("fr"))
+    s"""CASE WHEN ($en + $es + $de + $fr) = 0 THEN 'und'
+       | WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+       | WHEN $es >= $de AND $es >= $fr THEN 'es'
+       | WHEN $de >= $fr THEN 'de' ELSE 'fr' END""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** Distinct word-3-shingles CTE body over `documents`. */
+  def shinglesSql(n: Int = 3): String =
+    s"""SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(W)-${n - 2}),
+       | i -> ${(0 until n).map(j => s"W[i+$j]").mkString("||' '||")})) AS shingle
+       | FROM (SELECT doc_id, string_split(text,' ') AS W FROM documents
+       |       WHERE len(string_split(text,' ')) >= $n)""".stripMargin.replaceAll("\n", "")
+
+  /** MinHash signature CTE body (k hash functions over `sh(doc_id,shingle)`). */
+  def minhashSql(k: Int = 16): String =
+    (0 until k).map(i => s"min(${HashOps.h60Sql("shingle", i)}) AS sig_$i")
+      .mkString("SELECT doc_id, ", ", ", " FROM sh GROUP BY doc_id")
+
+  /** LSH bands as UNION ALL over the signature CTE `hs`. */
+  def bandsSql(bandsN: Int = 8, r: Int = 2): String =
+    (0 until bandsN).map { j =>
+      val cat = (0 until r).map(i => s"sig_${j * r + i}").mkString("||','||")
+      s"SELECT doc_id, $j AS band, md5($cat) AS bh FROM hs"
+    }.mkString(" UNION ALL ")
+
+  /** Candidate pairs from the bands CTE `bands`. */
+  val candidatePairsSql: String =
+    """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      | FROM bands a JOIN bands b
+      |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin.replaceAll("\n", "")
+
+  /** Full WITH-prefix for minhash candidates: sh, hs, bands, cands. */
+  def minhashPrefix(n: Int = 3, k: Int = 16, bandsN: Int = 8): String =
+    s"""WITH sh AS (${shinglesSql(n)}),
+       |hs AS (${minhashSql(k)}),
+       |bands AS (${bandsSql(bandsN, k / bandsN)}),
+       |cands AS ($candidatePairsSql)""".stripMargin
+
+  /** SimHash per-doc CTE chain: toks -> votes -> sims(doc_id, simhash). */
+  def simhashPrefix(bits: Int = 32): String = {
+    val votes = (0 until bits)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val fp = (0 until bits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, ${HashOps.h60Sql("tok", 0)} AS h FROM
+       | (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) t WHERE tok <> ''),
+       |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
+       |sims AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin.replaceAll("\n", "")
+  }
+}

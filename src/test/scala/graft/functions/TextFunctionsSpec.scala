@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("occurrences: replace-counting, non-overlapping left-to-right") {
+    val df = one(" the cat the dog the ")
+    assert(df.select(TextFunctions.occurrences(col("text"), " the ")).head.getLong(0) == 3L)
+    // directly adjacent repeats share a space -> only the first counts
+    val adj = one(" the the ")
+    assert(adj.select(TextFunctions.occurrences(col("text"), " the ")).head.getLong(0) == 1L)
+  }
+
+  test("langId picks the language with most stopword hits; und when none") {
+    assert(one("the cat and a dog is here")
+      .select(TextFunctions.langId(col("text"))).head.getString(0) == "en")
+    assert(one("la casa y el perro es grande")
+      .select(TextFunctions.langId(col("text"))).head.getString(0) == "es")
+    assert(one("qwerty zxcvb")
+      .select(TextFunctions.langId(col("text"))).head.getString(0) == "und")
+  }
+
+  test("fingerprint is order- and duplicate-invariant over words") {
+    val a = one("b a c a").select(TextFunctions.fingerprint(col("text"))).head.getString(0)
+    val b = one("c b a").select(TextFunctions.fingerprint(col("text"))).head.getString(0)
+    assert(a == b)
+  }
+
+  test("quality score is bounded in [0,1]") {
+    val q = one("the a of and is " * 30)
+      .select(TextFunctions.qualityScore(col("text"))).head.getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+  }
+}

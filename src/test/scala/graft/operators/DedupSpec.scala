@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  test("exact dedup keeps one id per distinct text") {
+    val kept = Dedup.exact(docs).count()
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(kept == distinctTexts)
+  }
+
+  test("shingles: none for docs shorter than n words, distinct per doc") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b"), (2L, "a b c a b c")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(tiny, 3).collect()
+    assert(!sh.map(_.getLong(0)).contains(1L))
+    // "a b c a b c" -> 4 shingle positions but only 3 distinct shingles
+    assert(sh.count(_.getLong(0) == 2L) == 3)
+  }
+
+  test("minhash signatures are deterministic and identical for identical texts") {
+    import spark.implicits._
+    val two = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(Dedup.shingles(two, 3), k = 16).collect()
+    val a = sig.find(_.getLong(0) == 1L).get
+    val b = sig.find(_.getLong(0) == 2L).get
+    (1 to 16).foreach(i => assert(a.getLong(i) == b.getLong(i)))
+  }
+
+  test("identical docs are LSH candidates and verify at jaccard 1.0") {
+    import spark.implicits._
+    val two = Seq((1L, "p q r s t u v w"), (2L, "p q r s t u v w"), (3L, "completely different words here now ok yes")).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(two)
+    val verified = Dedup.jaccardOnCandidates(two, cands, threshold = 0.7).collect()
+    assert(verified.length == 1)
+    assert(verified.head.getLong(0) == 1L && verified.head.getLong(1) == 2L)
+    assert(verified.head.getDouble(2) == 1.0)
+  }
+
+  test("jaccard verification never exceeds candidate set and respects threshold") {
+    val cands = Dedup.minhashCandidates(docs)
+    val verified = Dedup.jaccardOnCandidates(docs, cands, threshold = 0.7)
+    assert(verified.count() <= cands.count())
+    assert(verified.filter(col("jac") < 0.7).count() == 0)
+  }
+
+  test("simhash of identical texts identical; hamming to itself is 0") {
+    import spark.implicits._
+    val two = Seq((1L, "m n o p q r"), (2L, "m n o p q r")).toDF("doc_id", "text")
+    val s = Dedup.simhash(two).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(2L))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(two), maxHamming = 0).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+
+  test("brute-force top-k: the query vector ranks first with cosine 1.0") {
+    val top = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 0L)
+    assert(top.head.getDouble(1) == 1.0)
+    // descending
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
+  test("LSH top-k contains the query vector (hamming 0 to itself)") {
+    val top = Similarity.lshTopK(emb, queryId = 0L, k = 10, maxHamming = 2).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+  }
+
+  test("LSH codes are deterministic across runs") {
+    val a = Similarity.withLshCode(emb).select("vec_id", "lsh_code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Similarity.withLshCode(emb).select("vec_id", "lsh_code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a.values.forall(c => c >= 0 && c < 256))
+  }
+
+  test("near-dup pairs are symmetric-free (d1 < d2) and above threshold") {
+    val pairs = Similarity.nearDupPairs(emb, threshold = 0.3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.3))
+  }
+}
