@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the projected flow frame (SURVEY
+  * Layer C9/C10 + stateful extensions). All operators take/return DataFrames
+  * so they compose with the batch pipeline; watermarks bound state so every
+  * operator runs indefinitely at cluster scale.
+  */
+object StreamOps {
+
+  /** Epoch-ms double `start` → proper event-time column for watermarking. */
+  def withEventTime(flows: DataFrame): DataFrame =
+    flows.withColumn("event_time", timestamp_millis(col("start").cast("long")))
+
+  /** Tumbling per-minute traffic by namespace pair with late-data drop:
+    * watermark bounds state; partial aggregation happens map-side before the
+    * window-key shuffle.
+    */
+  def trafficPerWindow(flows: DataFrame, window_ : String = "1 minute",
+                       watermark: String = "10 minutes"): DataFrame =
+    withEventTime(flows)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_),
+        col("src_namespace"), col("dst_namespace"))
+      .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
+        count(lit(1)).as("flows"))
+
+  /** Streaming dedup on the flow identity within the watermark horizon
+    * (C10) — duplicates from the at-least-once upstream are dropped with
+    * bounded state.
+    */
+  def dedupWithinWatermark(flows: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    withEventTime(flows)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("start", "src_ip", "dst_ip", "bytes", "packets")
+
+  /** Session state for [[connectionSessions]]. */
+  case class ConnState(first: Long, last: Long, bytes: Long, packets: Long, flows: Long)
+  case class ConnSession(src_ip: String, dst_ip: String, first: Long, last: Long,
+                         bytes: Long, packets: Long, flows: Long)
+  case class FlowKey(src_ip: String, dst_ip: String)
+  case class FlowRow(src_ip: String, dst_ip: String, start: Double, end: Double,
+                     bytes: Long, packets: Long)
+
+  /** Custom stateful sessionization with mapGroupsWithState: per (src,dst)
+    * connection, accumulate byte/packet totals and emit the session when the
+    * group times out (no flows for `timeoutMs`). State is per-key and
+    * timeout-bounded, so it scales with active connections, not history.
+    */
+  def connectionSessions(flows: DataFrame, timeoutMs: Long = 60000L): Dataset[ConnSession] = {
+    val spark = flows.sparkSession
+    import spark.implicits._
+    flows.select(col("src_ip"), col("dst_ip"), col("start"), col("end"),
+        col("bytes"), col("packets")).as[FlowRow]
+      .groupByKey(r => FlowKey(r.src_ip, r.dst_ip))
+      .mapGroupsWithState[ConnState, ConnSession](GroupStateTimeout.ProcessingTimeTimeout) {
+        (key, rows, state: GroupState[ConnState]) =>
+          val prev = state.getOption.getOrElse(ConnState(Long.MaxValue, 0L, 0L, 0L, 0L))
+          val next = rows.foldLeft(prev) { (s, r) =>
+            ConnState(
+              math.min(s.first, r.start.toLong), math.max(s.last, r.end.toLong),
+              s.bytes + r.bytes, s.packets + r.packets, s.flows + 1)
+          }
+          state.update(next)
+          state.setTimeoutDuration(timeoutMs)
+          ConnSession(key.src_ip, key.dst_ip, next.first, next.last,
+            next.bytes, next.packets, next.flows)
+      }
+  }
+
+  /** Per-user event sessionization over the `events` table shape using the
+    * built-in session_window (gap-based), watermark-bounded.
+    */
+  def eventSessions(events: DataFrame, gap: String = "5 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events"), sum("value").as("value"))
+}

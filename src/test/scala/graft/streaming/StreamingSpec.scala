@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.{SparkSpec, Tables}
+import graft.pipeline.FlowPipeline
+import graft.sinks.MemorySink
+import graft.sources.MemoryFlowSource
+
+/** End-to-end streaming tests: MemoryStream → decode/project → sinks,
+  * watermark windows, streaming dedup, stateful sessions (SURVEY §5 item 3).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def flowJson(startMs: Long, src: String, dst: String, bytes: Long): String =
+    s"""{"TimeFlowStartMs":$startMs,"TimeFlowEndMs":${startMs + 500},"SrcAddr":"$src","DstAddr":"$dst","Bytes":$bytes,"Packets":1}"""
+
+  test("memory source -> pipeline -> memory sink delivers projected rows") {
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "10.0.0.1", "10.0.0.2", 100), "garbage{{{", flowJson(2000, "10.0.0.3", "10.0.0.4", 200))
+    val q = MemorySink("flows_e2e").start(
+      FlowPipeline.batch(src.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM flows_e2e ORDER BY start").collect()
+      assert(rows.length == 2) // malformed dropped
+      assert(rows.map(_.getLong(10)).toSeq == Seq(100L, 200L))
+    } finally q.stop()
+  }
+
+  test("windowed traffic agg with watermark emits per-window totals") {
+    val src = new MemoryFlowSource(spark)
+    // two flows in minute 0, one in minute 1 (epoch ms)
+    src.add(flowJson(10000, "a", "b", 10), flowJson(20000, "a", "b", 20), flowJson(70000, "a", "b", 40))
+    val agg = StreamOps.trafficPerWindow(FlowPipeline.batch(src.stream(spark)))
+    val q = agg.writeStream.format("memory").queryName("traffic")
+      .outputMode("update")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.sql("SELECT window.start, bytes, flows FROM traffic ORDER BY 1").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getLong(1)).toSeq == Seq(30L, 40L))
+      assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark drops the duplicate redelivery") {
+    val src = new MemoryFlowSource(spark)
+    val dup = flowJson(10000, "a", "b", 10)
+    src.add(dup, dup, flowJson(11000, "c", "d", 20))
+    val dedup = StreamOps.dedupWithinWatermark(FlowPipeline.batch(src.stream(spark)))
+    val q = dedup.writeStream.format("memory").queryName("dedup_stream")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.sql("SELECT * FROM dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-connection sessions") {
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "a", "b", 10), flowJson(3000, "a", "b", 30), flowJson(1000, "x", "y", 5))
+    val sessions = StreamOps.connectionSessions(FlowPipeline.batch(src.stream(spark)))
+    val q = sessions.toDF().writeStream.format("memory").queryName("sessions")
+      .outputMode("update")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val ab = spark.sql("SELECT bytes, flows FROM sessions WHERE src_ip='a'").collect().head
+      assert(ab.getLong(0) == 40L && ab.getLong(1) == 2L)
+    } finally q.stop()
+  }
+
+  test("event sessions via session_window on the events table (batch-on-stream shape)") {
+    // session_window works identically on batch frames; validate gap logic there.
+    val out = StreamOps.eventSessions(Tables.events(spark, sf0001))
+    assert(out.count() > 0)
+  }
+}
