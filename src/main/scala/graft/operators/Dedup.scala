@@ -42,12 +42,24 @@ object Dedup {
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("shingle"))
       .distinct()
 
-  /** MinHash signature: k independent 60-bit hash functions, min over the
-    * doc's shingle set. One row per doc with columns sig_0..sig_{k-1}.
+  /** 60-bit mask keeping Kirsch-Mitzenmacher combinations positive in int64. */
+  val km_mask: Long = (1L << 60) - 1
+
+  /** MinHash signature: k hash functions via the Kirsch-Mitzenmacher
+    * construction `h_i = (h1 + i*(h2>>4)) & mask` — 2 md5 evaluations per
+    * shingle instead of k (8x less hashing on the hot path), same collision
+    * behavior for LSH purposes. Min over the doc's shingle set; one row per
+    * doc with columns sig_0..sig_{k-1}. The groupBy partial-aggregates
+    * map-side, so the shuffle carries one signature row per doc, not one row
+    * per shingle.
     */
   def minhashSignatures(sh: DataFrame, k: Int = 16, idCol: String = "doc_id"): DataFrame = {
-    val hashed = sh.select(
-      col(idCol) +: (0 until k).map(i => HashOps.h60(col("shingle"), i).as(s"h$i")): _*)
+    val base = sh.select(col(idCol),
+      HashOps.h60(col("shingle"), 0).as("h1"),
+      shiftright(HashOps.h60(col("shingle"), 1), 4).as("h2"))
+    val hashed = base.select(
+      col(idCol) +: (0 until k).map(i =>
+        (col("h1") + col("h2") * i).bitwiseAND(km_mask).as(s"h$i")): _*)
     hashed.groupBy(idCol)
       .agg(min(col("h0")).as("sig_0"), (1 until k).map(i => min(col(s"h$i")).as(s"sig_$i")): _*)
   }

@@ -81,19 +81,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding near-duplicate pairs: LSH-candidate join (codes within
-    * Hamming distance 1) + exact cosine threshold. Equi-join on band-expanded
-    * codes would be the 100 TB plan; at bench scale the code-pair filter join
-    * keeps the comparison count ~3% of n².
+  /** Embedding near-duplicate pairs: codes within Hamming distance 1,
+    * verified by exact cosine threshold.
+    *
+    * Plan shape is the 100 TB one: the left side expands each vector to its 9
+    * probe codes (identity + 8 one-bit flips) and joins the right side's
+    * exact code — a plain shuffle equi-join on the code key, never an O(n²)
+    * cross join. A Hamming-1 pair matches on exactly one probe, so no
+    * distinct pass is needed before the cosine verify.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Materialize codes + norms behind an exchange: both join branches share
+    // the identical shuffle subtree, so ReuseExchange computes the 8-plane
+    // code and the norm once per row instead of once per probe per side.
     val coded = withLshCode(emb, vecCol)
-    val a = coded.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("lsh_code").as("c1"))
-    val b = coded.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("lsh_code").as("c2"))
-    a.join(b, col("d1") < col("d2"))
-      .filter(expr("bit_count(c1 ^ c2)") <= 1)
-      .select(col("d1"), col("d2"), round(VectorOps.cosine(col("v1"), col("v2")), 6).as("cos_sim"))
+      .withColumn("nrm", VectorOps.norm(col(vecCol)))
+      .repartition(col(idCol))
+    val probes = coded.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("nrm").as("n1"),
+      explode(array(col("lsh_code") +:
+        (0 until lshPlanes).map(b => col("lsh_code").bitwiseXOR(1L << b)): _*)).as("probe"))
+    val right = coded.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("nrm").as("n2"),
+      col("lsh_code").as("c2"))
+    probes.join(right, col("probe") === col("c2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(VectorOps.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -42,10 +42,18 @@ object SqlGen {
        | FROM (SELECT doc_id, string_split(text,' ') AS W FROM documents
        |       WHERE len(string_split(text,' ')) >= $n)""".stripMargin.replaceAll("\n", "")
 
-  /** MinHash signature CTE body (k hash functions over `sh(doc_id,shingle)`). */
-  def minhashSql(k: Int = 16): String =
-    (0 until k).map(i => s"min(${HashOps.h60Sql("shingle", i)}) AS sig_$i")
-      .mkString("SELECT doc_id, ", ", ", " FROM sh GROUP BY doc_id")
+  /** MinHash signature CTE body (mirror of Dedup.minhashSignatures:
+    * Kirsch-Mitzenmacher `h_i = (h1 + i*(h2>>4)) & mask`).
+    */
+  def minhashSql(k: Int = 16): String = {
+    val mask = graft.operators.Dedup.km_mask
+    val mins = (0 until k)
+      .map(i => s"min((h1 + h2*$i) & $mask) AS sig_$i").mkString(", ")
+    s"""SELECT doc_id, $mins FROM
+       | (SELECT doc_id, ${HashOps.h60Sql("shingle", 0)} AS h1,
+       |         (${HashOps.h60Sql("shingle", 1)} >> 4) AS h2 FROM sh) hsrc
+       | GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
+  }
 
   /** LSH bands as UNION ALL over the signature CTE `hs`. */
   def bandsSql(bandsN: Int = 8, r: Int = 2): String =
