@@ -2,20 +2,27 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.FloatDotProduct
 
 /** Column-level vector math over `ArrayType(FloatType)` embedding columns.
   *
-  * Built from Catalyst higher-order functions (`zip_with`, `aggregate`) rather
-  * than Scala UDFs so the expressions stay inside Catalyst (prunable,
-  * null-safe, no serialization of closures per row). All math is done in
-  * Double regardless of the array element type, and the fold is
-  * left-to-right in element order, which makes results deterministic and
-  * reproducible against a sequential oracle.
+  * The dot product is a native codegen'd Catalyst expression
+  * ([[FloatDotProduct]]); everything else composes from it. All math is done
+  * in Double with a left-to-right element fold, which makes results
+  * deterministic and bit-identical to a sequential oracle (and to the
+  * higher-order-function formulation it replaced).
   */
 object VectorOps {
 
-  /** Elementwise product folded to a Double sum: `sum_i a[i]*b[i]`. */
+  /** Elementwise product summed in Double: `sum_i a[i]*b[i]`. */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** HOF formulation kept for differential testing against the native one. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
