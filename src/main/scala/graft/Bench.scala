@@ -1,5 +1,11 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.pipeline.FlowPipeline
+import graft.sources.FileFlowSource
+
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
@@ -7,9 +13,41 @@ package graft
   * Each query is fully materialized through the `noop` datasource writer
   * (forces evaluation of every column without collecting to the driver, and
   * without counting short-circuits like limit-only plans). One warm-up run of
-  * the whole suite, then median of 3 timed runs per query.
+  * the whole suite, then median of 3 timed runs per query. Also measures
+  * streaming pipeline throughput (BASELINE.md: rows/s through the
+  * decode→project→sink chain over the file-backed stream source), reported as
+  * the extra field `pipeline_rows_per_sec`.
   */
 object Bench {
+
+  /** Generate n synthetic flow-JSON rows, stream them through the full
+    * pipeline into a parquet sink, return rows/sec.
+    */
+  def pipelineThroughput(spark: SparkSession, n: Long): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-pipeline").toString
+    spark.range(n).selectExpr(
+      s"""concat('{"TimeFlowStartMs":', 1695723032000 + id,
+         |',"TimeFlowEndMs":', 1695723032500 + id,
+         |',"SrcAddr":"10.0.', CAST(id % 256 AS STRING), '.1"',
+         |',"DstAddr":"10.1.0.2"',
+         |',"SrcK8S_Name":"pod-', CAST(id % 1000 AS STRING), '"',
+         |',"SrcK8S_Namespace":"ns-', CAST(id % 32 AS STRING), '"',
+         |',"Bytes":', CAST(id % 100000 AS STRING),
+         |',"Packets":', CAST(id % 64 AS STRING), '}')
+         |AS value""".stripMargin.replaceAll("\n", ""))
+      .coalesce(16).write.mode("overwrite").text(s"$dir/in")
+    val src = FileFlowSource(s"$dir/in", maxFilesPerTrigger = 16)
+    val t0 = System.nanoTime()
+    val q = FlowPipeline.batch(src.stream(spark))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(defaultCpus = 32)
@@ -34,7 +72,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val throughput = pipelineThroughput(spark, 500000L)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows_per_sec":$throughput}""")
     spark.stop()
   }
 }

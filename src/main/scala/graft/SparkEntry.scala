@@ -53,6 +53,9 @@ object SparkEntry {
     "q18_wordcount"      -> CoreQueries.q18 _,
     "q19_cosine_topk"    -> CoreQueries.q19 _,
     "q20_flow_pipeline"  -> PipelineQueries.q20 _,
+    "q21_cube"           -> CoreQueries.q21 _,
+    "q22_union_except"   -> CoreQueries.q22 _,
+    "q23_approx_distinct" -> CoreQueries.q23 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

@@ -179,6 +179,36 @@ object CoreQueries {
       .orderBy(desc("c"), asc("w"))
       .limit(20)
 
+  /** Q21 — cube (C5 closes the grouping-sets family next to Q11's rollup). */
+  def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("c"), round(sum("o_totalprice"), 6).as("s"))
+      .orderBy(col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
+
+  /** Q22 — remaining set ops: UNION (distinct) and EXCEPT. Users with a
+    * high-value click or view who never made a high-value purchase.
+    */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def users(kind: String) =
+      e.filter(col("event_type") === kind && col("value") > 90)
+        .select(col("user_id"))
+    users("click").union(users("view")).distinct()
+      .except(users("purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Q23 — approximate distinct (HLL++). No oracle: DuckDB's sketch differs;
+    * the driver records a rows-only check, and the spec bounds the error vs
+    * the exact count.
+    */
+  def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

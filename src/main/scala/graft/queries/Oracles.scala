@@ -51,6 +51,10 @@ object Oracles {
       "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, count(DISTINCT source) AS srcs FROM documents GROUP BY lang ORDER BY lang",
     "q18_wordcount" ->
       "SELECT w, count(*) AS c FROM (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20",
+    "q21_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS c, round(sum(o_totalprice),6) AS s FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST",
+    "q22_union_except" ->
+      "SELECT user_id FROM events WHERE event_type='click' AND value > 90 UNION SELECT user_id FROM events WHERE event_type='view' AND value > 90 EXCEPT SELECT user_id FROM events WHERE event_type='purchase' AND value > 90 ORDER BY user_id",
     "q19_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT e.vec_id,
