@@ -46,17 +46,19 @@ object Dedup {
   val km_mask: Long = (1L << 60) - 1
 
   /** MinHash signature: k hash functions via the Kirsch-Mitzenmacher
-    * construction `h_i = (h1 + i*(h2>>4)) & mask` — 2 md5 evaluations per
-    * shingle instead of k (8x less hashing on the hot path), same collision
-    * behavior for LSH purposes. Min over the doc's shingle set; one row per
-    * doc with columns sig_0..sig_{k-1}. The groupBy partial-aggregates
-    * map-side, so the shuffle carries one signature row per doc, not one row
-    * per shingle.
+    * construction `h_i = (h1 + i*(h2>>4)) & mask`, with h1 and h2 carved from
+    * the two halves of a single md5 (128 bits = 2x60 with room to spare) — one
+    * md5 evaluation per shingle instead of k, same collision behavior for LSH
+    * purposes. Min over the doc's shingle set; one row per doc with columns
+    * sig_0..sig_{k-1}. The groupBy partial-aggregates map-side, so the
+    * shuffle carries one signature row per doc, not one row per shingle.
     */
   def minhashSignatures(sh: DataFrame, k: Int = 16, idCol: String = "doc_id"): DataFrame = {
-    val base = sh.select(col(idCol),
-      HashOps.h60(col("shingle"), 0).as("h1"),
-      shiftright(HashOps.h60(col("shingle"), 1), 4).as("h2"))
+    val base = sh
+      .select(col(idCol), md5(col("shingle")).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
+        shiftright(conv(substring(col("m"), 17, 15), 16, 10).cast("long"), 4).as("h2"))
     val hashed = base.select(
       col(idCol) +: (0 until k).map(i =>
         (col("h1") + col("h2") * i).bitwiseAND(km_mask).as(s"h$i")): _*)

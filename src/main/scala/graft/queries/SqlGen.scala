@@ -43,15 +43,17 @@ object SqlGen {
        |       WHERE len(string_split(text,' ')) >= $n)""".stripMargin.replaceAll("\n", "")
 
   /** MinHash signature CTE body (mirror of Dedup.minhashSignatures:
-    * Kirsch-Mitzenmacher `h_i = (h1 + i*(h2>>4)) & mask`).
+    * Kirsch-Mitzenmacher `h_i = (h1 + i*(h2>>4)) & mask` over the two halves
+    * of one md5).
     */
   def minhashSql(k: Int = 16): String = {
     val mask = graft.operators.Dedup.km_mask
     val mins = (0 until k)
       .map(i => s"min((h1 + h2*$i) & $mask) AS sig_$i").mkString(", ")
     s"""SELECT doc_id, $mins FROM
-       | (SELECT doc_id, ${HashOps.h60Sql("shingle", 0)} AS h1,
-       |         (${HashOps.h60Sql("shingle", 1)} >> 4) AS h2 FROM sh) hsrc
+       | (SELECT doc_id, ('0x'||substr(m,1,15))::BIGINT AS h1,
+       |         (('0x'||substr(m,17,15))::BIGINT >> 4) AS h2 FROM
+       |   (SELECT doc_id, md5(shingle) AS m FROM sh) msrc) hsrc
        | GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
   }
 

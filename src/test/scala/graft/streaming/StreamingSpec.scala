@@ -79,6 +79,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming q15 over a parquet file stream equals the batch q15 result") {
+    import org.apache.spark.sql.functions._
+    // the file-stream source needs a directory; stage the table file into one
+    val src = java.nio.file.Paths.get(s"$sf0001/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
+    val path = dir.toString
+    val schema = spark.read.parquet(path).schema
+    val stream = spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(date_trunc("HOUR", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 6).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("q15_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.sql("SELECT * FROM q15_stream ORDER BY w, event_type").collect().toSeq
+      val batch = graft.queries.CoreQueries.q15(spark, sf0001).collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("event sessions via session_window on the events table (batch-on-stream shape)") {
     // session_window works identically on batch frames; validate gap logic there.
     val out = StreamOps.eventSessions(Tables.events(spark, sf0001))
