@@ -63,7 +63,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args restrict the suite (dev loop); driver passes none.
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(once) // warm-up: JIT + codegen + file footers
     val results = names.map { n =>
       val ts = Seq.fill(3)(once(n)).sorted

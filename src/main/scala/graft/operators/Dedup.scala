@@ -88,18 +88,36 @@ object Dedup {
 
   /** Full MinHash+LSH candidate generation from raw docs. */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bandsN: Int = 8): DataFrame =
-    candidatePairs(bands(minhashSignatures(shingles(docs, n), k), bandsN, k / bandsN))
+    minhashCandidatesFromShingles(shingles(docs, n), k, bandsN)
+
+  /** Candidate generation from a prebuilt shingle frame — callers that also
+    * verify (Jaccard) pass the same frame to both stages so the physical
+    * planner can reuse the shingle exchange instead of recomputing it.
+    */
+  def minhashCandidatesFromShingles(sh: DataFrame, k: Int = 16, bandsN: Int = 8): DataFrame =
+    candidatePairs(bands(minhashSignatures(sh, k), bandsN, k / bandsN))
 
   /** Exact n-gram Jaccard, evaluated only on the given candidate pairs
     * (intersection via shingle equi-join, sizes via per-doc counts).
     */
-  def jaccardOnCandidates(docs: DataFrame, cands: DataFrame, n: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(docs, n)
+  def jaccardOnCandidates(docs: DataFrame, cands: DataFrame, n: Int = 3, threshold: Double = 0.7): DataFrame =
+    jaccardOnCandidatesFromShingles(shingles(docs, n), cands, threshold)
+
+  /** Jaccard verify from a prebuilt (distinct) shingle frame.
+    *
+    * Join order matters at scale: starting from the (small) candidate set and
+    * attaching each side's shingles keeps the work ∝ candidates ×
+    * shingles/doc. The naive shingle self-join first would materialize every
+    * co-occurring pair in the corpus — quadratic in the document frequency of
+    * common shingles — before candidates could prune it.
+    */
+  def jaccardOnCandidatesFromShingles(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = sh.as("sa")
-      .join(sh.as("sb"), col("sa.shingle") === col("sb.shingle") && col("sa.doc_id") < col("sb.doc_id"))
-      .select(col("sa.doc_id").as("d1"), col("sb.doc_id").as("d2"))
-      .join(cands, Seq("d1", "d2"), "left_semi")
+    val leftSh = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val rightSh = sh.select(col("doc_id").as("d2"), col("shingle"))
+    val inter = cands
+      .join(leftSh, "d1")
+      .join(rightSh, Seq("d2", "shingle"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")

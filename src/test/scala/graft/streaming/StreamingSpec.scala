@@ -79,6 +79,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JdbcSink drops a failing batch and the stream continues (A7 warn-and-drop parity)") {
+    // Reference: insert error -> warn + drop row, keep consuming
+    // (export_clickhouse.go:85-87). Here: whole failing micro-batch logged +
+    // skipped; the query itself must survive.
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "a", "b", 1))
+    val q = graft.sinks.JdbcSink("jdbc:nosuchdb://nowhere/flows").start(
+      FlowPipeline.batch(src.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      src.add(flowJson(2000, "c", "d", 2))
+      q.processAllAvailable()
+      assert(q.isActive) // two failed batches, stream still alive
+    } finally q.stop()
+  }
+
   test("streaming q15 over a parquet file stream equals the batch q15 result") {
     import org.apache.spark.sql.functions._
     // the file-stream source needs a directory; stage the table file into one
