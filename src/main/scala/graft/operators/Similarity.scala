@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
+import graft.expressions.LshCode
 import graft.functions.VectorOps
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -31,20 +33,27 @@ object Similarity {
   private def planeComponent(p: Int, dExpr: String): String =
     s"(CAST((CAST(1103515245 AS BIGINT)*(${p * dims}+$dExpr)+12345) % 2001 AS DOUBLE) - 1000)/1000.0"
 
-  /** Dot product of the embedding with pseudo-random plane p (Spark side). */
-  private def planeDot(vec: String, p: Int): Column =
+  /** Dot product of the embedding with pseudo-random plane p — interpreted
+    * HOF formulation, kept for differential testing against [[LshCode]].
+    */
+  private[operators] def planeDot(vec: String, p: Int): Column =
     expr(s"""aggregate(
       zip_with($vec, transform(sequence(0, ${dims - 1}), d -> ${planeComponent(p, "d")}),
                (x, h) -> CAST(x AS DOUBLE) * h),
       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
 
-  /** Append an `lsh_code` column: bit p set iff dot(v, plane_p) > 0. */
-  def withLshCode(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val code: Column = (0 until lshPlanes)
+  /** HOF code derivation (differential-test twin of the native one). */
+  private[operators] def lshCodeHof(vecCol: String): Column =
+    (0 until lshPlanes)
       .map(p => when(planeDot(vecCol, p) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    df.withColumn("lsh_code", code)
-  }
+
+  /** Append an `lsh_code` column: bit p set iff dot(v, plane_p) > 0, via the
+    * native codegen'd [[LshCode]] expression.
+    */
+  def withLshCode(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("lsh_code",
+      ColumnBridge.column(LshCode(ColumnBridge.expression(col(vecCol)), lshPlanes, dims)))
 
   /** DuckDB rendering of the same code (kept adjacent to prevent drift). */
   def lshCodeSql(vecCol: String): String =

@@ -22,6 +22,13 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
   }
 
+  test("native LshCode expression matches the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val both = Similarity.withLshCode(emb)
+      .withColumn("hof", Similarity.lshCodeHof("embedding"))
+    assert(both.filter(col("lsh_code") =!= col("hof")).count() == 0)
+  }
+
   test("LSH codes are deterministic across runs") {
     val a = Similarity.withLshCode(emb).select("vec_id", "lsh_code").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
