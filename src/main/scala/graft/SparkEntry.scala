@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
+    "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
     "mm_frames"          -> MultimodalQueries.frames _

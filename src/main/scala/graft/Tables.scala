@@ -18,6 +18,15 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every testdata table as a temp view so users can `spark.sql`
+    * over the corpus directly (the engine's SQL entry point).
+    */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else apply(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -90,6 +90,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: partition vectors into `k` cosine-nearest-centroid lists,
+    * search only the `nprobe` lists nearest the query. Centroids here are the
+    * `k` smallest-id vectors — a deterministic stand-in for a k-means step
+    * (swap in trained centroids without changing the plan); at scale the
+    * assignment is a broadcast join (k rows) + window argmax, and the
+    * inverted lists are a partitioning key.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int = 10, centroidsN: Int = 16,
+              nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val cent = emb.filter(col(idCol) < centroidsN)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+
+    // assignment: nearest centroid per vector (ties -> smallest cid)
+    val w = Window.partitionBy(idCol).orderBy(desc("ccos"), asc("cid"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cid"))
+
+    // the query's nprobe nearest centroid lists
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cid"), VectorOps.cosine(col("ce"), col("qe")).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(nprobe)
+      .select("cid")
+
+    emb.join(assigned, idCol)
+      .join(broadcast(probes), "cid")
+      .crossJoin(broadcast(q))
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("qe")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs: codes within Hamming distance 1,
     * verified by exact cosine threshold.
     *

@@ -16,7 +16,23 @@ object SimilarityQueries {
   def lshTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10, maxHamming = 2)
 
+  /** Top-10 via IVF probing (2 of 16 inverted lists searched). */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L)
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf_topk" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+         |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+         |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+         |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qprobe AS (SELECT cid FROM
+         |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+         |   FROM cent c, q) t WHERE rn <= 2)
+         |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+         |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_lsh_topk" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding")} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)

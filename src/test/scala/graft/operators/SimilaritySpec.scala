@@ -38,6 +38,15 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.forall(c => c >= 0 && c < 256))
   }
 
+  test("IVF top-k: query vector ranks first; results are a subset of brute force universe") {
+    val top = Similarity.ivfTopK(emb, queryId = 0L).collect()
+    assert(top.nonEmpty)
+    // vec 0 is its own nearest centroid's list member -> always found
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    val sims = top.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("near-dup pairs are symmetric-free (d1 < d2) and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
