@@ -74,7 +74,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failed queries carry the -1 sentinel in `queries` but must not shrink
+    // the headline total.
+    val total = results.map(_._2).filter(_ >= 0).sum
     val throughput = pipelineThroughput(spark, 500000L)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows_per_sec":$throughput}""")
     spark.stop()

@@ -20,8 +20,9 @@ object EntrySmoke {
     println(s"PROBE_ROWS=${queries.FlowQueries.probe(spark).count()}")
     val ver = queries.FlowQueries.verification(spark)
     ver.show(10, truncate = false)
-    println(s"VERIFICATION_ROWS=${ver.count()}")
-    require(ver.count() > 0, "verification query returned no rows")
+    val nv = ver.count()
+    println(s"VERIFICATION_ROWS=$nv")
+    require(nv > 0, "verification query returned no rows")
     spark.stop()
   }
 }

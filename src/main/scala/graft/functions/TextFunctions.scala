@@ -60,9 +60,13 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
-  /** Punctuation character ratio over total length. */
+  /** Punctuation character ratio over total length (0.0 for empty text —
+    * guarded identically in the oracle SQL, since Spark would yield NULL and
+    * DuckDB NaN on the bare division).
+    */
   def punctRatio(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "[.,;:!?]", ""))).cast("double") / length(c)
+    when(length(c) === 0, lit(0.0))
+      .otherwise((length(c) - length(regexp_replace(c, "[.,;:!?]", ""))).cast("double") / length(c))
 
   /** English-stopword token ratio. */
   def stopwordRatio(c: Column): Column =

@@ -32,9 +32,13 @@ object VectorOps {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in Double; null-safe via the underlying expressions
-    * (null array => null result).
+    * (null array => null result). A zero vector gets similarity 0.0 — the
+    * same guard the oracle SQL carries, since the bare division would yield
+    * NULL in Spark but NaN/inf in DuckDB.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    when(norm(a) === 0 || norm(b) === 0, lit(0.0))
+      .otherwise(dot(a, b) / (norm(a) * norm(b)))
 
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =

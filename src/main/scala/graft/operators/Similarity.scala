@@ -152,7 +152,9 @@ object Similarity {
       col("lsh_code").as("c2"))
     probes.join(right, col("probe") === col("c2") && col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        round(VectorOps.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos_sim"))
+        round(when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(VectorOps.dot(col("v1"), col("v2")) / (col("n1") * col("n2"))), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -25,10 +25,9 @@ object FlowQueries {
     * temp view over the projected frame is the faithful mapping; a durable
     * variant would `saveAsTable`.
     */
-  def setupTable(spark: SparkSession, flows: DataFrame, name: String = "flows"): Unit = {
-    spark.catalog.dropTempView(name)
+  def setupTable(spark: SparkSession, flows: DataFrame, name: String = "flows"): Unit =
+    // createOrReplace covers the reference's DROP+CREATE pair in one call.
     flows.createOrReplaceTempView(name)
-  }
 
   /** B6 — the README verification query (`README.md:91-107`):
     * `fromUnixTimestamp(intDiv(start,1000))` + projection + LIMIT 100.

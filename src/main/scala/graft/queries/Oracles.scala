@@ -56,15 +56,9 @@ object Oracles {
     "q22_union_except" ->
       "SELECT user_id FROM events WHERE event_type='click' AND value > 90 UNION SELECT user_id FROM events WHERE event_type='view' AND value > 90 EXCEPT SELECT user_id FROM events WHERE event_type='purchase' AND value > 90 ORDER BY user_id",
     "q19_cosine_topk" ->
-      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |       round(list_sum(list_transform(range(1, len(e.embedding)+1),
-        |                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
-        |         / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-        |                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
-        |          * sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
-        |                 i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))), 6) AS cos_sim
-        |FROM embeddings e, q
-        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+         |FROM embeddings e, q
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
   )
 }

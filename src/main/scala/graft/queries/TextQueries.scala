@@ -54,7 +54,8 @@ object TextQueries {
       .limit(50)
 
   val oracle: Map[String, String] = {
-    val punctSql = "(length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text)"
+    val punctSql =
+      "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
     val toksSql = "len(string_split(text,' '))"
     val swrSql = s"CAST(${SqlGen.hitsSql("en")} AS DOUBLE)/$toksSql"
     val qualSql =

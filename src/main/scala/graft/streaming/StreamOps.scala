@@ -61,15 +61,24 @@ object StreamOps {
       .mapGroupsWithState[ConnState, ConnSession](GroupStateTimeout.ProcessingTimeTimeout) {
         (key, rows, state: GroupState[ConnState]) =>
           val prev = state.getOption.getOrElse(ConnState(Long.MaxValue, 0L, 0L, 0L, 0L))
-          val next = rows.foldLeft(prev) { (s, r) =>
-            ConnState(
-              math.min(s.first, r.start.toLong), math.max(s.last, r.end.toLong),
-              s.bytes + r.bytes, s.packets + r.packets, s.flows + 1)
+          if (state.hasTimedOut) {
+            // Idle horizon reached: emit the final session and CLEAR the
+            // state — otherwise the group re-emits forever and state grows
+            // with every key ever seen.
+            state.remove()
+            ConnSession(key.src_ip, key.dst_ip, prev.first, prev.last,
+              prev.bytes, prev.packets, prev.flows)
+          } else {
+            val next = rows.foldLeft(prev) { (s, r) =>
+              ConnState(
+                math.min(s.first, r.start.toLong), math.max(s.last, r.end.toLong),
+                s.bytes + r.bytes, s.packets + r.packets, s.flows + 1)
+            }
+            state.update(next)
+            state.setTimeoutDuration(timeoutMs)
+            ConnSession(key.src_ip, key.dst_ip, next.first, next.last,
+              next.bytes, next.packets, next.flows)
           }
-          state.update(next)
-          state.setTimeoutDuration(timeoutMs)
-          ConnSession(key.src_ip, key.dst_ip, next.first, next.last,
-            next.bytes, next.packets, next.flows)
       }
   }
 

@@ -17,6 +17,18 @@ class FloatDotProductSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("l2sq computes squared euclidean distance") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(VectorOps.l2sq(col("a"), col("b"))).head.getDouble(0) == 25.0)
+  }
+
+  test("cosine of a zero vector is 0.0 (guarded, not null/NaN)") {
+    import spark.implicits._
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(VectorOps.cosine(col("a"), col("b"))).head.getDouble(0) == 0.0)
+  }
+
   test("null array yields null; known values compute exactly") {
     import spark.implicits._
     val df = Seq(

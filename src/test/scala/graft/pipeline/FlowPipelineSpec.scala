@@ -67,6 +67,13 @@ class FlowPipelineSpec extends SparkSpec {
     assert(r.getLong(10) == -1L)
   }
 
+  test("field taxonomy helpers mirror the vendored fields.go predicates") {
+    assert(FlowSchema.isNumeric(FlowSchema.Bytes) && FlowSchema.isNumeric("Proto"))
+    assert(!FlowSchema.isNumeric(FlowSchema.SrcAddr))
+    assert(FlowSchema.isIP(FlowSchema.SrcAddr) && FlowSchema.isIP(FlowSchema.DstAddr))
+    assert(!FlowSchema.isIP(FlowSchema.SrcName))
+  }
+
   test("output schema matches the ClickHouse DDL mapping (connect.go:74-89)") {
     val got = run(full).schema
     assert(got.fieldNames.toSeq == FlowSchema.output.fieldNames.toSeq)

@@ -48,6 +48,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data: an event behind the watermark never lands") {
+    val src = new MemoryFlowSource(spark)
+    val agg = StreamOps.trafficPerWindow(FlowPipeline.batch(src.stream(spark)),
+      window_ = "1 minute", watermark = "1 minute")
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append") // append emits only finalized (watermark-passed) windows
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      // minute-0 event, then an event far ahead that advances the watermark
+      // beyond minute 0's window
+      src.add(flowJson(10000, "a", "b", 10))
+      q.processAllAvailable()
+      src.add(flowJson(600000, "a", "b", 99))
+      q.processAllAvailable()
+      // this minute-0 event is now behind the watermark -> dropped
+      src.add(flowJson(20000, "a", "b", 77))
+      q.processAllAvailable()
+      val w0 = spark.sql(
+        "SELECT bytes FROM late_drop WHERE window.start = timestamp_millis(0)").collect()
+      assert(w0.length == 1 && w0.head.getLong(0) == 10L) // 77-byte straggler excluded
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark drops the duplicate redelivery") {
     val src = new MemoryFlowSource(spark)
     val dup = flowJson(10000, "a", "b", 10)
