@@ -63,6 +63,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Throughput first, on a quiet JVM — measured after the 39-query suite it
+    // reads up to 7x low from accumulated heap/codegen-cache pressure.
+    val throughput = pipelineThroughput(spark, 500000L)
+
     // Optional args restrict the suite (dev loop); driver passes none.
     val names =
       if (args.nonEmpty) args.toSeq.sorted
@@ -77,7 +81,6 @@ object Bench {
     // Failed queries carry the -1 sentinel in `queries` but must not shrink
     // the headline total.
     val total = results.map(_._2).filter(_ >= 0).sum
-    val throughput = pipelineThroughput(spark, 500000L)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows_per_sec":$throughput}""")
     spark.stop()
   }

@@ -56,6 +56,7 @@ object SparkEntry {
     "q21_cube"           -> CoreQueries.q21 _,
     "q22_union_except"   -> CoreQueries.q22 _,
     "q23_approx_distinct" -> CoreQueries.q23 _,
+    "q24_json_extract"   -> CoreQueries.q24 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

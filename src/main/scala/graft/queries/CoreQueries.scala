@@ -209,6 +209,16 @@ object CoreQueries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** Q24 — JSON field extraction from the `props` string column (the query-
+    * level counterpart of the pipeline's from_json decode).
+    */
+  def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .orderBy("event_id")
+      .limit(100)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -51,6 +51,8 @@ object Oracles {
       "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, count(DISTINCT source) AS srcs FROM documents GROUP BY lang ORDER BY lang",
     "q18_wordcount" ->
       "SELECT w, count(*) AS c FROM (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 20",
+    "q24_json_extract" ->
+      "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events ORDER BY event_id LIMIT 100",
     "q21_cube" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS c, round(sum(o_totalprice),6) AS s FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST",
     "q22_union_except" ->
