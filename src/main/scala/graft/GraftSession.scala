@@ -23,6 +23,9 @@ object GraftSession {
       // testdata events.ts is parquet TIMESTAMP(NANOS); read as long nanos
       // (Tables.events converts back to TimestampType, losslessly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep catalog tables (bucketed writes) out of the repo working dir
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
 
   /** Session for the driver-invoked mains; core count from SPARK_GRAFT_CPUS. */
   def local(defaultCpus: Int = 32): SparkSession = {

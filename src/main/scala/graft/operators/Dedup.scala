@@ -32,15 +32,21 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
-  /** Distinct word n-gram shingles per doc (docs shorter than n words have no
-    * shingles and drop out, like every shingling dedup does).
+  /** Word n-gram shingles per doc WITHOUT the dedup shuffle — enough for
+    * MinHash (min over a multiset equals min over its set). Docs shorter
+    * than n words have no shingles and drop out, like every shingling dedup.
     */
-  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def shinglesRaw(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
       .select(col(idCol),
         explode(expr(s"transform(sequence(0, size(w)-$n), i -> concat_ws(' ', slice(w, i+1, $n)))")).as("shingle"))
-      .distinct()
+
+  /** Distinct shingles — required wherever set semantics matter (Jaccard
+    * sizes/intersections).
+    */
+  def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shinglesRaw(docs, n, idCol, textCol).distinct()
 
   /** 60-bit mask keeping Kirsch-Mitzenmacher combinations positive in int64. */
   val km_mask: Long = (1L << 60) - 1
@@ -86,9 +92,11 @@ object Dedup {
       .distinct()
   }
 
-  /** Full MinHash+LSH candidate generation from raw docs. */
+  /** Full MinHash+LSH candidate generation from raw docs (shingle dedup
+    * skipped — min-hashing is multiset-invariant).
+    */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bandsN: Int = 8): DataFrame =
-    minhashCandidatesFromShingles(shingles(docs, n), k, bandsN)
+    minhashCandidatesFromShingles(shinglesRaw(docs, n), k, bandsN)
 
   /** Candidate generation from a prebuilt shingle frame — callers that also
     * verify (Jaccard) pass the same frame to both stages so the physical

@@ -50,6 +50,10 @@ final case class KafkaFlowSource(
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
+      // The reference survives topic retention trimming (28 min,
+      // contrib/kafka.yaml:28) by just consuming from earliest; the Spark
+      // equivalent is tolerating aged-out offsets instead of failing the query.
+      .option("failOnDataLoss", "false")
     val r1 = maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
     val r2 = minPartitions.fold(r1)(n => r1.option("minPartitions", n.toString))
     r2.load().selectExpr("CAST(value AS STRING) AS value")
