@@ -61,13 +61,20 @@ object CoreQueries {
       .orderBy("l_orderkey", "l_linenumber")
       .select("l_orderkey", "l_quantity")
 
-  /** Q05 — hash aggregate with partial+final (map-side combine). */
+  /** Q05 — hash aggregate with partial+final (map-side combine).
+    *
+    * Money/quantity sums go through DECIMAL: double summation order differs
+    * between engines (and between partitionings of the same engine), and at
+    * sf>=0.1 the ~1e-6 drift crosses the round(...,6) boundary. Decimal
+    * summation is exact and order-independent, so results are stable at any
+    * scale; the cast-to-2-decimals happens identically in both engines.
+    */
   def q05(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 6).as("sq"),
-        round(avg("l_extendedprice"), 6).as("ap"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6).as("sq"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("ap"),
         count(lit(1)).as("c"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -91,7 +98,7 @@ object CoreQueries {
     Tables.customer(s, dir)
       .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
       .groupBy("c_name")
-      .agg(round(sum("o_totalprice"), 6).as("s"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("s"))
       .orderBy(desc("s"), asc("c_name"))
       .limit(10)
 
@@ -113,7 +120,7 @@ object CoreQueries {
   def q11(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(round(sum("l_quantity"), 6).as("s"))
+      .agg(round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6).as("s"))
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
 
   /** Q12 — ranking + offset window functions. */
@@ -183,7 +190,8 @@ object CoreQueries {
   def q21(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .cube("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("c"), round(sum("o_totalprice"), 6).as("s"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("s"))
       .orderBy(col("o_orderstatus").asc_nulls_last, col("o_orderpriority").asc_nulls_last)
 
   /** Q22 — remaining set ops: UNION (distinct) and EXCEPT. Users with a

@@ -24,19 +24,19 @@ object Oracles {
     "q04_filter" ->
       "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
     "q05_agg" ->
-      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),6) AS sq, round(avg(l_extendedprice),6) AS ap, count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+      "SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS sq, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*),6) AS ap, count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q06_distinct" ->
       "SELECT count(DISTINCT user_id) AS u, count(DISTINCT event_type) AS t FROM events",
     "q07_join_broadcast" ->
       "SELECT n_name, count(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     "q08_join_topk" ->
-      "SELECT c_name, round(sum(o_totalprice),6) AS s FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_name ORDER BY s DESC, c_name LIMIT 10",
+      "SELECT c_name, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),6) AS s FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY c_name ORDER BY s DESC, c_name LIMIT 10",
     "q09_left_join" ->
       "SELECT c_custkey, count(o_orderkey) AS n FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey",
     "q10_anti_join" ->
       "SELECT count(*) AS no_orders FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "q11_rollup" ->
-      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),6) AS s FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST",
+      "SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS s FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST",
     "q12_window_rank" ->
       "SELECT event_id, user_id, rank() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r, lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv FROM events ORDER BY event_id",
     "q13_window_frame" ->
@@ -54,7 +54,7 @@ object Oracles {
     "q24_json_extract" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k FROM events ORDER BY event_id LIMIT 100",
     "q21_cube" ->
-      "SELECT o_orderstatus, o_orderpriority, count(*) AS c, round(sum(o_totalprice),6) AS s FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST",
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS c, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),6) AS s FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST",
     "q22_union_except" ->
       "SELECT user_id FROM events WHERE event_type='click' AND value > 90 UNION SELECT user_id FROM events WHERE event_type='view' AND value > 90 EXCEPT SELECT user_id FROM events WHERE event_type='purchase' AND value > 90 ORDER BY user_id",
     "q19_cosine_topk" ->
