@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashOps
-
 /** Document deduplication operators for training-data pipelines: exact,
   * MinHash+LSH, n-gram Jaccard verification, and SimHash.
   *
@@ -17,8 +15,8 @@ import graft.functions.HashOps
   *    shuffle join on a high-cardinality key, never an O(n²) cross join);
   *  - exact Jaccard runs only on LSH candidates (the standard verify step).
   *
-  * All hashing is md5-derived ([[HashOps.h60]]) so the DuckDB oracle
-  * reproduces every signature exactly.
+  * All hashing is md5-derived so the DuckDB oracle reproduces every
+  * signature exactly.
   */
 object Dedup {
 
@@ -135,35 +133,58 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** SimHash bits used (low 32 of the 60-bit token hash). */
-  val simhashBits = 32
+  /** SimHash fingerprint width. 64 bits matters at scale: the band join below
+    * buckets on 16-bit slices, and a b-bit band has only 2^b values — too few
+    * (the old 8-bit bands gave 256 buckets ⇒ Θ(n²/256) candidate pairs on a
+    * large corpus). 16-bit bands give 65 536 bucket values per band.
+    */
+  val simhashBits = 64
 
-  /** 32-bit SimHash per doc over the word multiset: per-bit ±1 votes summed,
-    * bit set where the vote is positive. One groupBy with 32 conditional sums
+  /** Bits per LSH band (4 bands × 16 bits = the full fingerprint). */
+  val simhashBandBits = 16
+
+  /** 64-bit SimHash per doc over the word multiset: per-bit ±1 votes summed,
+    * bit set where the vote is positive. One groupBy with 64 conditional sums
     * — partial-aggregable, no sort, no window.
+    *
+    * The 64 hash bits come from two 32-bit halves of one md5 (chars 1-8 and
+    * 9-16) rather than one 64-bit carve: 32-bit values stay trivially inside
+    * signed-BIGINT range in every engine, so the oracle needs no unsigned
+    * tricks. Bit 63 of the fingerprint is `Long.MinValue` as an addend —
+    * two's complement makes the sum exact with no possible overflow (partial
+    * sums stay within [-2^63, 2^63-1] when that term is added first).
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col(idCol), HashOps.h60(col("tok"), 0).as("h"))
+      .select(col(idCol), md5(concat(col("tok"), lit("#0"))).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hlo"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hhi"))
+    def bit(b: Int): Column =
+      if (b < 32) shiftright(col("hlo"), b) else shiftright(col("hhi"), b - 32)
     val votes = toks.groupBy(idCol).agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+      sum(when(bit(0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
       (1 until simhashBits).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
-    val fp: Column = (0 until simhashBits)
+        sum(when(bit(b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)
+    val fp: Column = (simhashBits - 1 to 0 by -1)
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     votes.select(col(idCol), fp.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: candidates share at least one of four 8-bit
+  /** Near-dup pairs by SimHash: candidates share at least one of four 16-bit
     * bands, verified by Hamming distance <= maxHamming. The band join keeps
-    * this an equi-join (LSH for Hamming space), not a cross join.
+    * this an equi-join (LSH for Hamming space), not a cross join; with 16-bit
+    * bands the join key has 4×65 536 values, so bucket occupancy — and the
+    * candidate pair count — scales with the data, not n².
     */
   def simhashPairs(sims: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val nb = simhashBits / simhashBandBits
     val banded = sims.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftright(col("simhash"), j * 8).bitwiseAND(255)): _*)).as(Seq("band", "bv")))
+      posexplode(array((0 until nb).map(j =>
+        shiftright(col("simhash"), j * simhashBandBits)
+          .bitwiseAND((1 << simhashBandBits) - 1)): _*)).as(Seq("band", "bv")))
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

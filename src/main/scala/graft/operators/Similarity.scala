@@ -15,10 +15,16 @@ import graft.functions.VectorOps
   *    the correctness baseline, and still the right plan when the query set
   *    is small (scan stays fully parallel, top-k is TakeOrderedAndProject,
   *    no shuffle of the big side).
-  *  - [[withLshCode]] / LSH-bucketed variants: 8 signed random hyperplanes →
-  *    8-bit code; candidates = buckets within Hamming distance 1-2. At 100 TB
+  *  - [[withLshCode]] / LSH-bucketed variants: signed random hyperplanes →
+  *    p-bit code; candidates = buckets within Hamming distance 1-2. At 100 TB
   *    the code is a partitioning/bucketing key: candidate generation is an
   *    equi-join on `code`, never a cross join.
+  *
+  * The plane count is NOT a constant at scale: a fixed code space makes the
+  * candidate join key constant-cardinality and the pair count Θ(n²/2^p).
+  * [[planesFor]] scales p with the corpus so the expected bucket occupancy
+  * stays bounded; [[lshPlanes]] is the floor (and the value the DuckDB
+  * oracle is generated with — verify-scale corpora stay exactly on it).
   *
   * Hyperplane components come from a fixed LCG (`(1103515245*i+12345) mod
   * 2001`, scaled to [-1,1]) rather than a runtime RNG, so codes are
@@ -26,8 +32,22 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  val lshPlanes = 8
+  /** Default / oracle-pinned plane count: 2^16 = 65536 bucket values. */
+  val lshPlanes = 16
   val dims = 64
+
+  /** Data-scaled plane count: enough bits that the mean LSH bucket holds
+    * ~[[targetBucketRows]] rows (`p = ceil(log2(n/target))`), floored at
+    * [[lshPlanes]] so every verify/bench-scale corpus uses the oracle value,
+    * capped at 32 (4.3e9 buckets — beyond that, bucket occupancy is set by
+    * the data distribution, not the code width).
+    */
+  val targetBucketRows = 64L
+  def planesFor(n: Long): Int = {
+    val buckets = math.max(1L, n / targetBucketRows)
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil(log2)
+    math.min(32, math.max(lshPlanes, bits))
+  }
 
   /** SQL fragment for plane p's d-th component, shared Spark/DuckDB shape. */
   private def planeComponent(p: Int, dExpr: String): String =
@@ -43,17 +63,18 @@ object Similarity {
       CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
 
   /** HOF code derivation (differential-test twin of the native one). */
-  private[operators] def lshCodeHof(vecCol: String): Column =
-    (0 until lshPlanes)
+  private[operators] def lshCodeHof(vecCol: String, planes: Int = lshPlanes): Column =
+    (0 until planes)
       .map(p => when(planeDot(vecCol, p) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Append an `lsh_code` column: bit p set iff dot(v, plane_p) > 0, via the
     * native codegen'd [[LshCode]] expression.
     */
-  def withLshCode(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+  def withLshCode(df: DataFrame, vecCol: String = "embedding",
+                  planes: Int = lshPlanes): DataFrame =
     df.withColumn("lsh_code",
-      ColumnBridge.column(LshCode(ColumnBridge.expression(col(vecCol)), lshPlanes, dims)))
+      ColumnBridge.column(LshCode(ColumnBridge.expression(col(vecCol)), planes, dims)))
 
   /** DuckDB rendering of the same code (kept adjacent to prevent drift). */
   def lshCodeSql(vecCol: String): String =
@@ -90,27 +111,39 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: partition vectors into `k` cosine-nearest-centroid lists,
-    * search only the `nprobe` lists nearest the query. Centroids here are the
-    * `k` smallest-id vectors — a deterministic stand-in for a k-means step
-    * (swap in trained centroids without changing the plan); at scale the
-    * assignment is a broadcast join (k rows) + window argmax, and the
-    * inverted lists are a partitioning key.
-    */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int = 10, centroidsN: Int = 16,
-              nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Default / oracle-pinned IVF list count. */
+  val ivfCentroids = 16
 
+  /** Data-scaled IVF list count (~sqrt(n)/16, floored at the oracle value so
+    * verify/bench corpora stay on it). At n=1e9 this is ~2000 lists — still a
+    * trivially broadcastable centroid table (2000×64 floats ≈ 0.5 MB).
+    */
+  def centroidsFor(n: Long): Int =
+    math.max(ivfCentroids, math.ceil(math.sqrt(n / 256.0)).toInt)
+
+  /** IVF-style ANN: partition vectors into cosine-nearest-centroid lists,
+    * search only the `nprobe` lists nearest the query. Centroids here are the
+    * smallest-id vectors — a deterministic stand-in for a k-means step (swap
+    * in trained centroids without changing the plan); at scale the assignment
+    * is a broadcast join (centroid rows) + aggregation argmax (`max_by` —
+    * partial-aggregable, no per-partition sort the way a `row_number` window
+    * would), and the inverted lists are a partitioning key. List count scales
+    * with the corpus via [[centroidsFor]].
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+              centroidsNOpt: Option[Int] = None,
+              nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroidsN = centroidsNOpt.getOrElse(centroidsFor(emb.count()))
     val cent = emb.filter(col(idCol) < centroidsN)
       .select(col(idCol).as("cid"), col(vecCol).as("ce"))
 
-    // assignment: nearest centroid per vector (ties -> smallest cid)
-    val w = Window.partitionBy(idCol).orderBy(desc("ccos"), asc("cid"))
+    // assignment: nearest centroid per vector (ties -> smallest cid), as an
+    // aggregation argmax: max over (ccos, -cid) picks the highest cosine and
+    // breaks ties toward the smallest cid, without sorting n×centroids rows.
     val assigned = emb.crossJoin(broadcast(cent))
       .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cid"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
 
     // the query's nprobe nearest centroid lists
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
@@ -131,23 +164,29 @@ object Similarity {
   /** Embedding near-duplicate pairs: codes within Hamming distance 1,
     * verified by exact cosine threshold.
     *
-    * Plan shape is the 100 TB one: the left side expands each vector to its 9
-    * probe codes (identity + 8 one-bit flips) and joins the right side's
+    * Plan shape is the 100 TB one: the left side expands each vector to its
+    * p+1 probe codes (identity + p one-bit flips) and joins the right side's
     * exact code — a plain shuffle equi-join on the code key, never an O(n²)
     * cross join. A Hamming-1 pair matches on exactly one probe, so no
     * distinct pass is needed before the cosine verify.
+    *
+    * `planes` defaults to [[planesFor]] of the corpus size (one cheap
+    * metadata count), so the join-key cardinality grows with the data instead
+    * of freezing at a constant: expected candidates stay ~n·targetBucketRows
+    * rather than Θ(n²/2^p). Codes + norms are recomputed on each branch —
+    * both are cheap codegen'd scans; a `repartition` to force exchange reuse
+    * would trade two parallel parquet scans for a full shuffle of the
+    * vectors, a bad trade at any scale.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // Materialize codes + norms behind an exchange: both join branches share
-    // the identical shuffle subtree, so ReuseExchange computes the 8-plane
-    // code and the norm once per row instead of once per probe per side.
-    val coded = withLshCode(emb, vecCol)
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   planesOpt: Option[Int] = None): DataFrame = {
+    val planes = planesOpt.getOrElse(planesFor(emb.count()))
+    val coded = withLshCode(emb, vecCol, planes)
       .withColumn("nrm", VectorOps.norm(col(vecCol)))
-      .repartition(col(idCol))
     val probes = coded.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("nrm").as("n1"),
       explode(array(col("lsh_code") +:
-        (0 until lshPlanes).map(b => col("lsh_code").bitwiseXOR(1L << b)): _*)).as("probe"))
+        (0 until planes).map(b => col("lsh_code").bitwiseXOR(1L << b)): _*)).as("probe"))
     val right = coded.select(col(idCol).as("d2"), col(vecCol).as("v2"), col("nrm").as("n2"),
       col("lsh_code").as("c2"))
     probes.join(right, col("probe") === col("c2") && col("d1") < col("d2"))

@@ -207,11 +207,23 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
-  /** Q23 — approximate distinct (HLL++). No oracle: DuckDB's sketch differs;
-    * the driver records a rows-only check, and the spec bounds the error vs
-    * the exact count.
+  /** Q23 — approximate distinct (HLL++). The raw sketch value can't be
+    * hash-compared (DuckDB's HLL differs), so the query surfaces what IS
+    * comparable: the exact count plus a boolean asserting the approximation
+    * lands within HLL++'s expected error envelope (rsd 0.05 default ⇒ 3σ
+    * bound 15%). The oracle produces `true` unconditionally — the hash match
+    * therefore fails exactly when the sketch drifts out of its bound. The
+    * spec additionally bounds the raw value (see [[q23raw]]).
     */
   def q23(s: SparkSession, dir: String): DataFrame =
+    q23raw(s, dir)
+      .select(
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users") * 0.15).as("approx_ok"))
+
+  /** The raw approx+exact pair, for the error-bound spec. */
+  def q23raw(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),

@@ -47,6 +47,8 @@ object Oracles {
       "SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS c, round(sum(value),6) AS sv FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "q16_dedup_distinct" ->
       "SELECT count(*) AS c FROM (SELECT DISTINCT user_id, event_type FROM events) t",
+    "q23_approx_distinct" ->
+      "SELECT count(DISTINCT user_id) AS exact_users, true AS approx_ok FROM events",
     "q17_text_stats" ->
       "SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars, count(DISTINCT source) AS srcs FROM documents GROUP BY lang ORDER BY lang",
     "q18_wordcount" ->

@@ -10,11 +10,17 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
-  /** Top-10 by cosine among LSH candidates (code Hamming <= 2 from the
+  /** Code Hamming radius for the LSH top-k: 3 of 16 planes disagreeing
+    * (81% agreement — the same selectivity regime as the pre-widening 2-of-8)
+    * keeps the candidate pool big enough to fill k at small corpus sizes.
+    */
+  val lshTopKHamming = 3
+
+  /** Top-10 by cosine among LSH candidates (code Hamming <= 3 from the
     * query's code) — the approximate variant of q19.
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10, maxHamming = 2)
+    Similarity.lshTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10, maxHamming = lshTopKHamming)
 
   /** Top-10 via IVF probing (2 of 16 inverted lists searched). */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
@@ -38,6 +44,6 @@ object SimilarityQueries {
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)
          |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
          |FROM coded, q
-         |WHERE bit_count(xor(lsh_code, qcode)) <= 2
+         |WHERE bit_count(xor(lsh_code, qcode)) <= $lshTopKHamming
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{HashOps, TextFunctions}
+import graft.functions.TextFunctions
 
 /** DuckDB SQL fragments mirroring the Scala Column builders, generated from
   * the same constants (stopword lists, hash seeds, band layout) so the two
@@ -79,16 +79,29 @@ object SqlGen {
        |bands AS (${bandsSql(bandsN, k / bandsN)}),
        |cands AS ($candidatePairsSql)""".stripMargin
 
-  /** SimHash per-doc CTE chain: toks -> votes -> sims(doc_id, simhash). */
-  def simhashPrefix(bits: Int = 32): String = {
+  /** SimHash per-doc CTE chain: toks -> votes -> sims(doc_id, simhash).
+    *
+    * Mirror of Dedup.simhash: 64 hash bits from two 32-bit md5 halves (each
+    * safely inside signed BIGINT), fingerprint assembled by summation with
+    * the bit-63 term (`Long.MinValue`, written as -(2^63-1)-1 because the
+    * positive literal doesn't fit BIGINT) added FIRST — partial sums then
+    * stay in signed-64 range, which matters because DuckDB checks overflow.
+    */
+  def simhashPrefix(bits: Int = graft.operators.Dedup.simhashBits): String = {
+    def bitExpr(b: Int) = if (b < 32) s"(hlo >> $b)" else s"(hhi >> ${b - 32})"
     val votes = (0 until bits)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .map(b => s"sum(CASE WHEN ${bitExpr(b)} & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(", ")
-    val fp = (0 until bits)
-      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+    val fp = (bits - 1 to 0 by -1)
+      .map { b =>
+        val pow = if (b == 63) "(-9223372036854775807 - 1)" else s"${1L << b}"
+        s"CASE WHEN v$b > 0 THEN $pow ELSE 0 END"
+      }
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, ${HashOps.h60Sql("tok", 0)} AS h FROM
-       | (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) t WHERE tok <> ''),
+    s"""WITH toks AS (SELECT doc_id, ('0x'||substr(m,1,8))::BIGINT AS hlo,
+       | ('0x'||substr(m,9,8))::BIGINT AS hhi FROM
+       | (SELECT doc_id, md5(tok||'#0') AS m FROM
+       |   (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) t0 WHERE tok <> '') t),
        |votes AS (SELECT doc_id, $votes FROM toks GROUP BY doc_id),
        |sims AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)""".stripMargin.replaceAll("\n", "")
   }

@@ -49,6 +49,14 @@ class DedupSpec extends SparkSpec {
     assert(verified.filter(col("jac") < 0.7).count() == 0)
   }
 
+  test("simhash fingerprints span the full 64 bits") {
+    val fps = Dedup.simhash(docs).collect().map(_.getLong(1))
+    // bit 63 is set with p~0.5 per doc; over the corpus both signs must occur
+    assert(fps.exists(_ < 0L) && fps.exists(_ >= 0L))
+    // and the upper half is not constant (the old 32-bit version had it all-zero)
+    assert(fps.map(_ >>> 32).distinct.length > 1)
+  }
+
   test("simhash of identical texts identical; hamming to itself is 0") {
     import spark.implicits._
     val two = Seq((1L, "m n o p q r"), (2L, "m n o p q r")).toDF("doc_id", "text")

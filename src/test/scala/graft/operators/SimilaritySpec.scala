@@ -35,7 +35,30 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.withLshCode(emb).select("vec_id", "lsh_code").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
-    assert(a.values.forall(c => c >= 0 && c < 256))
+    assert(a.values.forall(c => c >= 0 && c < (1L << Similarity.lshPlanes)))
+  }
+
+  test("planesFor scales the code space with the corpus and floors at the oracle width") {
+    assert(Similarity.planesFor(500L) == Similarity.lshPlanes)
+    assert(Similarity.planesFor(65536L) == Similarity.lshPlanes)
+    // 1e9 docs / 64 per bucket needs ceil(log2(15.6e6)) = 24 bits
+    assert(Similarity.planesFor(1000000000L) == 24)
+    // monotone, capped at 32
+    assert(Similarity.planesFor(Long.MaxValue / 2) == 32)
+    val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, 100000000000L)
+    assert(ns.map(Similarity.planesFor) == ns.map(Similarity.planesFor).sorted)
+  }
+
+  test("centroidsFor scales IVF lists with the corpus and floors at the oracle count") {
+    assert(Similarity.centroidsFor(500L) == Similarity.ivfCentroids)
+    assert(Similarity.centroidsFor(65536L) == Similarity.ivfCentroids)
+    assert(Similarity.centroidsFor(1000000000L) == 1977)
+  }
+
+  test("near-dup pairs honors an explicit plane override (wider code, fewer candidates)") {
+    val wide = Similarity.nearDupPairs(emb, threshold = 0.3, planesOpt = Some(24)).count()
+    val narrow = Similarity.nearDupPairs(emb, threshold = 0.3, planesOpt = Some(8)).count()
+    assert(wide <= narrow)
   }
 
   test("IVF top-k: query vector ranks first; results are a subset of brute force universe") {
