@@ -1,6 +1,7 @@
 package graft.app
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
 
 import graft.GraftSession
 import graft.pipeline.FlowPipeline
@@ -16,20 +17,54 @@ import graft.sources.{FileFlowSource, FlowSource, KafkaFlowSource}
   *                    EMPTY → console sink, exactly like main.go:37-41
   *   --filesource     directory of newline-JSON drops (test/bench source)
   *   --parquetsink    directory; overrides console when set
+  *   --rawstdout      console prints the raw decoded fields pre-projection,
+  *                    matching the reference's stdout exporter, which dumps
+  *                    the decoded map (`pkg/stdout/export_stdout.go:25-27`)
+  *                    rather than the projected 12 columns
   *   --loglevel       reference `-loglevel` (main.go:18)
   *   --checkpoint     checkpoint dir (replaces the consumer-group offsets)
+  *
+  * Malformed-record visibility (reference logs every bad record,
+  * `ingest_kafka.go:40-42`): the pipeline runs with named decode metrics and
+  * a listener prints the per-micro-batch malformed count — one log line per
+  * batch instead of per record, with no second pass over the data.
   *
   * Graceful shutdown (reference `pkg/utils/exit.go:15-37`): a JVM shutdown
   * hook stops the StreamingQuery; checkpointing makes the restart resume
   * where the commit log left off.
   */
 object FlowApp {
+
+  /** Sink selection, identical in shape to cmd/main.go:37-41 (factored out
+    * for testability).
+    */
+  def chooseSink(chUrl: String, parquetSink: String): FlowSink =
+    if (chUrl.nonEmpty) JdbcSink(chUrl)
+    else if (parquetSink.nonEmpty) ParquetSink(parquetSink)
+    else ConsoleSink()
+
+  /** Listener that surfaces the decode drop counter per micro-batch. */
+  final class DecodeMetricsListener extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val m = e.progress.observedMetrics.get(FlowPipeline.decodeMetricsName)
+      if (m != null) {
+        val bad = m.getAs[Long]("malformed")
+        if (bad > 0)
+          System.err.println(
+            s"[decode] batch ${e.progress.batchId}: dropped $bad malformed of ${m.getAs[Long]("total")} records")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k.stripPrefix("--") -> v }.toMap
     val kafkaUrl = opts.getOrElse("kafkaurl", "")
     val chUrl = opts.getOrElse("clickhouseurl", "")
     val fileSrc = opts.getOrElse("filesource", "")
     val parquetSink = opts.getOrElse("parquetsink", "")
+    val rawStdout = opts.getOrElse("rawstdout", "false").toBoolean
     val checkpoint = opts.getOrElse("checkpoint", "/tmp/graft-checkpoint")
 
     val spark: SparkSession = GraftSession.local()
@@ -40,14 +75,15 @@ object FlowApp {
       else if (fileSrc.nonEmpty) FileFlowSource(fileSrc)
       else { System.err.println("need --kafkaurl or --filesource"); sys.exit(2) }
 
-    // Sink selection identical in shape to cmd/main.go:37-41.
-    val sink: FlowSink =
-      if (chUrl.nonEmpty) JdbcSink(chUrl)
-      else if (parquetSink.nonEmpty) ParquetSink(parquetSink)
-      else ConsoleSink()
+    val sink = chooseSink(chUrl, parquetSink)
+    spark.streams.addListener(new DecodeMetricsListener)
 
-    val flows = FlowPipeline.batch(source.stream(spark))
-    val query = sink.start(flows, checkpoint)
+    val decoded = FlowPipeline.decodeNamed(source.stream(spark))
+    // --rawstdout + console = reference stdout parity (pre-projection dump).
+    val frame =
+      if (rawStdout && sink.isInstanceOf[ConsoleSink]) decoded
+      else FlowPipeline.project(decoded)
+    val query = sink.start(frame, checkpoint)
 
     sys.addShutdownHook {
       // A10 graceful shutdown: stop the query, let the checkpoint commit.

@@ -58,6 +58,29 @@ object FlowPipeline {
       .select("flow.*")
       .drop(corruptCol)
 
+  /** Metric-set name used by [[decodeNamed]] / surfaced in
+    * `StreamingQueryProgress.observedMetrics`.
+    */
+  val decodeMetricsName = "decode"
+
+  /** [[decodeObserved]] for streaming frames: the `Observation` API is
+    * batch-only, so streaming uses the name-based `observe` and readers pull
+    * `total`/`malformed` from each micro-batch's
+    * `StreamingQueryProgress.observedMetrics(decodeMetricsName)`.
+    */
+  def decodeNamed(df: DataFrame, valueCol: String = "value"): DataFrame =
+    parsed(df, valueCol)
+      .observe(decodeMetricsName,
+        count(lit(1)).as("total"),
+        count(when(col(s"flow.$corruptCol").isNotNull, 1)).as("malformed"))
+      .filter(col(s"flow.$corruptCol").isNull)
+      .select("flow.*")
+      .drop(corruptCol)
+
+  /** [[batch]] with the per-micro-batch decode metrics attached. */
+  def batchObserved(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    project(decodeNamed(raw, valueCol))
+
   /** Projection/rename/coerce with Go-zero-value defaults. Layer A4-A6. */
   val projection: Seq[Column] = FlowSchema.mapping.map {
     case (in, out @ ("bytes" | "packets")) =>

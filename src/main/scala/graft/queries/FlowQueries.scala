@@ -29,6 +29,19 @@ object FlowQueries {
     // createOrReplace covers the reference's DROP+CREATE pair in one call.
     flows.createOrReplaceTempView(name)
 
+  /** B1/B2 — the literal DDL statement pair, exercised through `spark.sql`
+    * against the session catalog: `DROP TABLE IF EXISTS` + `CREATE TABLE ...
+    * USING parquet` (the durable analogue of the reference's `engine=Memory`
+    * table), then the frame inserted. Running it twice is safe — exactly the
+    * reference's startup idempotence (`connect.go:70-91` drops before
+    * creating).
+    */
+  def setupTableDurable(spark: SparkSession, flows: DataFrame, name: String = "flows"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name (${flows.schema.toDDL}) USING parquet")
+    flows.write.insertInto(name)
+  }
+
   /** B6 — the README verification query (`README.md:91-107`):
     * `fromUnixTimestamp(intDiv(start,1000))` + projection + LIMIT 100.
     */

@@ -45,28 +45,59 @@ final case class MemorySink(tableName: String) extends FlowSink {
 
 /** JDBC sink via foreachBatch — the reference's ClickHouse exporter
   * (`pkg/clickhouse/export_clickhouse.go:81-87`) upgraded from one INSERT per
-  * record to one batched transactional write per micro-batch. DDL on first
-  * batch mirrors `connect.go:70-91` (DROP + CREATE). Insert failures are
-  * logged and the batch skipped, like the reference's warn-and-drop
-  * (`export_clickhouse.go:85-87`). Compiles against plain JDBC; needs the
-  * vendor driver jar on the runtime classpath.
+  * record to one batched transactional write per micro-batch.
+  *
+  * DDL is an explicit setup step at `start()` (driver-side, before the
+  * stream): `recreate=true` overwrites with an empty frame — the JDBC
+  * writer's DROP + CREATE, mirroring the reference's startup DDL
+  * (`connect.go:70-91`, which also re-creates on every process start);
+  * `recreate=false` skips it for checkpoint resumes that must keep prior
+  * rows. Every micro-batch then appends — including a *re-tried* batch 0,
+  * which under the old `mode(id == 0)` keying would have re-run DDL
+  * mid-stream and dropped committed data. (Spark's JDBC append also creates
+  * a missing table, so `recreate=false` against a fresh database still
+  * works.)
+  *
+  * Insert failures are logged and the batch skipped, like the reference's
+  * warn-and-drop (`export_clickhouse.go:85-87`). Compiles against plain
+  * JDBC; needs the vendor driver jar on the runtime classpath —
+  * `writerOverride` injects a recorder for tests (and is the seam for a
+  * native ClickHouse writer).
   */
 final case class JdbcSink(url: String, table: String = "flows",
-                          options: Map[String, String] = Map.empty) extends FlowSink {
-  override def start(df: DataFrame, checkpoint: String): StreamingQuery =
+                          options: Map[String, String] = Map.empty,
+                          recreate: Boolean = true,
+                          writerOverride: Option[(DataFrame, String) => Unit] = None) extends FlowSink {
+
+  private def write(batch: DataFrame, mode: String): Unit =
+    writerOverride.getOrElse { (b: DataFrame, m: String) =>
+      b.write.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .options(options)
+        .mode(m)
+        .save()
+    }.apply(batch, mode)
+
+  override def start(df: DataFrame, checkpoint: String): StreamingQuery = {
+    if (recreate) {
+      // DDL-once: 0-row overwrite = DROP + CREATE, no data written.
+      val empty = df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+      try write(empty, "overwrite")
+      catch {
+        case e: Exception =>
+          System.err.println(s"[sink] table setup failed (append will create if missing): ${e.getMessage}")
+      }
+    }
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        try {
-          batch.write.format("jdbc")
-            .option("url", url).option("dbtable", table)
-            .options(options)
-            .mode(if (id == 0) "overwrite" else "append")
-            .save()
-        } catch {
+        try write(batch, "append")
+        catch {
           case e: Exception =>
             System.err.println(s"[sink] batch $id insert failed, dropping: ${e.getMessage}")
         }
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

@@ -45,19 +45,26 @@ final case class KafkaFlowSource(
     startingOffsets: String = "earliest",
     maxOffsetsPerTrigger: Option[Long] = Some(500000L),
     minPartitions: Option[Int] = None) extends FlowSource {
-  override def stream(spark: SparkSession): DataFrame = {
-    val r = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      // The reference survives topic retention trimming (28 min,
-      // contrib/kafka.yaml:28) by just consuming from earliest; the Spark
-      // equivalent is tolerating aged-out offsets instead of failing the query.
-      .option("failOnDataLoss", "false")
-    val r1 = maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
-    val r2 = minPartitions.fold(r1)(n => r1.option("minPartitions", n.toString))
-    r2.load().selectExpr("CAST(value AS STRING) AS value")
-  }
+  /** The full reader configuration, exposed so the wiring is unit-testable
+    * without a broker or the connector jar (`stream()` needs both).
+    * `failOnDataLoss=false`: the reference survives topic retention trimming
+    * (28 min, contrib/kafka.yaml:28) by just consuming from earliest; the
+    * Spark equivalent is tolerating aged-out offsets instead of failing the
+    * query.
+    */
+  def readerOptions: Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false") ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) ++
+      minPartitions.map(n => "minPartitions" -> n.toString)
+
+  override def stream(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka")
+      .options(readerOptions)
+      .load().selectExpr("CAST(value AS STRING) AS value")
 }
 
 /** In-memory source for tests: push raw JSON strings, run a trigger. */

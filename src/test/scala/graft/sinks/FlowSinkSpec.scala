@@ -1,0 +1,82 @@
+package graft.sinks
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.app.FlowApp
+import graft.pipeline.FlowPipeline
+import graft.sources.MemoryFlowSource
+
+class FlowSinkSpec extends SparkSpec {
+
+  private def flowJson(startMs: Long, src: String): String =
+    s"""{"TimeFlowStartMs":$startMs,"TimeFlowEndMs":${startMs + 500},"SrcAddr":"$src","Bytes":1,"Packets":1}"""
+
+  test("sink selection mirrors the reference: jdbc > parquet > console") {
+    assert(FlowApp.chooseSink("jdbc:ch://host/db", "").isInstanceOf[JdbcSink])
+    assert(FlowApp.chooseSink("jdbc:ch://host/db", "/out").isInstanceOf[JdbcSink])
+    assert(FlowApp.chooseSink("", "/out").isInstanceOf[ParquetSink])
+    assert(FlowApp.chooseSink("", "").isInstanceOf[ConsoleSink])
+  }
+
+  test("JdbcSink: one setup overwrite at start, append per batch — never DDL mid-stream") {
+    val writes = ArrayBuffer.empty[(String, Long)] // (mode, rowCount)
+    val sink = JdbcSink("jdbc:unused://", writerOverride =
+      Some((b: DataFrame, mode: String) => writes.synchronized { writes += mode -> b.count() }))
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "a"))
+    val q = sink.start(FlowPipeline.batch(src.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      src.add(flowJson(2000, "b"))
+      q.processAllAvailable()
+      assert(writes.head == ("overwrite" -> 0L)) // DDL step carries no data
+      assert(writes.tail.forall(_._1 == "append"))
+      assert(writes.map(_._2).sum == 2L)
+    } finally q.stop()
+  }
+
+  test("JdbcSink restart semantics: recreate=false resumes with appends only") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val first = ArrayBuffer.empty[String]
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "a"))
+    val q1 = JdbcSink("jdbc:unused://", writerOverride =
+      Some((_: DataFrame, mode: String) => first.synchronized { first += mode })).start(
+      FlowPipeline.batch(src.stream(spark)), ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(first.toSeq == Seq("overwrite", "append"))
+
+    // resume from the same checkpoint (same source, new offsets): no DDL
+    val resumed = ArrayBuffer.empty[String]
+    src.add(flowJson(2000, "b"))
+    val q2 = JdbcSink("jdbc:unused://", recreate = false, writerOverride =
+      Some((_: DataFrame, mode: String) => resumed.synchronized { resumed += mode })).start(
+      FlowPipeline.batch(src.stream(spark)), ckpt)
+    try {
+      q2.processAllAvailable()
+      assert(resumed.nonEmpty && resumed.forall(_ == "append"))
+    } finally q2.stop()
+  }
+
+  test("JdbcSink setup failure is non-fatal (append creates a missing table)") {
+    val writes = ArrayBuffer.empty[String]
+    val sink = JdbcSink("jdbc:unused://", writerOverride = Some {
+      (_: DataFrame, mode: String) =>
+        writes.synchronized { writes += mode }
+        if (mode == "overwrite") throw new RuntimeException("no ddl rights")
+    })
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "a"))
+    val q = sink.start(FlowPipeline.batch(src.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(q.isActive)
+      assert(writes.toSeq == Seq("overwrite", "append"))
+    } finally q.stop()
+  }
+}

@@ -103,6 +103,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("app path surfaces the malformed-drop counter per micro-batch (A3 observability)") {
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "a", "b", 1), "not json at all", "{bad", flowJson(2000, "c", "d", 2))
+    val q = MemorySink("flows_observed").start(
+      FlowPipeline.batchObserved(src.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM flows_observed").count() == 2)
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get(FlowPipeline.decodeMetricsName)))
+      assert(metrics.map(_.getAs[Long]("malformed")).sum == 2L)
+      assert(metrics.map(_.getAs[Long]("total")).sum == 4L)
+    } finally q.stop()
+  }
+
   test("JdbcSink drops a failing batch and the stream continues (A7 warn-and-drop parity)") {
     // Reference: insert error -> warn + drop row, keep consuming
     // (export_clickhouse.go:85-87). Here: whole failing micro-batch logged +
