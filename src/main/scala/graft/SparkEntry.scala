@@ -72,7 +72,8 @@ object SparkEntry {
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
-    "mm_frames"          -> MultimodalQueries.frames _
+    "mm_frames"          -> MultimodalQueries.frames _,
+    "curate_corpus"      -> CurationQueries.curate _
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -80,5 +81,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle
+      DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
+      CurationQueries.oracle
 }

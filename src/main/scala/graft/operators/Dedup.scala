@@ -143,27 +143,47 @@ object Dedup {
   /** Bits per LSH band (4 bands × 16 bits = the full fingerprint). */
   val simhashBandBits = 16
 
-  /** 64-bit SimHash per doc over the word multiset: per-bit ±1 votes summed,
-    * bit set where the vote is positive. One groupBy with 64 conditional sums
-    * — partial-aggregable, no sort, no window.
-    *
-    * The 64 hash bits come from two 32-bit halves of one md5 (chars 1-8 and
-    * 9-16) rather than one 64-bit carve: 32-bit values stay trivially inside
+  /** Tokenize to the two 32-bit md5 halves feeding the SimHash votes. The 64
+    * hash bits come from two 32-bit halves of one md5 (chars 1-8 and 9-16)
+    * rather than one 64-bit carve: 32-bit values stay trivially inside
     * signed-BIGINT range in every engine, so the oracle needs no unsigned
-    * tricks. Bit 63 of the fingerprint is `Long.MinValue` as an addend —
-    * two's complement makes the sum exact with no possible overflow (partial
-    * sums stay within [-2^63, 2^63-1] when that term is added first).
+    * tricks.
     */
-  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+  private def simhashToks(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col(idCol), md5(concat(col("tok"), lit("#0"))).as("m"))
       .select(col(idCol),
         conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hlo"),
         conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hhi"))
+
+  /** 64-bit SimHash per doc over the word multiset: per-bit ±1 votes summed,
+    * bit set where the vote is positive — fused into the single native
+    * [[graft.expressions.SimhashAgg]] aggregate (one 64-int buffer per group,
+    * partial-aggregable like any sum, one update per row instead of 64
+    * generated sum projections).
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = graft.expressions.SimhashAgg(
+      ColumnBridge.expression(col("hlo")),
+      ColumnBridge.expression(col("hhi"))).toAggregateExpression()
+    simhashToks(docs, idCol, textCol)
+      .groupBy(idCol)
+      .agg(ColumnBridge.column(agg).as("simhash"))
+  }
+
+  /** The 64-conditional-sums formulation — the differential-test twin of
+    * [[simhash]] (and the shape the SQL oracle evaluates). Bit 63 of the
+    * fingerprint is `Long.MinValue` as an addend — two's complement makes
+    * the sum exact with no possible overflow (partial sums stay within
+    * [-2^63, 2^63-1] when that term is added first).
+    */
+  private[operators] def simhashSums(docs: DataFrame, idCol: String = "doc_id",
+                                     textCol: String = "text"): DataFrame = {
     def bit(b: Int): Column =
       if (b < 32) shiftright(col("hlo"), b) else shiftright(col("hhi"), b - 32)
-    val votes = toks.groupBy(idCol).agg(
+    val votes = simhashToks(docs, idCol, textCol).groupBy(idCol).agg(
       sum(when(bit(0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
       (1 until simhashBits).map(b =>
         sum(when(bit(b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b")): _*)

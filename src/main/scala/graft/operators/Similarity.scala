@@ -121,21 +121,74 @@ object Similarity {
   def centroidsFor(n: Long): Int =
     math.max(ivfCentroids, math.ceil(math.sqrt(n / 256.0)).toInt)
 
+  /** Deterministic Lloyd/k-means refinement of IVF centroids over a bounded
+    * systematic sample (ids ≡ 0 mod stride, stride sized so the sample stays
+    * ≤ `sampleMax` rows — the standard move: an IVF codebook is trained on a
+    * sample, then assignment runs over the full corpus).
+    *
+    * Everything distributed-cheap by construction: per iteration, assignment
+    * is a broadcast of k centroids + `max_by` argmax over the sample; the
+    * new centroids are an elementwise mean via posexplode + two partial-
+    * aggregable groupBys. Only the k centroid rows themselves (the model,
+    * not data) ever leave the cluster, via `localCheckpoint` truncating the
+    * per-iteration lineage. Fixed init (k smallest-id vectors), fixed
+    * iteration count, ties toward smaller cid, empty clusters keep their
+    * previous centroid — deterministic up to floating-point summation order
+    * in the means (which is why the ORACLED query keeps the untrained
+    * stand-in centroids: a codebook is a model artifact, not a query result).
+    *
+    * Since cosine ignores magnitude, the unnormalized mean IS the spherical
+    * k-means update (the mean's direction maximizes within-cluster summed
+    * cosine), so the objective is monotone non-decreasing per iteration.
+    */
+  def trainCentroids(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 3,
+                     sampleMax: Long = 4096,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val n = emb.count()
+    val stride = math.max(1L, n / sampleMax)
+    val sample = emb.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    var cent = emb.filter(col(idCol) < k)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val asn = sample.crossJoin(broadcast(cent))
+        .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+        .groupBy(idCol)
+        .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+      val means = sample.join(asn, idCol)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, e -> CAST(e.m AS FLOAT))").as("ce"))
+      cent = cent.as("prev").join(means.as("next"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("next.ce"), col("prev.ce")).as("ce"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
   /** IVF-style ANN: partition vectors into cosine-nearest-centroid lists,
-    * search only the `nprobe` lists nearest the query. Centroids here are the
-    * smallest-id vectors — a deterministic stand-in for a k-means step (swap
-    * in trained centroids without changing the plan); at scale the assignment
-    * is a broadcast join (centroid rows) + aggregation argmax (`max_by` —
-    * partial-aggregable, no per-partition sort the way a `row_number` window
-    * would), and the inverted lists are a partitioning key. List count scales
-    * with the corpus via [[centroidsFor]].
+    * search only the `nprobe` lists nearest the query. Default centroids are
+    * the smallest-id vectors — the deterministic stand-in the oracle mirrors;
+    * pass `trained` (e.g. [[trainCentroids]] output, columns (cid, ce)) to
+    * swap in a real codebook without changing the plan. At scale the
+    * assignment is a broadcast join (centroid rows) + aggregation argmax
+    * (`max_by` — partial-aggregable, no per-partition sort the way a
+    * `row_number` window would), and the inverted lists are a partitioning
+    * key. List count scales with the corpus via [[centroidsFor]].
     */
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int = 10,
               centroidsNOpt: Option[Int] = None,
-              nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroidsN = centroidsNOpt.getOrElse(centroidsFor(emb.count()))
-    val cent = emb.filter(col(idCol) < centroidsN)
-      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+              nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
+              trained: Option[DataFrame] = None): DataFrame = {
+    val cent = trained.getOrElse {
+      val centroidsN = centroidsNOpt.getOrElse(centroidsFor(emb.count()))
+      emb.filter(col(idCol) < centroidsN)
+        .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    }
 
     // assignment: nearest centroid per vector (ties -> smallest cid), as an
     // aggregation argmax: max over (ccos, -cid) picks the highest cosine and

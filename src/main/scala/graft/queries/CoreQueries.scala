@@ -102,13 +102,22 @@ object CoreQueries {
       .orderBy(desc("s"), asc("c_name"))
       .limit(10)
 
-  /** Q09 — left outer join; count(col) skips the nulls from unmatched rows. */
-  def q09(s: SparkSession, dir: String): DataFrame =
+  /** Q09 — left outer join, with the aggregation pushed BELOW the join:
+    * orders collapse to one count per custkey first (map-side partial agg ⇒
+    * the shuffle carries distinct custkeys, not every order row), then the
+    * left join attaches counts and unmatched customers default to 0. Same
+    * result as join-then-group (`count(o_orderkey)` skipping unmatched-row
+    * nulls), but the shuffled volume scales with customers rather than
+    * orders — the difference between the two plans at 100× fact-table skew.
+    */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n0"))
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
-      .groupBy("c_custkey")
-      .agg(count(col("o_orderkey")).as("n"))
+      .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n0"), lit(0L)).as("n"))
       .orderBy("c_custkey")
+  }
 
   /** Q10 — anti join (NOT EXISTS). */
   def q10(s: SparkSession, dir: String): DataFrame =

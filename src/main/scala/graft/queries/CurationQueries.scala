@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** The end-to-end training-data curation pipeline, composed from the dedup
+  * and text-analysis operators: exact-dedup (keep the smallest doc_id per
+  * distinct text) → language filter (heuristic langId = 'en') → quality
+  * floor → per-source accounting of what survived.
+  *
+  * This is the query a pipeline owner actually runs before a training dump:
+  * every stage is one of the already-verified operators, so the composition
+  * inherits their scale shapes (hash-groupBy dedup, codegen'd scalar text
+  * metrics, partial-aggregated accounting — no window, no driver path).
+  *
+  * avg quality goes through DECIMAL like every money column (q05): double
+  * summation order differs between engines/partitionings, decimal summation
+  * is exact and order-independent.
+  */
+object CurationQueries {
+
+  val qualityFloor = 0.5
+
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keep, Seq("doc_id"), "left_semi")
+      .filter(langId(col("text")) === "en" && qualityScore(col("text")) >= qualityFloor)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("kept"),
+        sum(tokenCount(col("text"))).as("tokens"),
+        round(sum(qualityScore(col("text")).cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("avg_quality"))
+      .orderBy("source")
+  }
+
+  val oracle: Map[String, String] = {
+    val toksSql = "len(string_split(text,' '))"
+    val punctSql =
+      "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
+    val swrSql = s"CAST(${SqlGen.hitsSql("en")} AS DOUBLE)/$toksSql"
+    val qualSql =
+      s"(least($toksSql/100.0, 1.0)*0.4 + (1.0 - $punctSql)*0.3 + least($swrSql*5.0, 1.0)*0.3)"
+    Map(
+      "curate_corpus" ->
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+           |SELECT source, count(*) AS kept,
+           |       CAST(sum($toksSql) AS BIGINT) AS tokens,
+           |       round(CAST(sum(CAST($qualSql AS DECIMAL(18,9))) AS DOUBLE)/count(*), 6) AS avg_quality
+           |FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+           |WHERE (${SqlGen.langIdSql}) = 'en' AND $qualSql >= $qualityFloor
+           |GROUP BY source ORDER BY source""".stripMargin)
+  }
+}

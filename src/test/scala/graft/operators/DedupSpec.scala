@@ -49,6 +49,12 @@ class DedupSpec extends SparkSpec {
     assert(verified.filter(col("jac") < 0.7).count() == 0)
   }
 
+  test("native SimhashAgg matches the 64-conditional-sums formulation bit-for-bit") {
+    val a = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashSums(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("simhash fingerprints span the full 64 bits") {
     val fps = Dedup.simhash(docs).collect().map(_.getLong(1))
     // bit 63 is set with p~0.5 per doc; over the corpus both signs must occur

@@ -70,6 +70,29 @@ class SimilaritySpec extends SparkSpec {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("trainCentroids: k rows, improves (never degrades) the assignment objective") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorOps
+    def objective(cent: org.apache.spark.sql.DataFrame): Double =
+      emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), VectorOps.cosine(col("embedding"), col("ce")).as("c"))
+        .groupBy("vec_id").agg(max(col("c")).as("mc"))
+        .agg(avg(col("mc"))).head.getDouble(0)
+    val init = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 3)
+    assert(trained.count() == 8)
+    assert(trained.select("cid").collect().map(_.getLong(0)).sorted.toSeq == (0L until 8L))
+    assert(objective(trained) >= objective(init) - 1e-6)
+  }
+
+  test("ivfTopK accepts a trained codebook and still finds the query vector first") {
+    val trained = Similarity.trainCentroids(emb, k = 8, iters = 2)
+    val top = Similarity.ivfTopK(emb, queryId = 0L, trained = Some(trained)).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+  }
+
   test("near-dup pairs are symmetric-free (d1 < d2) and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
