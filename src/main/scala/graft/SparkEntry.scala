@@ -67,13 +67,15 @@ object SparkEntry {
     "dedup_jaccard"      -> DedupQueries.jaccard _,
     "dedup_simhash"      -> DedupQueries.simhash _,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
+    "dedup_groups"       -> DedupQueries.groups _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
     "mm_frames"          -> MultimodalQueries.frames _,
-    "curate_corpus"      -> CurationQueries.curate _
+    "curate_corpus"      -> CurationQueries.curate _,
+    "curate_docs"        -> CurationQueries.curatedDocs _
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

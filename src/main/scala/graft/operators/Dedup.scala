@@ -193,6 +193,46 @@ object Dedup {
     votes.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Connected components over an undirected pair list (the step that turns
+    * pairwise near-dup evidence into dedup GROUPS, so a pipeline can keep one
+    * canonical doc per group): iterative min-label propagation — every node
+    * starts labeled with its own id, each round takes the min label over its
+    * closed neighborhood, stop at fixpoint.
+    *
+    * Scale shape: each round is one equi-join (edges × labels) + one
+    * partial-aggregable groupBy(min); the only thing reaching the driver is
+    * the changed-row COUNT (one scalar per round). Edges and labels are
+    * `localCheckpoint`ed so lineage stays flat across rounds. Rounds needed =
+    * component diameter, which for near-dup clusters is small; `maxIters`
+    * bounds the worst case. At fixpoint every node holds its component's min
+    * id — schedule-independent, hence oracle-reproducible.
+    *
+    * Returns (doc_id, group_id) for every node that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min("lbl").as("nlbl"))
+      val joined = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.a"), "left")
+        .select(col("l.id").as("id"), col("l.lbl").as("old"),
+          least(col("l.lbl"), coalesce(col("n.nlbl"), col("l.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = joined.filter(col("lbl") =!= col("old")).isEmpty
+      labels = joined.select("id", "lbl")
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
+  }
+
   /** Near-dup pairs by SimHash: candidates share at least one of four 16-bit
     * bands, verified by Hamming distance <= maxHamming. The band join keeps
     * this an equi-join (LSH for Hamming space), not a cross join; with 16-bit

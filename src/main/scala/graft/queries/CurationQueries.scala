@@ -24,7 +24,11 @@ object CurationQueries {
 
   val qualityFloor = 0.5
 
-  def curate(s: SparkSession, dir: String): DataFrame = {
+  /** The surviving documents: exact-deduped (smallest doc_id per distinct
+    * text, left-semi against the keeper set), English, above the quality
+    * floor.
+    */
+  private def kept(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val keep = docs
       .groupBy(md5(col("text")).as("h"))
@@ -32,6 +36,11 @@ object CurationQueries {
       .select("doc_id")
     docs.join(keep, Seq("doc_id"), "left_semi")
       .filter(langId(col("text")) === "en" && qualityScore(col("text")) >= qualityFloor)
+  }
+
+  /** Per-source accounting of what survived curation. */
+  def curate(s: SparkSession, dir: String): DataFrame =
+    kept(s, dir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("kept"),
@@ -39,7 +48,14 @@ object CurationQueries {
         round(sum(qualityScore(col("text")).cast("decimal(18,9)")).cast("double")
           / count(lit(1)), 6).as("avg_quality"))
       .orderBy("source")
-  }
+
+  /** The curated corpus itself, one row per kept doc — what a training dump
+    * would materialize (id + provenance + token budget contribution).
+    */
+  def curatedDocs(s: SparkSession, dir: String): DataFrame =
+    kept(s, dir)
+      .select(col("doc_id"), col("source"), tokenCount(col("text")).as("tokens"))
+      .orderBy("doc_id")
 
   val oracle: Map[String, String] = {
     val toksSql = "len(string_split(text,' '))"
@@ -56,6 +72,12 @@ object CurationQueries {
            |       round(CAST(sum(CAST($qualSql AS DECIMAL(18,9))) AS DOUBLE)/count(*), 6) AS avg_quality
            |FROM documents d JOIN keep k ON k.doc_id = d.doc_id
            |WHERE (${SqlGen.langIdSql}) = 'en' AND $qualSql >= $qualityFloor
-           |GROUP BY source ORDER BY source""".stripMargin)
+           |GROUP BY source ORDER BY source""".stripMargin,
+      "curate_docs" ->
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+           |SELECT d.doc_id, source, CAST($toksSql AS BIGINT) AS tokens
+           |FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+           |WHERE (${SqlGen.langIdSql}) = 'en' AND $qualSql >= $qualityFloor
+           |ORDER BY d.doc_id""".stripMargin)
   }
 }

@@ -49,6 +49,20 @@ class DedupSpec extends SparkSpec {
     assert(verified.filter(col("jac") < 0.7).count() == 0)
   }
 
+  test("connected components: chains collapse to min id, isolated pairs stay separate") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components of an empty pair set is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("native SimhashAgg matches the 64-conditional-sums formulation bit-for-bit") {
     val a = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val b = Dedup.simhashSums(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
