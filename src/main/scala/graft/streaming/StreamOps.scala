@@ -82,6 +82,23 @@ object StreamOps {
       }
   }
 
+  /** Streaming NEAR-dup drop for document streams: docs whose fingerprint
+    * (md5 of the sorted distinct word set — invariant to word order and
+    * repetition, the same `TextFunctions.fingerprint` the batch suite
+    * oracles) collides within the watermark horizon are dropped. The
+    * streaming counterpart of batch near-dup dedup: state is one fingerprint
+    * row per doc inside the horizon — bounded by arrival rate × watermark,
+    * never by corpus size.
+    */
+  def nearDupDropWithinWatermark(docs: DataFrame, tsCol: String = "ts",
+                                 textCol: String = "text",
+                                 watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .drop("fp")
+
   /** Per-user event sessionization over the `events` table shape using the
     * built-in session_window (gap-based), watermark-bounded.
     */

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Structural scale guards over EVERY declared query's physical plan — the
+  * automated version of the `graft.Explain` audit. Regressions that run fine
+  * at test scale but die at 100 TB (a cartesian product, a filter that
+  * stopped reaching the parquet scan) fail here instead of in production.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, q) =>
+      name -> q(spark, sf0001).queryExecution.executedPlan.toString
+    }
+
+  test("no declared query plans a CartesianProduct") {
+    // crossJoin is only ever used against broadcast single-row/centroid
+    // frames, which plan as BroadcastNestedLoopJoin over a tiny build side —
+    // an unhinted CartesianProduct means a join lost its equi-condition.
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys.toSeq
+    assert(offenders.isEmpty, s"cartesian product in: $offenders")
+  }
+
+  test("filter queries push predicates into the parquet scan") {
+    assert(plans("q04_filter").contains("PushedFilters: ["))
+    assert(plans("q04_filter").matches("(?s).*PushedFilters: \\[[^]]*GreaterThan\\(l_quantity,45.*"))
+  }
+
+  test("scans are column-pruned: q01 reads only the 3 projected event columns") {
+    val scanSchema = "ReadSchema: [^\n]*".r.findFirstIn(plans("q01_project")).get
+    assert(!scanSchema.contains("value"), scanSchema) // unused wide column stays unread
+    assert(scanSchema.contains("event_id") && scanSchema.contains("event_type"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    Seq("q08_join_topk", "q18_wordcount", "q19_cosine_topk").foreach { n =>
+      assert(plans(n).contains("TakeOrderedAndProject"), n)
+    }
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plans("q07_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("no window sort in the IVF assignment path") {
+    assert(!plans("sim_ivf_topk").contains("RunningWindowFunction"))
+    assert(!plans("sim_ivf_topk").contains("row_number"))
+  }
+}

@@ -162,6 +162,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drop: reordered/repeated word sets collide within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    input.addData(
+      (1L, new java.sql.Timestamp(1000), "the quick brown fox"),
+      (2L, new java.sql.Timestamp(2000), "fox brown quick the the"), // same word set
+      (3L, new java.sql.Timestamp(3000), "a different document"))
+    val out = StreamOps.nearDupDropWithinWatermark(
+      input.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM neardup_stream ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(kept == Seq(1L, 3L)) // doc 2 = near-dup of doc 1, dropped
+    } finally q.stop()
+  }
+
   test("event sessions via session_window on the events table (batch-on-stream shape)") {
     // session_window works identically on batch frames; validate gap logic there.
     val out = StreamOps.eventSessions(Tables.events(spark, sf0001))
