@@ -46,20 +46,32 @@ object Dedup {
   def shingles(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     shinglesRaw(docs, n, idCol, textCol).distinct()
 
+  /** Shingles reduced to their md5 at the source: every downstream consumer
+    * (MinHash signatures, Jaccard intersections, set sizes) only ever needs
+    * the hash, so hashing ONCE here and shuffling the fixed-width digest
+    * instead of the raw n-gram string shrinks every exchange and dedup state
+    * in the chain — the difference between shuffling ~32 bytes and shuffling
+    * arbitrary-length text at 100 TB. Multiset (no distinct shuffle);
+    * `.distinct()` it where set semantics matter.
+    */
+  def shingleHashes(docs: DataFrame, n: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shinglesRaw(docs, n, idCol, textCol)
+      .select(col(idCol), md5(col("shingle")).as("m"))
+
   /** 60-bit mask keeping Kirsch-Mitzenmacher combinations positive in int64. */
   val km_mask: Long = (1L << 60) - 1
 
   /** MinHash signature: k hash functions via the Kirsch-Mitzenmacher
     * construction `h_i = (h1 + i*(h2>>4)) & mask`, with h1 and h2 carved from
-    * the two halves of a single md5 (128 bits = 2x60 with room to spare) — one
-    * md5 evaluation per shingle instead of k, same collision behavior for LSH
+    * the two halves of the single per-shingle md5 (column `m` from
+    * [[shingleHashes]]; 128 bits = 2x60 with room to spare) — one md5
+    * evaluation per shingle instead of k, same collision behavior for LSH
     * purposes. Min over the doc's shingle set; one row per doc with columns
     * sig_0..sig_{k-1}. The groupBy partial-aggregates map-side, so the
     * shuffle carries one signature row per doc, not one row per shingle.
     */
-  def minhashSignatures(sh: DataFrame, k: Int = 16, idCol: String = "doc_id"): DataFrame = {
-    val base = sh
-      .select(col(idCol), md5(col("shingle")).as("m"))
+  def minhashSignatures(shm: DataFrame, k: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    val base = shm
       .select(col(idCol),
         conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
         shiftright(conv(substring(col("m"), 17, 15), 16, 10).cast("long"), 4).as("h2"))
@@ -94,36 +106,37 @@ object Dedup {
     * skipped — min-hashing is multiset-invariant).
     */
   def minhashCandidates(docs: DataFrame, n: Int = 3, k: Int = 16, bandsN: Int = 8): DataFrame =
-    minhashCandidatesFromShingles(shinglesRaw(docs, n), k, bandsN)
+    minhashCandidatesFromShingles(shingleHashes(docs, n), k, bandsN)
 
-  /** Candidate generation from a prebuilt shingle frame — callers that also
-    * verify (Jaccard) pass the same frame to both stages so the physical
-    * planner can reuse the shingle exchange instead of recomputing it.
+  /** Candidate generation from a prebuilt shingle-hash frame — callers that
+    * also verify (Jaccard) pass the same frame to both stages so the staged
+    * hashes are computed once.
     */
-  def minhashCandidatesFromShingles(sh: DataFrame, k: Int = 16, bandsN: Int = 8): DataFrame =
-    candidatePairs(bands(minhashSignatures(sh, k), bandsN, k / bandsN))
+  def minhashCandidatesFromShingles(shm: DataFrame, k: Int = 16, bandsN: Int = 8): DataFrame =
+    candidatePairs(bands(minhashSignatures(shm, k), bandsN, k / bandsN))
 
   /** Exact n-gram Jaccard, evaluated only on the given candidate pairs
-    * (intersection via shingle equi-join, sizes via per-doc counts).
+    * (intersection via shingle-hash equi-join, sizes via per-doc counts).
     */
   def jaccardOnCandidates(docs: DataFrame, cands: DataFrame, n: Int = 3, threshold: Double = 0.7): DataFrame =
-    jaccardOnCandidatesFromShingles(shingles(docs, n), cands, threshold)
+    jaccardOnCandidatesFromShingles(shingleHashes(docs, n).distinct(), cands, threshold)
 
-  /** Jaccard verify from a prebuilt (distinct) shingle frame.
+  /** Jaccard verify from a prebuilt DISTINCT shingle-hash frame.
     *
     * Join order matters at scale: starting from the (small) candidate set and
     * attaching each side's shingles keeps the work ∝ candidates ×
     * shingles/doc. The naive shingle self-join first would materialize every
     * co-occurring pair in the corpus — quadratic in the document frequency of
-    * common shingles — before candidates could prune it.
+    * common shingles — before candidates could prune it. Intersections join
+    * on the fixed-width digest `m`, never the raw n-gram string.
     */
-  def jaccardOnCandidatesFromShingles(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val leftSh = sh.select(col("doc_id").as("d1"), col("shingle"))
-    val rightSh = sh.select(col("doc_id").as("d2"), col("shingle"))
+  def jaccardOnCandidatesFromShingles(shm: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val leftSh = shm.select(col("doc_id").as("d1"), col("m"))
+    val rightSh = shm.select(col("doc_id").as("d2"), col("m"))
     val inter = cands
       .join(leftSh, "d1")
-      .join(rightSh, Seq("d2", "shingle"))
+      .join(rightSh, Seq("d2", "m"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")

@@ -37,16 +37,19 @@ object SqlGen {
        | WHEN $de >= $fr THEN 'de' ELSE 'fr' END""".stripMargin.replaceAll("\n", "")
   }
 
-  /** Distinct word-3-shingles CTE body over `documents`. */
+  /** Distinct word-3-shingle HASHES (doc_id, m=md5(shingle)) CTE body over
+    * `documents` — mirror of Dedup.shingleHashes(...).distinct().
+    */
   def shinglesSql(n: Int = 3): String =
-    s"""SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(W)-${n - 2}),
-       | i -> ${(0 until n).map(j => s"W[i+$j]").mkString("||' '||")})) AS shingle
-       | FROM (SELECT doc_id, string_split(text,' ') AS W FROM documents
-       |       WHERE len(string_split(text,' ')) >= $n)""".stripMargin.replaceAll("\n", "")
+    s"""SELECT DISTINCT doc_id, md5(shingle) AS m FROM
+       | (SELECT doc_id, unnest(list_transform(range(1, len(W)-${n - 2}),
+       |  i -> ${(0 until n).map(j => s"W[i+$j]").mkString("||' '||")})) AS shingle
+       |  FROM (SELECT doc_id, string_split(text,' ') AS W FROM documents
+       |        WHERE len(string_split(text,' ')) >= $n)) shsrc""".stripMargin.replaceAll("\n", "")
 
   /** MinHash signature CTE body (mirror of Dedup.minhashSignatures:
     * Kirsch-Mitzenmacher `h_i = (h1 + i*(h2>>4)) & mask` over the two halves
-    * of one md5).
+    * of the staged per-shingle md5 `m`).
     */
   def minhashSql(k: Int = 16): String = {
     val mask = graft.operators.Dedup.km_mask
@@ -54,8 +57,7 @@ object SqlGen {
       .map(i => s"min((h1 + h2*$i) & $mask) AS sig_$i").mkString(", ")
     s"""SELECT doc_id, $mins FROM
        | (SELECT doc_id, ('0x'||substr(m,1,15))::BIGINT AS h1,
-       |         (('0x'||substr(m,17,15))::BIGINT >> 4) AS h2 FROM
-       |   (SELECT doc_id, md5(shingle) AS m FROM sh) msrc) hsrc
+       |         (('0x'||substr(m,17,15))::BIGINT >> 4) AS h2 FROM sh) hsrc
        | GROUP BY doc_id""".stripMargin.replaceAll("\n", "")
   }
 

@@ -26,7 +26,7 @@ class DedupSpec extends SparkSpec {
   test("minhash signatures are deterministic and identical for identical texts") {
     import spark.implicits._
     val two = Seq((1L, "x y z w v u"), (2L, "x y z w v u")).toDF("doc_id", "text")
-    val sig = Dedup.minhashSignatures(Dedup.shingles(two, 3), k = 16).collect()
+    val sig = Dedup.minhashSignatures(Dedup.shingleHashes(two, 3), k = 16).collect()
     val a = sig.find(_.getLong(0) == 1L).get
     val b = sig.find(_.getLong(0) == 2L).get
     (1 to 16).foreach(i => assert(a.getLong(i) == b.getLong(i)))
