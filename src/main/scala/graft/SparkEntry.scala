@@ -57,6 +57,8 @@ object SparkEntry {
     "q22_union_except"   -> CoreQueries.q22 _,
     "q23_approx_distinct" -> CoreQueries.q23 _,
     "q24_json_extract"   -> CoreQueries.q24 _,
+    "q25_asof_join"      -> CoreQueries.q25 _,
+    "q26_range_join"     -> CoreQueries.q26 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

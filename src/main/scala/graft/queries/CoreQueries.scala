@@ -248,6 +248,43 @@ object CoreQueries {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
 
+  /** Q25 — AS-OF join: each click event picks up the same user's most recent
+    * prior purchase value. Spark has no asof-join operator; the distributed
+    * formulation is the standard one — a single event-time-ordered window per
+    * user with `last(..., ignoreNulls)` over the unioned stream: one shuffle
+    * on user_id, no self-join, no per-row subquery. Tie order is pinned to
+    * (ts, event_id) so the oracle (a correlated DuckDB subquery with the
+    * identical tie rule) matches row-for-row.
+    */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("pval", when(col("event_type") === "purchase", col("value")))
+      .withColumn("last_purchase", round(last("pval", ignoreNulls = true).over(w), 6))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("last_purchase"))
+      .orderBy("event_id")
+  }
+
+  /** Q26 — range (non-equi) join: events banded against a tiny value-range
+    * dimension via `lo <= v < hi`. The dim is broadcast, so the non-equi
+    * condition is evaluated stream-side (BroadcastNestedLoopJoin over a
+    * 10-row build) — the right plan whenever the range table is small; a big
+    * range table would instead be binned to an equi-key first.
+    */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(10).select(
+      col("id").as("band"),
+      (col("id") * 10).cast("double").as("lo"),
+      ((col("id") + 1) * 10).cast("double").as("hi"))
+    Tables.events(s, dir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("c"), round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sv"))
+      .orderBy("band")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

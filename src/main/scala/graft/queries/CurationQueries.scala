@@ -57,6 +57,19 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), tokenCount(col("text")).as("tokens"))
       .orderBy("doc_id")
 
+  /** Materialize a curated dump the way a 100 TB job would: parquet
+    * partitioned by provenance (`source`) so downstream mixture sampling
+    * prunes partitions instead of scanning, with `maxRecordsPerFile` bounding
+    * file sizes regardless of per-source skew (one hot source otherwise
+    * yields one giant file per task).
+    */
+  def writeCorpus(docs: DataFrame, path: String,
+                  maxRecordsPerFile: Long = 1000000L): Unit =
+    docs.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("source")
+      .parquet(path)
+
   val oracle: Map[String, String] = {
     val toksSql = "len(string_split(text,' '))"
     val punctSql =

@@ -59,6 +59,20 @@ object Oracles {
       "SELECT o_orderstatus, o_orderpriority, count(*) AS c, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),6) AS s FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST",
     "q22_union_except" ->
       "SELECT user_id FROM events WHERE event_type='click' AND value > 90 UNION SELECT user_id FROM events WHERE event_type='view' AND value > 90 EXCEPT SELECT user_id FROM events WHERE event_type='purchase' AND value > 90 ORDER BY user_id",
+    "q25_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        | round((SELECT p.value FROM events p
+        |        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        |          AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id < c.event_id))
+        |        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), 6) AS last_purchase
+        | FROM events c WHERE c.event_type = 'click' ORDER BY c.event_id""".stripMargin.replaceAll("\n", ""),
+    "q26_range_join" ->
+      """SELECT b.band, count(*) AS c,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sv
+        | FROM events e JOIN
+        | (SELECT range AS band, range*10.0 AS lo, (range+1)*10.0 AS hi FROM range(10)) b
+        | ON e.value >= b.lo AND e.value < b.hi
+        | GROUP BY b.band ORDER BY b.band""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  test("curated docs are a subset of the corpus and respect the quality floor") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val kept = CurationQueries.curatedDocs(spark, sf0001)
+    assert(kept.count() > 0)
+    assert(kept.count() <= docs.count())
+    // keeper ids exist in the corpus
+    assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("writeCorpus partitions by source with readable roundtrip") {
+    val out = java.nio.file.Files.createTempDirectory("corpus").toString
+    val kept = CurationQueries.curatedDocs(spark, sf0001)
+    CurationQueries.writeCorpus(kept, out, maxRecordsPerFile = 100L)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("source=")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == kept.count())
+    // partition pruning works: one source reads a strict subset of files
+    val one = back.filter(col("source") === back.select("source").head().getString(0))
+    assert(one.count() > 0 && one.count() < back.count())
+  }
+}
