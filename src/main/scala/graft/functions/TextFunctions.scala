@@ -31,8 +31,7 @@ object TextFunctions {
   def regexTokenCount(c: Column): Column = regexp_count(lower(c), lit("[a-z]+|[0-9]+"))
 
   /** Tiny per-language stopword inventories for the n-gram-free heuristic
-    * language ID. Counting happens on `' '||text||' '` so word boundaries
-    * need no regex.
+    * language ID.
     */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),
@@ -40,11 +39,15 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "ist", "das"),
     "fr" -> Seq("le", "la", "et", "est", "les"))
 
-  /** Number of stopword hits for one language. */
-  def stopwordHits(text: Column, lang: String): Column = {
-    val padded = concat(lit(" "), text, lit(" "))
-    stopwords(lang).map(w => occurrences(padded, s" $w ")).reduce(_ + _)
-  }
+  /** Number of stopword TOKENS for one language: tokenize once, count set
+    * membership — O(tokens) per doc, versus the padded-substring
+    * replace-count this replaces, which rescanned the full text once per
+    * stopword per language (O(len × words × langs) across langId). Catalyst
+    * subexpression elimination shares the single `split` across the four
+    * languages' counts.
+    */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(wsTokens(text), t => t.isin(stopwords(lang): _*))).cast("long")
 
   /** Heuristic language ID: argmax of stopword hits with deterministic
     * priority en > es > de > fr; zero hits everywhere -> 'und' (undetermined,

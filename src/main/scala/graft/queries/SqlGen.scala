@@ -23,10 +23,13 @@ object SqlGen {
   def occSql(hay: String, needle: String): String =
     s"CAST((length($hay)-length(replace($hay,'$needle','')))/${needle.length} AS BIGINT)"
 
-  /** Stopword hits for a language (mirror of TextFunctions.stopwordHits). */
-  def hitsSql(lang: String): String =
-    TextFunctions.stopwords(lang)
-      .map(w => occSql("(' '||text||' ')", s" $w ")).mkString("(", " + ", ")")
+  /** Stopword token hits for a language (mirror of the single-tokenization
+    * TextFunctions.stopwordHits).
+    */
+  def hitsSql(lang: String): String = {
+    val set = TextFunctions.stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text,' '), t -> t IN ($set)))"
+  }
 
   /** Mirror of TextFunctions.langId. */
   def langIdSql: String = {

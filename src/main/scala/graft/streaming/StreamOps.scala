@@ -99,6 +99,31 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Stream-stream interval join: pair each flow with the REVERSE-direction
+    * flow (dst→src) that started within `intervalMs` — the "find the response
+    * leg of the connection" enrichment. Both sides are watermarked and the
+    * join condition carries the time bound, so Spark can expire join state
+    * once the watermark passes the interval: state is bounded by
+    * rate × (watermark + interval), never by stream history. The equi part
+    * of the condition (ip pair) keys the state store; the range part prunes
+    * within the key.
+    */
+  def reverseFlowJoin(flows: DataFrame, intervalMs: Long = 60000L,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val fwd = withEventTime(flows)
+      .withWatermark("event_time", watermark)
+      .select(col("src_ip").as("f_src"), col("dst_ip").as("f_dst"),
+        col("event_time").as("f_time"), col("bytes").as("f_bytes"))
+    val rev = withEventTime(flows)
+      .withWatermark("event_time", watermark)
+      .select(col("src_ip").as("r_src"), col("dst_ip").as("r_dst"),
+        col("event_time").as("r_time"), col("bytes").as("r_bytes"))
+    fwd.join(rev,
+      col("f_src") === col("r_dst") && col("f_dst") === col("r_src") &&
+        col("r_time") >= col("f_time") &&
+        col("r_time") <= col("f_time") + expr(s"INTERVAL ${intervalMs / 1000} SECONDS"))
+  }
+
   /** Per-user event sessionization over the `events` table shape using the
     * built-in session_window (gap-based), watermark-bounded.
     */

@@ -17,6 +17,12 @@ class TextFunctionsSpec extends SparkSpec {
     assert(adj.select(TextFunctions.occurrences(col("text"), " the ")).head.getLong(0) == 1L)
   }
 
+  test("stopwordHits counts tokens, including adjacent repeats") {
+    val df = one("the the cat of")
+    assert(df.select(TextFunctions.stopwordHits(col("text"), "en")).head.getLong(0) == 3L)
+    assert(one("").select(TextFunctions.stopwordHits(col("text"), "en")).head.getLong(0) == 0L)
+  }
+
   test("langId picks the language with most stopword hits; und when none") {
     assert(one("the cat and a dog is here")
       .select(TextFunctions.langId(col("text"))).head.getString(0) == "en")

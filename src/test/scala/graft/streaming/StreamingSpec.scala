@@ -162,6 +162,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs a flow with its reverse leg inside the bound") {
+    val src = new MemoryFlowSource(spark)
+    src.add(
+      flowJson(10000, "10.0.0.1", "10.0.0.2", 100), // forward
+      flowJson(20000, "10.0.0.2", "10.0.0.1", 50),  // reverse, 10s later -> joins
+      flowJson(900000, "10.0.0.2", "10.0.0.1", 7))  // reverse but outside 60s bound
+    val joined = StreamOps.reverseFlowJoin(FlowPipeline.batch(src.stream(spark)))
+    val q = joined.writeStream.format("memory").queryName("revjoin")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val rows = spark.sql("SELECT f_src, r_src, f_bytes, r_bytes FROM revjoin").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getString(0) == "10.0.0.1" && rows.head.getString(1) == "10.0.0.2")
+      assert(rows.head.getLong(2) == 100L && rows.head.getLong(3) == 50L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup drop: reordered/repeated word sets collide within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
