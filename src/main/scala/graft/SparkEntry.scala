@@ -77,7 +77,9 @@ object SparkEntry {
     "mm_features"        -> MultimodalQueries.features _,
     "mm_frames"          -> MultimodalQueries.frames _,
     "curate_corpus"      -> CurationQueries.curate _,
-    "curate_docs"        -> CurationQueries.curatedDocs _
+    "curate_docs"        -> CurationQueries.curatedDocs _,
+    "mix_sample"         -> CurationQueries.mixSample _,
+    "pack_shards"        -> CurationQueries.packShards _
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

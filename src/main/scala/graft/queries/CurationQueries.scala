@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Sampling
 
 /** The end-to-end training-data curation pipeline, composed from the dedup
   * and text-analysis operators: exact-dedup (keep the smallest doc_id per
@@ -57,6 +58,26 @@ object CurationQueries {
       .select(col("doc_id"), col("source"), tokenCount(col("text")).as("tokens"))
       .orderBy("doc_id")
 
+  /** Mixture config for the declared sampling query: up-weight
+    * even-numbered sources, down-weight odd — a stand-in for the usual
+    * "web low, curated high" mixture table.
+    */
+  val mixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 0.9 else 0.3)).toMap
+
+  /** Deterministic mixture sample over the corpus ([[Sampling.mixSample]]). */
+  def mixSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixSample(Tables.documents(s, dir), mixRates)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  val shardBudget = 2000L
+
+  /** Token-budget shard assignment ([[Sampling.packShards]]). */
+  def packShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.packShards(Tables.documents(s, dir), shardBudget)
+      .orderBy("doc_id")
+
   /** Materialize a curated dump the way a 100 TB job would: parquet
     * partitioned by provenance (`source`) so downstream mixture sampling
     * prunes partitions instead of scanning, with `maxRecordsPerFile` bounding
@@ -91,6 +112,22 @@ object CurationQueries {
            |SELECT d.doc_id, source, CAST($toksSql AS BIGINT) AS tokens
            |FROM documents d JOIN keep k ON k.doc_id = d.doc_id
            |WHERE (${SqlGen.langIdSql}) = 'en' AND $qualSql >= $qualityFloor
-           |ORDER BY d.doc_id""".stripMargin)
+           |ORDER BY d.doc_id""".stripMargin,
+      "mix_sample" -> {
+        val rateCase = mixRates.toSeq.sorted
+          .map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+        s"""SELECT doc_id, source FROM documents
+           | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#mix'),1,15))::BIGINT
+           |  < CAST(trunc((CASE source $rateCase ELSE 0.0 END) * ${Sampling.hashSpace}) AS BIGINT)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+      },
+      "pack_shards" ->
+        s"""SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
+           | CAST((cum - toks) // $shardBudget AS BIGINT) AS shard FROM
+           | (SELECT doc_id, source, len(string_split(text,' ')) AS toks,
+           |   sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM documents) t
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))
   }
 }

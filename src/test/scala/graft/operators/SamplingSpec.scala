@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+  private def allSources: Seq[String] =
+    docs.select("source").distinct().collect().map(_.getString(0)).toSeq
+
+  test("mixSample is deterministic and monotone in rate (supersets as rates rise)") {
+    val lowRates = allSources.map(_ -> 0.3).toMap
+    val highRates = allSources.map(_ -> 0.7).toMap
+    val low = Sampling.mixSample(docs, lowRates).select("doc_id").collect().map(_.getLong(0)).toSet
+    val low2 = Sampling.mixSample(docs, lowRates).select("doc_id").collect().map(_.getLong(0)).toSet
+    val high = Sampling.mixSample(docs, highRates).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(low == low2)            // reproducible
+    assert(low.subsetOf(high))     // raising rates only adds docs
+    assert(low.nonEmpty && high.size < docs.count())
+  }
+
+  test("mixSample: unlisted sources use the default rate") {
+    val none = Sampling.mixSample(docs, Map("no-such-source" -> 1.0))
+    assert(none.count() == 0) // defaultRate 0.0 drops everything else
+    val all = Sampling.mixSample(docs, Map.empty, defaultRate = 1.0)
+    assert(all.count() == docs.count())
+  }
+
+  test("packShards: shard ids are contiguous from 0 and shards respect the budget") {
+    val budget = 500L
+    val packed = Sampling.packShards(docs, budget)
+    val bySource = packed.groupBy("source", "shard")
+      .agg(sum("toks").as("t"), max("toks").as("mx"))
+      .collect()
+    // every shard except possibly the last of a source holds <= budget + one doc overhang
+    assert(bySource.forall(r => r.getLong(2) <= budget + r.getLong(3)))
+    val shards = packed.filter(col("source") === allSources.head)
+      .orderBy("doc_id").select("shard").collect().map(_.getLong(0)).toSeq
+    assert(shards.head == 0L)
+    assert(shards.sliding(2).forall(p => p.size < 2 || p(1) - p(0) <= 1 && p(1) >= p(0)))
+  }
+}
