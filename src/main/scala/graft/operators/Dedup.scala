@@ -223,8 +223,12 @@ object Dedup {
     * Returns (doc_id, group_id) for every node that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // Stage the pair list BEFORE mirroring it: the union has two branches,
+    // and without this the (possibly expensive) upstream that produced the
+    // pairs would execute once per branch inside the checkpoint job.
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+      .union(p.select(col("d2").as("a"), col("d1").as("b")))
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
