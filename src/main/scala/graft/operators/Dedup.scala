@@ -146,6 +146,24 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Benchmark decontamination: find corpus docs sharing any word-n-gram
+    * with a holdout set (eval benchmarks leaking into training data). The
+    * holdout is small by nature, so its distinct shingle hashes are
+    * BROADCAST; the corpus side is explode + broadcast-hash-join + count —
+    * no shuffle of corpus shingles, work linear in corpus size. Returns
+    * (doc_id, hits = number of distinct overlapping shingles), holdout docs
+    * excluded.
+    */
+  def contamination(docs: DataFrame, holdout: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val corpusSh = shingleHashes(docs, n, idCol, textCol).distinct()
+    val holdSh = shingleHashes(holdout, n, idCol, textCol).select("m").distinct()
+    corpusSh
+      .join(broadcast(holdSh), "m")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** SimHash fingerprint width. 64 bits matters at scale: the band join below
     * buckets on 16-bit slices, and a b-bit band has only 2^b values — too few
     * (the old 8-bit bands gave 256 buckets ⇒ Θ(n²/256) candidate pairs on a

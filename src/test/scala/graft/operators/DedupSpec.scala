@@ -49,6 +49,17 @@ class DedupSpec extends SparkSpec {
     assert(verified.filter(col("jac") < 0.7).count() == 0)
   }
 
+  test("contamination flags only docs sharing holdout n-grams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),      // shares "alpha beta gamma"
+      (11L, "totally unrelated words here")).toDF("doc_id", "text")
+    val holdout = Seq((1L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, holdout).collect()
+    assert(hits.length == 1)
+    assert(hits.head.getLong(0) == 10L && hits.head.getLong(1) == 1L)
+  }
+
   test("connected components: chains collapse to min id, isolated pairs stay separate") {
     import spark.implicits._
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("d1", "d2")

@@ -47,4 +47,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plans("sim_ivf_topk").contains("RunningWindowFunction"))
     assert(!plans("sim_ivf_topk").contains("row_number"))
   }
+
+  test("mixture sampling is a stateless filter: no hash shuffle before the final sort") {
+    // only the oracle-determinism orderBy may exchange (range partitioning)
+    assert(!plans("mix_sample").contains("hashpartitioning"), plans("mix_sample"))
+  }
+
+  test("decontamination broadcasts the holdout side") {
+    assert(plans("dedup_decontam").contains("BroadcastHashJoin"))
+  }
 }
