@@ -14,6 +14,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native expressions on the SQL surface (graft_dot, graft_lsh_code, ...)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

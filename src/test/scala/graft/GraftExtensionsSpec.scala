@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+/** The SQL surface of the native expressions: a user of the engine reaches
+  * the same codegen'd kernels through `spark.sql` that the DataFrame
+  * operators use internally.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("graft_dot from SQL equals VectorOps.dot") {
+    Tables.registerAll(spark, sf0001)
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM embeddings ORDER BY vec_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    import org.apache.spark.sql.functions.col
+    val viaDf = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), graft.functions.VectorOps.dot(col("embedding"), col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaDf)
+  }
+
+  test("graft_lsh_code from SQL matches the operator, incl. the planes override") {
+    Tables.registerAll(spark, sf0001)
+    val viaSql = spark.sql(
+      s"SELECT vec_id, graft_lsh_code(embedding) AS c FROM embeddings ORDER BY vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = Similarity.withLshCode(Tables.embeddings(spark, sf0001))
+      .select("vec_id", "lsh_code")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaDf)
+    val wide = spark.sql(
+      "SELECT max(graft_lsh_code(embedding, 24)) AS c FROM embeddings").head().getLong(0)
+    assert(wide < (1L << 24))
+  }
+
+  test("graft_simhash aggregate from SQL matches Dedup.simhash") {
+    Tables.registerAll(spark, sf0001)
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash(
+        |  CAST(CONV(SUBSTRING(m, 1, 8), 16, 10) AS BIGINT),
+        |  CAST(CONV(SUBSTRING(m, 9, 8), 16, 10) AS BIGINT)) AS simhash
+        |FROM (SELECT doc_id, md5(CONCAT(tok, '#0')) AS m FROM
+        |       (SELECT doc_id, EXPLODE(SPLIT(text, ' ')) AS tok FROM documents) t
+        |      WHERE tok <> '') h
+        |GROUP BY doc_id""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = Dedup.simhash(Tables.documents(spark, sf0001))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaDf)
+  }
+}
