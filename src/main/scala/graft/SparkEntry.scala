@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
+    "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
     "mm_frames"          -> MultimodalQueries.frames _,

@@ -84,6 +84,46 @@ object Similarity {
          | THEN ${1L << p} ELSE 0 END)""".stripMargin.replaceAll("\n", "")
     }.mkString("(", " + ", ")")
 
+  /** Per-vector symmetric int8 quantization: `scale = max|v_i|/127`,
+    * `code_i = trunc(v_i/scale)` ∈ [-127, 127]. The 100 TB storage/bandwidth
+    * lever for the embedding path — 4× smaller than float32, and since
+    * cosine is scale-invariant the scale column isn't even needed to RANK
+    * (quantized cosine = cosine of the integer code vectors; `qscale` is
+    * kept for dequantizing magnitudes). trunc-toward-zero is the rounding
+    * both engines reproduce exactly.
+    */
+  def withQuantized(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("qscale",
+        expr(s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))") / 127.0)
+      .withColumn("qcodes",
+        expr(s"""CASE WHEN qscale = 0.0 THEN transform($vecCol, x -> CAST(0 AS BIGINT))
+                 ELSE transform($vecCol, x -> CAST(CAST(x AS DOUBLE)/qscale AS BIGINT)) END"""))
+
+  /** Cosine over integer code vectors (exact integer dot products, double
+    * division at the end — engine-identical).
+    */
+  private def codeCosine(a: Column, b: Column): Column = {
+    def idot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val (daa, dbb, dab) = (idot(a, a), idot(b, b), idot(a, b))
+    when(daa === 0 || dbb === 0, lit(0.0))
+      .otherwise(dab.cast("double") / (sqrt(daa.cast("double")) * sqrt(dbb.cast("double"))))
+  }
+
+  /** Top-k by QUANTIZED cosine vs one stored vector: ranking runs entirely
+    * on int8 codes (the memory-resident representation); float vectors are
+    * never touched after quantization.
+    */
+  def quantTopK(emb: DataFrame, queryId: Long, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = withQuantized(emb, vecCol).select(col(idCol), col("qcodes"))
+    val q = coded.filter(col(idCol) === queryId).select(col("qcodes").as("qq"))
+    coded.crossJoin(broadcast(q))
+      .select(col(idCol), round(codeCosine(col("qcodes"), col("qq")), 6).as("qcos"))
+      .orderBy(desc("qcos"), asc(idCol))
+      .limit(k)
+  }
+
   /** Exact cosine top-k vs one stored vector, by id. */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

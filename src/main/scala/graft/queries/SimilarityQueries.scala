@@ -26,6 +26,12 @@ object SimilarityQueries {
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L)
 
+  /** Top-10 by int8-quantized cosine — ranking never touches the float
+    * vectors after quantization.
+    */
+  def quantTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
   val oracle: Map[String, String] = Map(
     "sim_ivf_topk" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
@@ -39,6 +45,19 @@ object SimilarityQueries {
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
          |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_quant_topk" -> {
+      def idot(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${Similarity.dims + 1}), i -> $a[i]*$b[i])) AS DOUBLE)"
+      s"""WITH scaled AS (SELECT vec_id, embedding,
+         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))/127.0 AS qscale FROM embeddings),
+         |coded AS (SELECT vec_id, CASE WHEN qscale = 0.0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |  ELSE list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE)/qscale) AS BIGINT)) END AS qcodes FROM scaled),
+         |q AS (SELECT qcodes AS qq FROM coded WHERE vec_id = 0)
+         |SELECT vec_id, round(CASE WHEN ${idot("qcodes", "qcodes")} = 0 OR ${idot("qq", "qq")} = 0 THEN 0.0
+         |  ELSE ${idot("qcodes", "qq")}/(sqrt(${idot("qcodes", "qcodes")})*sqrt(${idot("qq", "qq")})) END, 6) AS qcos
+         |FROM coded, q
+         |ORDER BY qcos DESC, vec_id LIMIT 10""".stripMargin
+    },
     "sim_lsh_topk" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding")} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)

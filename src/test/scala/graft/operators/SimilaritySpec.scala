@@ -70,6 +70,20 @@ class SimilaritySpec extends SparkSpec {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("int8 quantization: codes bounded, self-similarity 1.0, ranking tracks exact cosine") {
+    import org.apache.spark.sql.functions._
+    val coded = Similarity.withQuantized(emb)
+    assert(coded.selectExpr("max(aggregate(qcodes, CAST(0 AS BIGINT), (a, x) -> greatest(a, abs(x))))")
+      .head().getLong(0) <= 127L)
+    val top = Similarity.quantTopK(emb, queryId = 0L, k = 10).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    assert(top.forall(r => r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0))
+    // int8 cosine is a close approximation: top-10 sets mostly agree
+    val exact = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.map(_.getLong(0)).toSet.intersect(exact).size >= 6)
+  }
+
   test("trainCentroids: k rows, improves (never degrades) the assignment objective") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorOps
