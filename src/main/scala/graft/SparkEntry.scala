@@ -59,6 +59,8 @@ object SparkEntry {
     "q24_json_extract"   -> CoreQueries.q24 _,
     "q25_asof_join"      -> CoreQueries.q25 _,
     "q26_range_join"     -> CoreQueries.q26 _,
+    "q27_percentiles"    -> CoreQueries.q27 _,
+    "q28_group_topk"     -> CoreQueries.q28 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

@@ -285,6 +285,33 @@ object CoreQueries {
       .orderBy("band")
   }
 
+  /** Q27 — exact interpolated percentiles per group (`percentile` in Spark ≡
+    * `quantile_cont` in DuckDB: same linear-interpolation definition, exact
+    * and order-independent, so it hash-matches where sketch-based
+    * `percentile_approx` could not).
+    */
+  def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90"),
+        max("n_chars").as("mx"))
+      .orderBy("lang")
+
+  /** Q28 — per-group top-k (the one place a row_number window is the right
+    * plan: k rows per group survive, and the partial TakeOrdered per group
+    * can't be expressed as a plain aggregate).
+    */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .select("lang", "doc_id", "n_chars", "rn")
+      .orderBy("lang", "rn")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

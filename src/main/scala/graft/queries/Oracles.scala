@@ -73,6 +73,17 @@ object Oracles {
         | (SELECT range AS band, range*10.0 AS lo, (range+1)*10.0 AS hi FROM range(10)) b
         | ON e.value >= b.lo AND e.value < b.hi
         | GROUP BY b.band ORDER BY b.band""".stripMargin.replaceAll("\n", ""),
+    "q27_percentiles" ->
+      """SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        | round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        | CAST(max(n_chars) AS BIGINT) AS mx
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", ""),
+    "q28_group_topk" ->
+      """SELECT lang, doc_id, n_chars, CAST(rn AS INTEGER) AS rn FROM
+        | (SELECT lang, doc_id, n_chars,
+        |   row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        | WHERE rn <= 3 ORDER BY lang, rn""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
