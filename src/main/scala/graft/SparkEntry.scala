@@ -77,6 +77,7 @@ object SparkEntry {
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
     "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
+    "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
     "mm_frames"          -> MultimodalQueries.frames _,

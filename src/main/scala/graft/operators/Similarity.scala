@@ -77,8 +77,8 @@ object Similarity {
       ColumnBridge.column(LshCode(ColumnBridge.expression(col(vecCol)), planes, dims)))
 
   /** DuckDB rendering of the same code (kept adjacent to prevent drift). */
-  def lshCodeSql(vecCol: String): String =
-    (0 until lshPlanes).map { p =>
+  def lshCodeSql(vecCol: String, planes: Int = lshPlanes): String =
+    (0 until planes).map { p =>
       s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
          | i -> CAST($vecCol[i] AS DOUBLE) * ${planeComponent(p, "(i-1)")})) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin.replaceAll("\n", "")
@@ -149,6 +149,35 @@ object Similarity {
       .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("qe")), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
+  }
+
+  /** BATCH ANN top-k: k nearest (by exact cosine) corpus vectors for EVERY
+    * query vector at once — the shape batch workloads need, where the
+    * single-query plans (broadcast one vector, scan-filter) stop making
+    * sense. Candidates come from the same multi-probe LSH equi-join as
+    * [[nearDupPairs]] (query side explodes to its p+1 Hamming-≤1 probe
+    * codes; join key cardinality scales with `planes`), then exact cosine on
+    * survivors and a per-query window top-k (the q28 shape: k survivors per
+    * group). No cross join at any size.
+    */
+  def lshBatchTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   planesOpt: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = planesOpt.getOrElse(planesFor(emb.count()))
+    val corpus = withLshCode(emb, vecCol, planes)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("lsh_code").as("ccode"))
+    val probes = withLshCode(queries, vecCol, planes)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(array(col("lsh_code") +:
+          (0 until planes).map(b => col("lsh_code").bitwiseXOR(1L << b)): _*)).as("probe"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    probes.join(corpus, col("probe") === col("ccode") && col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(VectorOps.cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rn"))
   }
 
   /** Default / oracle-pinned IVF list count. */

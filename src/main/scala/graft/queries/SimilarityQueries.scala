@@ -32,6 +32,21 @@ object SimilarityQueries {
   def quantTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.quantTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
+  /** Code width for the declared batch-ANN query: 8 planes keeps the
+    * Hamming-≤1 ball dense enough to fill k at verify-scale corpora (the
+    * operator itself defaults to the data-scaled width).
+    */
+  val batchPlanes = 8
+
+  /** Batch ANN: top-5 neighbors for every query in a 3-vector batch. */
+  def batchTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    import org.apache.spark.sql.functions.col
+    Similarity.lshBatchTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+        planesOpt = Some(batchPlanes))
+      .orderBy("query_id", "rn")
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_ivf_topk" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
@@ -45,6 +60,16 @@ object SimilarityQueries {
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
          |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_batch_topk" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchPlanes)} AS lsh_code FROM embeddings),
+         |q AS (SELECT * FROM coded WHERE vec_id < 3),
+         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  round(${SqlGen.cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+         |  FROM q JOIN coded c ON bit_count(xor(q.lsh_code, c.lsh_code)) <= 1 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, cand_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM
+         | (SELECT query_id, cand_id, cos_sim,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn FROM cand) t
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "sim_quant_topk" -> {
       def idot(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, ${Similarity.dims + 1}), i -> $a[i]*$b[i])) AS DOUBLE)"
