@@ -56,4 +56,11 @@ class PlanAuditSpec extends SparkSpec {
   test("decontamination broadcasts the holdout side") {
     assert(plans("dedup_decontam").contains("BroadcastHashJoin"))
   }
+
+  test("driver contract: every declared query carries a DuckDB oracle") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
 }
