@@ -13,7 +13,7 @@ import graft.sources.FileFlowSource
   * Each query is fully materialized through the `noop` datasource writer
   * (forces evaluation of every column without collecting to the driver, and
   * without counting short-circuits like limit-only plans). One warm-up run of
-  * the whole suite, then median of 5 timed runs per query. Also measures
+  * the whole suite, then median of 3 timed runs per query. Also measures
   * streaming pipeline throughput (BASELINE.md: rows/s through the
   * decode→project→sink chain over the file-backed stream source), reported as
   * the extra field `pipeline_rows_per_sec`.
@@ -72,11 +72,12 @@ object Bench {
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(once) // warm-up: JIT + codegen + file footers
-    // median of 5: the shared bench host has documented multi-x run-to-run
-    // noise; a wider sample keeps one contended run from defining a query.
+    // median of 3: the shared bench host has documented multi-x run-to-run
+    // noise, but the suite is 51 queries now — 4 total passes matches the
+    // wall-clock envelope the driver demonstrably completes.
     val results = names.map { n =>
-      val ts = Seq.fill(5)(once(n)).sorted
-      n -> ts(2)
+      val ts = Seq.fill(3)(once(n)).sorted
+      n -> ts(1)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
