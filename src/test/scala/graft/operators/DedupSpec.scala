@@ -68,6 +68,22 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components reach a true fixpoint on real candidate pairs") {
+    val sh = Dedup.shingleHashes(docs).distinct()
+    val cands = Dedup.minhashCandidatesFromShingles(sh)
+    val verified = Dedup.jaccardOnCandidatesFromShingles(sh, cands, threshold = 0.7)
+      .select("d1", "d2")
+    val labels = Dedup.connectedComponents(verified).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = verified.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    // every edge's endpoints agree, and each group's label is its min member
+    assert(edges.forall { case (a, b) => labels(a) == labels(b) })
+    labels.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.keys.min == g)
+    }
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
