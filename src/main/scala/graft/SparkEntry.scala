@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_simhash"      -> DedupQueries.simhash _,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
     "dedup_groups"       -> DedupQueries.groups _,
+    "dedup_apply"        -> DedupQueries.applyDedup _,
     "dedup_decontam"     -> DedupQueries.decontam _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,

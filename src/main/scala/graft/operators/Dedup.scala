@@ -268,6 +268,19 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("group_id"))
   }
 
+  /** Apply near-dup dedup: drop every non-canonical group member (keep the
+    * min-id representative of each [[connectedComponents]] group; docs in no
+    * group pass through). The anti join touches only the group labels — a
+    * frame with one row per PAIRED doc, tiny relative to the corpus.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs by SimHash: candidates share at least one of four 16-bit
     * bands, verified by Hamming distance <= maxHamming. The band join keeps
     * this an equi-join (LSH for Hamming space), not a cross join; with 16-bit
