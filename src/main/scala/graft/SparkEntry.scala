@@ -66,6 +66,7 @@ object SparkEntry {
     "text_quality"       -> TextQueries.quality _,
     "text_tokens"        -> TextQueries.tokens _,
     "text_fingerprint"   -> TextQueries.fingerprints _,
+    "text_repetition"    -> TextQueries.repetition _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
     "dedup_jaccard"      -> DedupQueries.jaccard _,

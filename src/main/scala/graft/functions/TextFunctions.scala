@@ -89,4 +89,33 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(c), " ")))))
+
+  /** Word n-grams of the text as an array column (empty array when the doc
+    * is shorter than n words).
+    */
+  private def ngrams(c: Column, n: Int): Column = {
+    val w = wsTokens(c)
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  /** Intra-document repetition: fraction of n-gram OCCURRENCES that are
+    * duplicates of an earlier one (`1 - distinct/total`) — the Gopher-style
+    * repetition signal used to drop boilerplate/spam. 0.0 for docs too short
+    * to have an n-gram.
+    */
+  def dupNgramFrac(c: Column, n: Int = 3): Column = {
+    val g = ngrams(c, n)
+    when(size(g) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+  }
+
+  /** Mean word length in characters (0.0 for empty text) — short-mean docs
+    * are symbol soup, long-mean docs are URLs/minified code.
+    */
+  def meanWordLen(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        aggregate(wsTokens(c), lit(0.0), (a, x) => a + length(x)) / tokenCount(c))
 }

@@ -44,6 +44,19 @@ object TextQueries {
       .agg(sum("t").as("ws_tokens"), sum("rt").as("re_tokens"))
       .orderBy("lang")
 
+  /** Gopher-style repetition/shape signals per doc: duplicate-3-gram
+    * fraction and mean word length — the intra-document counterparts of the
+    * corpus-level dedup ops.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        round(dupNgramFrac(col("text")), 6).as("dup3"),
+        round(meanWordLen(col("text")), 6).as("mwl"))
+      .orderBy("doc_id")
+      .limit(200)
+
   /** Fingerprint clusters: docs whose sorted-distinct-word set collides. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -73,6 +86,14 @@ object TextQueries {
         s"""SELECT lang, CAST(sum($toksSql) AS BIGINT) AS ws_tokens,
            | CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS re_tokens
            | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replaceAll("\n", ""),
+      "text_repetition" -> {
+        val g = "list_transform(range(1, len(W)-1), i -> W[i]||' '||W[i+1]||' '||W[i+2])"
+        s"""SELECT doc_id,
+           | round(CASE WHEN len(W) < 3 THEN 0.0 ELSE 1.0 - len(list_distinct($g))*1.0/len($g) END, 6) AS dup3,
+           | round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END, 6) AS mwl
+           | FROM (SELECT doc_id, text, string_split(text,' ') AS W FROM documents) t
+           | ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", "")
+      },
       "text_fingerprint" ->
         """SELECT fp, count(*) AS c, min(doc_id) AS keeper FROM
           | (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp,

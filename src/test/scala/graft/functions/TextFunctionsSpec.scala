@@ -38,6 +38,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dupNgramFrac counts repeated 3-gram occurrences; short docs get 0") {
+    // "a b c a b c": 4 trigram occurrences ("a b c","b c a","c a b","a b c"),
+    // 3 distinct -> 1 - 3/4 = 0.25
+    assert(one("a b c a b c")
+      .select(TextFunctions.dupNgramFrac(col("text"))).head.getDouble(0) == 0.25)
+    assert(one("a b")
+      .select(TextFunctions.dupNgramFrac(col("text"))).head.getDouble(0) == 0.0)
+  }
+
+  test("meanWordLen averages characters per token") {
+    assert(one("ab cdef")
+      .select(TextFunctions.meanWordLen(col("text"))).head.getDouble(0) == 3.0)
+    assert(one("")
+      .select(TextFunctions.meanWordLen(col("text"))).head.getDouble(0) == 0.0)
+  }
+
   test("quality score is bounded in [0,1]") {
     val q = one("the a of and is " * 30)
       .select(TextFunctions.qualityScore(col("text"))).head.getDouble(0)
