@@ -67,6 +67,7 @@ object SparkEntry {
     "text_tokens"        -> TextQueries.tokens _,
     "text_fingerprint"   -> TextQueries.fingerprints _,
     "text_repetition"    -> TextQueries.repetition _,
+    "text_rolling_fp"    -> TextQueries.rollingFp _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
     "dedup_jaccard"      -> DedupQueries.jaccard _,

@@ -90,6 +90,17 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(lower(c), " ")))))
 
+  /** Rolling-hash (Karp-Rabin) document fingerprint: min 32-bit polynomial
+    * hash over all `window`-char substrings, via the native codegen'd
+    * [[graft.expressions.RollingHashMin]] (O(len) rolling update, no
+    * re-hash per window).
+    */
+  def rollingFingerprint(c: Column, window: Int = 8): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.RollingHashMin(ColumnBridge.expression(c), window))
+  }
+
   /** Word n-grams of the text as an array column (empty array when the doc
     * is shorter than n words).
     */

@@ -57,6 +57,16 @@ object TextQueries {
       .orderBy("doc_id")
       .limit(200)
 
+  /** Rolling-hash fingerprints: the content-defined min-hash per doc (docs
+    * sharing long substrings tend to share it, single edits elsewhere leave
+    * it untouched).
+    */
+  def rollingFp(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), rollingFingerprint(col("text")).as("rfp"))
+      .orderBy("doc_id")
+      .limit(200)
+
   /** Fingerprint clusters: docs whose sorted-distinct-word set collides. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -93,6 +103,17 @@ object TextQueries {
            | round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END, 6) AS mwl
            | FROM (SELECT doc_id, text, string_split(text,' ') AS W FROM documents) t
            | ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", "")
+      },
+      "text_rolling_fp" -> {
+        val w = 8; val B = 257L; val mask = 0xFFFFFFFFL
+        val ks = (0 until w).map { j =>
+          var p = 1L; (0 until (w - 1 - j)).foreach(_ => p = (p * B) & mask); p
+        }
+        val term = (0 until w)
+          .map(j => s"CAST(ascii(substr(text, i+$j, 1)) AS BIGINT)*${ks(j)}").mkString(" + ")
+        s"""SELECT doc_id, CASE WHEN length(text) < $w THEN CAST(0 AS BIGINT)
+           | ELSE list_min(list_transform(range(1, length(text)-${w - 2}), i -> ($term) & $mask)) END AS rfp
+           | FROM documents ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", "")
       },
       "text_fingerprint" ->
         """SELECT fp, count(*) AS c, min(doc_id) AS keeper FROM

@@ -54,6 +54,25 @@ class TextFunctionsSpec extends SparkSpec {
       .select(TextFunctions.meanWordLen(col("text"))).head.getDouble(0) == 0.0)
   }
 
+  test("rolling-hash fingerprint: shared substrings can share the min; short docs get 0") {
+    // reference value computed directly: min over windows of the polynomial hash
+    def direct(s: String, w: Int = 8, b: Long = 257L): Long =
+      if (s.length < w) 0L
+      else (0 to s.length - w).map { i =>
+        s.substring(i, i + w).foldLeft(0L)((h, c) => (h * b + c) & 0xFFFFFFFFL)
+      }.min
+    val texts = Seq("the quick brown fox jumps", "ab", "xyxyxyxyxyxyxy")
+    texts.foreach { t =>
+      val got = one(t).select(TextFunctions.rollingFingerprint(col("text"))).head.getLong(0)
+      assert(got == direct(t), t)
+    }
+    // appending unrelated text far from the min leaves the fingerprint intact
+    val base = "a shared very long common prefix here"
+    val a = one(base).select(TextFunctions.rollingFingerprint(col("text"))).head.getLong(0)
+    val b = one(base + " zzz unrelated suffix").select(TextFunctions.rollingFingerprint(col("text"))).head.getLong(0)
+    assert(b <= a) // min can only stay or drop when text grows
+  }
+
   test("quality score is bounded in [0,1]") {
     val q = one("the a of and is " * 30)
       .select(TextFunctions.qualityScore(col("text"))).head.getDouble(0)
