@@ -115,11 +115,17 @@ object TextFunctions {
     * duplicates of an earlier one (`1 - distinct/total`) — the Gopher-style
     * repetition signal used to drop boilerplate/spam. 0.0 for docs too short
     * to have an n-gram.
+    *
+    * The total occurrence count is plain token arithmetic
+    * (`size(tokens) - n + 1`), so the (expensive) n-gram materialization is
+    * evaluated exactly once — for the distinct count — instead of once per
+    * size() probe.
     */
   def dupNgramFrac(c: Column, n: Int = 3): Column = {
-    val g = ngrams(c, n)
-    when(size(g) === 0, lit(0.0))
-      .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+    val total = size(wsTokens(c)) - (n - 1)
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(ngrams(c, n))).cast("double") / total.cast("double"))
   }
 
   /** Mean word length in characters (0.0 for empty text) — short-mean docs

@@ -99,7 +99,7 @@ object TextQueries {
       "text_repetition" -> {
         val g = "list_transform(range(1, len(W)-1), i -> W[i]||' '||W[i+1]||' '||W[i+2])"
         s"""SELECT doc_id,
-           | round(CASE WHEN len(W) < 3 THEN 0.0 ELSE 1.0 - len(list_distinct($g))*1.0/len($g) END, 6) AS dup3,
+           | round(CASE WHEN len(W) < 3 THEN 0.0 ELSE 1.0 - len(list_distinct($g))*1.0/(len(W)-2) END, 6) AS dup3,
            | round(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END, 6) AS mwl
            | FROM (SELECT doc_id, text, string_split(text,' ') AS W FROM documents) t
            | ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", "")
