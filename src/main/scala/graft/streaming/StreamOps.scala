@@ -30,6 +30,19 @@ object StreamOps {
       .agg(sum("bytes").as("bytes"), sum("packets").as("packets"),
         count(lit(1)).as("flows"))
 
+  /** Sliding-window traffic rate: overlapping windows (`slide` < `window_`)
+    * give the smoothed rate dashboards want. Same state-bounding rules as
+    * tumbling — each event lands in window_/slide windows, watermark expires
+    * them.
+    */
+  def trafficSliding(flows: DataFrame, window_ : String = "2 minutes",
+                     slide: String = "1 minute",
+                     watermark: String = "10 minutes"): DataFrame =
+    withEventTime(flows)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_, slide))
+      .agg(sum("bytes").as("bytes"), count(lit(1)).as("flows"))
+
   /** Streaming dedup on the flow identity within the watermark horizon
     * (C10) — duplicates from the at-least-once upstream are dropped with
     * bounded state.

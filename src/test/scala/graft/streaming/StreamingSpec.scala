@@ -48,6 +48,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows overlap: one event lands in window_/slide windows") {
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(90000, "a", "b", 10)) // t=90s -> windows [0,120) and [60,180)
+    val agg = StreamOps.trafficSliding(FlowPipeline.batch(src.stream(spark)))
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode("update")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val rows = spark.sql("SELECT window.start, bytes FROM sliding ORDER BY 1").collect()
+      assert(rows.length == 2) // the 2-minute window slides by 1 minute
+      assert(rows.map(_.getTimestamp(0).toInstant.getEpochSecond).toSeq == Seq(0L, 60L))
+      assert(rows.forall(_.getLong(1) == 10L))
+    } finally q.stop()
+  }
+
   test("watermark drops late data: an event behind the watermark never lands") {
     val src = new MemoryFlowSource(spark)
     val agg = StreamOps.trafficPerWindow(FlowPipeline.batch(src.stream(spark)),
