@@ -61,6 +61,9 @@ object SparkEntry {
     "q26_range_join"     -> CoreQueries.q26 _,
     "q27_percentiles"    -> CoreQueries.q27 _,
     "q28_group_topk"     -> CoreQueries.q28 _,
+    "q29_sliding_bucket" -> CoreQueries.q29 _,
+    "q30_skew_join"      -> CoreQueries.q30 _,
+    "q31_bucketed_join"  -> BucketedQueries.q31 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -96,5 +99,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++ BucketedQueries.oracle
 }

@@ -12,13 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, in-bucket-sorted catalog table. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed, in-bucket-sorted catalog table. Re-staging is
+    * idempotent: any prior version of the table is dropped first, and an
+    * ORPHANED managed location is cleared too — the in-memory metastore dies
+    * with each JVM while the warehouse directory persists, so without the
+    * sweep a fresh session's `saveAsTable` fails with
+    * LOCATION_ALREADY_EXISTS on a location only a dead catalog knew about.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

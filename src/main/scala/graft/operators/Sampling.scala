@@ -40,18 +40,39 @@ object Sampling {
 
   /** Token-budget shard packing: within each source (ordered by id), docs
     * accumulate into shards of ~`tokensPerShard` via a running token sum —
-    * shard = previous cumulative tokens div budget. One window per source;
-    * at 100 TB the per-source sort is the bucketed-table sort order, not a
-    * global sort. Integral `div` keeps both engines exact.
+    * shard = previous cumulative tokens div budget.
+    *
+    * TWO-LEVEL structure, because a single `Window.partitionBy(source)`
+    * caps parallelism at the source COUNT (~20 sources ⇒ ≤20 tasks, and one
+    * hot source serializes half the corpus into one window partition):
+    *  1. rows are sliced into fixed-width id ranges (`chunk = id div
+    *     chunkWidth`); the running sum windows over (source, chunk) — many
+    *     partitions per source, each bounded by chunkWidth rows;
+    *  2. per-(source, chunk) token totals get a second running sum over the
+    *     CHUNK rows only (a ~#chunks-row frame, thousands of rows at 100 TB
+    *     for a millions-row-wide chunk), producing each chunk's offset;
+    *  3. offsets broadcast back onto the local sums: cum = offset + local.
+    * Since `chunk` is monotone in id, (chunk, id) order ≡ id order and the
+    * cumulative values — hence shard assignments and the oracle — are
+    * IDENTICAL to the single-window form at any chunkWidth. Integral `div`
+    * keeps both engines exact.
     */
   def packShards(docs: DataFrame, tokensPerShard: Long,
                  idCol: String = "doc_id", sourceCol: String = "source",
-                 textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+                 textCol: String = "text", chunkWidth: Long = 1L << 16): DataFrame = {
+    val toks = docs.withColumn("toks", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("chunk", expr(s"$idCol div $chunkWidth"))
+    val wLocal = Window.partitionBy(sourceCol, "chunk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("toks", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("cum", sum("toks").over(w))
+    val wOffset = Window.partitionBy(sourceCol).orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy(col(sourceCol), col("chunk"))
+      .agg(sum("toks").as("ctoks"))
+      .select(col(sourceCol), col("chunk"),
+        coalesce(sum("ctoks").over(wOffset), lit(0L)).as("off"))
+    toks.withColumn("lcum", sum("toks").over(wLocal))
+      .join(broadcast(offsets), Seq(sourceCol, "chunk"))
       .select(col(idCol), col(sourceCol), col("toks"),
-        expr(s"(cum - toks) div $tokensPerShard").as("shard"))
+        expr(s"(off + lcum - toks) div $tokensPerShard").as("shard"))
   }
 }

@@ -43,10 +43,10 @@ object Similarity {
     * the data distribution, not the code width).
     */
   val targetBucketRows = 64L
-  def planesFor(n: Long): Int = {
+  def planesFor(n: Long, floor: Int = lshPlanes): Int = {
     val buckets = math.max(1L, n / targetBucketRows)
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil(log2)
-    math.min(32, math.max(lshPlanes, bits))
+    math.min(32, math.max(floor, bits))
   }
 
   /** SQL fragment for plane p's d-th component, shared Spark/DuckDB shape. */

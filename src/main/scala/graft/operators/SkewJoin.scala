@@ -19,13 +19,19 @@ object SkewJoin {
     * distribute replicated keys, so the salt is `monotonically_increasing_id
     * % saltFactor` — even by construction, and correctness doesn't depend on
     * which salt a row gets.
+    *
+    * The replicated side carries a `merge` hint: salting only changes
+    * anything for a SHUFFLE join (it splits the hot key's shuffle partition
+    * `saltFactor` ways), and a right side small enough for Spark to
+    * auto-broadcast wouldn't need salting in the first place — the hint keeps
+    * the demonstrated plan the one the operator exists for.
     */
   def saltedInnerJoin(left: DataFrame, right: DataFrame,
                       keyL: Column, keyR: Column, saltFactor: Int = 8): DataFrame = {
     val salted = left.withColumn("_salt", (monotonically_increasing_id() % saltFactor).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
-    salted.join(replicated, keyL === keyR && salted("_salt") === replicated("_salt"))
+    salted.join(replicated.hint("merge"), keyL === keyR && salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }
 }

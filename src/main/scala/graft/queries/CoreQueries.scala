@@ -312,6 +312,41 @@ object CoreQueries {
       .orderBy("lang", "rn")
   }
 
+  /** Q29 — SLIDING event-time windows in batch form (C9's sliding variant,
+    * the batch twin of `StreamOps.slidingCounts`): 2-minute windows sliding
+    * every 1 minute, so each event lands in exactly two overlapping buckets.
+    * Spark's `window()` generates the per-event window list and explodes it —
+    * the same overlap-explode the DuckDB oracle spells out with a 2-row range
+    * join. Value sums ride DECIMAL for order-independence (q05 note).
+    */
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6).as("sv"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("c"), col("sv"))
+      .orderBy("ws", "event_type")
+
+  /** Q30 — skew-mitigated join ([[graft.operators.SkewJoin.saltedInnerJoin]]):
+    * half of all orders are remapped onto one hot custkey (the deliberate
+    * skew), then joined to `customer` with the left side salted 8 ways, so
+    * the hot key occupies 8 shuffle partitions instead of stalling one task.
+    * The salt is invisible to results — the oracle is the plain join.
+    */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    val hotOrders = Tables.orders(s, dir).select(
+      expr("CASE WHEN o_orderkey % 2 = 0 THEN 1L ELSE o_custkey END").as("k"),
+      col("o_totalprice"))
+    graft.operators.SkewJoin
+      .saltedInnerJoin(hotOrders, Tables.customer(s, dir), col("k"), col("c_custkey"))
+      .groupBy("c_custkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("s"))
+      .orderBy(desc("n"), asc("c_custkey"))
+      .limit(10)
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -73,9 +73,18 @@ object CurationQueries {
 
   val shardBudget = 2000L
 
+  /** Chunk width for the declared packing query: 64 ids per chunk keeps the
+    * two-level structure exercised at verify-scale corpora (hundreds of
+    * docs ⇒ several chunks per source), standing in for the production-scale
+    * default of 2^16. The cumulative sums — and so the oracle — are
+    * chunkWidth-invariant.
+    */
+  val shardChunkWidth = 64L
+
   /** Token-budget shard assignment ([[Sampling.packShards]]). */
   def packShards(s: SparkSession, dir: String): DataFrame =
-    Sampling.packShards(Tables.documents(s, dir), shardBudget)
+    Sampling.packShards(Tables.documents(s, dir), shardBudget,
+        chunkWidth = shardChunkWidth)
       .orderBy("doc_id")
 
   /** Materialize a curated dump the way a 100 TB job would: parquet

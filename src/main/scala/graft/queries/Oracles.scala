@@ -84,6 +84,20 @@ object Oracles {
         |   row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) t
         | WHERE rn <= 3 ORDER BY lang, rn""".stripMargin.replaceAll("\n", ""),
+    "q29_sliding_bucket" ->
+      """SELECT ws, ws + INTERVAL 2 MINUTE AS we, event_type, count(*) AS c,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sv
+        | FROM (SELECT date_trunc('minute', ts) - to_minutes(CAST(j AS INTEGER)) AS ws,
+        |              event_type, value
+        |       FROM events, (SELECT range AS j FROM range(2)) t) w
+        | GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin.replaceAll("\n", ""),
+    "q30_skew_join" ->
+      """SELECT c_custkey, count(*) AS n,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS s
+        | FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END AS k,
+        |              o_totalprice FROM orders) o
+        | JOIN customer ON o.k = c_custkey
+        | GROUP BY c_custkey ORDER BY n DESC, c_custkey LIMIT 10""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

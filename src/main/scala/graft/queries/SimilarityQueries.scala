@@ -32,18 +32,24 @@ object SimilarityQueries {
   def quantTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.quantTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
-  /** Code width for the declared batch-ANN query: 8 planes keeps the
-    * Hamming-≤1 ball dense enough to fill k at verify-scale corpora (the
-    * operator itself defaults to the data-scaled width).
+  /** Code-width FLOOR for the declared batch-ANN query: 8 planes keeps the
+    * Hamming-≤1 ball dense enough to fill k at verify-scale corpora. The
+    * width itself is data-scaled ([[Similarity.planesFor]] with this floor),
+    * so the join-key cardinality grows with the corpus — the floor only
+    * applies below 64·2^8 ≈ 16k vectors, which is also the regime where the
+    * fixed-width oracle below stays valid.
     */
   val batchPlanes = 8
 
-  /** Batch ANN: top-5 neighbors for every query in a 3-vector batch. */
+  /** Batch ANN: top-5 neighbors for every query in a 3-vector batch, over a
+    * code space scaled to the corpus (floored at [[batchPlanes]], the value
+    * the oracle is rendered with).
+    */
   def batchTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     import org.apache.spark.sql.functions.col
     Similarity.lshBatchTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
-        planesOpt = Some(batchPlanes))
+        planesOpt = Some(Similarity.planesFor(emb.count(), floor = batchPlanes)))
       .orderBy("query_id", "rn")
   }
 

@@ -71,17 +71,28 @@ object SqlGen {
       s"SELECT doc_id, $j AS band, md5($cat) AS bh FROM hs"
     }.mkString(" UNION ALL ")
 
-  /** Candidate pairs from the bands CTE `bands`. */
+  /** Rows of the banded CTE `src` (keyed by band + `valCol`) surviving the
+    * per-bucket occupancy cap — mirror of Dedup's hot-bucket anti-join.
+    */
+  def prunedBucketsSql(src: String, valCol: String, cap: Int): String =
+    s"""SELECT * FROM $src p WHERE NOT EXISTS
+       | (SELECT 1 FROM (SELECT band, $valCol, count(*) AS occ FROM $src
+       |                 GROUP BY band, $valCol) h
+       |  WHERE h.occ > $cap AND h.band = p.band AND h.$valCol = p.$valCol)""".stripMargin.replaceAll("\n", "")
+
+  /** Candidate pairs from the capped bands CTE `pruned`. */
   val candidatePairsSql: String =
     """SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      | FROM bands a JOIN bands b
+      | FROM pruned a JOIN pruned b
       |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id""".stripMargin.replaceAll("\n", "")
 
-  /** Full WITH-prefix for minhash candidates: sh, hs, bands, cands. */
-  def minhashPrefix(n: Int = 3, k: Int = 16, bandsN: Int = 8): String =
+  /** Full WITH-prefix for minhash candidates: sh, hs, bands, pruned, cands. */
+  def minhashPrefix(n: Int = 3, k: Int = 16, bandsN: Int = 8,
+                    cap: Int = graft.operators.Dedup.defaultBucketCap): String =
     s"""WITH sh AS (${shinglesSql(n)}),
        |hs AS (${minhashSql(k)}),
        |bands AS (${bandsSql(bandsN, k / bandsN)}),
+       |pruned AS (${prunedBucketsSql("bands", "bh", cap)}),
        |cands AS ($candidatePairsSql)""".stripMargin
 
   /** SimHash per-doc CTE chain: toks -> votes -> sims(doc_id, simhash).

@@ -84,6 +84,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("band-bucket cap bounds a degenerate corpus: identical docs yield zero candidates") {
+    import spark.implicits._
+    // vocabulary collapse: 300 byte-identical docs share every band bucket,
+    // so the uncapped self-join would emit 300*299/2 = 44 850 pairs. With a
+    // cap below the occupancy the saturated buckets drop out entirely (such
+    // floods are exact-dedup's job, which runs first in the curation order).
+    val flood = (0L until 300L).map(i => (i, "same words in every doc here")).toDF("doc_id", "text")
+    val capped = Dedup.candidatePairs(Dedup.bands(
+      Dedup.minhashSignatures(Dedup.shingleHashes(flood))), bucketCap = 16)
+    assert(capped.count() == 0)
+    // below the cap nothing is pruned: the capped and uncapped sets agree
+    val cands = Dedup.minhashCandidates(docs, bandsN = 8)
+    val uncapped = Dedup.candidatePairs(Dedup.bands(
+      Dedup.minhashSignatures(Dedup.shingleHashes(docs))), bucketCap = Int.MaxValue)
+    assert(cands.collect().toSet == uncapped.collect().toSet)
+  }
+
+  test("simhash band cap bounds a degenerate corpus the same way") {
+    import spark.implicits._
+    val flood = (0L until 100L).map(i => (i, "same words in every doc here")).toDF("doc_id", "text")
+    val sims = Dedup.simhash(flood)
+    assert(Dedup.simhashPairs(sims, maxHamming = 3, bucketCap = 16).count() == 0)
+    assert(Dedup.simhashPairs(sims, maxHamming = 3, bucketCap = 1000).count() == 100L * 99 / 2)
+  }
+
+  test("pointer jumping closes a 200-node chain in O(log n) rounds") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // plain min propagation would need 199 rounds; the jump doubles reach per
+    // round, so 12 suffice (and the guard THROWS when rounds run out instead
+    // of returning wrong labels).
+    val labels = Dedup.connectedComponents(chain, maxIters = 12).collect()
+    assert(labels.length == 200 && labels.forall(_.getLong(1) == 0L))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 3).collect()
+    }
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")

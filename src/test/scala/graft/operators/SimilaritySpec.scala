@@ -46,7 +46,10 @@ class SimilaritySpec extends SparkSpec {
     // monotone, capped at 32
     assert(Similarity.planesFor(Long.MaxValue / 2) == 32)
     val ns = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, 100000000000L)
-    assert(ns.map(Similarity.planesFor) == ns.map(Similarity.planesFor).sorted)
+    assert(ns.map(Similarity.planesFor(_)) == ns.map(Similarity.planesFor(_)).sorted)
+    // the batch-ANN floor engages below its own regime but still grows
+    assert(Similarity.planesFor(500L, floor = 8) == 8)
+    assert(Similarity.planesFor(1000000000L, floor = 8) == 24)
   }
 
   test("centroidsFor scales IVF lists with the corpus and floors at the oracle count") {

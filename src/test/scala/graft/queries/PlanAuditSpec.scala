@@ -57,6 +57,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("dedup_decontam").contains("BroadcastHashJoin"))
   }
 
+  test("pack_shards windows over (source, chunk), never the whole source") {
+    // the r2 scale-killer: a single Window.partitionBy(source) caps
+    // parallelism at the source count. Two-level packing must show the chunk
+    // column in every row-level window partition spec.
+    val p = plans("pack_shards")
+    assert(!"windowspecdefinition\\(source#\\d+, doc_id#".r.findFirstIn(p).isDefined,
+      "row-level window partitioned by source alone")
+    assert("windowspecdefinition\\(source#\\d+, chunk#".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("skew join salts the shuffle key and stays on the sort-merge path") {
+    val p = plans("q30_skew_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("_salt"), p)
+  }
+
+  test("bucketed staging join runs exchange-free") {
+    val p = plans("q31_bucketed_join")
+    assert(p.contains("SelectedBucketsCount"), p) // really a bucketed scan
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      "join or aggregation re-shuffled a bucketed key:\n" + p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
