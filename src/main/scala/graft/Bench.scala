@@ -73,8 +73,9 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(once) // warm-up: JIT + codegen + file footers
     // median of 3: the shared bench host has documented multi-x run-to-run
-    // noise, but the suite is 51 queries now — 4 total passes matches the
-    // wall-clock envelope the driver demonstrably completes.
+    // noise, but the suite (every SparkEntry.queries entry) keeps growing —
+    // 4 total passes matches the wall-clock envelope the driver
+    // demonstrably completes.
     val results = names.map { n =>
       val ts = Seq.fill(3)(once(n)).sorted
       n -> ts(1)

@@ -27,10 +27,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Every builder matches arity EXPLICITLY: a partial function cast to
+    // total would surface a raw MatchError to SQL users on the wrong
+    // argument count instead of a usable message.
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two ARRAY<FLOAT> in DOUBLE"),
-      { case Seq(a, b) => FloatDotProduct(a, b) }: Seq[Expression] => Expression))
+      { args: Seq[Expression] =>
+        args match {
+          case Seq(a, b) => FloatDotProduct(a, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_dot expects exactly 2 arguments, got ${other.length}")
+        }
+      }))
 
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_code"),
@@ -40,8 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         args match {
           case Seq(v) => LshCode(v, Similarity.lshPlanes, Similarity.dims)
           case Seq(v, Literal(p: Int, _)) => LshCode(v, p, Similarity.dims)
+          case Seq(_, p) => throw new IllegalArgumentException(
+            s"graft_lsh_code: planes must be an INTEGER literal, got ${p.sql}")
           case other => throw new IllegalArgumentException(
-            s"graft_lsh_code expects (vector[, planes literal]), got ${other.length} args")
+            s"graft_lsh_code expects 1 or 2 arguments (vector[, planes literal]), got ${other.length}")
         }
       }))
 
@@ -49,6 +60,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(lo, hi) - aggregate 64-bit SimHash over 32-bit hash halves"),
-      { case Seq(lo, hi) => SimhashAgg(lo, hi) }: Seq[Expression] => Expression))
+      { args: Seq[Expression] =>
+        args match {
+          case Seq(lo, hi) => SimhashAgg(lo, hi)
+          case other => throw new IllegalArgumentException(
+            s"graft_simhash expects exactly 2 arguments, got ${other.length}")
+        }
+      }))
   }
 }

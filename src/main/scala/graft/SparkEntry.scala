@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
+    "sim_ivf_trained"    -> SimilarityQueries.ivfTrainedTopK _,
     "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,

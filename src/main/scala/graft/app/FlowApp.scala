@@ -23,6 +23,12 @@ import graft.sources.{FileFlowSource, FlowSource, KafkaFlowSource}
   *                    rather than the projected 12 columns
   *   --loglevel       reference `-loglevel` (main.go:18)
   *   --checkpoint     checkpoint dir (replaces the consumer-group offsets)
+  *   --recreate       true/false: drop+recreate the JDBC table at start.
+  *                    Defaults to the SAFE derivation: recreate only when the
+  *                    checkpoint dir is absent/empty (fresh pipeline). A
+  *                    resumed run must NOT recreate — the source continues
+  *                    from committed offsets, so dropped rows would never be
+  *                    re-ingested.
   *
   * Malformed-record visibility (reference logs every bad record,
   * `ingest_kafka.go:40-42`): the pipeline runs with named decode metrics and
@@ -38,10 +44,21 @@ object FlowApp {
   /** Sink selection, identical in shape to cmd/main.go:37-41 (factored out
     * for testability).
     */
-  def chooseSink(chUrl: String, parquetSink: String): FlowSink =
-    if (chUrl.nonEmpty) JdbcSink(chUrl)
+  def chooseSink(chUrl: String, parquetSink: String,
+                 recreate: Boolean = true): FlowSink =
+    if (chUrl.nonEmpty) JdbcSink(chUrl, recreate = recreate)
     else if (parquetSink.nonEmpty) ParquetSink(parquetSink)
     else ConsoleSink()
+
+  /** Recreate the sink table only for a FRESH pipeline (no checkpoint yet).
+    * Restarting with an existing checkpoint resumes from committed offsets —
+    * recreating there would drop committed rows that will never be re-read.
+    */
+  def deriveRecreate(checkpoint: String): Boolean = {
+    val d = new java.io.File(checkpoint)
+    val entries = d.list()
+    !d.exists() || entries == null || entries.isEmpty
+  }
 
   /** Listener that surfaces the decode drop counter per micro-batch. */
   final class DecodeMetricsListener extends StreamingQueryListener {
@@ -75,7 +92,9 @@ object FlowApp {
       else if (fileSrc.nonEmpty) FileFlowSource(fileSrc)
       else { System.err.println("need --kafkaurl or --filesource"); sys.exit(2) }
 
-    val sink = chooseSink(chUrl, parquetSink)
+    val recreate = opts.get("recreate").map(_.toBoolean)
+      .getOrElse(deriveRecreate(checkpoint))
+    val sink = chooseSink(chUrl, parquetSink, recreate)
     spark.streams.addListener(new DecodeMetricsListener)
 
     val decoded = FlowPipeline.decodeNamed(source.stream(spark))

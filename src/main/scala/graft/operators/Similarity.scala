@@ -209,6 +209,13 @@ object Similarity {
     * Since cosine ignores magnitude, the unnormalized mean IS the spherical
     * k-means update (the mean's direction maximizes within-cluster summed
     * cosine), so the objective is monotone non-decreasing per iteration.
+    *
+    * The per-position means are ORDER-INDEPENDENT: each cluster's component
+    * values are collected, sorted, and summed in that fixed order (then
+    * divided and cast to float) — so the trained codebook is bit-identical
+    * across partitionings AND across engines, which is what lets the full
+    * train→assign→probe path be oracle-hash-checked (`sim_ivf_trained`).
+    * The collect is bounded by the sample size, never the corpus.
     */
   def trainCentroids(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 3,
                      sampleMax: Long = 4096,
@@ -228,7 +235,9 @@ object Similarity {
         .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
       val means = sample.join(asn, idCol)
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "pos")
+        .agg((expr("aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), expr("transform(pm, e -> CAST(e.m AS FLOAT))").as("ce"))

@@ -26,6 +26,22 @@ object SimilarityQueries {
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, dir), queryId = 0L)
 
+  /** Lloyd iterations for the declared TRAINED-codebook query (small so the
+    * unrolled oracle CTE chain stays readable; the operator default is 3).
+    */
+  val trainedIters = 2
+
+  /** Top-10 via IVF over a TRAINED codebook: the full
+    * train→assign→probe→search path, end-to-end. Possible to oracle because
+    * [[Similarity.trainCentroids]] computes every cluster mean by
+    * sort-then-sum — bit-identical across partitionings and engines.
+    */
+  def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, queryId = 0L,
+      trained = Some(Similarity.trainCentroids(emb, iters = trainedIters)))
+  }
+
   /** Top-10 by int8-quantized cosine — ranking never touches the float
     * vectors after quantization.
     */
@@ -53,7 +69,51 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** DuckDB rendering of the full trained-IVF path: the [[trainedIters]]
+    * Lloyd iterations unrolled as CTE generations (assignment argmax via
+    * ROW_NUMBER with the same (cos DESC, cid) tie rule as Spark's `max_by`;
+    * per-position means as list_sum over a SORTED value list — the identical
+    * fixed summation order as the Scala side), then assign-all, probe the 2
+    * nearest lists, exact cosine top-10.
+    */
+  private def ivfTrainedSql(k: Int = Similarity.ivfCentroids,
+                            iters: Int = trainedIters,
+                            sampleMax: Long = 4096L): String = {
+    val d = Similarity.dims
+    val gens = (1 to iters).map { i =>
+      s"""asn$i AS (SELECT vec_id, cid FROM
+         | (SELECT s.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${SqlGen.cosSql("s.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM sample s, cent${i - 1} c) t WHERE rn = 1),
+         |mean$i AS (SELECT a.cid, t.pos,
+         |  list_sum(list_sort(list(CAST(s.embedding[t.pos] AS DOUBLE))))/count(*) AS m
+         |  FROM sample s JOIN asn$i a ON a.vec_id = s.vec_id,
+         |       (SELECT range AS pos FROM range(1, ${d + 1})) t
+         |  GROUP BY a.cid, t.pos),
+         |new$i AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS ce
+         |          FROM mean$i GROUP BY cid),
+         |cent$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+         |           FROM cent${i - 1} p LEFT JOIN new$i n ON n.cid = p.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sample AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % (SELECT greatest(1, count(*)//$sampleMax) FROM embeddings) = 0),
+       |cent0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $k),
+       |$gens,
+       |fasn AS (SELECT vec_id, cid FROM
+       | (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY ${SqlGen.cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |  FROM embeddings e, cent$iters c) t WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qprobe AS (SELECT cid FROM
+       | (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+       |  FROM cent$iters c, q) t WHERE rn <= 2)
+       |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+       |FROM embeddings e JOIN fasn a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_topk" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
          |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM

@@ -34,6 +34,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(wide < (1L << 24))
   }
 
+  test("wrong arity / non-literal planes raise usable messages, not MatchError") {
+    Tables.registerAll(spark, sf0001)
+    def messageOf(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(messageOf("SELECT graft_dot(embedding) FROM embeddings")
+      .contains("graft_dot expects exactly 2 arguments"))
+    assert(messageOf("SELECT graft_lsh_code(embedding, vec_id) FROM embeddings")
+      .contains("planes must be an INTEGER literal"))
+    assert(messageOf("SELECT graft_lsh_code() FROM embeddings")
+      .contains("expects 1 or 2 arguments"))
+  }
+
   test("graft_simhash aggregate from SQL matches Dedup.simhash") {
     Tables.registerAll(spark, sf0001)
     val viaSql = spark.sql(

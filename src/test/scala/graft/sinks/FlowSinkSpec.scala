@@ -19,6 +19,17 @@ class FlowSinkSpec extends SparkSpec {
     assert(FlowApp.chooseSink("jdbc:ch://host/db", "/out").isInstanceOf[JdbcSink])
     assert(FlowApp.chooseSink("", "/out").isInstanceOf[ParquetSink])
     assert(FlowApp.chooseSink("", "").isInstanceOf[ConsoleSink])
+    // the recreate decision reaches the sink (a resume must not drop rows)
+    assert(!FlowApp.chooseSink("jdbc:ch://host/db", "", recreate = false)
+      .asInstanceOf[JdbcSink].recreate)
+  }
+
+  test("deriveRecreate: fresh checkpoint dir recreates, populated one resumes") {
+    val fresh = java.nio.file.Files.createTempDirectory("ckpt-fresh")
+    assert(FlowApp.deriveRecreate(fresh.toString))         // empty dir
+    assert(FlowApp.deriveRecreate(fresh.toString + "-absent")) // missing dir
+    java.nio.file.Files.createFile(fresh.resolve("offsets"))
+    assert(!FlowApp.deriveRecreate(fresh.toString))        // committed state
   }
 
   test("JdbcSink: one setup overwrite at start, append per batch — never DDL mid-stream") {
@@ -60,6 +71,45 @@ class FlowSinkSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(resumed.nonEmpty && resumed.forall(_ == "append"))
     } finally q2.stop()
+  }
+
+  test("JdbcSink end-to-end on embedded Derby: real DDL, batched appends, restart keeps rows") {
+    // No writerOverride: this drives Spark's genuine format("jdbc") writer —
+    // DDL (overwrite of the empty frame = DROP + CREATE, reserved-word
+    // columns like "end" quoted by the dialect), per-micro-batch batched
+    // INSERT, and checkpoint resume — against the Derby engine that ships in
+    // the Spark distribution. Exactly the path a ClickHouse driver jar would
+    // take; only the URL and driver class differ.
+    val url = "jdbc:derby:memory:graftflows;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def readBack(): DataFrame = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "flows").options(opts).load()
+
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val src = new MemoryFlowSource(spark)
+    src.add(flowJson(1000, "10.0.0.1"))
+    src.add(flowJson(2000, "10.0.0.2"))
+    val q1 = JdbcSink(url, options = opts)
+      .start(FlowPipeline.batch(src.stream(spark)), ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(readBack().count() == 2)
+
+    // restart from the same checkpoint with recreate=false (the resume path
+    // FlowApp now derives): committed rows survive, new data appends once.
+    src.add(flowJson(3000, "10.0.0.3"))
+    val q2 = JdbcSink(url, options = opts, recreate = false)
+      .start(FlowPipeline.batch(src.stream(spark)), ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = readBack()
+    assert(rows.count() == 3)
+    assert(rows.select("src_ip").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("10.0.0.1", "10.0.0.2", "10.0.0.3"))
+    // and a fresh-start recreate=true drops the committed rows by design
+    val q3 = JdbcSink(url, options = opts)
+      .start(FlowPipeline.batch(new MemoryFlowSource(spark).stream(spark)),
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(readBack().count() == 0)
   }
 
   test("JdbcSink setup failure is non-fatal (append creates a missing table)") {
