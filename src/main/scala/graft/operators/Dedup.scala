@@ -104,23 +104,26 @@ object Dedup {
     */
   val defaultBucketCap = 256
 
-  /** Buckets of `df` (keyed by `keyCols`) whose occupancy exceeds the cap —
-    * by construction a tiny frame, so callers anti-join it BROADCAST.
+  /** Rows of `df` surviving the per-bucket occupancy cap, via a COUNT window
+    * over the bucket key: the window shuffles on exactly the clustering the
+    * band self-join needs next, so (with exchange reuse across the join's
+    * two identical branches) the cap costs a within-partition count on a
+    * shuffle that was already happening — not an extra aggregation pass plus
+    * anti-join over the upstream pipeline.
     */
-  private def hotBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
-    df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > cap)
-      .select(keyCols.map(col): _*)
+  private def cappedBuckets(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("occ", count(lit(1)).over(w))
+      .filter(col("occ") <= cap)
+      .drop("occ")
+  }
 
   /** Candidate pairs: docs sharing any band bucket (id1 < id2, distinct),
     * with over-occupied buckets dropped ([[defaultBucketCap]]).
     */
   def candidatePairs(bandsDf: DataFrame, idCol: String = "doc_id",
                      bucketCap: Int = defaultBucketCap): DataFrame = {
-    val pruned = bandsDf.join(
-      broadcast(hotBuckets(bandsDf, Seq("band", "bh"), bucketCap)),
-      Seq("band", "bh"), "left_anti")
+    val pruned = cappedBuckets(bandsDf, Seq("band", "bh"), bucketCap)
     val a = pruned.as("a"); val b = pruned.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -255,12 +258,14 @@ object Dedup {
     * pairwise near-dup evidence into dedup GROUPS, so a pipeline can keep one
     * canonical doc per group): iterative min-label propagation with POINTER
     * JUMPING — every node starts labeled with its own id; each round takes
-    * the min label over its closed neighborhood, then additionally adopts its
-    * label's label (`l(v) <- min(l(v), l(l(v)))` — valid because every label
-    * is a node id inside the same component). The jump roughly doubles the
-    * distance a min has traveled per round, so convergence needs
-    * O(log diameter) rounds instead of O(diameter): a 200-node chain closes
-    * in ~9 rounds where plain propagation needs 199 (see ComponentsSpec).
+    * the min label over its closed neighborhood, then (from round 3 on)
+    * additionally adopts its label's label (`l(v) <- min(l(v), l(l(v)))` —
+    * valid because every label is a node id inside the same component). The
+    * jump roughly doubles the distance a min has traveled per round, so
+    * convergence needs O(log diameter) rounds instead of O(diameter): a
+    * 200-node chain closes in ~11 rounds where plain propagation needs 199
+    * (DedupSpec asserts the bound), while the common small-diameter clusters
+    * converge in the plain rounds and never pay for the extra join.
     *
     * Scale shape: each round is two equi-joins + one partial-aggregable
     * groupBy(min); the only thing reaching the driver is the changed-row
@@ -296,14 +301,19 @@ object Dedup {
         .localCheckpoint(true)
       // pointer jump: adopt the label of my label (labels are node ids, so
       // the lookup is an equi-join of the label frame against itself).
-      val jumped = stepped.as("s")
-        .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")).as("j"),
-          col("s.lbl") === col("j.jid"), "left")
-        .select(col("s.id").as("id"), col("s.old").as("old"),
-          least(col("s.lbl"), coalesce(col("j.jlbl"), col("s.lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      converged = jumped.filter(col("lbl") =!= col("old")).isEmpty
-      labels = jumped.select("id", "lbl")
+      // Engaged only from round 3 on: near-dup clusters (diameter 1-2)
+      // converge before it would help, so the common case stays at one join
+      // per round; anything chain-shaped still gets the doubling.
+      val advanced =
+        if (i < 2) stepped
+        else stepped.as("s")
+          .join(stepped.select(col("id").as("jid"), col("lbl").as("jlbl")).as("j"),
+            col("s.lbl") === col("j.jid"), "left")
+          .select(col("s.id").as("id"), col("s.old").as("old"),
+            least(col("s.lbl"), coalesce(col("j.jlbl"), col("s.lbl"))).as("lbl"))
+          .localCheckpoint(true)
+      converged = advanced.filter(col("lbl") =!= col("old")).isEmpty
+      labels = advanced.select("id", "lbl")
       i += 1
     }
     if (!converged)
@@ -341,9 +351,7 @@ object Dedup {
       posexplode(array((0 until nb).map(j =>
         shiftright(col("simhash"), j * simhashBandBits)
           .bitwiseAND((1 << simhashBandBits) - 1)): _*)).as(Seq("band", "bv")))
-    val banded = allBanded.join(
-      broadcast(hotBuckets(allBanded, Seq("band", "bv"), bucketCap)),
-      Seq("band", "bv"), "left_anti")
+    val banded = cappedBuckets(allBanded, Seq("band", "bv"), bucketCap)
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
