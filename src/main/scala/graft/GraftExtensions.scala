@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{FloatDotProduct, LshCode, SimhashAgg}
+import graft.expressions.{FloatDotProduct, LshCode, RollingHashMin, SimhashAgg}
 import graft.operators.Similarity
 
 /** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
@@ -14,6 +14,7 @@ import graft.operators.Similarity
   *   graft_dot(a, b)           — Double dot product of two FLOAT arrays
   *   graft_lsh_code(v[, p])    — p-plane signed-hyperplane LSH code (default
   *                               [[Similarity.lshPlanes]])
+  *   graft_rolling_fp(t, w)    — min w-char rolling-hash fingerprint
   *   graft_simhash(lo, hi)     — aggregate: 64-bit SimHash from two 32-bit
   *                               hash halves
   *
@@ -53,6 +54,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_lsh_code: planes must be an INTEGER literal, got ${p.sql}")
           case other => throw new IllegalArgumentException(
             s"graft_lsh_code expects 1 or 2 arguments (vector[, planes literal]), got ${other.length}")
+        }
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_rolling_fp"),
+      info("graft_rolling_fp",
+        "graft_rolling_fp(text, window) - min rolling-hash document fingerprint"),
+      { args: Seq[Expression] =>
+        args match {
+          case Seq(t, Literal(w: Int, _)) => RollingHashMin(t, w)
+          case Seq(_, w) => throw new IllegalArgumentException(
+            s"graft_rolling_fp: window must be an INTEGER literal, got ${w.sql}")
+          case other => throw new IllegalArgumentException(
+            s"graft_rolling_fp expects exactly 2 arguments (text, window literal), got ${other.length}")
         }
       }))
 

@@ -64,6 +64,7 @@ object SparkEntry {
     "q29_sliding_bucket" -> CoreQueries.q29 _,
     "q30_skew_join"      -> CoreQueries.q30 _,
     "q31_bucketed_join"  -> BucketedQueries.q31 _,
+    "q32_session_window" -> CoreQueries.q32 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -73,6 +74,7 @@ object SparkEntry {
     "text_rolling_fp"    -> TextQueries.rollingFp _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
+    "dedup_minhash_est"  -> DedupQueries.minhashEstimate _,
     "dedup_jaccard"      -> DedupQueries.jaccard _,
     "dedup_simhash"      -> DedupQueries.simhash _,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
@@ -91,6 +93,7 @@ object SparkEntry {
     "curate_corpus"      -> CurationQueries.curate _,
     "curate_docs"        -> CurationQueries.curatedDocs _,
     "mix_sample"         -> CurationQueries.mixSample _,
+    "mix_split"          -> CurationQueries.mixSplit _,
     "pack_shards"        -> CurationQueries.packShards _
   )
 

@@ -145,6 +145,23 @@ object Dedup {
   def minhashCandidatesFromShingles(shm: DataFrame, k: Int = 16, bandsN: Int = 8): DataFrame =
     candidatePairs(bands(minhashSignatures(shm, k), bandsN, k / bandsN))
 
+  /** ESTIMATED Jaccard for candidate pairs straight from their MinHash
+    * signatures: the fraction of the k signature components that agree is an
+    * unbiased estimator of the true Jaccard (the classic MinHash property).
+    * The cheap middle tier of the verify ladder — no shingle frame is
+    * touched at all, work ∝ candidates × k, so at 100 TB it can pre-filter
+    * candidates before the exact [[jaccardOnCandidatesFromShingles]] pass
+    * (which must re-join the shingle frame).
+    */
+  def estimatedJaccard(sig: DataFrame, cands: DataFrame, k: Int = 16): DataFrame = {
+    val left = sig.select(col("doc_id").as("d1") +: (0 until k).map(i => col(s"sig_$i").as(s"a$i")): _*)
+    val right = sig.select(col("doc_id").as("d2") +: (0 until k).map(i => col(s"sig_$i").as(s"b$i")): _*)
+    val agree = (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(left, "d1").join(right, "d2")
+      .select(col("d1"), col("d2"), round(agree.cast("double") / k, 6).as("est_jac"))
+  }
+
   /** Exact n-gram Jaccard, evaluated only on the given candidate pairs
     * (intersection via shingle-hash equi-join, sizes via per-doc counts).
     */

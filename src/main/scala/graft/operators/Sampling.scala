@@ -38,6 +38,21 @@ object Sampling {
       .drop("u", "rate")
   }
 
+  /** Deterministic train/val/test split assignment: a salted 60-bit md5 of
+    * the id, reduced mod 100, buckets each doc into `test` (< testPct),
+    * `val` (< testPct+valPct) or `train`. Same scale properties as
+    * [[mixSample]] — stateless, shuffle-free, reproducible on any engine,
+    * and stable: a doc's split never changes as the corpus grows, so eval
+    * sets stay uncontaminated across dumps.
+    */
+  def splitColumn(idCol: String = "doc_id", testPct: Int = 2, valPct: Int = 10): org.apache.spark.sql.Column = {
+    val u = conv(substring(md5(concat(col(idCol).cast("string"), lit("#split"))), 1, 15), 16, 10)
+      .cast("long") % 100
+    when(u < testPct, lit("test"))
+      .when(u < testPct + valPct, lit("val"))
+      .otherwise(lit("train"))
+  }
+
   /** Token-budget shard packing: within each source (ordered by id), docs
     * accumulate into shards of ~`tokensPerShard` via a running token sum —
     * shard = previous cumulative tokens div budget.

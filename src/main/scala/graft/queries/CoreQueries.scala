@@ -347,6 +347,21 @@ object CoreQueries {
       .limit(10)
   }
 
+  /** Q32 — SESSION windows in batch form (closing C9's window-kind family
+    * next to tumbling q15 and sliding q29): per-user sessions split at
+    * 5-minute inactivity gaps, session end = last event + gap. Spark's
+    * `session_window` merges an event into the current session iff its
+    * timestamp is strictly before the previous end (gap ≥ 5 min ⇒ new
+    * session); the oracle reproduces exactly that rule as a classic
+    * gaps-and-islands running sum.
+    */
+  def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"), col("user_id"), col("c"))
+      .orderBy("user_id", "ws")
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -71,6 +71,18 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Per-(source, split) accounting of the deterministic train/val/test
+    * split ([[Sampling.splitColumn]]) — the sanity view a pipeline owner
+    * checks before a dump (are the eval slices the expected few percent,
+    * uniformly across sources?).
+    */
+  def mixSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("split", Sampling.splitColumn())
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("docs"))
+      .orderBy("source", "split")
+
   val shardBudget = 2000L
 
   /** Chunk width for the declared packing query: 64 ids per chunk keeps the
@@ -130,6 +142,14 @@ object CurationQueries {
            |  < CAST(trunc((CASE source $rateCase ELSE 0.0 END) * ${Sampling.hashSpace}) AS BIGINT)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
       },
+      "mix_split" ->
+        s"""SELECT source,
+           | CASE WHEN u < 2 THEN 'test' WHEN u < 12 THEN 'val' ELSE 'train' END AS split,
+           | count(*) AS docs FROM
+           | (SELECT source,
+           |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100 AS u
+           |  FROM documents) t
+           | GROUP BY 1, 2 ORDER BY source, split""".stripMargin.replaceAll("\n", ""),
       "pack_shards" ->
         s"""SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
            | CAST((cum - toks) // $shardBudget AS BIGINT) AS shard FROM

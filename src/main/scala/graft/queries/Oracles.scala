@@ -98,6 +98,17 @@ object Oracles {
         |              o_totalprice FROM orders) o
         | JOIN customer ON o.k = c_custkey
         | GROUP BY c_custkey ORDER BY n DESC, c_custkey LIMIT 10""".stripMargin.replaceAll("\n", ""),
+    "q32_session_window" ->
+      """WITH s AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s)
+        |SELECT min(ts) AS ws, max(ts) + INTERVAL 5 MINUTE AS we, user_id, count(*) AS c
+        | FROM g GROUP BY user_id, sid ORDER BY user_id, ws""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

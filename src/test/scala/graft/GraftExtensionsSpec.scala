@@ -34,6 +34,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(wide < (1L << 24))
   }
 
+  test("graft_rolling_fp from SQL matches TextFunctions.rollingFingerprint") {
+    Tables.registerAll(spark, sf0001)
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_rolling_fp(text, 8) AS fp FROM documents ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions.col
+    val viaDf = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.rollingFingerprint(col("text"), 8).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaDf)
+  }
+
   test("wrong arity / non-literal planes raise usable messages, not MatchError") {
     Tables.registerAll(spark, sf0001)
     def messageOf(sql: String): String =

@@ -42,6 +42,25 @@ class DedupSpec extends SparkSpec {
     assert(verified.head.getDouble(2) == 1.0)
   }
 
+  test("signature-agreement Jaccard estimate: 1.0 for identical docs, within [0,1], tracks exact") {
+    import spark.implicits._
+    val three = Seq(
+      (1L, "p q r s t u v w"), (2L, "p q r s t u v w"),
+      (3L, "p q r s t u v w x y z zz")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(Dedup.shingleHashes(three))
+    val cands = Dedup.candidatePairs(Dedup.bands(sig))
+    val est = Dedup.estimatedJaccard(sig, cands).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) == 1.0)                      // identical docs
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0))
+    // the real corpus: every estimate stays in range and covers the cands
+    val sigD = Dedup.minhashSignatures(Dedup.shingleHashes(docs))
+    val candsD = Dedup.candidatePairs(Dedup.bands(sigD))
+    val estD = Dedup.estimatedJaccard(sigD, candsD)
+    assert(estD.count() == candsD.count())
+    assert(estD.filter(col("est_jac") < 0 || col("est_jac") > 1).count() == 0)
+  }
+
   test("jaccard verification never exceeds candidate set and respects threshold") {
     val cands = Dedup.minhashCandidates(docs)
     val verified = Dedup.jaccardOnCandidates(docs, cands, threshold = 0.7)
