@@ -65,6 +65,10 @@ object SparkEntry {
     "q30_skew_join"      -> CoreQueries.q30 _,
     "q31_bucketed_join"  -> BucketedQueries.q31 _,
     "q32_session_window" -> CoreQueries.q32 _,
+    "q33_approx_pct"     -> CoreQueries.q33 _,
+    "q34_sketch_union"   -> CoreQueries.q34 _,
+    "q35_pivot"          -> CoreQueries.q35 _,
+    "q36_unpivot"        -> CoreQueries.q36 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

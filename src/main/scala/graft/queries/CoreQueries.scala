@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -361,6 +361,69 @@ object CoreQueries {
       .agg(count(lit(1)).as("c"))
       .select(col("w.start").as("ws"), col("w.end").as("we"), col("user_id"), col("c"))
       .orderBy("user_id", "ws")
+
+  /** Q33 — sketch-based percentile next to q27's exact one (the q23
+    * pattern: the sketch value itself isn't cross-engine comparable, so the
+    * query surfaces the exact percentile PLUS a boolean asserting the
+    * sketch landed inside its error envelope; the oracle emits `true`, so a
+    * drifting sketch breaks the hash).
+    */
+  def q33(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+        expr("approx_percentile(n_chars, 0.5, 10000)").as("a50"))
+      .select(col("lang"), col("p50"),
+        (abs(col("a50") - col("p50")) <= greatest(col("p50") * 0.1, lit(1.0))).as("approx_ok"))
+      .orderBy("lang")
+
+  /** Q34 — MERGEABLE distinct-count sketches (the 100 TB cardinality
+    * pattern: build per-group HLL sketches once, then union the sketches —
+    * never the raw data — for rollups). Per-type estimates and the
+    * sketch-union total are each checked against exact counts via the q23
+    * envelope-boolean so the whole thing stays oracle-hashable.
+    */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def ok(est: Column, exact: Column): Column =
+      (abs(est - exact) <= greatest(exact * 0.1, lit(5.0))).as("approx_ok")
+    val sk = e.groupBy("event_type").agg(
+      expr("hll_sketch_agg(user_id)").as("sk"),
+      countDistinct(col("user_id")).as("exact_users"))
+    val per = sk.select(col("event_type"), col("exact_users"),
+      ok(expr("hll_sketch_estimate(sk)"), col("exact_users")))
+    val all = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .crossJoin(e.agg(countDistinct(col("user_id")).as("exact_users")))
+      .select(lit("ALL").as("event_type"), col("exact_users"),
+        ok(col("est"), col("exact_users")))
+    per.union(all).orderBy("event_type")
+  }
+
+  /** Q35 — pivot: one column per event type (values pinned so the output
+    * schema is deterministic), count per (user, type), absent combos 0.
+    */
+  val pivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  def q35(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: pivotTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+
+  /** Q36 — unpivot/melt: wide metric columns to (metric, value) rows — the
+    * inverse reshaping of q35, `Dataset.unpivot` so Catalyst plans the
+    * expansion (an Expand node, one pass, no self-union of scans).
+    */
+  def q36(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount")),
+        "metric", "v")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
 
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst

@@ -109,6 +109,27 @@ object Oracles {
         |  FROM s)
         |SELECT min(ts) AS ws, max(ts) + INTERVAL 5 MINUTE AS we, user_id, count(*) AS c
         | FROM g GROUP BY user_id, sid ORDER BY user_id, ws""".stripMargin.replaceAll("\n", ""),
+    "q33_approx_pct" ->
+      "SELECT lang, round(quantile_cont(n_chars, 0.5), 6) AS p50, true AS approx_ok FROM documents GROUP BY lang ORDER BY lang",
+    "q34_sketch_union" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS approx_ok
+        | FROM events GROUP BY event_type
+        | UNION ALL
+        | SELECT 'ALL', count(DISTINCT user_id), true FROM events
+        | ORDER BY event_type""".stripMargin.replaceAll("\n", ""),
+    "q35_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type='click') AS click,
+        | count(*) FILTER (WHERE event_type='error') AS error,
+        | count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type='signup') AS signup,
+        | count(*) FILTER (WHERE event_type='view') AS view
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin.replaceAll("\n", ""),
+    "q36_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        | UNION ALL
+        | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        | ORDER BY l_orderkey, l_linenumber, metric""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
