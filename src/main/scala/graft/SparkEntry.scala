@@ -90,6 +90,7 @@ object SparkEntry {
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
     "sim_ivf_trained"    -> SimilarityQueries.ivfTrainedTopK _,
     "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
+    "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,

@@ -292,6 +292,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Random-projection dimensionality reduction: project each vector onto
+    * `outDims` pseudo-random hyperplanes (the SAME fixed-LCG family as the
+    * LSH codes, offset so the two never share planes) — the
+    * Johnson-Lindenstrauss move that cuts embedding width before a
+    * brute-force or IVF search pass. 64→16 dims is a 4× cut in bandwidth
+    * and FLOPs for candidate scoring; like quantization it composes with
+    * every downstream ANN operator because the output is just another
+    * `ArrayType` embedding column. Deterministic, so oracle-exact.
+    */
+  def withRandomProjection(df: DataFrame, outDims: Int = 16,
+                           vecCol: String = "embedding",
+                           projCol: String = "rp"): DataFrame = {
+    val comps = (0 until outDims).map { p =>
+      // plane index offset by 4096 so RP planes never collide with LSH's
+      expr(s"""CAST(aggregate(
+        zip_with($vecCol, transform(sequence(0, ${dims - 1}), d -> ${planeComponent(4096 + p, "d")}),
+                 (x, h) -> CAST(x AS DOUBLE) * h),
+        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS FLOAT)""")
+    }
+    df.withColumn(projCol, array(comps: _*))
+  }
+
+  /** DuckDB rendering of the same projection (kept adjacent, like
+    * [[lshCodeSql]]).
+    */
+  def randomProjectionSql(vecCol: String, outDims: Int = 16): String =
+    (0 until outDims).map { p =>
+      s"""CAST(list_sum(list_transform(range(1, ${dims + 1}),
+         | i -> CAST($vecCol[i] AS DOUBLE) * ${planeComponent(4096 + p, "(i-1)")})) AS FLOAT)"""
+        .stripMargin.replaceAll("\n", "")
+    }.mkString("[", ", ", "]")
+
   /** Embedding near-duplicate pairs: codes within Hamming distance 1,
     * verified by exact cosine threshold.
     *

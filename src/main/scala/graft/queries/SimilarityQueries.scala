@@ -48,6 +48,22 @@ object SimilarityQueries {
   def quantTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.quantTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
+  /** Top-10 by cosine in the random-projection-REDUCED space (64→16 dims,
+    * [[Similarity.withRandomProjection]]): the JL bandwidth/FLOP cut
+    * composed with the q19 broadcast-and-TakeOrdered search shape.
+    */
+  def rpTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Similarity.withRandomProjection(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("rp"))
+    val q = emb.filter(col("vec_id") === 0).select(col("rp").as("qr"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("rp"), col("qr")), 6).as("rp_cos"))
+      .orderBy(desc("rp_cos"), asc("vec_id"))
+      .limit(10)
+  }
+
   /** Code-width FLOOR for the declared batch-ANN query: 8 planes keeps the
     * Hamming-≤1 ball dense enough to fill k at verify-scale corpora. The
     * width itself is data-scaled ([[Similarity.planesFor]] with this floor),
@@ -114,6 +130,12 @@ object SimilarityQueries {
 
   val oracle: Map[String, String] = Map(
     "sim_ivf_trained" -> ivfTrainedSql(),
+    "sim_rp_topk" ->
+      s"""WITH proj AS (SELECT vec_id, ${Similarity.randomProjectionSql("embedding")} AS rp FROM embeddings),
+         |q AS (SELECT rp AS qr FROM proj WHERE vec_id = 0)
+         |SELECT p.vec_id, round(${SqlGen.cosSql("p.rp", "q.qr", 16)}, 6) AS rp_cos
+         |FROM proj p, q
+         |ORDER BY rp_cos DESC, p.vec_id LIMIT 10""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
          |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM

@@ -38,6 +38,22 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.forall(c => c >= 0 && c < (1L << Similarity.lshPlanes)))
   }
 
+  test("random projection: outDims float components, deterministic, preserves self-similarity") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val rp = Similarity.withRandomProjection(emb).select("vec_id", "rp")
+    val first = rp.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(first.values.forall(_.length == 16))
+    // deterministic: a second evaluation is bit-identical
+    val again = Similarity.withRandomProjection(emb).select("vec_id", "rp")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(first == again)
+    // cosine(rp, rp) = 1 for any non-zero projection
+    val self = rp.select(graft.functions.VectorOps.cosine(col("rp"), col("rp")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => c == 0.0 || math.abs(c - 1.0) < 1e-12))
+  }
+
   test("planesFor scales the code space with the corpus and floors at the oracle width") {
     assert(Similarity.planesFor(500L) == Similarity.lshPlanes)
     assert(Similarity.planesFor(65536L) == Similarity.lshPlanes)
