@@ -196,17 +196,21 @@ object Dedup {
   /** Benchmark decontamination: find corpus docs sharing any word-n-gram
     * with a holdout set (eval benchmarks leaking into training data). The
     * holdout is small by nature, so its distinct shingle hashes are
-    * BROADCAST; the corpus side is explode + broadcast-hash-join + count —
-    * no shuffle of corpus shingles, work linear in corpus size. Returns
-    * (doc_id, hits = number of distinct overlapping shingles), holdout docs
-    * excluded.
+    * BROADCAST and applied to the RAW corpus shingle stream first — the
+    * filter runs inside the scan stage, so the (doc, shingle) dedup that set
+    * semantics require only ever sees the leaked survivors, not the whole
+    * corpus (the distinct-then-join form would shuffle every corpus shingle
+    * to dedup rows the join was about to discard). Work linear in corpus
+    * size with no corpus-wide shuffle. Returns (doc_id, hits = number of
+    * distinct overlapping shingles), holdout docs excluded.
     */
   def contamination(docs: DataFrame, holdout: DataFrame, n: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val corpusSh = shingleHashes(docs, n, idCol, textCol).distinct()
+    val corpusSh = shingleHashes(docs, n, idCol, textCol)
     val holdSh = shingleHashes(holdout, n, idCol, textCol).select("m").distinct()
     corpusSh
       .join(broadcast(holdSh), "m")
+      .distinct()
       .groupBy(idCol)
       .agg(count(lit(1)).as("hits"))
   }

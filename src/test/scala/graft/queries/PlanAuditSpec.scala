@@ -81,6 +81,31 @@ class PlanAuditSpec extends SparkSpec {
       "join or aggregation re-shuffled a bucketed key:\n" + p)
   }
 
+  test("unpivot plans a single Expand over one scan, not a self-union") {
+    val p = plans("q36_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, "lineitem scanned more than once")
+  }
+
+  test("reduced-space similarity search keeps the TakeOrdered top-k shape") {
+    assert(plans("sim_rp_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("decontamination filters raw shingles broadcast-side before any dedup shuffle") {
+    val p = plans("dedup_decontam")
+    // the CORPUS branch — the text between the BroadcastHashJoin node and
+    // its BroadcastExchange build side — must contain no hashpartitioning
+    // exchange: the raw shingle stream meets the broadcast filter inside the
+    // scan stage, and the set-semantics distinct runs on survivors only
+    // (above the join). The holdout build side may dedup itself — it's tiny.
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val buildIdx = p.indexOf("BroadcastExchange", joinIdx)
+    assert(joinIdx >= 0 && buildIdx > joinIdx, p)
+    val corpusBranch = p.substring(joinIdx, buildIdx)
+    assert(!corpusBranch.contains("Exchange hashpartitioning"),
+      "corpus shingles shuffled before the holdout filter:\n" + p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
