@@ -137,6 +137,19 @@ object StreamOps {
         col("r_time") <= col("f_time") + expr(s"INTERVAL ${intervalMs / 1000} SECONDS"))
   }
 
+  /** Stream-STATIC enrichment join: attach a static dimension (e.g. an
+    * IP→zone asset table) to the flow stream. The static side is broadcast,
+    * so the stream side never shuffles and no join state accumulates at all
+    * — the right plan whenever the dim fits an executor (and the standard
+    * complement to [[reverseFlowJoin]]'s stream-stream shape). Left join so
+    * unknown IPs pass through with a null zone rather than dropping flows.
+    */
+  def enrichWithStatic(flows: DataFrame, dim: DataFrame,
+                       streamKey: String = "src_ip",
+                       dimKey: String = "ip"): DataFrame =
+    flows.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** Per-user event sessionization over the `events` table shape using the
     * built-in session_window (gap-based), watermark-bounded.
     */

@@ -180,6 +180,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment joins a dim without join state") {
+    import spark.implicits._
+    val src = new MemoryFlowSource(spark)
+    src.add(
+      flowJson(1000, "10.0.0.1", "10.0.0.9", 10),
+      flowJson(2000, "10.0.0.2", "10.0.0.9", 20), // unknown ip -> null zone
+      flowJson(3000, "10.0.0.3", "10.0.0.9", 30))
+    val dim = Seq(("10.0.0.1", "dmz"), ("10.0.0.3", "prod")).toDF("ip", "zone")
+    val enriched = StreamOps.enrichWithStatic(
+      FlowPipeline.batch(src.stream(spark)), dim)
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT src_ip, zone FROM enriched ORDER BY src_ip")
+        .collect().map(r => r.getString(0) -> Option(r.getString(1)))
+      assert(rows.toSeq == Seq(
+        "10.0.0.1" -> Some("dmz"), "10.0.0.2" -> None, "10.0.0.3" -> Some("prod")))
+      // the whole point: a broadcast join plans NO streaming join state
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs a flow with its reverse leg inside the bound") {
     val src = new MemoryFlowSource(spark)
     src.add(
