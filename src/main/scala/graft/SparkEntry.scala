@@ -69,6 +69,7 @@ object SparkEntry {
     "q34_sketch_union"   -> CoreQueries.q34 _,
     "q35_pivot"          -> CoreQueries.q35 _,
     "q36_unpivot"        -> CoreQueries.q36 _,
+    "q37_grouping_sets"  -> CoreQueries.q37 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -85,6 +86,7 @@ object SparkEntry {
     "dedup_groups"       -> DedupQueries.groups _,
     "dedup_apply"        -> DedupQueries.applyDedup _,
     "dedup_decontam"     -> DedupQueries.decontam _,
+    "dedup_incr"         -> DedupQueries.incremental _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,

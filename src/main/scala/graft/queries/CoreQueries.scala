@@ -425,6 +425,24 @@ object CoreQueries {
         "metric", "v")
       .orderBy("l_orderkey", "l_linenumber", "metric")
 
+  /** Q37 — explicit GROUPING SETS (the general form behind q11's rollup and
+    * q21's cube): per-returnflag totals, per-linestatus totals, and the
+    * grand total in ONE pass (a single Expand + aggregate — not three scans
+    * unioned), with `grouping_id` disambiguating which set each row belongs
+    * to (the same bit convention both engines share: leftmost column is the
+    * most significant bit).
+    */
+  def q37(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6).as("s"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -130,6 +130,13 @@ object Oracles {
         | UNION ALL
         | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         | ORDER BY l_orderkey, l_linenumber, metric""".stripMargin.replaceAll("\n", ""),
+    "q37_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS c,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS s,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        | ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
