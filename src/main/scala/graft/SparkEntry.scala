@@ -70,6 +70,7 @@ object SparkEntry {
     "q35_pivot"          -> CoreQueries.q35 _,
     "q36_unpivot"        -> CoreQueries.q36 _,
     "q37_grouping_sets"  -> CoreQueries.q37 _,
+    "q38_resample"       -> CoreQueries.q38 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

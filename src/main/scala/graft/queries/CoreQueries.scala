@@ -443,6 +443,26 @@ object CoreQueries {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
         col("l_linestatus").asc_nulls_last)
 
+  /** Q38 — time-series RESAMPLE with gap filling (ClickHouse's `ORDER BY …
+    * WITH FILL` shape): a dense hourly grid from the stream's min to max
+    * hour, left-joined against per-hour counts, absent hours filled with 0.
+    * The grid is generated with `sequence()` from ONE aggregated (min, max)
+    * row and exploded — a few hundred rows — then broadcast against the
+    * aggregated counts; the events table itself is scanned once.
+    */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val hours = e.agg(
+        date_trunc("HOUR", min(col("ts"))).as("lo"),
+        date_trunc("HOUR", max(col("ts"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    val counts = e.groupBy(date_trunc("HOUR", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    hours.join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("h")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -137,6 +137,12 @@ object Oracles {
         | FROM lineitem
         | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         | ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin.replaceAll("\n", ""),
+    "q38_resample" ->
+      """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |counts AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1)
+        |SELECT g.h, coalesce(c.n, 0) AS n FROM grid g LEFT JOIN counts c ON c.h = g.h
+        |ORDER BY g.h""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
