@@ -77,6 +77,12 @@ object Bench {
     // 4 total passes matches the wall-clock envelope the driver
     // demonstrably completes.
     val results = names.map { n =>
+      // Between queries, give the async ContextCleaner a GC cycle to reclaim
+      // accumulated broadcast blocks / shuffle files: without it, late-suite
+      // queries pay earlier queries' heap pressure (observed 1.1 s → 5.1 s
+      // on the same query inside a 69-query run) and the medians stop
+      // reflecting plan cost.
+      System.gc()
       val ts = Seq.fill(3)(once(n)).sorted
       n -> ts(1)
     }
