@@ -112,4 +112,17 @@ class PlanAuditSpec extends SparkSpec {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
+
+  test("determinism contract: every oracle has a total ORDER BY unless it returns one row") {
+    // the hash compare is order-insensitive only because the driver sorts
+    // rows — but a query without a total order can still tie-break floats
+    // differently across engines; the contract (FIXTURES §3) requires an
+    // explicit ORDER BY everywhere except single-aggregate-row outputs.
+    val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
+      "q23_approx_distinct")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      if (!singleRow(name))
+        assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
+    }
+  }
 }
