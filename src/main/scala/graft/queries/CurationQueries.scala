@@ -71,6 +71,12 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Split percentages for the declared split query — the oracle CASE is
+    * generated from THESE constants (SqlGen rule: one source of truth).
+    */
+  val splitTestPct = 2
+  val splitValPct = 10
+
   /** Per-(source, split) accounting of the deterministic train/val/test
     * split ([[Sampling.splitColumn]]) — the sanity view a pipeline owner
     * checks before a dump (are the eval slices the expected few percent,
@@ -78,7 +84,7 @@ object CurationQueries {
     */
   def mixSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("split", Sampling.splitColumn())
+      .withColumn("split", Sampling.splitColumn(testPct = splitTestPct, valPct = splitValPct))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("docs"))
       .orderBy("source", "split")
@@ -144,7 +150,7 @@ object CurationQueries {
       },
       "mix_split" ->
         s"""SELECT source,
-           | CASE WHEN u < 2 THEN 'test' WHEN u < 12 THEN 'val' ELSE 'train' END AS split,
+           | CASE WHEN u < $splitTestPct THEN 'test' WHEN u < ${splitTestPct + splitValPct} THEN 'val' ELSE 'train' END AS split,
            | count(*) AS docs FROM
            | (SELECT source,
            |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100 AS u
