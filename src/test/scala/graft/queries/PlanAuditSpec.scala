@@ -106,6 +106,15 @@ class PlanAuditSpec extends SparkSpec {
       "corpus shingles shuffled before the holdout filter:\n" + p)
   }
 
+  test("incremental dedup pushes the old/new cross filter below the band self-join") {
+    // at scale this is the difference between banding the whole corpus
+    // against itself and banding old×new only: both branches of the
+    // candidate self-join must carry their side's doc_id filter.
+    val p = plans("dedup_incr")
+    assert("Filter [^\n]*doc_id#\\d+L? < 250".r.findFirstIn(p).isDefined, p)
+    assert("Filter [^\n]*doc_id#\\d+L? >= 250".r.findFirstIn(p).isDefined, p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
