@@ -28,6 +28,36 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == docs.count())
   }
 
+  test("packShards is chunkWidth-invariant: two-level equals the single-window form") {
+    // chunkWidth = Long.MaxValue collapses to one chunk per source — the
+    // original single-window formulation; any other width must produce the
+    // SAME cumulative sums, hence the same shard assignments.
+    def packed(w: Long): Set[(Long, Long)] =
+      Sampling.packShards(docs, 500L, chunkWidth = w)
+        .select("doc_id", "shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = packed(Long.MaxValue)
+    assert(packed(1L) == single)
+    assert(packed(7L) == single)
+    assert(packed(64L) == single)
+  }
+
+  test("mixSplit column: deterministic, exhaustive, and stable under corpus growth") {
+    val split = docs.withColumn("split", Sampling.splitColumn())
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // stability: the assignment of a doc doesn't depend on which other docs
+    // are present (growth never reshuffles eval membership)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("split", Sampling.splitColumn())
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(half.forall { case (id, s) => split(id) == s })
+    // all three slices exist at corpus size
+    assert(split.values.toSet == Set("train", "val", "test"))
+  }
+
   test("packShards: shard ids are contiguous from 0 and shards respect the budget") {
     val budget = 500L
     val packed = Sampling.packShards(docs, budget)
