@@ -85,7 +85,14 @@ object FlowApp {
     val checkpoint = opts.getOrElse("checkpoint", "/tmp/graft-checkpoint")
 
     val spark: SparkSession = GraftSession.local()
-    spark.sparkContext.setLogLevel(opts.getOrElse("loglevel", "WARN").toUpperCase)
+    // Unrecognized level → warn and fall back, not crash (main.go:25-28).
+    val lvl = opts.getOrElse("loglevel", "WARN").toUpperCase
+    try spark.sparkContext.setLogLevel(lvl)
+    catch {
+      case _: IllegalArgumentException =>
+        System.err.println(s"Log level $lvl not recognized, using WARN")
+        spark.sparkContext.setLogLevel("WARN")
+    }
 
     val source: FlowSource =
       if (kafkaUrl.nonEmpty) KafkaFlowSource(kafkaUrl)
