@@ -71,6 +71,7 @@ object SparkEntry {
     "q36_unpivot"        -> CoreQueries.q36 _,
     "q37_grouping_sets"  -> CoreQueries.q37 _,
     "q38_resample"       -> CoreQueries.q38 _,
+    "q39_full_outer"     -> CoreQueries.q39 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

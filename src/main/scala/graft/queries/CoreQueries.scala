@@ -463,6 +463,26 @@ object CoreQueries {
       .orderBy("h")
   }
 
+  /** Q39 — FULL OUTER join (the one join type q07-q10 don't cover): nations
+    * with high-balance customers vs nations with high-balance suppliers —
+    * the thresholds are chosen so each side covers a different nation
+    * subset, so genuine null rows survive on BOTH sides. Aggregates are
+    * pushed below the join (the q09 move), so the outer join sees one row
+    * per nation per side.
+    */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_acctbal") > 9900)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("customers"))
+    val su = Tables.supplier(s, dir).filter(col("s_acctbal") > 9000)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("suppliers"))
+    c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("customers"), lit(0L)).as("customers"),
+        coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+      .orderBy("nationkey")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

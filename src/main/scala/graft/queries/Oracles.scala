@@ -143,6 +143,14 @@ object Oracles {
         |counts AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1)
         |SELECT g.h, coalesce(c.n, 0) AS n FROM grid g LEFT JOIN counts c ON c.h = g.h
         |ORDER BY g.h""".stripMargin,
+    "q39_full_outer" ->
+      """SELECT coalesce(c.k, s.k) AS nationkey,
+        | coalesce(c.customers, 0) AS customers, coalesce(s.suppliers, 0) AS suppliers
+        | FROM (SELECT c_nationkey AS k, count(*) AS customers FROM customer
+        |       WHERE c_acctbal > 9900 GROUP BY 1) c
+        | FULL JOIN (SELECT s_nationkey AS k, count(*) AS suppliers FROM supplier
+        |            WHERE s_acctbal > 9000 GROUP BY 1) s ON c.k = s.k
+        | ORDER BY nationkey""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
