@@ -100,15 +100,25 @@ object Similarity {
                  ELSE transform($vecCol, x -> CAST(CAST(x AS DOUBLE)/qscale AS BIGINT)) END"""))
 
   /** Cosine over integer code vectors (exact integer dot products, double
-    * division at the end — engine-identical).
+    * division at the end — engine-identical regardless of evaluation order).
+    * Dots run through the native codegen'd [[graft.expressions.LongDotProduct]]
+    * so the quantized ranking path stays inside whole-stage codegen like the
+    * float path does.
     */
   private def codeCosine(a: Column, b: Column): Column = {
     def idot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+      ColumnBridge.column(graft.expressions.LongDotProduct(
+        ColumnBridge.expression(x), ColumnBridge.expression(y)))
     val (daa, dbb, dab) = (idot(a, a), idot(b, b), idot(a, b))
     when(daa === 0 || dbb === 0, lit(0.0))
       .otherwise(dab.cast("double") / (sqrt(daa.cast("double")) * sqrt(dbb.cast("double"))))
   }
+
+  /** HOF formulation of the integer dot — differential-test twin of
+    * [[graft.expressions.LongDotProduct]].
+    */
+  private[operators] def idotHof(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
 
   /** Top-k by QUANTIZED cosine vs one stored vector: ranking runs entirely
     * on int8 codes (the memory-resident representation); float vectors are

@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.forall(c => c >= 0 && c < (1L << Similarity.lshPlanes)))
   }
 
+  test("native LongDotProduct matches the HOF integer dot on quantized codes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val coded = Similarity.withQuantized(graft.Tables.embeddings(spark, sf0001))
+      .select(col("vec_id"), col("qcodes"))
+    val native = ColumnBridge.column(graft.expressions.LongDotProduct(
+      ColumnBridge.expression(col("qcodes")), ColumnBridge.expression(col("qcodes"))))
+    val rows = coded.select(col("vec_id"), native.as("a"),
+        Similarity.idotHof(col("qcodes"), col("qcodes")).as("b"))
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(1) == r.getLong(2)))
+  }
+
   test("random projection: outDims float components, deterministic, preserves self-similarity") {
     import org.apache.spark.sql.functions._
     val emb = graft.Tables.embeddings(spark, sf0001)
