@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{FloatDotProduct, LshCode, RollingHashMin, SimhashAgg}
+import graft.expressions.{FloatDotProduct, LongDotProduct, LshCode, RollingHashMin, SimhashAgg}
 import graft.operators.Similarity
 
 /** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
@@ -12,6 +12,7 @@ import graft.operators.Similarity
   * `spark.sql` users get the same codegen'd kernels the DataFrame API uses —
   *
   *   graft_dot(a, b)           — Double dot product of two FLOAT arrays
+  *   graft_idot(a, b)          — exact Long dot product of two BIGINT arrays
   *   graft_lsh_code(v[, p])    — p-plane signed-hyperplane LSH code (default
   *                               [[Similarity.lshPlanes]])
   *   graft_rolling_fp(t, w)    — min w-char rolling-hash fingerprint
@@ -39,6 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Seq(a, b) => FloatDotProduct(a, b)
           case other => throw new IllegalArgumentException(
             s"graft_dot expects exactly 2 arguments, got ${other.length}")
+        }
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_idot"),
+      info("graft_idot", "graft_idot(a, b) - integer dot product of two ARRAY<BIGINT>"),
+      { args: Seq[Expression] =>
+        args match {
+          case Seq(a, b) => LongDotProduct(a, b)
+          case other => throw new IllegalArgumentException(
+            s"graft_idot expects exactly 2 arguments, got ${other.length}")
         }
       }))
 

@@ -34,6 +34,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(wide < (1L << 24))
   }
 
+  test("graft_idot from SQL computes exact integer dots") {
+    val got = spark.sql(
+      "SELECT graft_idot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d").head().getLong(0)
+    assert(got == 32L)
+  }
+
   test("graft_rolling_fp from SQL matches TextFunctions.rollingFingerprint") {
     Tables.registerAll(spark, sf0001)
     val viaSql = spark.sql(
