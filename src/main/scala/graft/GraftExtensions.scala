@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Builder for the plain two-argument kernels: explicit arity match so SQL
+    * users get a usable message, not a MatchError.
+    */
+  private def binary(name: String, ctor: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => ctor(a, b)
+    case other => throw new IllegalArgumentException(
+      s"$name expects exactly 2 arguments, got ${other.length}")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Every builder matches arity EXPLICITLY: a partial function cast to
     // total would surface a raw MatchError to SQL users on the wrong
@@ -35,24 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two ARRAY<FLOAT> in DOUBLE"),
-      { args: Seq[Expression] =>
-        args match {
-          case Seq(a, b) => FloatDotProduct(a, b)
-          case other => throw new IllegalArgumentException(
-            s"graft_dot expects exactly 2 arguments, got ${other.length}")
-        }
-      }))
+      binary("graft_dot", FloatDotProduct)))
 
     ext.injectFunction((
       FunctionIdentifier("graft_idot"),
       info("graft_idot", "graft_idot(a, b) - integer dot product of two ARRAY<BIGINT>"),
-      { args: Seq[Expression] =>
-        args match {
-          case Seq(a, b) => LongDotProduct(a, b)
-          case other => throw new IllegalArgumentException(
-            s"graft_idot expects exactly 2 arguments, got ${other.length}")
-        }
-      }))
+      binary("graft_idot", LongDotProduct)))
 
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_code"),
@@ -87,12 +85,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(lo, hi) - aggregate 64-bit SimHash over 32-bit hash halves"),
-      { args: Seq[Expression] =>
-        args match {
-          case Seq(lo, hi) => SimhashAgg(lo, hi)
-          case other => throw new IllegalArgumentException(
-            s"graft_simhash expects exactly 2 arguments, got ${other.length}")
-        }
-      }))
+      binary("graft_simhash", SimhashAgg(_, _))))
   }
 }

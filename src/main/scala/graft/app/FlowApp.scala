@@ -53,11 +53,16 @@ object FlowApp {
   /** Recreate the sink table only for a FRESH pipeline (no checkpoint yet).
     * Restarting with an existing checkpoint resumes from committed offsets —
     * recreating there would drop committed rows that will never be re-read.
+    * Resolved through the Hadoop filesystem API so URI-style checkpoint
+    * locations (`file:///...`, `hdfs://...`, `s3a://...`) — which Spark
+    * accepts and java.io.File would misread as absent — derive correctly.
     */
-  def deriveRecreate(checkpoint: String): Boolean = {
-    val d = new java.io.File(checkpoint)
-    val entries = d.list()
-    !d.exists() || entries == null || entries.isEmpty
+  def deriveRecreate(checkpoint: String,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = p.getFileSystem(conf)
+    !fs.exists(p) || fs.listStatus(p).isEmpty
   }
 
   /** Listener that surfaces the decode drop counter per micro-batch. */
@@ -100,7 +105,7 @@ object FlowApp {
       else { System.err.println("need --kafkaurl or --filesource"); sys.exit(2) }
 
     val recreate = opts.get("recreate").map(_.toBoolean)
-      .getOrElse(deriveRecreate(checkpoint))
+      .getOrElse(deriveRecreate(checkpoint, spark.sparkContext.hadoopConfiguration))
     val sink = chooseSink(chUrl, parquetSink, recreate)
     spark.streams.addListener(new DecodeMetricsListener)
 

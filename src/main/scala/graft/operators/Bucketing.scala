@@ -18,12 +18,17 @@ object Bucketing {
     * with each JVM while the warehouse directory persists, so without the
     * sweep a fresh session's `saveAsTable` fails with
     * LOCATION_ALREADY_EXISTS on a location only a dead catalog knew about.
+    *
+    * `table` must be a SIMPLE (unqualified) name; the orphan sweep resolves
+    * the managed location as warehouse/lowercase(name), which is where the
+    * default database puts it (the catalog lowercases identifiers).
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(!table.contains("."), s"writeBucketed needs a simple table name, got $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

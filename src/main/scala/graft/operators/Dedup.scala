@@ -153,9 +153,10 @@ object Dedup {
     * candidates before the exact [[jaccardOnCandidatesFromShingles]] pass
     * (which must re-join the shingle frame).
     */
-  def estimatedJaccard(sig: DataFrame, cands: DataFrame, k: Int = 16): DataFrame = {
-    val left = sig.select(col("doc_id").as("d1") +: (0 until k).map(i => col(s"sig_$i").as(s"a$i")): _*)
-    val right = sig.select(col("doc_id").as("d2") +: (0 until k).map(i => col(s"sig_$i").as(s"b$i")): _*)
+  def estimatedJaccard(sig: DataFrame, cands: DataFrame, k: Int = 16,
+                       idCol: String = "doc_id"): DataFrame = {
+    val left = sig.select(col(idCol).as("d1") +: (0 until k).map(i => col(s"sig_$i").as(s"a$i")): _*)
+    val right = sig.select(col(idCol).as("d2") +: (0 until k).map(i => col(s"sig_$i").as(s"b$i")): _*)
     val agree = (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
     cands.join(left, "d1").join(right, "d2")

@@ -64,9 +64,11 @@ object Sampling {
     *     chunkWidth`); the running sum windows over (source, chunk) — many
     *     partitions per source, each bounded by chunkWidth rows;
     *  2. per-(source, chunk) token totals get a second running sum over the
-    *     CHUNK rows only (a ~#chunks-row frame, thousands of rows at 100 TB
-    *     for a millions-row-wide chunk), producing each chunk's offset;
-    *  3. offsets broadcast back onto the local sums: cum = offset + local.
+    *     CHUNK rows only (an n/chunkWidth-row frame: ~1M rows for 10^12 docs
+    *     at the default width — a side Spark can and will broadcast, but the
+    *     join is left unhinted so the planner degrades to a shuffle join
+    *     rather than failing if a caller shrinks chunkWidth at huge n);
+    *  3. offsets join back onto the local sums: cum = offset + local.
     * Since `chunk` is monotone in id, (chunk, id) order ≡ id order and the
     * cumulative values — hence shard assignments and the oracle — are
     * IDENTICAL to the single-window form at any chunkWidth. Integral `div`
@@ -74,7 +76,7 @@ object Sampling {
     */
   def packShards(docs: DataFrame, tokensPerShard: Long,
                  idCol: String = "doc_id", sourceCol: String = "source",
-                 textCol: String = "text", chunkWidth: Long = 1L << 16): DataFrame = {
+                 textCol: String = "text", chunkWidth: Long = 1L << 20): DataFrame = {
     val toks = docs.withColumn("toks", TextFunctions.tokenCount(col(textCol)))
       .withColumn("chunk", expr(s"$idCol div $chunkWidth"))
     val wLocal = Window.partitionBy(sourceCol, "chunk").orderBy(idCol)
@@ -86,7 +88,7 @@ object Sampling {
       .select(col(sourceCol), col("chunk"),
         coalesce(sum("ctoks").over(wOffset), lit(0L)).as("off"))
     toks.withColumn("lcum", sum("toks").over(wLocal))
-      .join(broadcast(offsets), Seq(sourceCol, "chunk"))
+      .join(offsets, Seq(sourceCol, "chunk"))
       .select(col(idCol), col(sourceCol), col("toks"),
         expr(s"(off + lcum - toks) div $tokensPerShard").as("shard"))
   }

@@ -25,7 +25,11 @@ object BucketedQueries {
 
   private def stagedTables(s: SparkSession, dir: String): (String, String) =
     staged.getOrElseUpdate(dir, {
-      val tag = dir.split('/').last.replace('.', '_')
+      // tag includes a hash of the FULL dir (String.hashCode is spec-stable
+      // across JVMs) so two dirs sharing a basename can't clobber each
+      // other's staging tables.
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val li = s"graft_li_b${buckets}_$tag"
       val ord = s"graft_ord_b${buckets}_$tag"
       Bucketing.writeBucketed(
