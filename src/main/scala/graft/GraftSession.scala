@@ -36,4 +36,43 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** The CLUSTER profile — what this library would run with on a
+    * 1000-executor / 100 TB deployment (master comes from spark-submit, not
+    * here). Differences from the local profile, each with its reason:
+    *
+    *  - `shuffle.partitions` starts high (4× total cores is a sane opening
+    *    bid for ~3000 cores); AQE coalescing shrinks small stages at runtime,
+    *    so over-partitioning costs little while under-partitioning spills.
+    *  - `adaptive.advisoryPartitionSizeInBytes` 128m: the target post-
+    *    coalesce partition size — big enough to amortize task overhead,
+    *    small enough to stay in executor memory next to join/agg state.
+    *  - `files.maxPartitionBytes` 256m: parquet scan split size; wider
+    *    splits halve the task count of 100 TB scans whose per-task setup
+    *    (footer reads, codegen) otherwise dominates.
+    *  - `autoBroadcastJoinThreshold` 64m: dimension tables and candidate
+    *    frames up to tens of MB broadcast instead of shuffling the fact
+    *    side; runtime AQE re-plans to broadcast on actual sizes too.
+    *  - shuffle compression + Kryo: exchange volume is THE scale cost in
+    *    the dedup/ANN pipelines (md5 digests, signatures, band keys).
+    */
+  def clusterConf(totalCores: Int = 3000): Map[String, String] = Map(
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.shuffle.partitions" -> (totalCores * 4).toString,
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128m",
+    "spark.sql.files.maxPartitionBytes" -> "256m",
+    "spark.sql.autoBroadcastJoinThreshold" -> "64m",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.shuffle.compress" -> "true",
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def clusterBuilder(totalCores: Int = 3000): SparkSession.Builder =
+    clusterConf(totalCores).foldLeft(SparkSession.builder().appName("graft")) {
+      case (b, (k, v)) => b.config(k, v)
+    }
 }
