@@ -49,7 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((
       FunctionIdentifier("graft_idot"),
-      info("graft_idot", "graft_idot(a, b) - integer dot product of two ARRAY<BIGINT>"),
+      info("graft_idot",
+        "graft_idot(a, b) - integer dot product of two ARRAY<BIGINT>. " +
+          "Multiply-add is UNCHECKED 64-bit arithmetic (silently wraps on overflow, " +
+          "even in ANSI mode): intended for bounded quantized codes (|v| <= 127), " +
+          "where 64 terms of 127*127 cannot approach Long range."),
       binary("graft_idot", LongDotProduct)))
 
     ext.injectFunction((

@@ -25,6 +25,14 @@ object GraftSession {
       // testdata events.ts is parquet TIMESTAMP(NANOS); read as long nanos
       // (Tables.events converts back to TimestampType, losslessly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Every bucketed table in this library is a DELIBERATE staging table
+      // (Bucketing.writeBucketed) whose layout is the point — either
+      // exchange-free joins (q31) or bucket-pruned ANN probes. The
+      // DisableUnnecessaryBucketedScan rule would turn off bucketed scans
+      // for probe-shaped plans (no join/agg above the scan) because it
+      // doesn't credit bucket PRUNING as a benefit, which silently reverts
+      // a pruned index probe to a full-corpus scan.
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       // keep catalog tables (bucketed writes) out of the repo working dir
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
@@ -67,6 +75,9 @@ object GraftSession {
     "spark.sql.files.maxPartitionBytes" -> "256m",
     "spark.sql.autoBroadcastJoinThreshold" -> "64m",
     "spark.sql.parquet.filterPushdown" -> "true",
+    // bucketed tables are deliberate staging tables; keep bucketed scans on
+    // so ANN index probes stay bucket-pruned (see builder note)
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
     "spark.shuffle.compress" -> "true",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")

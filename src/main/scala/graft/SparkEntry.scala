@@ -72,6 +72,7 @@ object SparkEntry {
     "q37_grouping_sets"  -> CoreQueries.q37 _,
     "q38_resample"       -> CoreQueries.q38 _,
     "q39_full_outer"     -> CoreQueries.q39 _,
+    "q40_sql_surface"    -> SqlSurfaceQueries.q40 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -91,7 +92,9 @@ object SparkEntry {
     "dedup_incr"         -> DedupQueries.incremental _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
+    "sim_lsh_staged"     -> SimilarityQueries.lshStagedTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
+    "sim_ivf_staged"     -> SimilarityQueries.ivfStagedTopK _,
     "sim_ivf_trained"    -> SimilarityQueries.ivfTrainedTopK _,
     "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
@@ -112,5 +115,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      CurationQueries.oracle ++ BucketedQueries.oracle
+      CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle
 }

@@ -86,7 +86,19 @@ object FlowApp {
     val chUrl = opts.getOrElse("clickhouseurl", "")
     val fileSrc = opts.getOrElse("filesource", "")
     val parquetSink = opts.getOrElse("parquetsink", "")
-    val rawStdout = opts.getOrElse("rawstdout", "false").toBoolean
+    // Boolean flags parse leniently, like --loglevel: a malformed value
+    // warns and falls back to the flag's default instead of surfacing a raw
+    // IllegalArgumentException from String.toBoolean.
+    def boolOpt(key: String): Option[Boolean] = opts.get(key).flatMap {
+      _.toLowerCase match {
+        case "true"  => Some(true)
+        case "false" => Some(false)
+        case other =>
+          System.err.println(s"--$key expects true or false, got '$other'; using default")
+          None
+      }
+    }
+    val rawStdout = boolOpt("rawstdout").getOrElse(false)
     val checkpoint = opts.getOrElse("checkpoint", "/tmp/graft-checkpoint")
 
     val spark: SparkSession = GraftSession.local()
@@ -104,7 +116,7 @@ object FlowApp {
       else if (fileSrc.nonEmpty) FileFlowSource(fileSrc)
       else { System.err.println("need --kafkaurl or --filesource"); sys.exit(2) }
 
-    val recreate = opts.get("recreate").map(_.toBoolean)
+    val recreate = boolOpt("recreate")
       .getOrElse(deriveRecreate(checkpoint, spark.sparkContext.hadoopConfiguration))
     val sink = chooseSink(chUrl, parquetSink, recreate)
     spark.streams.addListener(new DecodeMetricsListener)

@@ -21,10 +21,15 @@ object Bucketing {
     *
     * `table` must be a SIMPLE (unqualified) name; the orphan sweep resolves
     * the managed location as warehouse/lowercase(name), which is where the
-    * default database puts it (the catalog lowercases identifiers).
+    * default database puts it (the catalog lowercases identifiers). The
+    * guard is a strict identifier whitelist, not just a no-dots check:
+    * `Path(parent, child)` IGNORES the parent when the child is absolute, so
+    * a name containing `/` could point the recursive orphan delete at an
+    * arbitrary directory.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
-    require(!table.contains("."), s"writeBucketed needs a simple table name, got $table")
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed needs a simple [A-Za-z0-9_]+ table name, got $table")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(

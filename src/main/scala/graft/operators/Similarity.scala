@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -172,9 +172,10 @@ object Similarity {
     */
   def lshBatchTopK(emb: DataFrame, queries: DataFrame, k: Int = 5,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   planesOpt: Option[Int] = None): DataFrame = {
+                   planesOpt: Option[Int] = None,
+                   nOpt: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val planes = planesOpt.getOrElse(planesFor(emb.count()))
+    val planes = planesOpt.getOrElse(planesFor(nOpt.getOrElse(emb.count())))
     val corpus = withLshCode(emb, vecCol, planes)
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"), col("lsh_code").as("ccode"))
     val probes = withLshCode(queries, vecCol, planes)
@@ -229,8 +230,12 @@ object Similarity {
     */
   def trainCentroids(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 3,
                      sampleMax: Long = 4096,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val n = emb.count()
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     nOpt: Option[Long] = None): DataFrame = {
+    // nOpt lets a pipeline composing several auto-scaled ANN operators over
+    // one frame share a single count job instead of re-counting per operator
+    // (metadata-only on parquet, but four counts for one pipeline is noise).
+    val n = nOpt.getOrElse(emb.count())
     val stride = math.max(1L, n / sampleMax)
     val sample = emb.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol), col(vecCol))
@@ -271,9 +276,10 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryId: Long, k: Int = 10,
               centroidsNOpt: Option[Int] = None,
               nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
-              trained: Option[DataFrame] = None): DataFrame = {
+              trained: Option[DataFrame] = None,
+              nOpt: Option[Long] = None): DataFrame = {
     val cent = trained.getOrElse {
-      val centroidsN = centroidsNOpt.getOrElse(centroidsFor(emb.count()))
+      val centroidsN = centroidsNOpt.getOrElse(centroidsFor(nOpt.getOrElse(emb.count())))
       emb.filter(col(idCol) < centroidsN)
         .select(col(idCol).as("cid"), col(vecCol).as("ce"))
     }
@@ -301,6 +307,79 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }
+
+  /** Stage an embedding corpus as a bucketed catalog table keyed by its LSH
+    * code — the SERVING path for single-query lookups. [[lshTopK]] is the
+    * right plan for batch scoring (one fully-parallel scan), but as a lookup
+    * structure it reads the whole corpus per query. Staging pays one shuffle
+    * at write time to make `lsh_code` a STORAGE key; a probe then arrives as
+    * literal code values in an IN() predicate, and the parquet scan opens
+    * only the matching buckets (bucket pruning — the physical plan shows
+    * `SelectedBucketsCount: p out of b`), i.e. ~(probes/2^planes) of the
+    * corpus instead of all of it. At 100 TB, with [[planesFor]]-scaled code
+    * width and a few thousand storage buckets, a Hamming-1 probe reads
+    * (planes+1) buckets' worth of I/O — independent of corpus size.
+    */
+  def stageLshBucketed(emb: DataFrame, table: String, planes: Int = lshPlanes,
+                       buckets: Int = 16, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit =
+    Bucketing.writeBucketed(
+      withLshCode(emb, vecCol, planes).select(col(idCol), col(vecCol), col("lsh_code")),
+      table, "lsh_code", buckets)
+
+  /** Probe a [[stageLshBucketed]] table: candidates = rows whose code is
+    * within Hamming distance 1 of the query's code, fetched via the literal
+    * probe-code list (bucket-pruned scan); exact cosine re-ranks survivors.
+    * The query vector and its code are plain VALUES, not a frame — in a
+    * serving path they come from the application, so no corpus scan precedes
+    * the probe.
+    */
+  def probeStagedLsh(spark: SparkSession, table: String, queryVec: Array[Float],
+                     qcode: Long, planes: Int = lshPlanes, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = qcode +: (0 until planes).map(b => qcode ^ (1L << b))
+    Bucketing.read(spark, table)
+      .filter(col("lsh_code").isin(probes: _*))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Stage IVF inverted lists as a bucketed catalog table keyed by the
+    * assigned centroid id — the IVF twin of [[stageLshBucketed]]. Assignment
+    * is the same broadcast-centroids + `max_by` argmax as [[ivfTopK]] (the
+    * embedding rides through the aggregate via `first`, constant within a
+    * group); the write then makes `cid` the storage key, so a probe of
+    * `nprobe` lists opens only those lists' buckets instead of scanning and
+    * re-assigning the corpus per query.
+    */
+  def stageIvfBucketed(emb: DataFrame, cent: DataFrame, table: String,
+                       buckets: Int = 8, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("cid"),
+        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .groupBy(idCol)
+      .agg(first(col(vecCol)).as(vecCol),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    Bucketing.writeBucketed(
+      assigned.select(col(idCol), col(vecCol), col("cid")), table, "cid", buckets)
+  }
+
+  /** Probe a [[stageIvfBucketed]] table: read only the `probeCids` inverted
+    * lists (bucket-pruned IN() on the storage key), exact cosine top-k on
+    * the survivors.
+    */
+  def probeStagedIvf(spark: SparkSession, table: String, queryVec: Array[Float],
+                     probeCids: Seq[Long], k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Bucketing.read(spark, table)
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
 
   /** Random-projection dimensionality reduction: project each vector onto
     * `outDims` pseudo-random hyperplanes (the SAME fixed-LCG family as the
@@ -353,8 +432,9 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   planesOpt: Option[Int] = None): DataFrame = {
-    val planes = planesOpt.getOrElse(planesFor(emb.count()))
+                   planesOpt: Option[Int] = None,
+                   nOpt: Option[Long] = None): DataFrame = {
+    val planes = planesOpt.getOrElse(planesFor(nOpt.getOrElse(emb.count())))
     val coded = withLshCode(emb, vecCol, planes)
       .withColumn("nrm", VectorOps.norm(col(vecCol)))
     val probes = coded.select(col(idCol).as("d1"), col(vecCol).as("v1"), col("nrm").as("n1"),

@@ -10,6 +10,32 @@ import graft.operators.Similarity
   */
 object SimilarityQueries {
 
+  /** Corpus row count, cached per (session, dir): the data-scaling knobs
+    * ([[Similarity.planesFor]], the fixed-width-regime guards below) need n,
+    * but an eager `count()` job on every query construction is waste — the
+    * declared queries share one count per session and testdata dir.
+    */
+  private val counts = scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
+  private[queries] def embCount(s: SparkSession, dir: String): Long =
+    counts.getOrElseUpdate((s, dir), Tables.embeddings(s, dir).count())
+
+  /** Assert the corpus is inside the FIXED-WIDTH regime for a declared query
+    * whose DuckDB oracle is rendered at `floor` planes: [[Similarity.planesFor]]
+    * returns exactly `floor` only while n ≤ targetBucketRows·2^floor, and
+    * beyond that Spark would widen the code while the oracle text stayed
+    * fixed — a silent divergence. Failing loudly here turns that into a
+    * driver-visible error instead of a hash mismatch (every shipped testdata
+    * scale is well inside the regime).
+    */
+  private def fixedWidthPlanes(s: SparkSession, dir: String, floor: Int): Int = {
+    val n = embCount(s, dir)
+    val planes = Similarity.planesFor(n, floor)
+    require(planes == floor,
+      s"embeddings n=$n is outside the $floor-plane fixed-width oracle regime " +
+        s"(max ${Similarity.targetBucketRows << floor} rows); re-render the oracle at $planes planes")
+    planes
+  }
+
   /** Code Hamming radius for the LSH top-k: 3 of 16 planes disagreeing
     * (81% agreement — the same selectivity regime as the pre-widening 2-of-8)
     * keeps the candidate pool big enough to fill k at small corpus sizes.
@@ -39,7 +65,8 @@ object SimilarityQueries {
   def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfTopK(emb, queryId = 0L,
-      trained = Some(Similarity.trainCentroids(emb, iters = trainedIters)))
+      trained = Some(Similarity.trainCentroids(emb, iters = trainedIters,
+        nOpt = Some(embCount(s, dir)))))
   }
 
   /** Top-10 by int8-quantized cosine — ranking never touches the float
@@ -75,14 +102,98 @@ object SimilarityQueries {
 
   /** Batch ANN: top-5 neighbors for every query in a 3-vector batch, over a
     * code space scaled to the corpus (floored at [[batchPlanes]], the value
-    * the oracle is rendered with).
+    * the oracle is rendered with — [[fixedWidthPlanes]] asserts the corpus
+    * hasn't outgrown the fixed-width oracle, and the count is cached instead
+    * of re-run per plan construction).
     */
   def batchTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     import org.apache.spark.sql.functions.col
     Similarity.lshBatchTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
-        planesOpt = Some(Similarity.planesFor(emb.count(), floor = batchPlanes)))
+        planesOpt = Some(fixedWidthPlanes(s, dir, batchPlanes)))
       .orderBy("query_id", "rn")
+  }
+
+  /** Code width for the STAGED serving path: 8 planes = 256 code values
+    * keeps Hamming-1 candidate pools dense enough to fill k at testdata
+    * scale (the oracle is rendered at this width; [[fixedWidthPlanes]]
+    * guards the regime). At 100 TB the same staging runs at
+    * [[Similarity.planesFor]] width — the probe list just grows to planes+1
+    * literals.
+    */
+  val stagedPlanes = 8
+
+  /** Storage buckets for the staged ANN tables. 16 means a 9-code Hamming-1
+    * probe can touch at most 9 buckets — the pruning PlanAuditSpec asserts.
+    * At 100 TB this would be thousands (bucket count sizes the per-bucket
+    * file, not the algorithm).
+    */
+  val stagedLshBuckets = 16
+  val stagedIvfBuckets = 8
+
+  /** The staged ANN tables (LSH-coded + IVF lists), built once per
+    * (session, dir) — the serving-path amortization: staging pays the
+    * shuffle, every probe after it is bucket-pruned. Keyed on the session
+    * too (not dir alone), and re-validated against the catalog, so a fresh
+    * in-memory catalog in the same JVM re-stages instead of trusting a
+    * cache entry only a dead session's catalog knew about.
+    */
+  private val stagedAnn =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
+
+  private def annTables(s: SparkSession, dir: String): (String, String) = {
+    def live(t: (String, String)) = s.catalog.tableExists(t._1) && s.catalog.tableExists(t._2)
+    stagedAnn.get((s, dir)).filter(live).getOrElse {
+      val planes = fixedWidthPlanes(s, dir, stagedPlanes)
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val lsh = s"graft_ann_lsh_p${planes}_$tag"
+      val ivf = s"graft_ann_ivf_$tag"
+      val emb = Tables.embeddings(s, dir)
+      Similarity.stageLshBucketed(emb, lsh, planes, stagedLshBuckets)
+      import org.apache.spark.sql.functions.col
+      val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      Similarity.stageIvfBucketed(emb, cent, ivf, stagedIvfBuckets)
+      stagedAnn((s, dir)) = (lsh, ivf)
+      (lsh, ivf)
+    }
+  }
+
+  /** Top-10 by cosine via the STAGED LSH index: the probe reads only the 9
+    * Hamming-≤1 probe-code buckets of the staged table (bucket pruning,
+    * plan-audited as `SelectedBucketsCount < total`) — the serving-path
+    * answer to "similarity search at 100 TB", where [[lshTopK]]'s
+    * scan-everything shape is the batch-scoring answer. The query vector +
+    * code are fetched as one bounded row (a query parameter, not a corpus
+    * scan).
+    */
+  def lshStagedTopK(s: SparkSession, dir: String): DataFrame = {
+    val (lshT, _) = annTables(s, dir)
+    import org.apache.spark.sql.functions.col
+    val q = Similarity.withLshCode(
+        Tables.embeddings(s, dir).filter(col("vec_id") === 0), "embedding", stagedPlanes)
+      .select(col("embedding"), col("lsh_code")).head()
+    Similarity.probeStagedLsh(s, lshT, q.getSeq[Float](0).toArray, q.getLong(1),
+      stagedPlanes, k = 10)
+  }
+
+  /** Top-10 by cosine via the STAGED IVF index: probe the 2 nearest inverted
+    * lists by reading only their buckets. Probe-list selection runs over the
+    * 16-row centroid table (a model artifact — bounded driver traffic).
+    */
+  def ivfStagedTopK(s: SparkSession, dir: String): DataFrame = {
+    val (_, ivfT) = annTables(s, dir)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    Similarity.probeStagedIvf(s, ivfT, qe, probeCids, k = 10)
   }
 
   /** DuckDB rendering of the full trained-IVF path: the [[trainedIters]]
@@ -128,26 +239,42 @@ object SimilarityQueries {
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
   }
 
+  /** Shared by `sim_ivf_topk` (scan-and-assign per query) and
+    * `sim_ivf_staged` (staged inverted lists, bucket-pruned probe): the two
+    * plans differ in WHERE the assignment work happens — query time vs
+    * staging time — but compute the same answer, which is exactly the
+    * invariant worth pinning with one oracle text.
+    */
+  private val ivfProbeSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+       |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+       |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qprobe AS (SELECT cid FROM
+       |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+       |   FROM cent c, q) t WHERE rn <= 2)
+       |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+       |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "sim_ivf_trained" -> ivfTrainedSql(),
+    "sim_ivf_staged" -> ivfProbeSql,
+    "sim_lsh_staged" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedPlanes)} AS lsh_code FROM embeddings),
+         |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)
+         |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
+         |FROM coded, q
+         |WHERE bit_count(xor(lsh_code, qcode)) <= 1
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_rp_topk" ->
       s"""WITH proj AS (SELECT vec_id, ${Similarity.randomProjectionSql("embedding")} AS rp FROM embeddings),
          |q AS (SELECT rp AS qr FROM proj WHERE vec_id = 0)
          |SELECT p.vec_id, round(${SqlGen.cosSql("p.rp", "q.qr", 16)}, 6) AS rp_cos
          |FROM proj p, q
          |ORDER BY rp_cos DESC, p.vec_id LIMIT 10""".stripMargin,
-    "sim_ivf_topk" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
-         |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
-         |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
-         |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |qprobe AS (SELECT cid FROM
-         |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
-         |   FROM cent c, q) t WHERE rn <= 2)
-         |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
-         |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
-         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_ivf_topk" -> ivfProbeSql,
     "sim_batch_topk" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchPlanes)} AS lsh_code FROM embeddings),
          |q AS (SELECT * FROM coded WHERE vec_id < 3),

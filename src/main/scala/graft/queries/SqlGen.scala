@@ -8,13 +8,18 @@ import graft.functions.TextFunctions
   */
 object SqlGen {
 
-  /** Cosine similarity between two FLOAT[] expressions, computed in DOUBLE
-    * with left-to-right summation — same fold order as Spark's `aggregate` /
-    * FloatDotProduct, and the same zero-vector guard as VectorOps.cosine.
+  /** Dot product of two FLOAT[] expressions, computed in DOUBLE with
+    * left-to-right summation — same fold order as Spark's `aggregate` /
+    * FloatDotProduct.
+    */
+  def dotSql(a: String, b: String, dims: Int = 64): String =
+    s"list_sum(list_transform(range(1, ${dims + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Cosine similarity over [[dotSql]], with the same zero-vector guard as
+    * VectorOps.cosine.
     */
   def cosSql(a: String, b: String, dims: Int = 64): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, ${dims + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    def dot(x: String, y: String) = dotSql(x, y, dims)
     s"(CASE WHEN sqrt(${dot(a, a)}) = 0 OR sqrt(${dot(b, b)}) = 0 THEN 0.0" +
       s" ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"
   }

@@ -139,6 +139,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
   }
 
+  test("staged LSH probe equals the unstaged Hamming-1 formulation (pruning changes I/O, not results)") {
+    import org.apache.spark.sql.functions._
+    val planes = 8
+    Similarity.stageLshBucketed(emb, "graft_test_ann_lsh", planes, buckets = 16)
+    val q = Similarity.withLshCode(emb.filter(col("vec_id") === 0), "embedding", planes)
+      .select(col("embedding"), col("lsh_code")).head()
+    val staged = Similarity.probeStagedLsh(spark, "graft_test_ann_lsh",
+      q.getSeq[Float](0).toArray, q.getLong(1), planes, k = 10).collect().toSeq
+    val coded = Similarity.withLshCode(emb, "embedding", planes)
+    val unstaged = coded.crossJoin(broadcast(coded.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("lsh_code").as("qcode"))))
+      .filter(expr("bit_count(lsh_code ^ qcode)") <= 1)
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(10).collect().toSeq
+    assert(staged.nonEmpty && staged == unstaged)
+  }
+
+  test("staged IVF probe equals ivfTopK (lists staged once vs assigned per query)") {
+    import org.apache.spark.sql.functions._
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.stageIvfBucketed(emb, cent, "graft_test_ann_ivf", buckets = 8)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val probeCids = cent
+      .select(col("cid"), graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid")).limit(2).collect().map(_.getLong(0)).toSeq
+    val staged = Similarity.probeStagedIvf(spark, "graft_test_ann_ivf", qe, probeCids, k = 10)
+      .collect().toSeq
+    val unstaged = Similarity.ivfTopK(emb, queryId = 0L, k = 10).collect().toSeq
+    assert(staged.nonEmpty && staged == unstaged)
+  }
+
   test("near-dup pairs are symmetric-free (d1 < d2) and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))

@@ -81,6 +81,20 @@ class PlanAuditSpec extends SparkSpec {
       "join or aggregation re-shuffled a bucketed key:\n" + p)
   }
 
+  test("staged ANN probes prune buckets: the scan reads only probe buckets") {
+    // the r3 `weak`: single-query ANN lookups that scan the full corpus.
+    // The staged variants make the LSH code / IVF list id a STORAGE key, so
+    // the probe's IN() literals must prune the bucketed scan — strictly
+    // fewer buckets read than exist (9 probe codes can touch at most 9 of
+    // 16 LSH buckets; 2 probe lists at most 2 of 8 IVF buckets).
+    Seq("sim_lsh_staged" -> 9, "sim_ivf_staged" -> 2).foreach { case (n, maxSel) =>
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plans(n))
+      assert(m.isDefined, s"$n probe scan is not bucket-pruned:\n${plans(n)}")
+      val (sel, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+      assert(sel <= maxSel && sel < total, s"$n read $sel of $total buckets")
+    }
+  }
+
   test("unpivot plans a single Expand over one scan, not a self-union") {
     val p = plans("q36_unpivot")
     assert(p.contains("Expand"), p)
