@@ -76,13 +76,18 @@ object Bench {
     // noise, but the suite (every SparkEntry.queries entry) keeps growing —
     // 4 total passes matches the wall-clock envelope the driver
     // demonstrably completes.
+    // SPARK_GRAFT_BENCH_GC=false disables the inter-query GC for A/B
+    // adjudication of harness-induced deltas (full GC hygiene trades a
+    // per-query tax for protection against late-suite heap-pressure
+    // blowups; default on — see the r3/r4 adjudication in DESIGN.md).
+    val gcBetween = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "true").toBoolean
     val results = names.map { n =>
       // Between queries, give the async ContextCleaner a GC cycle to reclaim
       // accumulated broadcast blocks / shuffle files: without it, late-suite
       // queries pay earlier queries' heap pressure (observed 1.1 s → 5.1 s
       // on the same query inside a 69-query run) and the medians stop
       // reflecting plan cost.
-      System.gc()
+      if (gcBetween) System.gc()
       val ts = Seq.fill(3)(once(n)).sorted
       n -> ts(1)
     }

@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_apply"        -> DedupQueries.applyDedup _,
     "dedup_decontam"     -> DedupQueries.decontam _,
     "dedup_incr"         -> DedupQueries.incremental _,
+    "dedup_incr_staged"  -> DedupQueries.incrementalStaged _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_lsh_staged"     -> SimilarityQueries.lshStagedTopK _,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for training-data pipelines: exact,
@@ -192,6 +192,67 @@ object Dedup {
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Stage an existing corpus's MinHash index as bucketed catalog tables —
+    * the signatures (bucketed by doc id) and the band buckets with their
+    * OCCUPANCY precomputed (bucketed by band hash) — so incremental ingest
+    * batches ([[incrementalEstimatesStaged]]) join against precomputed
+    * structures instead of re-shingling and re-signing the whole corpus per
+    * batch. The production shape for daily dedup at 100 TB: staging cost is
+    * paid once per corpus version, per-batch cost is ∝ batch size.
+    */
+  def stageMinhashIndex(docs: DataFrame, sigTable: String, bandTable: String,
+                        k: Int = 16, bandsN: Int = 8, n: Int = 3,
+                        buckets: Int = 16, idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    Bucketing.writeBucketed(
+      minhashSignatures(shingleHashes(docs, n, idCol, textCol), k),
+      sigTable, idCol, buckets)
+    // bands derive from the just-staged signatures — no second pass over text
+    val b = bands(Bucketing.read(spark, sigTable), bandsN, k / bandsN)
+    val occ = b.groupBy("band", "bh").agg(count(lit(1)).as("occ_old"))
+    Bucketing.writeBucketed(b.join(occ, Seq("band", "bh")), bandTable, "bh", buckets)
+  }
+
+  /** Near-dup ESTIMATES for a new ingest batch against a staged corpus index
+    * ([[stageMinhashIndex]]): sign only the batch, equi-join its band
+    * buckets against the staged bands (the batch side is broadcast — it is
+    * small by construction), verify with the signature-only estimated-
+    * Jaccard tier. The old corpus's TEXT is never read; only its staged
+    * signatures/bands are scanned, shuffle-free on the corpus side.
+    *
+    * Bucket-cap parity with the one-shot pipeline: [[cappedBuckets]] over
+    * the (old ∪ new) band frame drops rows where a bucket's TOTAL occupancy
+    * exceeds the cap. Joint buckets are the only ones that can produce
+    * cross pairs, and there the total is `occ_old + occ_new` — occ_old was
+    * precomputed at staging, occ_new is a per-bucket count of the batch —
+    * so the candidate set equals the one-shot pipeline's, restricted to
+    * (old, new) pairs, without ever counting (or shuffling) the old side.
+    */
+  def incrementalEstimatesStaged(spark: SparkSession, sigTable: String, bandTable: String,
+                                 newDocs: DataFrame, threshold: Double = 0.7,
+                                 k: Int = 16, bandsN: Int = 8, n: Int = 3,
+                                 bucketCap: Int = defaultBucketCap,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    val newSig = minhashSignatures(shingleHashes(newDocs, n, idCol, textCol), k)
+      .localCheckpoint(true) // feeds both banding and the estimate join
+    val newBands = bands(newSig, bandsN, k / bandsN)
+    val newOcc = newBands.groupBy("band", "bh").agg(count(lit(1)).as("occ_new"))
+    val oldBands = Bucketing.read(spark, bandTable)
+    val cands = oldBands
+      .join(broadcast(newBands.join(newOcc, Seq("band", "bh"))
+        .select(col("band"), col("bh"), col(idCol).as("d2"), col("occ_new"))),
+        Seq("band", "bh"))
+      .filter(col("occ_old") + col("occ_new") <= bucketCap)
+      .filter(col(idCol) < col("d2")) // candidatePairs' orientation
+      .select(col(idCol).as("d1"), col("d2"))
+      .distinct()
+    val sigs = Bucketing.read(spark, sigTable).unionByName(newSig)
+    estimatedJaccard(sigs, cands, k, idCol)
+      .filter(col("est_jac") >= threshold)
   }
 
   /** Benchmark decontamination: find corpus docs sharing any word-n-gram

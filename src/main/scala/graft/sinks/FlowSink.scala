@@ -60,9 +60,10 @@ final case class MemorySink(tableName: String) extends FlowSink {
   *
   * Insert failures are logged and the batch skipped, like the reference's
   * warn-and-drop (`export_clickhouse.go:85-87`). Compiles against plain
-  * JDBC; needs the vendor driver jar on the runtime classpath —
-  * `writerOverride` injects a recorder for tests (and is the seam for a
-  * native ClickHouse writer).
+  * JDBC; needs the vendor driver jar on the runtime classpath. The real
+  * JDBC path (DDL + batched append + restart-resume) is executed end to end
+  * against embedded Derby in FlowSinkSpec — `writerOverride` remains only
+  * as the seam for a vendor-native (non-JDBC) writer.
   */
 final case class JdbcSink(url: String, table: String = "flows",
                           options: Map[String, String] = Map.empty,

@@ -141,6 +141,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jump threshold: stars converge in the pre-jump rounds; a mixed graph still meets the log bound") {
+    import spark.implicits._
+    // Pointer jumping engages at round 3 (Dedup.connectedComponents). This
+    // pins both sides of that threshold: a star (diameter 2 — the common
+    // near-dup cluster shape) must converge within the 2 PLAIN rounds, so
+    // small clusters never pay the jump's extra self-join...
+    val star = (1L to 30L).map(i => (0L, i)).toDF("d1", "d2")
+    val starLabels = Dedup.connectedComponents(star, maxIters = 2).collect()
+    assert(starLabels.length == 31 && starLabels.forall(_.getLong(1) == 0L))
+    // ...while a 200-node chain living alongside it in the same pair set
+    // still closes within the jump's log bound, star labels undisturbed.
+    val mixed = star.union((100L until 299L).map(i => (i, i + 1)).toDF("d1", "d2"))
+    val mixedLabels = Dedup.connectedComponents(mixed, maxIters = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 30L).forall(mixedLabels(_) == 0L))
+    assert((100L to 299L).forall(mixedLabels(_) == 100L))
+  }
+
   test("connected components of an empty pair set is empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
@@ -168,5 +186,23 @@ class DedupSpec extends SparkSpec {
     assert(s(1L) == s(2L))
     val pairs = Dedup.simhashPairs(Dedup.simhash(two), maxHamming = 0).collect()
     assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+
+  test("staged incremental estimates equal the one-shot pipeline's cross-pair estimates") {
+    import org.apache.spark.sql.functions._
+    val cutoff = 250L
+    Dedup.stageMinhashIndex(docs.filter(col("doc_id") < cutoff),
+      "graft_test_incr_sig", "graft_test_incr_bands")
+    // threshold 0.0: compare the FULL candidate estimate sets, not just keepers
+    val staged = Dedup.incrementalEstimatesStaged(spark,
+        "graft_test_incr_sig", "graft_test_incr_bands",
+        docs.filter(col("doc_id") >= cutoff), threshold = 0.0)
+      .orderBy("d1", "d2").collect().toSeq
+    val sig = Dedup.minhashSignatures(Dedup.shingleHashes(docs))
+    val cands = Dedup.candidatePairs(Dedup.bands(sig))
+      .filter(col("d1") < cutoff && col("d2") >= cutoff)
+    val oneShot = Dedup.estimatedJaccard(sig, cands)
+      .orderBy("d1", "d2").collect().toSeq
+    assert(staged.nonEmpty && staged == oneShot)
   }
 }

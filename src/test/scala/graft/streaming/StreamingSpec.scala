@@ -246,6 +246,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup keep-set equals the batch fingerprint dedup on a replayed corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Replay the real sf0.001 documents as ONE ordered batch (single
+    // MemoryStream block = single input partition, so first-arrival per
+    // fingerprint = min doc_id), then pin the streaming keep-set to the
+    // batch formulation the oracle suite hash-checks (text_fingerprint:
+    // min doc_id per fingerprint group).
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), new java.sql.Timestamp(1000L + r.getLong(0)), r.getString(1)))
+      .sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    input.addData(rows)
+    val out = StreamOps.nearDupDropWithinWatermark(input.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("neardup_diff")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamKept = spark.sql("SELECT doc_id FROM neardup_diff")
+        .collect().map(_.getLong(0)).toSet
+      val batchKept = Tables.documents(spark, sf0001)
+        .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp").agg(min("doc_id").as("keeper"))
+        .collect().map(_.getLong(1)).toSet
+      assert(streamKept.nonEmpty && streamKept == batchKept)
+    } finally q.stop()
+  }
+
   test("event sessions via session_window on the events table (batch-on-stream shape)") {
     // session_window works identically on batch frames; validate gap logic there.
     val out = StreamOps.eventSessions(Tables.events(spark, sf0001))
