@@ -73,11 +73,14 @@ object SparkEntry {
     "q38_resample"       -> CoreQueries.q38 _,
     "q39_full_outer"     -> CoreQueries.q39 _,
     "q40_sql_surface"    -> SqlSurfaceQueries.q40 _,
+    "q41_window_analytics" -> CoreQueries.q41 _,
+    "q42_funnel"         -> CoreQueries.q42 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
     "text_tokens"        -> TextQueries.tokens _,
     "text_fingerprint"   -> TextQueries.fingerprints _,
+    "text_tfidf"         -> TextQueries.tfidf _,
     "text_repetition"    -> TextQueries.repetition _,
     "text_rolling_fp"    -> TextQueries.rollingFp _,
     "dedup_exact"        -> DedupQueries.exact _,
@@ -86,6 +89,7 @@ object SparkEntry {
     "dedup_jaccard"      -> DedupQueries.jaccard _,
     "dedup_simhash"      -> DedupQueries.simhash _,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
+    "dedup_editdist"     -> DedupQueries.editDistance _,
     "dedup_groups"       -> DedupQueries.groups _,
     "dedup_apply"        -> DedupQueries.applyDedup _,
     "dedup_decontam"     -> DedupQueries.decontam _,

@@ -483,6 +483,46 @@ object CoreQueries {
       .orderBy("nationkey")
   }
 
+  /** Q41 — distribution analytics windows (the C6 family's remaining
+    * members): `ntile` quartiles, `cume_dist`, and `percent_rank` per order
+    * within its status partition. All three are rank-family window functions
+    * — one sort per partition, no frame buffering — and the unique
+    * (o_totalprice, o_orderkey) order key makes every value deterministic
+    * across engines.
+    */
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(percent_rank().over(w), 6).as("pr"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q42 — sequential event FUNNEL over the events stream shape: per user,
+    * first `view`, first `click` strictly after it, first `purchase`
+    * strictly after that. Each stage is a filtered partial-aggregable
+    * groupBy(min) joined on user_id — no window over the event history, no
+    * per-row subqueries — so the plan is three thin aggregates over one
+    * logical scan, the shape that survives a 100 TB event log.
+    */
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -151,6 +151,26 @@ object Oracles {
         | FULL JOIN (SELECT s_nationkey AS k, count(*) AS suppliers FROM supplier
         |            WHERE s_acctbal > 9000 GROUP BY 1) s ON c.k = s.k
         | ORDER BY nationkey""".stripMargin.replaceAll("\n", ""),
+    "q41_window_analytics" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | ntile(4) OVER w AS quartile,
+        | round(cume_dist() OVER w, 6) AS cd,
+        | round(percent_rank() OVER w, 6) AS pr
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", ""),
+    "q42_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

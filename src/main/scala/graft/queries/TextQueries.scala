@@ -67,6 +67,34 @@ object TextQueries {
       .orderBy("doc_id")
       .limit(200)
 
+  /** TF-IDF: the classic relevance weighting — a doc's term frequency ×
+    * ln(N/df) corpus rarity; top-3 terms for each of the first 10 docs.
+    * Document frequencies come from DISTINCT (doc, term) pairs over the FULL
+    * corpus; both stages are partial-aggregable groupBys over one token
+    * explode, and N arrives as a broadcast single-row aggregate, never a
+    * driver-side collect. Ranking orders by the ROUNDED score (ties broken
+    * by term), so Spark and the oracle rank identically.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val tf = toks(docs.filter(col("doc_id") < 10)).groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks(docs).distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), asc("term"))
+    tf.join(dfreq, "w").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w").as("term"),
+        round(col("tf") * log(col("n") / col("df")), 6).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** Fingerprint clusters: docs whose sorted-distinct-word set collides. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -115,6 +143,19 @@ object TextQueries {
            | ELSE list_min(list_transform(range(1, length(text)-${w - 2}), i -> ($term) & $mask)) END AS rfp
            | FROM documents ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", "")
       },
+      "text_tfidf" ->
+        """WITH nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+          |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+          |       WHERE w <> '' AND doc_id < 10 GROUP BY doc_id, w),
+          |dfreq AS (SELECT w, count(*) AS df FROM
+          |          (SELECT DISTINCT doc_id, w FROM tok WHERE w <> '') GROUP BY w)
+          |SELECT doc_id, term, tfidf, rn FROM (
+          |  SELECT tf.doc_id, tf.w AS term, round(tf.tf * ln(nn.n/dfreq.df), 6) AS tfidf,
+          |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY round(tf.tf * ln(nn.n/dfreq.df), 6) DESC, tf.w) AS INTEGER) AS rn
+          |  FROM tf JOIN dfreq ON dfreq.w = tf.w, nn) t
+          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
       "text_fingerprint" ->
         """SELECT fp, count(*) AS c, min(doc_id) AS keeper FROM
           | (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp,
