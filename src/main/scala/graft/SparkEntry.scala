@@ -75,16 +75,19 @@ object SparkEntry {
     "q40_sql_surface"    -> SqlSurfaceQueries.q40 _,
     "q41_window_analytics" -> CoreQueries.q41 _,
     "q42_funnel"         -> CoreQueries.q42 _,
+    "q43_range_window"   -> CoreQueries.q43 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
     "text_tokens"        -> TextQueries.tokens _,
     "text_fingerprint"   -> TextQueries.fingerprints _,
     "text_tfidf"         -> TextQueries.tfidf _,
+    "text_bm25"          -> TextQueries.bm25 _,
     "text_repetition"    -> TextQueries.repetition _,
     "text_rolling_fp"    -> TextQueries.rollingFp _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
+    "dedup_spans"        -> DedupQueries.spans _,
     "dedup_minhash_est"  -> DedupQueries.minhashEstimate _,
     "dedup_jaccard"      -> DedupQueries.jaccard _,
     "dedup_simhash"      -> DedupQueries.simhash _,
@@ -111,6 +114,7 @@ object SparkEntry {
     "curate_docs"        -> CurationQueries.curatedDocs _,
     "mix_sample"         -> CurationQueries.mixSample _,
     "mix_split"          -> CurationQueries.mixSplit _,
+    "mix_weighted"       -> CurationQueries.mixWeighted _,
     "pack_shards"        -> CurationQueries.packShards _
   )
 

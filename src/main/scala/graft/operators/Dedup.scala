@@ -277,6 +277,28 @@ object Dedup {
       .agg(count(lit(1)).as("hits"))
   }
 
+  /** Cross-document duplicate SPAN detection — the signal behind
+    * substring-level training-data dedup (long token runs appearing verbatim
+    * in more than one document: boilerplate, licenses, templated text).
+    * Every `w`-word window of every doc is hashed at the source
+    * ([[shingleHashes]] — 32-byte digests on the wire, never raw text), the
+    * per-doc window multiset collapses to a set, and a partial-aggregable
+    * groupBy counts distinct docs per span. Two shuffles total — (doc, hash)
+    * dedup and the span rollup — both on fixed-width keys; work is linear in
+    * corpus tokens, and no step is quadratic in doc count because spans are
+    * never joined doc-to-doc.
+    *
+    * Returns one row per span seen in ≥ `minDocs` docs:
+    * (span_h, ndocs, first_doc).
+    */
+  def duplicateSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    shingleHashes(docs, w, idCol, textCol).distinct()
+      .groupBy("m")
+      .agg(count(lit(1)).as("ndocs"), min(col(idCol)).as("first_doc"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("m").as("span_h"), col("ndocs"), col("first_doc"))
+
   /** SimHash fingerprint width. 64 bits matters at scale: the band join below
     * buckets on 16-bit slices, and a b-bit band has only 2^b values — too few
     * (the old 8-bit bands gave 256 buckets ⇒ Θ(n²/256) candidate pairs on a

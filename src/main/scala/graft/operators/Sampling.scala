@@ -38,6 +38,22 @@ object Sampling {
       .drop("u", "rate")
   }
 
+  /** Per-document WEIGHTED sampling: keep a doc iff its salted 60-bit md5
+    * falls below `weight × 2^60`, where `weight ∈ [0,1]` is any per-row
+    * column (typically a quality score — high-quality docs survive at their
+    * weight, junk at its). The per-source [[mixSample]] generalized to
+    * row-level rates, with the same scale properties: a stateless filter
+    * (no shuffle, no RNG state), reproducible across runs and engines, and
+    * monotone — raising a doc's weight can only keep it, never drop it.
+    * The threshold is truncated to a long so both engines compare integers
+    * (DuckDB's double→int cast rounds; trunc matches Spark's cast).
+    */
+  def weightedSample(docs: DataFrame, weight: org.apache.spark.sql.Column,
+                     idCol: String = "doc_id"): DataFrame =
+    docs.filter(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("#wmix"))), 1, 15), 16, 10)
+        .cast("long") < (weight * hashSpace).cast("long"))
+
   /** Deterministic train/val/test split assignment: a salted 60-bit md5 of
     * the id, reduced mod 100, buckets each doc into `test` (< testPct),
     * `val` (< testPct+valPct) or `train`. Same scale properties as

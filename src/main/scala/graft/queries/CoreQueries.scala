@@ -523,6 +523,26 @@ object CoreQueries {
       .orderBy("user_id")
   }
 
+  /** Q43 — time-interval RANGE window frame (the C6 family's value-based
+    * frame, complementing q13's row-count frame): per event, the count and
+    * value-sum of the same user's events in the PRECEDING HOUR. The frame is
+    * defined over microsecond epoch values (`rangeBetween` needs a numeric
+    * order key), so frame membership is an exact integer comparison in both
+    * engines — identical to the oracle's `RANGE INTERVAL 1 HOUR PRECEDING`
+    * over the timestamp. One shuffle on user_id, per-partition sort, frames
+    * never buffer more than an hour of one user's events.
+    */
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        round(sum("value").over(w), 6).as("sv_1h"))
+      .orderBy("event_id")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -71,6 +71,18 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Quality-WEIGHTED sampling ([[Sampling.weightedSample]]): each doc's
+    * keep-probability is its own quality score (rounded to 6 decimals so
+    * the weight is the identical double in both engines), so curation and
+    * sampling fuse into one stateless scan-stage filter — the standard
+    * "sample web text proportional to quality" mixture step.
+    */
+  def mixWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(Tables.documents(s, dir),
+        round(qualityScore(col("text")), 6))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   /** Split percentages for the declared split query — the oracle CASE is
     * generated from THESE constants (SqlGen rule: one source of truth).
     */
@@ -148,6 +160,11 @@ object CurationQueries {
            |  < CAST(trunc((CASE source $rateCase ELSE 0.0 END) * ${Sampling.hashSpace}) AS BIGINT)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
       },
+      "mix_weighted" ->
+        s"""SELECT doc_id, source FROM documents
+           | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#wmix'),1,15))::BIGINT
+           |  < CAST(trunc(round($qualSql, 6) * ${Sampling.hashSpace}) AS BIGINT)
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
       "mix_split" ->
         s"""SELECT source,
            | CASE WHEN u < $splitTestPct THEN 'test' WHEN u < ${splitTestPct + splitValPct} THEN 'val' ELSE 'train' END AS split,

@@ -171,6 +171,14 @@ object Oracles {
         |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
         |FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "q43_range_window" ->
+      """SELECT event_id,
+        | count(*) OVER w AS cnt_1h,
+        | round(sum(value) OVER w, 6) AS sv_1h
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin.replaceAll("\n", ""),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -95,6 +95,41 @@ object TextQueries {
       .orderBy("doc_id", "rn")
   }
 
+  /** BM25 parameters (the standard Robertson defaults). These vals are the
+    * single source for both the Spark expression and the generated oracle.
+    */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  /** BM25 retrieval scoring: rank the corpus against the distinct terms of
+    * doc 0 (standing in for a user query). Same one-explode backbone as
+    * [[tfidf]] — document lengths, corpus stats, term and document
+    * frequencies are all partial-aggregable groupBys; the query-term set and
+    * the one-row (N, avgdl) stats ride broadcasts; the final ranking is a
+    * TakeOrdered top-10, never a global sort. Scoring docs against a query
+    * at 100 TB stays one scan + thin aggregates.
+    */
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val q = toks.filter(col("doc_id") === 0).select("w").distinct()
+    val tf = toks.join(broadcast(q), "w").groupBy("doc_id", "w")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "w").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (bm25K1 + 1)) /
+          (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl")))).as("ts"))
+      .groupBy("doc_id").agg(round(sum("ts"), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(10)
+  }
+
   /** Fingerprint clusters: docs whose sorted-distinct-word set collides. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -156,6 +191,23 @@ object TextQueries {
           |      ORDER BY round(tf.tf * ln(nn.n/dfreq.df), 6) DESC, tf.w) AS INTEGER) AS rn
           |  FROM tf JOIN dfreq ON dfreq.w = tf.w, nn) t
           |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+      "text_bm25" ->
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |            FROM documents),
+          |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+          |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+          |q AS (SELECT DISTINCT w FROM tk WHERE doc_id = 0),
+          |tf AS (SELECT t.doc_id, t.w, count(*) AS tf FROM tk t JOIN q ON q.w = t.w
+          |       GROUP BY t.doc_id, t.w),
+          |dfreq AS (SELECT w, count(*) AS df FROM
+          |          (SELECT DISTINCT doc_id, w FROM tk) GROUP BY w)
+          |SELECT tf.doc_id,
+          |  round(sum(ln(1.0 + (st.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) *
+          |    (tf.tf * ${bm25K1 + 1}) /
+          |    (tf.tf + $bm25K1 * (${1 - bm25B} + $bm25B * dl.dl / st.avgdl))), 6) AS bm25
+          |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
+          |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 10""".stripMargin,
       "text_fingerprint" ->
         """SELECT fp, count(*) AS c, min(doc_id) AS keeper FROM
           | (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp,

@@ -120,6 +120,23 @@ class DedupSpec extends SparkSpec {
     assert(cands.collect().toSet == uncapped.collect().toSet)
   }
 
+  test("duplicateSpans finds cross-doc verbatim runs, never intra-doc repeats") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"prefix words here $shared"),
+      (2L, s"$shared and a different suffix"),
+      // doc 3 repeats its own span twice but shares it with nobody
+      (3L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(corpus, w = 8).collect()
+    // exactly the shared 8-word run, attributed to both docs, keeper = min id
+    assert(spans.length == 1)
+    assert(spans.head.getLong(1) == 2L)      // ndocs
+    assert(spans.head.getLong(2) == 1L)      // first_doc
+    // minDocs above the span's doc count empties the result
+    assert(Dedup.duplicateSpans(corpus, w = 8, minDocs = 3).count() == 0)
+  }
+
   test("simhash band cap bounds a degenerate corpus the same way") {
     import spark.implicits._
     val flood = (0L until 100L).map(i => (i, "same words in every doc here")).toDF("doc_id", "text")

@@ -28,6 +28,24 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() == docs.count())
   }
 
+  test("weightedSample: degenerate weights, determinism, and per-doc monotonicity") {
+    import org.apache.spark.sql.functions.lit
+    assert(Sampling.weightedSample(docs, lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(docs, lit(1.0)).count() == docs.count())
+    def ids(w: Double): Set[Long] =
+      Sampling.weightedSample(docs, lit(w)).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val half = ids(0.5)
+    assert(ids(0.5) == half)          // reproducible
+    assert(half.subsetOf(ids(0.8)))   // raising weight only adds docs
+    assert(ids(0.2).subsetOf(half))
+    // uses a different salt than mixSample, so the two samplers are
+    // independent draws, not the same cut at different thresholds
+    val mixHalf = Sampling.mixSample(docs, allSources.map(_ -> 0.5).toMap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half != mixHalf)
+  }
+
   test("packShards is chunkWidth-invariant: two-level equals the single-window form") {
     // chunkWidth = Long.MaxValue collapses to one chunk per source — the
     // original single-window formulation; any other width must produce the

@@ -95,6 +95,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("funnel stages are thin aggregates, not a window over the event history") {
+    // the scale shape: three filtered groupBy(min)s joined on user_id. A
+    // window over each user's full event sequence would buffer the history
+    // per user; the aggregate form shuffles one row per (user, stage).
+    val p = plans("q42_funnel")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p)
+  }
+
+  test("duplicate-span detection never joins documents to documents") {
+    // spans are found by AGGREGATING on the span hash — any join in this
+    // plan means a doc-to-doc comparison crept in, which is the O(n²) shape
+    // the operator exists to avoid.
+    assert(!plans("dedup_spans").contains("Join"), plans("dedup_spans"))
+  }
+
+  test("tfidf and bm25 corpus stats ride a broadcast, not a driver collect or shuffle") {
+    // N / avgdl are single-row aggregates crossJoined back in; they must
+    // plan as BroadcastNestedLoopJoin (tiny build side), never a cartesian
+    // or a hash-exchange of the token stream against a one-row frame.
+    Seq("text_tfidf", "text_bm25").foreach { n =>
+      assert(plans(n).contains("BroadcastNestedLoopJoin"), n)
+    }
+  }
+
+  test("weighted sampling is a stateless filter: no hash shuffle before the final sort") {
+    assert(!plans("mix_weighted").contains("hashpartitioning"), plans("mix_weighted"))
+  }
+
+  test("range window uses a RangeFrame over the epoch key, not a row frame") {
+    assert(plans("q43_range_window").contains("RangeFrame"), plans("q43_range_window"))
+  }
+
   test("unpivot plans a single Expand over one scan, not a self-union") {
     val p = plans("q36_unpivot")
     assert(p.contains("Expand"), p)
