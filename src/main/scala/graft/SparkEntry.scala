@@ -105,6 +105,7 @@ object SparkEntry {
     "sim_ivf_staged"     -> SimilarityQueries.ivfStagedTopK _,
     "sim_ivf_trained"    -> SimilarityQueries.ivfTrainedTopK _,
     "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
+    "sim_pq_topk"        -> SimilarityQueries.pqTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,

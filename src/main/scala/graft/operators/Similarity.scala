@@ -381,6 +381,86 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  /** Product-quantization geometry: [[pqM]] subspaces of `dims/pqM`
+    * components each, [[pqK]] codewords per subspace. At these defaults a
+    * 64-dim float vector (256 bytes) compresses to 8 half-byte codes — the
+    * 100 TB memory-residency lever for ANN serving (the IVF-PQ layout:
+    * coarse lists from [[ivfTopK]]/[[stageIvfBucketed]], residuals coded by
+    * THIS operator inside each list).
+    */
+  val pqM = 8
+  val pqK = 16
+  def pqSubDim: Int = dims / pqM
+
+  /** One row per (subspace j, vector): the vector's j-th `pqSubDim`-wide
+    * slice. The explode is how every PQ stage stays a plain equi-join /
+    * partial-aggregable groupBy instead of a per-vector loop.
+    */
+  private def pqSubspaces(df: DataFrame, out: String,
+                          idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${pqM - 1}), j -> struct(j AS j, slice($vecCol, j*$pqSubDim+1, $pqSubDim) AS $out))")).as("e"))
+      .select(col(idCol), col("e.j").as("j"), col(s"e.$out").as(out))
+
+  /** Deterministic PQ codebook stand-in (same convention as [[ivfTopK]]'s
+    * centroids): codeword (j, k) is the j-th slice of vector `k`. A trained
+    * codebook (per-subspace [[trainCentroids]] on slices) swaps in without
+    * changing any downstream plan.
+    */
+  def pqCodebook(emb: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    pqSubspaces(emb.filter(col(idCol) < pqK), "cw", idCol, vecCol)
+      .select(col("j"), col(idCol).cast("long").as("k"), col("cw"))
+
+  /** Left-to-right-fold squared L2 between two subvector columns — the fold
+    * order DuckDB's `list_sum(list_transform(...))` reproduces exactly.
+    */
+  private def l2sq(a: String, b: String): Column =
+    expr(s"""aggregate(zip_with($a, $b,
+        (x, c) -> (CAST(x AS DOUBLE)-CAST(c AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(c AS DOUBLE))),
+        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+
+  /** PQ-encode a corpus: per (vector, subspace), the nearest codeword id by
+    * squared L2 (ties toward the smaller id — the same aggregation-argmax as
+    * IVF assignment, no window sort over the n×M×K distance rows). Encoding
+    * work is linear in corpus size; the output is M small ints per vector —
+    * the representation that keeps a 100 TB corpus's ANN index in memory.
+    */
+  def pqEncode(emb: DataFrame, codebook: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqSubspaces(emb, "sv", idCol, vecCol)
+      .join(broadcast(codebook), "j")
+      .select(col(idCol), col("j"), col("k"), l2sq("sv", "cw").as("dist"))
+      .groupBy(idCol, "j")
+      .agg(max_by(col("k"), struct((-col("dist")).as("nd"), (-col("k")).as("tie"))).as("code"))
+
+  /** Asymmetric-distance (ADC) top-k: the query stays full-precision, the
+    * corpus is ranked entirely from its PQ codes. The M×K inner-product
+    * lookup table dot(q_j, codeword_{j,k}) is built once from the query and
+    * broadcast; each vector's score is then Σ_j lut[j, code_j] — a
+    * broadcast equi-join on (j, code) plus a partial-aggregable per-vector
+    * sum (summed in fixed ascending-j order so the result is bit-identical
+    * across partitionings and engines), then TakeOrdered. After encoding,
+    * ranking never touches a float vector — the PQ promise.
+    */
+  def pqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(emb, idCol, vecCol)
+    val codes = pqEncode(emb, cb, idCol, vecCol)
+    val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
+      .join(broadcast(cb), "j")
+      .select(col("j").as("lj"), col("k").as("lk"),
+        expr(s"""aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("ip"))
+    codes.join(broadcast(lut), col("j") === col("lj") && col("code") === col("lk"))
+      .groupBy(idCol)
+      .agg(round(expr(
+        "aggregate(array_sort(collect_list(struct(j AS j, ip AS ip))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.ip)"), 6).as("adc"))
+      .orderBy(desc("adc"), asc(idCol))
+      .limit(k)
+  }
+
   /** Random-projection dimensionality reduction: project each vector onto
     * `outDims` pseudo-random hyperplanes (the SAME fixed-LCG family as the
     * LSH codes, offset so the two never share planes) — the

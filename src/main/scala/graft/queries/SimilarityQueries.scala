@@ -75,6 +75,13 @@ object SimilarityQueries {
   def quantTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.quantTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
+  /** Top-10 by PQ asymmetric distance: the corpus ranked purely from its
+    * 8-subspace product-quantization codes against the query's broadcast
+    * inner-product lookup table ([[Similarity.pqTopK]]).
+    */
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
+
   /** Top-10 by cosine in the random-projection-REDUCED space (64→16 dims,
     * [[Similarity.withRandomProjection]]): the JL bandwidth/FLOP cut
     * composed with the q19 broadcast-and-TakeOrdered search shape.
@@ -258,7 +265,39 @@ object SimilarityQueries {
        |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB rendering of the PQ ADC path: codebook + subspace slices via a
+    * range lateral, argmin codes via ROW_NUMBER with Spark `max_by`'s
+    * (dist, k) tie rule, LUT from the query row, and the per-vector score
+    * summed in ascending-j order (`list(ip ORDER BY j)` — the same fixed
+    * fold order as the Scala side's sorted-struct aggregate).
+    */
+  private def pqSql: String = {
+    val (m, kk, sd) = (Similarity.pqM, Similarity.pqK, Similarity.pqSubDim)
+    def sliceSql(v: String) = s"$v[j*$sd+1 : j*$sd+$sd]"
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))))"
+    def ip(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+    s"""WITH cb AS (SELECT j, vec_id AS k, ${sliceSql("embedding")} AS cw
+       |            FROM embeddings, range(0, $m) t(j) WHERE vec_id < $kk),
+       |sub AS (SELECT vec_id, j, ${sliceSql("embedding")} AS sv
+       |        FROM embeddings, range(0, $m) t(j)),
+       |codes AS (SELECT vec_id, j, k AS code FROM
+       |  (SELECT s.vec_id, s.j, c.k,
+       |     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+       |       ORDER BY ${l2("s.sv", "c.cw")}, c.k) AS rn
+       |   FROM sub s JOIN cb c ON c.j = s.j) t WHERE rn = 1),
+       |lut AS (SELECT c.j, c.k, ${ip("q.sv", "c.cw")} AS ip
+       |        FROM (SELECT j, sv FROM sub WHERE vec_id = 0) q JOIN cb c ON c.j = q.j)
+       |SELECT vec_id, round(radc, 6) AS adc FROM
+       |  (SELECT cd.vec_id, list_sum(list(l.ip ORDER BY cd.j)) AS radc
+       |   FROM codes cd JOIN lut l ON l.j = cd.j AND l.k = cd.code
+       |   GROUP BY cd.vec_id) t
+       |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_pq_topk" -> pqSql,
     "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
     "sim_lsh_staged" ->

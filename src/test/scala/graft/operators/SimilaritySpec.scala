@@ -102,6 +102,24 @@ class SimilaritySpec extends SparkSpec {
     assert(sims == sims.sorted.reverse)
   }
 
+  test("PQ: codebook vectors encode to their own id; codes bounded; ADC is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val cb = Similarity.pqCodebook(emb)
+    assert(cb.count() == Similarity.pqM.toLong * Similarity.pqK)
+    val codes = Similarity.pqEncode(emb, cb)
+    // every code is a valid codeword id
+    assert(codes.filter(col("code") < 0 || col("code") >= Similarity.pqK).count() == 0)
+    // a codeword's source vector is L2-distance 0 from its own codeword in
+    // every subspace, so it must encode to itself
+    val self = codes.filter(col("vec_id") < Similarity.pqK)
+      .filter(col("code") =!= col("vec_id")).count()
+    assert(self == 0)
+    // ADC ranking is reproducible run to run (fixed fold order in the score)
+    val a = Similarity.pqTopK(emb, queryId = 0L, k = 10).collect().toSeq
+    val b = Similarity.pqTopK(emb, queryId = 0L, k = 10).collect().toSeq
+    assert(a == b && a.length == 10)
+  }
+
   test("int8 quantization: codes bounded, self-similarity 1.0, ranking tracks exact cosine") {
     import org.apache.spark.sql.functions._
     val coded = Similarity.withQuantized(emb)

@@ -138,6 +138,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("sim_rp_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("PQ ranking: codebook and LUT ride broadcasts, encode argmax is window-free, top-k is TakeOrdered") {
+    val p = plans("sim_pq_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("decontamination filters raw shingles broadcast-side before any dedup shuffle") {
     val p = plans("dedup_decontam")
     // the CORPUS branch — the text between the BroadcastHashJoin node and
