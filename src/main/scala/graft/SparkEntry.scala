@@ -106,6 +106,7 @@ object SparkEntry {
     "sim_ivf_trained"    -> SimilarityQueries.ivfTrainedTopK _,
     "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
     "sim_pq_topk"        -> SimilarityQueries.pqTopK _,
+    "sim_ivfpq_topk"     -> SimilarityQueries.ivfPqTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "mm_meta"            -> MultimodalQueries.meta _,

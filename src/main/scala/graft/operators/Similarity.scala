@@ -461,6 +461,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ: the composed serving architecture — IVF's coarse inverted
+    * lists choose WHERE to look (only the `nprobe` lists nearest the query
+    * are touched), PQ's codes decide HOW candidates are ranked (ADC from
+    * the broadcast lookup table, no float vectors). This is the standard
+    * billion-scale ANN layout: at 100 TB the lists are a storage key
+    * ([[stageIvfBucketed]]) and the in-list representation is the 32×
+    * compressed codes, so a probe reads a few lists' worth of bytes and
+    * ranks them from memory. Here composed over the same deterministic
+    * stand-in centroids/codebook as the parts, so the whole path stays
+    * oracle-checkable; PQ encoding runs on the probed candidates only
+    * (work ∝ lists touched, same rows-out as encoding everything and
+    * filtering).
+    */
+  def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
+                centroidsNOpt: Option[Int] = None, nprobe: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                nOpt: Option[Long] = None): DataFrame = {
+    val centroidsN = centroidsNOpt.getOrElse(centroidsFor(nOpt.getOrElse(emb.count())))
+    val cent = emb.filter(col(idCol) < centroidsN)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("cid"), VectorOps.cosine(col("ce"), col("qe")).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(nprobe)
+      .select("cid")
+    val cands = emb.join(assigned, idCol).join(broadcast(probes), "cid")
+      .select(col(idCol), col(vecCol))
+
+    val cb = pqCodebook(emb, idCol, vecCol)
+    val codes = pqEncode(cands, cb, idCol, vecCol)
+    val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
+      .join(broadcast(cb), "j")
+      .select(col("j").as("lj"), col("k").as("lk"),
+        expr(s"""aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("ip"))
+    codes.join(broadcast(lut), col("j") === col("lj") && col("code") === col("lk"))
+      .groupBy(idCol)
+      .agg(round(expr(
+        "aggregate(array_sort(collect_list(struct(j AS j, ip AS ip))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.ip)"), 6).as("adc"))
+      .orderBy(desc("adc"), asc(idCol))
+      .limit(k)
+  }
+
   /** Random-projection dimensionality reduction: project each vector onto
     * `outDims` pseudo-random hyperplanes (the SAME fixed-LCG family as the
     * LSH codes, offset so the two never share planes) — the

@@ -82,6 +82,14 @@ object SimilarityQueries {
   def pqTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.pqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10)
 
+  /** Top-10 via IVF-PQ ([[Similarity.ivfPqTopK]]): probe the 2 nearest
+    * inverted lists, rank the survivors purely from their PQ codes — the
+    * composed billion-scale serving shape, oracled end to end.
+    */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
+      nOpt = Some(embCount(s, dir)))
+
   /** Top-10 by cosine in the random-projection-REDUCED space (64→16 dims,
     * [[Similarity.withRandomProjection]]): the JL bandwidth/FLOP cut
     * composed with the q19 broadcast-and-TakeOrdered search shape.
@@ -296,8 +304,50 @@ object SimilarityQueries {
        |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
   }
 
+  /** DuckDB rendering of the composed IVF-PQ path: the `sim_ivf_topk`
+    * assignment/probe CTEs pick the candidate lists, the `sim_pq_topk`
+    * code/LUT CTEs rank them (codes joined to the probed-list members —
+    * same rows as encoding candidates only).
+    */
+  private def ivfPqSql: String = {
+    val (m, kk, sd) = (Similarity.pqM, Similarity.pqK, Similarity.pqSubDim)
+    def sliceSql(v: String) = s"$v[j*$sd+1 : j*$sd+$sd]"
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))))"
+    def ip(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+       |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+       |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qprobe AS (SELECT cid FROM
+       |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+       |   FROM cent c, q) t WHERE rn <= 2),
+       |cands AS (SELECT a.vec_id FROM a JOIN qprobe p ON p.cid = a.cid),
+       |cb AS (SELECT j, vec_id AS k, ${sliceSql("embedding")} AS cw
+       |       FROM embeddings, range(0, $m) t(j) WHERE vec_id < $kk),
+       |sub AS (SELECT e.vec_id, j, ${sliceSql("e.embedding")} AS sv
+       |        FROM embeddings e JOIN cands cd ON cd.vec_id = e.vec_id, range(0, $m) t(j)),
+       |codes AS (SELECT vec_id, j, k AS code FROM
+       |  (SELECT s.vec_id, s.j, c.k,
+       |     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+       |       ORDER BY ${l2("s.sv", "c.cw")}, c.k) AS rn
+       |   FROM sub s JOIN cb c ON c.j = s.j) t WHERE rn = 1),
+       |qsub AS (SELECT j, ${sliceSql("embedding")} AS sv FROM embeddings, range(0, $m) t(j)
+       |         WHERE vec_id = 0),
+       |lut AS (SELECT c.j, c.k, ${ip("qs.sv", "c.cw")} AS ip
+       |        FROM qsub qs JOIN cb c ON c.j = qs.j)
+       |SELECT vec_id, round(radc, 6) AS adc FROM
+       |  (SELECT cd.vec_id, list_sum(list(l.ip ORDER BY cd.j)) AS radc
+       |   FROM codes cd JOIN lut l ON l.j = cd.j AND l.k = cd.code
+       |   GROUP BY cd.vec_id) t
+       |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "sim_pq_topk" -> pqSql,
+    "sim_ivfpq_topk" -> ivfPqSql,
     "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
     "sim_lsh_staged" ->

@@ -120,6 +120,20 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.length == 10)
   }
 
+  test("IVF-PQ results are PQ-ranked members of the probed IVF lists") {
+    import org.apache.spark.sql.functions.col
+    val ivfpq = Similarity.ivfPqTopK(emb, queryId = 0L, k = 10).collect()
+    assert(ivfpq.length == 10)
+    // every returned id must be in the candidate set ivfTopK would search
+    // (same centroids, same 2-list probe) — the IVF part restricts, the PQ
+    // part only re-ranks
+    val ivfUniverse = Similarity.ivfTopK(emb, queryId = 0L, k = Int.MaxValue - 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ivfpq.map(_.getLong(0)).forall(ivfUniverse.contains))
+    // deterministic
+    assert(Similarity.ivfPqTopK(emb, queryId = 0L, k = 10).collect().toSeq == ivfpq.toSeq)
+  }
+
   test("int8 quantization: codes bounded, self-similarity 1.0, ranking tracks exact cosine") {
     import org.apache.spark.sql.functions._
     val coded = Similarity.withQuantized(emb)

@@ -139,10 +139,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("PQ ranking: codebook and LUT ride broadcasts, encode argmax is window-free, top-k is TakeOrdered") {
-    val p = plans("sim_pq_topk")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("windowspecdefinition"), p)
-    assert(p.contains("TakeOrderedAndProject"), p)
+    Seq("sim_pq_topk", "sim_ivfpq_topk").foreach { n =>
+      val p = plans(n)
+      assert(p.contains("BroadcastHashJoin"), n)
+      assert(!p.contains("windowspecdefinition"), n)
+      assert(p.contains("TakeOrderedAndProject"), n)
+    }
   }
 
   test("decontamination filters raw shingles broadcast-side before any dedup shuffle") {
