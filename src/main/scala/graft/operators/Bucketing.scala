@@ -43,5 +43,23 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Append a batch into an EXISTING bucketed table with the same (key,
+    * buckets) spec — the incremental-maintenance path: each append shuffles
+    * only the batch into its buckets (new files tagged with their bucket
+    * id), existing data is never rewritten, and bucket pruning / exchange-
+    * free joins keep working because every file still belongs to exactly one
+    * bucket. In-bucket sort order holds per file (each appended file is
+    * sorted), which is what Spark's bucketed-scan contract requires.
+    */
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"appendBucketed needs a simple [A-Za-z0-9_]+ table name, got $table")
+    df.write.mode("append")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -327,6 +327,19 @@ object Similarity {
       withLshCode(emb, vecCol, planes).select(col(idCol), col(vecCol), col("lsh_code")),
       table, "lsh_code", buckets)
 
+  /** Append a new batch into a [[stageLshBucketed]] index — the ingest path
+    * that keeps the serving index live without restaging the corpus: the
+    * batch is coded and shuffled into the existing buckets
+    * ([[Bucketing.appendBucketed]]); per-ingest cost ∝ batch size, and
+    * probes over the grown index stay bucket-pruned.
+    */
+  def appendStagedLsh(batch: DataFrame, table: String, planes: Int = lshPlanes,
+                      buckets: Int = 16, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit =
+    Bucketing.appendBucketed(
+      withLshCode(batch, vecCol, planes).select(col(idCol), col(vecCol), col("lsh_code")),
+      table, "lsh_code", buckets)
+
   /** Probe a [[stageLshBucketed]] table: candidates = rows whose code is
     * within Hamming distance 1 of the query's code, fetched via the literal
     * probe-code list (bucket-pruned scan); exact cosine re-ranks survivors.

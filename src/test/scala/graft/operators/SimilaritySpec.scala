@@ -189,6 +189,28 @@ class SimilaritySpec extends SparkSpec {
     assert(staged.nonEmpty && staged == unstaged)
   }
 
+  test("staged LSH index append: stage-then-append equals staging everything at once") {
+    import org.apache.spark.sql.functions._
+    val planes = 8
+    // day 0: stage the first 400 vectors; day 1: append the remaining batch
+    Similarity.stageLshBucketed(emb.filter(col("vec_id") < 400),
+      "graft_test_ann_lsh_incr", planes, buckets = 16)
+    Similarity.appendStagedLsh(emb.filter(col("vec_id") >= 400),
+      "graft_test_ann_lsh_incr", planes, buckets = 16)
+    Similarity.stageLshBucketed(emb, "graft_test_ann_lsh_full", planes, buckets = 16)
+    val q = Similarity.withLshCode(emb.filter(col("vec_id") === 0), "embedding", planes)
+      .select(col("embedding"), col("lsh_code")).head()
+    def probe(t: String) = Similarity.probeStagedLsh(spark, t,
+      q.getSeq[Float](0).toArray, q.getLong(1), planes, k = 10)
+    assert(probe("graft_test_ann_lsh_incr").collect().toSeq ==
+      probe("graft_test_ann_lsh_full").collect().toSeq)
+    // pruning survives the append: the probe still reads a strict subset of buckets
+    val plan = probe("graft_test_ann_lsh_incr").queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt)
+  }
+
   test("staged IVF probe equals ivfTopK (lists staged once vs assigned per query)") {
     import org.apache.spark.sql.functions._
     val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
