@@ -76,6 +76,10 @@ object SparkEntry {
     "q41_window_analytics" -> CoreQueries.q41 _,
     "q42_funnel"         -> CoreQueries.q42 _,
     "q43_range_window"   -> CoreQueries.q43 _,
+    "q44_stats"          -> CoreQueries.q44 _,
+    "q45_histogram"      -> CoreQueries.q45 _,
+    "q46_outliers"       -> CoreQueries.q46 _,
+    "q47_zorder"         -> CoreQueries.q47 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -83,6 +87,8 @@ object SparkEntry {
     "text_fingerprint"   -> TextQueries.fingerprints _,
     "text_tfidf"         -> TextQueries.tfidf _,
     "text_bm25"          -> TextQueries.bm25 _,
+    "text_vocab"         -> TextQueries.vocab _,
+    "text_lm_score"      -> TextQueries.lmScore _,
     "text_repetition"    -> TextQueries.repetition _,
     "text_rolling_fp"    -> TextQueries.rollingFp _,
     "dedup_exact"        -> DedupQueries.exact _,

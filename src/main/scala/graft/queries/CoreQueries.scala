@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.VectorOps
+import graft.operators.Layout
 
 /** The declared relational query set (FIXTURES.md §3, Q01-Q19), written
   * DataFrame-first so Catalyst plans them (column pruning + filter pushdown to
@@ -542,6 +543,95 @@ object CoreQueries {
         round(sum("value").over(w), 6).as("sv_1h"))
       .orderBy("event_id")
   }
+
+  /** Q44 — statistical profile: per-flag correlation, sample covariance and
+    * standard deviation of (l_quantity, l_extendedprice). Instead of the
+    * built-in `corr`/`covar_samp` (whose double co-moment accumulation is
+    * order-dependent and engine-specific), the five raw moments Σx Σy Σxy
+    * Σx² Σy² ride EXACT DECIMAL sums (the q05 order-independence move) and
+    * the closed-form statistics are computed from them in double at the end
+    * — one partial-aggregable pass, bit-identical across engines, and the
+    * same single-scan shape `corr` itself plans.
+    */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val nd = col("n").cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(y.cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((x * y).cast("decimal(38,6)")).cast("double").as("sxy"),
+        sum((x * x).cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(38,6)")).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("sxy") - col("sx") * col("sy") / nd) / (nd - 1), 6).as("cov"),
+        round((nd * col("sxy") - col("sx") * col("sy")) /
+          sqrt((nd * col("sxx") - col("sx") * col("sx")) *
+               (nd * col("syy") - col("sy") * col("sy"))), 6).as("corr"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)), 6).as("sd_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q45 — fixed-width histogram (20 bins) over l_extendedprice: the (min,
+    * max) envelope is ONE aggregated row broadcast back over the scan, bin
+    * assignment is pure row-local double arithmetic (identical IEEE ops in
+    * both engines — min/max of doubles is order-independent, so the edges
+    * are exact), and the bin counts are a partial-aggregable groupBy. Two
+    * scans total, no shuffle wider than 20 rows.
+    */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val mm = li.agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    val width = (col("hi") - col("lo")) / 20.0
+    li.crossJoin(broadcast(mm))
+      .select(
+        least(floor((col("l_extendedprice") - col("lo")) / width), lit(19.0)).cast("long").as("bin"),
+        (col("lo") + least(floor((col("l_extendedprice") - col("lo")) / width), lit(19.0)) * width).as("edge"))
+      .groupBy("bin")
+      .agg(round(min("edge"), 6).as("lo_edge"), count(lit(1)).as("c"))
+      .orderBy("bin")
+  }
+
+  /** Q46 — IQR outlier detection per event type: the Tukey fence
+    * q3 + 1.5·(q3 − q1) from exact interpolated percentiles (q27's
+    * aggregate), broadcast back over the events scan, then a
+    * partial-aggregable count/max of the rows above it. The percentile
+    * aggregate sees each group once; the fence table is a handful of rows —
+    * at 100 TB the second pass is a plain filtered scan, never a sort.
+    */
+  def q46(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val fences = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+           expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("fence"))
+    ev.join(broadcast(fences), "event_type")
+      .filter(col("value") > col("fence"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("outliers"),
+        round(min("fence"), 6).as("fence6"),
+        round(max("value"), 6).as("worst"))
+      .orderBy("event_type")
+  }
+
+  /** Q47 — Z-order layout clustering (the multi-dimensional pruning layout,
+    * [[graft.operators.Layout]]): Morton-interleave (l_suppkey, l_partkey)
+    * and profile the curve — per coarse z-cell, the row count and the exact
+    * z envelope. The interleave is a pure bitwise fold inside codegen; the
+    * cell profile is one partial-aggregable groupBy. The staged form
+    * ([[Layout.zorderBy]], spec-pinned) is what a 100 TB table would write:
+    * range-partitioned + sorted by `zval`, so a predicate on EITHER key
+    * prunes row groups via min/max stats.
+    */
+  def q47(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(Layout.zvalue(col("l_suppkey"), col("l_partkey")).as("z"))
+      .groupBy(shiftright(col("z"), 8).as("cell"))
+      .agg(count(lit(1)).as("c"), min("z").as("zlo"), max("z").as("zhi"))
+      .orderBy("cell")
 
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst

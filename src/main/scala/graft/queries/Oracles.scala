@@ -179,6 +179,39 @@ object Oracles {
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         | ORDER BY event_id""".stripMargin.replaceAll("\n", ""),
+    "q44_stats" ->
+      """WITH a AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS nd, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | round((sxy - sx*sy/nd)/(nd - 1), 6) AS cov,
+        | round((nd*sxy - sx*sy)/sqrt((nd*sxx - sx*sx)*(nd*syy - sy*sy)), 6) AS corr,
+        | round(sqrt((sxx - sx*sx/nd)/(nd - 1)), 6) AS sd_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q45_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - lo)/((hi - lo)/20.0)), 19.0) AS BIGINT) AS bin,
+        | round(min(lo + least(floor((l_extendedprice - lo)/((hi - lo)/20.0)), 19.0)*((hi - lo)/20.0)), 6) AS lo_edge,
+        | count(*) AS c
+        |FROM lineitem, mm GROUP BY bin ORDER BY bin""".stripMargin,
+    "q46_outliers" ->
+      """WITH f AS (SELECT event_type,
+        |  quantile_cont(value, 0.75) + (quantile_cont(value, 0.75) - quantile_cont(value, 0.25))*1.5 AS fence
+        | FROM events GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS outliers,
+        | round(min(f.fence), 6) AS fence6, round(max(e.value), 6) AS worst
+        |FROM events e JOIN f ON f.event_type = e.event_type
+        |WHERE e.value > f.fence
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q47_zorder" ->
+      s"""SELECT (z >> 8) AS cell, count(*) AS c, min(z) AS zlo, max(z) AS zhi
+         |FROM (SELECT ${graft.operators.Layout.zvalueSql("l_suppkey", "l_partkey")} AS z
+         |      FROM lineitem) t
+         |GROUP BY cell ORDER BY cell""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -139,6 +139,57 @@ object TextQueries {
       .orderBy(desc("c"), asc("fp"))
       .limit(50)
 
+  /** How many tokens the vocabulary keeps. A val so the oracle is rendered
+    * from the same constant.
+    */
+  val vocabSize = 200
+
+  /** Vocabulary construction: the top-[[vocabSize]] corpus tokens by
+    * frequency, assigned dense contiguous ids in (count DESC, token) order —
+    * the id table a tokenizer trains from. The frequency count is one
+    * partial-aggregable groupBy over the token explode; ranking is a
+    * TakeOrdered top-k (never a global sort of the vocabulary); the
+    * row_number window runs AFTER the limit, over `vocabSize` rows — its
+    * single-partition shape is bounded by the constant, not the corpus.
+    */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("token")).limit(vocabSize)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("c"), asc("token"))
+    top.withColumn("id", row_number().over(w).cast("int"))
+      .select(col("id"), col("token"), col("c"))
+      .orderBy("id")
+  }
+
+  /** Unigram language-model scoring: train p(w) = count(w)/total on the full
+    * corpus, then score each doc by its mean token log-probability — the
+    * cheap perplexity proxy a curation pipeline thresholds on (boilerplate
+    * and word-salad score low; typical prose scores near the corpus mode).
+    * Two partial-aggregable passes over one token explode; the scalar total
+    * rides a broadcast. Per-doc mean goes through sort-then-sum
+    * (`aggregate(array_sort(collect_list(...)))`) so the double accumulation
+    * order is identical in Spark and the oracle; the list is bounded by a
+    * single document's length, never the corpus.
+    */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum("c").cast("double").as("tot"))
+    toks.filter(col("doc_id") < 200)
+      .join(wc, "w").crossJoin(broadcast(tot))
+      .select(col("doc_id"), log(col("c") / col("tot")).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(
+        expr("aggregate(array_sort(collect_list(lp)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / count(lit(1)), 6).as("lm_logp"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = {
     val punctSql =
       "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
@@ -208,6 +259,20 @@ object TextQueries {
           |    (tf.tf + $bm25K1 * (${1 - bm25B} + $bm25B * dl.dl / st.avgdl))), 6) AS bm25
           |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
           |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 10""".stripMargin,
+      "text_vocab" ->
+        s"""SELECT CAST(row_number() OVER (ORDER BY c DESC, token) AS INTEGER) AS id, token, c FROM (
+           |  SELECT token, count(*) AS c FROM
+           |    (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+           |  WHERE token <> '' GROUP BY token ORDER BY c DESC, token LIMIT $vocabSize) v
+           |ORDER BY id""".stripMargin,
+      "text_lm_score" ->
+        """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+          |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+          |wc AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+          |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM wc)
+          |SELECT doc_id, round(list_sum(list_sort(list(ln(c/tot))))/count(*), 6) AS lm_logp
+          |FROM tk JOIN wc USING (w), tot WHERE doc_id < 200
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_fingerprint" ->
         """SELECT fp, count(*) AS c, min(doc_id) AS keeper FROM
           | (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp,
