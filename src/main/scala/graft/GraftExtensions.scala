@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{FloatDotProduct, LongDotProduct, LshCode, RollingHashMin, SimhashAgg}
+import graft.expressions.{FloatDotProduct, FreqItemsAgg, LongDotProduct, LshCode, RollingHashMin, SimhashAgg}
 import graft.operators.Similarity
 
 /** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
@@ -18,6 +18,8 @@ import graft.operators.Similarity
   *   graft_rolling_fp(t, w)    — min w-char rolling-hash fingerprint
   *   graft_simhash(lo, hi)     — aggregate: 64-bit SimHash from two 32-bit
   *                               hash halves
+  *   graft_freq_items(t, k)    — aggregate: Misra-Gries heavy hitters with
+  *                               at most k counters per buffer
   *
   * Registered through `injectFunction`, the standard extension point — no
   * analyzer/optimizer forks, and the functions resolve in any session built
@@ -90,5 +92,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash",
         "graft_simhash(lo, hi) - aggregate 64-bit SimHash over 32-bit hash halves"),
       binary("graft_simhash", SimhashAgg(_, _))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      info("graft_freq_items",
+        "graft_freq_items(token, capacity) - Misra-Gries heavy-hitters aggregate; " +
+          "at most `capacity` counters per buffer, counts exact while distinct " +
+          "cardinality stays within capacity, otherwise underestimates by <= n/(capacity+1)"),
+      { args: Seq[Expression] =>
+        args match {
+          case Seq(t, Literal(k: Int, _)) => FreqItemsAgg(t, k)
+          case Seq(_, k) => throw new IllegalArgumentException(
+            s"graft_freq_items: capacity must be an INTEGER literal, got ${k.sql}")
+          case other => throw new IllegalArgumentException(
+            s"graft_freq_items expects exactly 2 arguments (token, capacity literal), got ${other.length}")
+        }
+      }))
   }
 }

@@ -88,6 +88,7 @@ object SparkEntry {
     "text_tfidf"         -> TextQueries.tfidf _,
     "text_bm25"          -> TextQueries.bm25 _,
     "text_vocab"         -> TextQueries.vocab _,
+    "text_heavy"         -> TextQueries.heavy _,
     "text_lm_score"      -> TextQueries.lmScore _,
     "text_repetition"    -> TextQueries.repetition _,
     "text_rolling_fp"    -> TextQueries.rollingFp _,

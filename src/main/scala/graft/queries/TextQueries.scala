@@ -190,6 +190,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Misra-Gries sketch capacity for [[heavy]]. A val shared with the
+    * exact-regime guard and the spec.
+    */
+  val heavyCapacity = 64
+
+  /** Cached corpus-vocabulary sizes for the exact-regime guard (one count
+    * job per (session, dir), shared across declare-time re-plans).
+    */
+  private val vocabCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** Heavy hitters over the token stream via [[graft.expressions.FreqItemsAgg]]
+    * — ONE mergeable aggregate whose buffer holds at most [[heavyCapacity]]
+    * counters no matter the input size; at 100 TB the shuffle carries a
+    * fixed-size sketch, never the token-frequency table. The oracle compares
+    * against exact counts, which is sound only while the corpus vocabulary
+    * fits the sketch (the Misra-Gries exact regime — decrements never fire);
+    * the guard fails LOUDLY if the corpus outgrows that regime, the
+    * fixedWidthPlanes move from the similarity suite.
+    */
+  def heavy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val vocabN = vocabCounts.getOrElseUpdate((s, dir), toks.distinct().count())
+    require(vocabN <= heavyCapacity,
+      s"corpus vocabulary $vocabN exceeds the $heavyCapacity-counter exact regime " +
+        "— the exact-count oracle would silently diverge; raise heavyCapacity")
+    val agg = graft.expressions.FreqItemsAgg(
+      ColumnBridge.expression(col("token")), heavyCapacity).toAggregateExpression()
+    toks.agg(ColumnBridge.column(agg).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.cnt").as("c"))
+      .orderBy(desc("c"), asc("token"))
+      .limit(20)
+  }
+
   val oracle: Map[String, String] = {
     val punctSql =
       "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
@@ -273,6 +311,12 @@ object TextQueries {
           |SELECT doc_id, round(list_sum(list_sort(list(ln(c/tot))))/count(*), 6) AS lm_logp
           |FROM tk JOIN wc USING (w), tot WHERE doc_id < 200
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_heavy" ->
+        """SELECT token, c FROM (
+          |  SELECT token, count(*) AS c FROM
+          |    (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+          |  WHERE token <> '' GROUP BY token) v
+          |ORDER BY c DESC, token LIMIT 20""".stripMargin,
       "text_fingerprint" ->
         """SELECT fp, count(*) AS c, min(doc_id) AS keeper FROM
           | (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp,

@@ -26,5 +26,11 @@ class CurationSpec extends SparkSpec {
     // partition pruning works: one source reads a strict subset of files
     val one = back.filter(col("source") === back.select("source").head().getString(0))
     assert(one.count() > 0 && one.count() < back.count())
+    // and it's PLAN-level pruning, not a post-scan filter: the source
+    // predicate lands in the scan's PartitionFilters, so at 100 TB the
+    // non-matching directories are never listed into tasks at all
+    val scan = one.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("source"),
+      s"source predicate missing from PartitionFilters:\n$scan")
   }
 }
