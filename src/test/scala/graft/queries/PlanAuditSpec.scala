@@ -171,6 +171,44 @@ class PlanAuditSpec extends SparkSpec {
     assert("Filter [^\n]*doc_id#\\d+L? >= 250".r.findFirstIn(p).isDefined, p)
   }
 
+  test("stats profile is one scan + one aggregate: no join, no window") {
+    val p = plans("q44_stats")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "lineitem scanned more than once")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
+  }
+
+  test("histogram and LM-score broadcast their single-row stats, never shuffle against them") {
+    Seq("q45_histogram", "text_lm_score").foreach { n =>
+      assert(plans(n).contains("BroadcastNestedLoopJoin"), n)
+    }
+  }
+
+  test("outlier fences ride a broadcast hash join back over the scan") {
+    assert(plans("q46_outliers").contains("BroadcastHashJoin"), plans("q46_outliers"))
+  }
+
+  test("z-order cell profile is aggregation-only: the bitwise fold never plans a join") {
+    val p = plans("q47_zorder")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("vocabulary ranking is a TakeOrdered top-k; the id window runs above it") {
+    val p = plans("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the single-partition id window must consume the top-k output (bounded
+    // by vocabSize), not the full token-frequency table: in the bottom-up
+    // plan string the TakeOrdered node appears BELOW (after) the Window node
+    assert(p.indexOf("TakeOrderedAndProject") > p.indexOf("Window"),
+      "row_number window planned below the top-k limit:\n" + p)
+  }
+
+  test("heavy hitters aggregate partially: the sketch combines map-side") {
+    val p = plans("text_heavy")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_freq_items_agg"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
