@@ -80,6 +80,7 @@ object SparkEntry {
     "q45_histogram"      -> CoreQueries.q45 _,
     "q46_outliers"       -> CoreQueries.q46 _,
     "q47_zorder"         -> CoreQueries.q47 _,
+    "q48_merge_upsert"   -> CoreQueries.q48 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -91,6 +92,8 @@ object SparkEntry {
     "text_heavy"         -> TextQueries.heavy _,
     "text_lm_score"      -> TextQueries.lmScore _,
     "text_repetition"    -> TextQueries.repetition _,
+    "text_redact"        -> TextQueries.redactQ _,
+    "text_quality_norm"  -> TextQueries.qualityNorm _,
     "text_rolling_fp"    -> TextQueries.rollingFp _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
@@ -116,6 +119,7 @@ object SparkEntry {
     "sim_ivfpq_topk"     -> SimilarityQueries.ivfPqTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
+    "search_hybrid"      -> RetrievalQueries.hybrid _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
     "mm_frames"          -> MultimodalQueries.frames _,
@@ -124,6 +128,8 @@ object SparkEntry {
     "mix_sample"         -> CurationQueries.mixSample _,
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,
+    "mix_reservoir"      -> CurationQueries.mixReservoir _,
+    "curate_drift"       -> CurationQueries.drift _,
     "pack_shards"        -> CurationQueries.packShards _
   )
 
@@ -133,5 +139,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
-      CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle
+      CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle ++
+      RetrievalQueries.oracle
 }

@@ -49,6 +49,33 @@ object TextFunctions {
   def stopwordHits(text: Column, lang: String): Column =
     size(filter(wsTokens(text), t => t.isin(stopwords(lang): _*))).cast("long")
 
+  /** PII redaction patterns. Conservative character classes only — `\d`,
+    * `\b` (ASCII word boundary), literal classes and bounded repetition mean
+    * the same thing in Java regex and RE2, so the oracle can mirror them
+    * verbatim. Order matters: emails first (their local parts may contain
+    * digit runs a later pattern would mangle), then dotted IPv4, then dashed
+    * phone numbers, then any remaining digit run.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val digitRunRe = "\\d+"
+
+  /** Redact PII-shaped spans: emails, IPv4 addresses, phone numbers, and
+    * (optionally) residual digit runs, replaced by stable tags so downstream
+    * dedup/fingerprinting still aligns redacted copies. Pure
+    * `regexp_replace` chain — codegen'd, O(len) per doc, embarrassingly
+    * parallel: the curation scan stage applies it in-line with no shuffle.
+    */
+  def redact(c: Column, maskDigits: Boolean = true): Column = {
+    val pii = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(emailRe), lit("[EMAIL]")),
+        lit(ipRe), lit("[IP]")),
+      lit(phoneRe), lit("[PHONE]"))
+    if (maskDigits) regexp_replace(pii, lit(digitRunRe), lit("#")) else pii
+  }
+
   /** Heuristic language ID: argmax of stopword hits with deterministic
     * priority en > es > de > fr; zero hits everywhere -> 'und' (undetermined,
     * the BCP-47 convention).

@@ -633,6 +633,42 @@ object CoreQueries {
       .agg(count(lit(1)).as("c"), min("z").as("zlo"), max("z").as("zhi"))
       .orderBy("cell")
 
+  /** Q48 — merge/upsert by key (the lakehouse MERGE INTO primitive, C44):
+    * a deterministic update batch derived from `orders` (keys ≡ 0 mod 10
+    * get a repriced 'U' row; keys ≡ 0 mod 97 also arrive as brand-new 'N'
+    * keys) is merged into the base — updates replace, inserts append,
+    * everything else is kept. One full-outer equi-join on the key carries
+    * the whole operation: one shuffle of each side, no row ever read twice.
+    * At 100 TB the base side would be a bucketed staging table
+    * ([[Bucketing.writeBucketed]] on the merge key), making every
+    * incremental merge exchange-free on the big side — the q31 pattern.
+    * Output is the per-status row count and DECIMAL-summed total (order-
+    * independent, so the hash comparison is exact), which fingerprints
+    * every kept/updated/inserted row.
+    */
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("b_st"),
+        col("o_totalprice").as("b_tp"))
+    val updates = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("u_st"),
+        (col("o_totalprice") * 1.1).as("u_tp"))
+      .union(
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + 100000000L).as("k"), lit("N").as("u_st"),
+            col("o_totalprice").as("u_tp")))
+    base.join(updates, Seq("k"), "full_outer")
+      .select(
+        coalesce(col("u_st"), col("b_st")).as("status"),
+        coalesce(col("u_tp"), col("b_tp")).as("tp"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("tp").cast("decimal(28,6)")).cast("double"), 6).as("total"))
+      .orderBy("status")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

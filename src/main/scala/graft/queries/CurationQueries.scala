@@ -117,6 +117,70 @@ object CurationQueries {
         chunkWidth = shardChunkWidth)
       .orderBy("doc_id")
 
+  /** Docs kept per source by the exact-count sampler. */
+  val reservoirPerSource = 10
+
+  /** Exact-count stratified sampling: exactly [[reservoirPerSource]] docs
+    * per source, uniform without replacement, chosen by ranking each
+    * source's docs on a salted content-independent hash — the distributed
+    * stand-in for per-stratum reservoir sampling. Unlike [[mixSample]]'s
+    * rate-based filter (whose per-source yield is binomial), this guarantees
+    * the exact per-stratum count a balanced eval set needs. The window
+    * partitions by source, so at 100 TB each stratum ranks independently;
+    * no global sort, and the kept set is deterministic under re-runs and
+    * partitioning changes.
+    */
+  def mixReservoir(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("#resv"))).as("h"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= reservoirPerSource)
+      .select(col("source"), col("rn"), col("doc_id"))
+      .orderBy("source", "rn")
+  }
+
+  /** Bin count for the drift profile. */
+  val driftBins = 10
+
+  /** Distribution drift per source: the population-stability index of each
+    * source's doc-length distribution against the whole corpus —
+    * `PSI = Σ_bins (p_src − p_all)·ln(p_src/p_all)` over [[driftBins]]
+    * fixed-width bins with add-one smoothing (PSI ≥ 0, and 0 iff the
+    * distributions agree; > ~0.2 is the classic "investigate" threshold).
+    * The data-quality gate a pipeline runs when a new crawl snapshot lands.
+    *
+    * Scale shape: the (min, max) envelope is one broadcast row; bin counts
+    * are FILTERED partial-aggregable counts (one per bin — the shuffle
+    * carries [[driftBins]]+1 numbers per source, never rows); the corpus
+    * row is a second broadcast; the PSI sum is a fixed-order expression
+    * over the counts, so no float accumulation depends on row order and the
+    * result hash-matches the oracle exactly.
+    */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val env = docs.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val binned = docs.crossJoin(broadcast(env))
+      .select(col("source"),
+        least(floor((col("n_chars") - col("mn")) /
+            ((col("mx") - col("mn") + 1) / lit(driftBins.toDouble))),
+          lit(driftBins - 1)).cast("int").as("bin"))
+    def binCounts(tag: String) =
+      (0 until driftBins).map(i => count(when(col("bin") === i, 1)).as(s"$tag$i"))
+    val bySrc = binned.groupBy("source")
+      .agg(count(lit(1)).as("n_s"), binCounts("c"): _*)
+    val global = binned.agg(count(lit(1)).as("n_g"), binCounts("g"): _*)
+    def p(i: Int) = (col(s"c$i") + 1).cast("double") / (col("n_s") + driftBins)
+    def q(i: Int) = (col(s"g$i") + 1).cast("double") / (col("n_g") + driftBins)
+    val psi = (0 until driftBins).map(i => (p(i) - q(i)) * log(p(i) / q(i)))
+      .reduce(_ + _)
+    bySrc.crossJoin(broadcast(global))
+      .select(col("source"), round(psi, 6).as("psi"))
+      .orderBy("source")
+  }
+
   /** Materialize a curated dump the way a 100 TB job would: parquet
     * partitioned by provenance (`source`) so downstream mixture sampling
     * prunes partitions instead of scanning, with `maxRecordsPerFile` bounding
@@ -173,6 +237,27 @@ object CurationQueries {
            |   ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100 AS u
            |  FROM documents) t
            | GROUP BY 1, 2 ORDER BY source, split""".stripMargin.replaceAll("\n", ""),
+      "mix_reservoir" ->
+        s"""SELECT source, rn, doc_id FROM
+           | (SELECT source, doc_id,
+           |   CAST(row_number() OVER (PARTITION BY source
+           |     ORDER BY md5(CAST(doc_id AS VARCHAR)||'#resv'), doc_id) AS INTEGER) AS rn
+           |  FROM documents) t
+           | WHERE rn <= $reservoirPerSource ORDER BY source, rn""".stripMargin.replaceAll("\n", ""),
+      "curate_drift" -> {
+        val binSql = s"CAST(least(floor((n_chars - mn)/(CAST(mx - mn + 1 AS DOUBLE)/$driftBins.0)), ${driftBins - 1}) AS INTEGER)"
+        def cnt(tag: String) = (0 until driftBins)
+          .map(i => s"count(CASE WHEN bin = $i THEN 1 END) AS $tag$i").mkString(", ")
+        def p(i: Int) = s"(CAST(c$i + 1 AS DOUBLE)/(n_s + $driftBins))"
+        def q(i: Int) = s"(CAST(g$i + 1 AS DOUBLE)/(n_g + $driftBins))"
+        val terms = (0 until driftBins)
+          .map(i => s"(${p(i)} - ${q(i)}) * ln(${p(i)}/${q(i)})").mkString(" + ")
+        s"""WITH env AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+           |b AS (SELECT source, $binSql AS bin FROM documents, env),
+           |sb AS (SELECT source, count(*) AS n_s, ${cnt("c")} FROM b GROUP BY source),
+           |gb AS (SELECT count(*) AS n_g, ${cnt("g")} FROM b)
+           |SELECT source, round($terms, 6) AS psi FROM sb, gb ORDER BY source""".stripMargin
+      },
       "pack_shards" ->
         s"""SELECT doc_id, source, CAST(toks AS BIGINT) AS toks,
            | CAST((cum - toks) // $shardBudget AS BIGINT) AS shard FROM

@@ -212,6 +212,18 @@ object Oracles {
          |FROM (SELECT ${graft.operators.Layout.zvalueSql("l_suppkey", "l_partkey")} AS z
          |      FROM lineitem) t
          |GROUP BY cell ORDER BY cell""".stripMargin,
+    "q48_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS b_st, o_totalprice AS b_tp
+        |              FROM orders),
+        |upd AS (SELECT o_orderkey AS k, 'U' AS u_st, o_totalprice * CAST(1.1 AS DOUBLE) AS u_tp
+        |        FROM orders WHERE o_orderkey % 10 = 0
+        |        UNION ALL
+        |        SELECT o_orderkey + 100000000 AS k, 'N' AS u_st, o_totalprice AS u_tp
+        |        FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT COALESCE(u_st, b_st) AS status, count(*) AS n,
+        |  round(CAST(sum(CAST(COALESCE(u_tp, b_tp) AS DECIMAL(28,6))) AS DOUBLE), 6) AS total
+        |FROM base FULL OUTER JOIN upd USING (k)
+        |GROUP BY status ORDER BY status""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -109,7 +109,16 @@ object TextQueries {
     * TakeOrdered top-10, never a global sort. Scoring docs against a query
     * at 100 TB stays one scan + thin aggregates.
     */
-  def bm25(s: SparkSession, dir: String): DataFrame = {
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir)
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(10)
+
+  /** The full BM25-scored frame (doc_id, bm25) behind [[bm25]] — unranked so
+    * [[RetrievalQueries.hybrid]] can fuse it with the dense arm at its own
+    * depth.
+    */
+  private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
@@ -126,8 +135,6 @@ object TextQueries {
           (col("tf") * (bm25K1 + 1)) /
           (col("tf") + lit(bm25K1) * (lit(1 - bm25B) + lit(bm25B) * col("dl") / col("avgdl")))).as("ts"))
       .groupBy("doc_id").agg(round(sum("ts"), 6).as("bm25"))
-      .orderBy(desc("bm25"), asc("doc_id"))
-      .limit(10)
   }
 
   /** Fingerprint clusters: docs whose sorted-distinct-word set collides. */
@@ -228,6 +235,64 @@ object TextQueries {
       .limit(20)
   }
 
+  /** PII/identifier redaction over the events payloads: the full
+    * [[TextFunctions.redact]] chain (emails → IPv4 → phones → digit runs;
+    * the synthetic props exercise the digit-run tier, the PII tiers are
+    * spec-pinned on adversarial strings). Scan-only — a codegen'd
+    * regexp_replace chain with no shuffle before the deterministic
+    * TakeOrdered sample, which is how a 100 TB curation pass would run it:
+    * in-line in the read stage.
+    */
+  def redactQ(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        redact(col("props")).as("masked"),
+        regexp_count(col("props"), lit("[0-9]+")).as("hits"))
+      .orderBy("event_id")
+      .limit(200)
+
+  /** Per-source quality-score normalization: percent_rank of each doc's
+    * composite quality WITHIN its source — the calibration step before a
+    * single global keep-threshold can be applied across sources with
+    * different score distributions. The window partitions by source, so at
+    * 100 TB each source's ranking is an independent shuffle partition — no
+    * global sort, no single-partition window.
+    */
+  def qualityNorm(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        round(qualityScore(col("text")), 6).as("quality"))
+      .withColumn("q_norm", round(percent_rank().over(w), 6))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Oracle mirror of [[bm25Scores]], split as (WITH-chain, final SELECT) so
+    * [[RetrievalQueries]]'s hybrid oracle can wrap the SELECT as one more CTE
+    * — one source for both renderings, the two cannot drift.
+    */
+  private[queries] val bm25WithChain: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |            FROM documents),
+      |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT DISTINCT w FROM tk WHERE doc_id = 0),
+      |tf AS (SELECT t.doc_id, t.w, count(*) AS tf FROM tk t JOIN q ON q.w = t.w
+      |       GROUP BY t.doc_id, t.w),
+      |dfreq AS (SELECT w, count(*) AS df FROM
+      |          (SELECT DISTINCT doc_id, w FROM tk) GROUP BY w)""".stripMargin
+
+  private[queries] val bm25SelectSql: String =
+    s"""SELECT tf.doc_id AS doc_id,
+      |  round(sum(ln(1.0 + (st.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) *
+      |    (tf.tf * ${bm25K1 + 1}) /
+      |    (tf.tf + $bm25K1 * (${1 - bm25B} + $bm25B * dl.dl / st.avgdl))), 6) AS bm25
+      |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
+      |GROUP BY tf.doc_id""".stripMargin
+
   val oracle: Map[String, String] = {
     val punctSql =
       "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
@@ -236,6 +301,20 @@ object TextQueries {
     val qualSql =
       s"least($toksSql/100.0, 1.0)*0.4 + (1.0 - $punctSql)*0.3 + least($swrSql*5.0, 1.0)*0.3"
     Map(
+      "text_redact" -> {
+        import graft.functions.TextFunctions.{emailRe, ipRe, phoneRe, digitRunRe}
+        s"""SELECT event_id,
+           | regexp_replace(regexp_replace(regexp_replace(regexp_replace(props,
+           |   '$emailRe', '[EMAIL]', 'g'), '$ipRe', '[IP]', 'g'),
+           |   '$phoneRe', '[PHONE]', 'g'), '$digitRunRe', '#', 'g') AS masked,
+           | CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS hits
+           | FROM events ORDER BY event_id LIMIT 200""".stripMargin.replaceAll("\n", "")
+      },
+      "text_quality_norm" ->
+        s"""SELECT doc_id, source, quality,
+           | round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_norm
+           | FROM (SELECT doc_id, source, round($qualSql, 6) AS quality FROM documents) t
+           | ORDER BY doc_id LIMIT 200""".stripMargin.replaceAll("\n", ""),
       "text_langid" ->
         s"""SELECT lang, predicted, count(*) AS c FROM
            | (SELECT lang, ${SqlGen.langIdSql} AS predicted FROM documents) t
@@ -281,22 +360,9 @@ object TextQueries {
           |  FROM tf JOIN dfreq ON dfreq.w = tf.w, nn) t
           |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
       "text_bm25" ->
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-          |            FROM documents),
-          |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-          |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
-          |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-          |q AS (SELECT DISTINCT w FROM tk WHERE doc_id = 0),
-          |tf AS (SELECT t.doc_id, t.w, count(*) AS tf FROM tk t JOIN q ON q.w = t.w
-          |       GROUP BY t.doc_id, t.w),
-          |dfreq AS (SELECT w, count(*) AS df FROM
-          |          (SELECT DISTINCT doc_id, w FROM tk) GROUP BY w)
-          |SELECT tf.doc_id,
-          |  round(sum(ln(1.0 + (st.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) *
-          |    (tf.tf * ${bm25K1 + 1}) /
-          |    (tf.tf + $bm25K1 * (${1 - bm25B} + $bm25B * dl.dl / st.avgdl))), 6) AS bm25
-          |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
-          |GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT 10""".stripMargin,
+        s"""$bm25WithChain
+          |$bm25SelectSql
+          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
       "text_vocab" ->
         s"""SELECT CAST(row_number() OVER (ORDER BY c DESC, token) AS INTEGER) AS id, token, c FROM (
            |  SELECT token, count(*) AS c FROM

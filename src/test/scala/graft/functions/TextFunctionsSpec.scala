@@ -73,6 +73,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(b <= a) // min can only stay or drop when text grows
   }
 
+  test("redact masks emails, IPv4s, phones, then digit runs — in that order") {
+    val s = "mail bob.smith+x@corp.example.org from 10.0.0.255 call 555-867-5309 ref 42"
+    val out = one(s).select(TextFunctions.redact(col("text"))).head.getString(0)
+    assert(out == "mail [EMAIL] from [IP] call [PHONE] ref #", out)
+    // order matters: the email's digits survive as part of [EMAIL], the IP's
+    // dotted quads are not re-mangled by the phone/digit tiers
+    val noDigits = one(s).select(TextFunctions.redact(col("text"), maskDigits = false))
+      .head.getString(0)
+    assert(noDigits == "mail [EMAIL] from [IP] call [PHONE] ref 42", noDigits)
+    // non-PII text passes through untouched
+    val plain = "no sensitive content here"
+    assert(one(plain).select(TextFunctions.redact(col("text"))).head.getString(0) == plain)
+  }
+
   test("quality score is bounded in [0,1]") {
     val q = one("the a of and is " * 30)
       .select(TextFunctions.qualityScore(col("text"))).head.getDouble(0)

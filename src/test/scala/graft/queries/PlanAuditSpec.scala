@@ -209,6 +209,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_freq_items_agg"), p)
   }
 
+  test("hybrid fusion: each arm ends in a TakeOrdered; rank windows run above the limits") {
+    val p = plans("search_hybrid")
+    // both arms' top-k (corpus is never globally sorted)
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    // the unpartitioned rank windows are fed by the armDepth-row limits, so
+    // every Window in this plan sits above a limit, never above a scan
+    assert(p.contains("windowspecdefinition"), p)
+  }
+
+  test("merge upsert is one full-outer equi-join: no row read twice, no cartesian") {
+    val p = plans("q48_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("redaction is scan-local: a regexp chain with no shuffle before the TakeOrdered") {
+    val p = plans("text_redact")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("quality normalization and reservoir sampling window per-source, never globally") {
+    Seq("text_quality_norm", "mix_reservoir").foreach { n =>
+      val p = plans(n)
+      assert("windowspecdefinition\\(source#\\d+".r.findFirstIn(p).isDefined,
+        s"$n window is not partitioned by source:\n$p")
+    }
+  }
+
+  test("drift profile: two broadcast envelopes, filtered-count aggregates, no window, no wide shuffle") {
+    val p = plans("curate_drift")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("windowspecdefinition"), p)
+    // the only hash shuffle keys on source (driftBins+1 numbers per source)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics of the round-4 additions: hybrid RRF fusion, merge/upsert,
+  * quality normalization, exact-count reservoir sampling, and the PSI drift
+  * profile. The oracle rows pin exact values; these pin the PROPERTIES that
+  * make each operator correct (fusion monotonicity, merge completeness,
+  * rank bounds, exact strata, PSI non-negativity).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  test("hybrid RRF: results come from the arms' union; both-arm docs carry both ranks") {
+    val out = RetrievalQueries.hybrid(spark, sf0001).collect()
+    assert(out.length == 10)
+    // every fused row has at least one rank, and rrf equals the reciprocal sum
+    out.foreach { r =>
+      val rb = Option(r.getAs[Any]("rb")).map(_.asInstanceOf[Int])
+      val rc = Option(r.getAs[Any]("rc")).map(_.asInstanceOf[Int])
+      assert(rb.nonEmpty || rc.nonEmpty)
+      val expect = rb.map(x => 1.0 / (RetrievalQueries.rrfK + x)).getOrElse(0.0) +
+        rc.map(x => 1.0 / (RetrievalQueries.rrfK + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // fused order is non-increasing in rrf
+    val scores = out.map(_.getAs[Double]("rrf")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // any doc surfaced by both arms outranks what either of its single terms
+    // alone would score — the fusion actually fuses
+    out.filter(r => r.getAs[Any]("rb") != null && r.getAs[Any]("rc") != null)
+      .foreach { r =>
+        val single = math.max(
+          1.0 / (RetrievalQueries.rrfK + r.getAs[Int]("rb")),
+          1.0 / (RetrievalQueries.rrfK + r.getAs[Int]("rc")))
+        assert(r.getAs[Double]("rrf") > single)
+      }
+  }
+
+  test("merge upsert: row counts balance (base − replaced + updates), statuses complete") {
+    val orders = graft.Tables.orders(spark, sf0001)
+    val base = orders.count()
+    val replaced = orders.filter(col("o_orderkey") % 10 === 0).count()
+    val inserted = orders.filter(col("o_orderkey") % 97 === 0).count()
+    val out = CoreQueries.q48(spark, sf0001).collect()
+    val byStatus = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus("U") == replaced)
+    assert(byStatus("N") == inserted)
+    assert(out.map(_.getLong(1)).sum == base + inserted)
+    // kept rows are exactly the non-replaced base statuses
+    assert(out.map(_.getLong(1)).sum - byStatus("U") - byStatus("N") == base - replaced)
+  }
+
+  test("quality normalization: q_norm spans [0,1] within every source, monotone in quality") {
+    val out = TextQueries.qualityNorm(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("q_norm"); p >= 0.0 && p <= 1.0
+    })
+    // within a source, higher quality never gets a lower percentile
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(r => (r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      val pr = sorted.map(_.getAs[Double]("q_norm")).toSeq
+      assert(pr == pr.sorted, s"percent_rank not monotone in (quality, doc_id)")
+    }
+  }
+
+  test("reservoir sampling: exactly k docs per source, deterministic across runs") {
+    val a = CurationQueries.mixReservoir(spark, sf0001).collect()
+    val perSource = a.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perSource.values.forall(_ == CurationQueries.reservoirPerSource),
+      s"uneven strata: ${perSource.toMap}")
+    val b = CurationQueries.mixReservoir(spark, sf0001).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("PSI drift: non-negative everywhere, and zero when every source has the corpus distribution") {
+    val real = CurationQueries.drift(spark, sf0001).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(_.getAs[Double]("psi") >= 0.0))
+    // identical per-source distributions -> psi == 0 for every source
+    import spark.implicits._
+    val uniform = (0 until 4).flatMap(srcN => (0 until 50).map(i =>
+      (s"s$srcN", 100L + i))).toDF("source", "n_chars")
+    uniform.createOrReplaceTempView("graft_drift_uniform")
+    // reuse the operator body via a temp swap: run the same computation inline
+    val env = uniform.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    val binned = uniform.crossJoin(broadcast(env))
+      .select(col("source"),
+        least(floor((col("n_chars") - col("mn")) /
+            ((col("mx") - col("mn") + 1) / lit(CurationQueries.driftBins.toDouble))),
+          lit(CurationQueries.driftBins - 1)).cast("int").as("bin"))
+    val nBins = CurationQueries.driftBins
+    def binCounts(tag: String) =
+      (0 until nBins).map(i => count(when(col("bin") === i, 1)).as(s"$tag$i"))
+    val bySrc = binned.groupBy("source").agg(count(lit(1)).as("n_s"), binCounts("c"): _*)
+    val global = binned.agg(count(lit(1)).as("n_g"), binCounts("g"): _*)
+    def p(i: Int) = (col(s"c$i") + 1).cast("double") / (col("n_s") + nBins)
+    def q(i: Int) = (col(s"g$i") + 1).cast("double") / (col("n_g") + nBins)
+    val psi = (0 until nBins).map(i => (p(i) - q(i)) * log(p(i) / q(i))).reduce(_ + _)
+    val zeros = bySrc.crossJoin(broadcast(global))
+      .select(col("source"), round(psi, 6).as("psi")).collect()
+    assert(zeros.forall(_.getAs[Double]("psi") == 0.0), zeros.mkString(","))
+  }
+}
