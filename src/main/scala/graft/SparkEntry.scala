@@ -81,6 +81,7 @@ object SparkEntry {
     "q46_outliers"       -> CoreQueries.q46 _,
     "q47_zorder"         -> CoreQueries.q47 _,
     "q48_merge_upsert"   -> CoreQueries.q48 _,
+    "q49_profile"        -> CoreQueries.q49 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -109,6 +110,7 @@ object SparkEntry {
     "dedup_incr"         -> DedupQueries.incremental _,
     "dedup_incr_staged"  -> DedupQueries.incrementalStaged _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
+    "dedup_overlap"      -> DedupQueries.overlap _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_lsh_staged"     -> SimilarityQueries.lshStagedTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,

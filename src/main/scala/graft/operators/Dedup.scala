@@ -299,6 +299,31 @@ object Dedup {
       .filter(col("ndocs") >= minDocs)
       .select(col("m").as("span_h"), col("ndocs"), col("first_doc"))
 
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct `w`-word spans they share — the provenance-level view of
+    * [[duplicateSpans]] (which sources mirror/quote which, where a crawl
+    * snapshot duplicates another feed). Spans are hashed at the source and
+    * collapsed to distinct (source, span) pairs BEFORE the self-join, so a
+    * span's join fan-out is bounded by the number of SOURCES containing it
+    * (≤ sources², never docs²) no matter how many documents repeat it —
+    * boilerplate shared by every doc of every source costs one row per
+    * source. Shuffles: the (source, span) distinct and the span-keyed
+    * equi-join, both on fixed-width keys; output is ≤ sources² rows.
+    */
+  def sourceOverlap(docs: DataFrame, w: Int = 3,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    srcCol: String = "source"): DataFrame = {
+    val srcSpans = shingleHashes(docs, w, idCol, textCol)
+      .join(docs.select(col(idCol), col(srcCol)), idCol)
+      .select(col(srcCol).as("src"), col("m"))
+      .distinct()
+    srcSpans.as("a")
+      .join(srcSpans.as("b"),
+        col("a.m") === col("b.m") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
   /** SimHash fingerprint width. 64 bits matters at scale: the band join below
     * buckets on 16-bit slices, and a b-bit band has only 2^b values — too few
     * (the old 8-bit bands gave 256 buckets ⇒ Θ(n²/256) candidate pairs on a

@@ -228,10 +228,91 @@ object Similarity {
     * train→assign→probe path be oracle-hash-checked (`sim_ivf_trained`).
     * The collect is bounded by the sample size, never the corpus.
     */
+  /** k-means|| seeding (Bahmani et al., VLDB 2012, "Scalable k-means++"):
+    * oversample ~`2k` candidates per round with keep-probability
+    * ∝ squared cosine distance to the seeds so far, for `rounds` rounds,
+    * then reduce the bounded candidate set to `k` seeds by weighted
+    * farthest-first on the driver (candidates ≤ 1 + 2k·rounds — a model
+    * artifact, never the corpus). Fixes the failure mode of positional
+    * seeding ([[trainCentroids]]'s default smallest-id init): when the
+    * first k ids all land in one region, Lloyd starts degenerate;
+    * distance-weighted seeding provably spreads seeds across the data.
+    *
+    * Scale shape per round: broadcast current seeds → one scan computing
+    * each point's nearest-seed distance (partial-aggregable max) → one
+    * DECIMAL-summed scalar Σd² broadcast back → a stateless salted-hash
+    * coin ([[Sampling.mixSample]]'s trick), so seeding is deterministic
+    * across runs, partitionings, and engines — no RNG state anywhere.
+    */
+  def kmeansParInit(emb: DataFrame, k: Int = ivfCentroids, rounds: Int = 3,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val l = 2 * k
+    var seeds = emb.orderBy(col(idCol)).limit(1)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+      .localCheckpoint(true)
+    for (r <- 0 until rounds) {
+      val nearest = emb.crossJoin(broadcast(seeds))
+        .select(col(idCol), col(vecCol),
+          VectorOps.cosine(col(vecCol), col("ce")).as("c"))
+        .groupBy(idCol)
+        .agg(first(col(vecCol)).as(vecCol), max(col("c")).as("cmax"))
+        .withColumn("d2", pow(greatest(lit(0.0), lit(1.0) - col("cmax")), 2))
+      val tot = nearest.agg(
+        sum(col("d2").cast("decimal(38,18)")).cast("double").as("t"))
+      // t = 0 (every point already coincides with a seed) keeps nothing
+      val kept = nearest.crossJoin(broadcast(tot))
+        .filter(
+          conv(substring(md5(concat(col(idCol).cast("string"), lit(s"#kmpar$r"))), 1, 15), 16, 10)
+            .cast("long") <
+          (when(col("t") > 0, least(lit(1.0), lit(l) * col("d2") / col("t")))
+            .otherwise(lit(0.0)) * Sampling.hashSpace).cast("long"))
+        .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+      seeds = seeds.union(kept).localCheckpoint(true)
+    }
+    // weight candidates by the points they capture, then reduce to k on the
+    // driver: greedy weighted farthest-first (argmax of w·minDist², ties to
+    // the smallest cid) — standard k-means|| recluster step, determinstic,
+    // over a constant-bounded candidate set.
+    val asn = emb.crossJoin(broadcast(seeds))
+      .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("c"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("c"), (-col("cid")).as("tie"))).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("w"))
+    val cands = seeds.join(asn, Seq("cid"), "left")
+      .select(col("cid"), col("ce"), coalesce(col("w"), lit(0L)).as("w"))
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Float](1).toArray, row.getLong(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dp, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      cands.maxBy(c => (c._3, -c._1)))
+    while (chosen.size < k && chosen.size < cands.length) {
+      val next = cands.filterNot(c => chosen.exists(_._1 == c._1))
+        .maxBy { c =>
+          val dmin = chosen.map(s => math.pow(math.max(0.0, 1.0 - cos(c._2, s._2)), 2)).min
+          (c._3 * dmin, -c._1.toDouble)
+        }
+      chosen += next
+    }
+    val s = emb.sparkSession
+    import s.implicits._
+    chosen.toSeq.map(c => (c._1, c._2.toSeq)).toDF("cid", "ce")
+      .select(col("cid"), col("ce").cast("array<float>").as("ce"))
+  }
+
   def trainCentroids(emb: DataFrame, k: Int = ivfCentroids, iters: Int = 3,
                      sampleMax: Long = 4096,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     nOpt: Option[Long] = None): DataFrame = {
+                     nOpt: Option[Long] = None,
+                     initOpt: Option[DataFrame] = None): DataFrame = {
     // nOpt lets a pipeline composing several auto-scaled ANN operators over
     // one frame share a single count job instead of re-counting per operator
     // (metadata-only on parquet, but four counts for one pipeline is noise).
@@ -240,8 +321,9 @@ object Similarity {
     val sample = emb.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol), col(vecCol))
       .localCheckpoint(true)
-    var cent = emb.filter(col(idCol) < k)
-      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    var cent = initOpt.getOrElse(
+        emb.filter(col(idCol) < k)
+          .select(col(idCol).as("cid"), col(vecCol).as("ce")))
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val asn = sample.crossJoin(broadcast(cent))

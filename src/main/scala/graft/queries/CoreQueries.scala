@@ -669,6 +669,33 @@ object CoreQueries {
       .orderBy("status")
   }
 
+  /** Columns profiled by [[q49]] — a val so the oracle renders from the
+    * same list.
+    */
+  val profileCols = Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+  /** Q49 — per-column data profiling (C49): row count, null count, exact
+    * distinct count, min and max for each measure column of `lineitem`, one
+    * output row per column — the data-quality summary a pipeline owner reads
+    * before trusting a new snapshot. A single `unpivot` (one Expand over one
+    * scan, the q36 shape) turns columns into groups, so one aggregation
+    * profiles them all; counts and min/max partial-aggregate map-side, and
+    * the distinct count shuffles only distinct (column, value) pairs. At
+    * 100 TB: one scan, shuffle bounded by the distinct value space, never
+    * the row count.
+    */
+  def q49(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .unpivot(Array.empty, profileCols.map(col).toArray, "col_name", "value")
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("value").isNull, 1)).as("nulls"),
+        count_distinct(col("value")).as("nd"),
+        round(min("value"), 6).as("mn"),
+        round(max("value"), 6).as("mx"))
+      .orderBy("col_name")
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

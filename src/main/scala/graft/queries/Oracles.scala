@@ -224,6 +224,14 @@ object Oracles {
         |  round(CAST(sum(CAST(COALESCE(u_tp, b_tp) AS DECIMAL(28,6))) AS DOUBLE), 6) AS total
         |FROM base FULL OUTER JOIN upd USING (k)
         |GROUP BY status ORDER BY status""".stripMargin,
+    "q49_profile" ->
+      (CoreQueries.profileCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           | count(CASE WHEN $c IS NULL THEN 1 END) AS nulls,
+           | count(DISTINCT $c) AS nd,
+           | round(min($c), 6) AS mn, round(max($c), 6) AS mx
+           | FROM lineitem""".stripMargin.replaceAll("\n", "")
+      }.mkString(" UNION ALL ") + " ORDER BY col_name"),
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

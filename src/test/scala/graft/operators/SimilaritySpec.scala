@@ -231,4 +231,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.3))
   }
+
+  test("k-means|| seeding spreads seeds across planted clusters where positional init cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 orthogonal clusters; ALL the smallest ids sit in cluster 0, the
+    // exact corpus layout that makes trainCentroids' smallest-id init
+    // degenerate (4 identical seeds). k-means|| must escape it.
+    val dims = 8
+    def unit(axis: Int): Seq[Float] =
+      (0 until dims).map(i => if (i == axis) 1.0f else 0.0f)
+    val docs = (0L until 200L).map { id =>
+      val cluster = if (id < 50) 0 else ((id - 50) / 50 + 1).toInt
+      (id, unit(cluster * 2))
+    }.toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansParInit(docs, k = 4, rounds = 3).collect()
+    assert(seeds.length == 4)
+    val clustersCovered = seeds.map(_.getSeq[Float](1).indexWhere(_ > 0.5f)).toSet
+    assert(clustersCovered.size == 4,
+      s"seeds cover only axes $clustersCovered of 4 planted clusters")
+    // deterministic: a second run yields the identical seed set
+    val again = Similarity.kmeansParInit(docs, k = 4, rounds = 3).collect()
+    assert(seeds.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // and Lloyd from these seeds keeps one centroid per cluster
+    val trained = Similarity.trainCentroids(docs, k = 4, iters = 2,
+      initOpt = Some(Similarity.kmeansParInit(docs, k = 4, rounds = 3)))
+    val axes = trained.collect().map(_.getSeq[Float](1).indexWhere(_ > 0.5f)).toSet
+    assert(axes.size == 4, s"trained centroids collapsed to axes $axes")
+  }
 }

@@ -246,6 +246,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("column profile is a single Expand over one scan, then one aggregation") {
+    val p = plans("q49_profile")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), p) // per-column UNION of scans would join/union; unpivot must not
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("source overlap joins distinct (source, span) pairs — fan-out bounded by sources, not docs") {
+    val p = plans("dedup_overlap")
+    // the distinct must sit below the self-join on both branches
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")

@@ -76,6 +76,34 @@ class RetrievalSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("column profile: one row per column, n = table rows, nd ≤ n, mn ≤ mx") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val n = li.count()
+    val out = CoreQueries.q49(spark, sf0001).collect()
+    assert(out.map(_.getAs[String]("col_name")).toSeq == CoreQueries.profileCols)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n") == n)
+      assert(r.getAs[Long]("nulls") == 0L)
+      assert(r.getAs[Long]("nd") <= n && r.getAs[Long]("nd") > 0)
+      assert(r.getAs[Double]("mn") <= r.getAs[Double]("mx"))
+    }
+  }
+
+  test("source overlap: canonical pair order, and a planted mirror dominates the matrix") {
+    import spark.implicits._
+    // two sources sharing a verbatim 5-word run + one disjoint source
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "sA"),
+      (2L, "prefix alpha beta gamma delta epsilon suffix", "sB"),
+      (3L, "one two three four five six seven", "sC")
+    ).toDF("doc_id", "text", "source")
+    val m = graft.operators.Dedup.sourceOverlap(docs).collect()
+    // only (sA, sB) share 3-grams; pairs are canonical (src_a < src_b)
+    assert(m.length == 1 && m.head.getString(0) == "sA" && m.head.getString(1) == "sB")
+    // "alpha beta gamma", "beta gamma delta", "gamma delta epsilon" = 3 shared
+    assert(m.head.getAs[Long]("shared") == 3L)
+  }
+
   test("PSI drift: non-negative everywhere, and zero when every source has the corpus distribution") {
     val real = CurationQueries.drift(spark, sf0001).collect()
     assert(real.nonEmpty)
