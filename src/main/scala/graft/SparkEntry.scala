@@ -82,6 +82,7 @@ object SparkEntry {
     "q47_zorder"         -> CoreQueries.q47 _,
     "q48_merge_upsert"   -> CoreQueries.q48 _,
     "q49_profile"        -> CoreQueries.q49 _,
+    "q50_retention"      -> CoreQueries.q50 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -110,6 +111,7 @@ object SparkEntry {
     "dedup_incr"         -> DedupQueries.incremental _,
     "dedup_incr_staged"  -> DedupQueries.incrementalStaged _,
     "dedup_embed"        -> DedupQueries.embedNearDup _,
+    "dedup_semantic"     -> DedupQueries.semantic _,
     "dedup_overlap"      -> DedupQueries.overlap _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_lsh_staged"     -> SimilarityQueries.lshStagedTopK _,
@@ -121,6 +123,7 @@ object SparkEntry {
     "sim_ivfpq_topk"     -> SimilarityQueries.ivfPqTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
+    "sim_recall"         -> SimilarityQueries.recallLsh _,
     "search_hybrid"      -> RetrievalQueries.hybrid _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
@@ -132,7 +135,8 @@ object SparkEntry {
     "mix_weighted"       -> CurationQueries.mixWeighted _,
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
     "curate_drift"       -> CurationQueries.drift _,
-    "pack_shards"        -> CurationQueries.packShards _
+    "pack_shards"        -> CurationQueries.packShards _,
+    "pack_seqs"          -> CurationQueries.packSeqs _
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same

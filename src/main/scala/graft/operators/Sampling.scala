@@ -92,7 +92,20 @@ object Sampling {
     */
   def packShards(docs: DataFrame, tokensPerShard: Long,
                  idCol: String = "doc_id", sourceCol: String = "source",
-                 textCol: String = "text", chunkWidth: Long = 1L << 20): DataFrame = {
+                 textCol: String = "text", chunkWidth: Long = 1L << 20): DataFrame =
+    cumulativeTokens(docs, idCol, sourceCol, textCol, chunkWidth)
+      .select(col(idCol), col(sourceCol), col("toks"),
+        expr(s"(cum - toks) div $tokensPerShard").as("shard"))
+
+  /** The shared running-token-sum backbone of [[packShards]] and
+    * [[packSequences]]: per (source, doc-id order), each doc's token count
+    * plus its INCLUSIVE cumulative sum `cum` within the source's token
+    * stream. Carries the two-level (source, id-chunk) window structure, so
+    * the values are identical to a single source-window at any chunkWidth
+    * while parallelism scales with chunk count.
+    */
+  private def cumulativeTokens(docs: DataFrame, idCol: String, sourceCol: String,
+                               textCol: String, chunkWidth: Long): DataFrame = {
     val toks = docs.withColumn("toks", TextFunctions.tokenCount(col(textCol)))
       .withColumn("chunk", expr(s"$idCol div $chunkWidth"))
     val wLocal = Window.partitionBy(sourceCol, "chunk").orderBy(idCol)
@@ -105,7 +118,30 @@ object Sampling {
         coalesce(sum("ctoks").over(wOffset), lit(0L)).as("off"))
     toks.withColumn("lcum", sum("toks").over(wLocal))
       .join(offsets, Seq(sourceCol, "chunk"))
-      .select(col(idCol), col(sourceCol), col("toks"),
-        expr(s"(off + lcum - toks) div $tokensPerShard").as("shard"))
+      .select(col(idCol), col(sourceCol), col("toks"), (col("off") + col("lcum")).as("cum"))
   }
+
+  /** Fixed-length training-sequence packing: each source's docs lay out
+    * contiguously (doc-id order) in a token stream sliced into sequences of
+    * exactly `seqLen` tokens; a doc spanning a boundary SPLITS — one output
+    * row per (doc, sequence) overlap with the doc-local half-open token range
+    * `[tok_start, tok_end)` that lands in that sequence. This is the LLM
+    * pre-training layout step ([[packShards]] assigns whole docs to shard
+    * FILES; this packs tokens into model-context windows, spilling across
+    * them), computed without materializing a single token row:
+    *  - the running offset rides the same two-level window backbone;
+    *  - the per-doc fan-out is `sequence(first_seq, last_seq)` — at most
+    *    `toks/seqLen + 1` rows per doc, so the explode output is ~n_tokens/
+    *    seqLen extra rows corpus-wide, never tokens;
+    *  - everything after the window is scan-local arithmetic (codegen).
+    */
+  def packSequences(docs: DataFrame, seqLen: Long,
+                    idCol: String = "doc_id", sourceCol: String = "source",
+                    textCol: String = "text", chunkWidth: Long = 1L << 20): DataFrame =
+    cumulativeTokens(docs, idCol, sourceCol, textCol, chunkWidth)
+      .withColumn("start", col("cum") - col("toks"))
+      .withColumn("seq", explode(sequence(expr(s"start div $seqLen"), expr(s"(cum - 1) div $seqLen"))))
+      .select(col(idCol), col(sourceCol), col("seq"),
+        (greatest(col("seq") * seqLen, col("start")) - col("start")).as("tok_start"),
+        (least((col("seq") + 1) * seqLen, col("cum")) - col("start")).as("tok_end"))
 }

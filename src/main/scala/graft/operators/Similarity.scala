@@ -654,6 +654,40 @@ object Similarity {
     * would trade two parallel parquet scans for a full shuffle of the
     * vectors, a bad trade at any scale.
     */
+  /** SemDeDup-style semantic near-dup pairs: candidates are scoped by IVF
+    * CLUSTER membership (cosine-nearest centroid, the [[ivfTopK]] assignment)
+    * instead of [[nearDupPairs]]'s LSH code-ball — the "cluster then compare
+    * within cluster" shape of semantic-dedup pipelines, which catches
+    * paraphrase-level duplicates whose codes differ in >1 bit. Pairwise work
+    * is per-cluster: with [[centroidsFor]]-scaled cluster count the expected
+    * list size stays ~constant as the corpus grows, so the self-join is an
+    * equi-join on `cid` whose per-key fan-out is bounded by design (a skewed
+    * cluster is the same lever as a hot band bucket — cap or re-train).
+    * Output: (cid, v1, v2, cos_sim) with v1 < v2 and cos_sim ≥ threshold.
+    */
+  def semanticNearDupPairs(emb: DataFrame, threshold: Double,
+                           centroidsNOpt: Option[Int] = None,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           nOpt: Option[Long] = None): DataFrame = {
+    val centroidsN = centroidsNOpt.getOrElse(centroidsFor(nOpt.getOrElse(emb.count())))
+    val cent = emb.filter(col(idCol) < centroidsN)
+      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    val tagged = emb.join(assigned, idCol)
+      .withColumn("nrm", VectorOps.norm(col(vecCol)))
+    val a = tagged.select(col("cid"), col(idCol).as("v1"), col(vecCol).as("e1"), col("nrm").as("n1"))
+    val b = tagged.select(col("cid"), col(idCol).as("v2"), col(vecCol).as("e2"), col("nrm").as("n2"))
+    a.join(b, "cid").filter(col("v1") < col("v2"))
+      .select(col("cid"), col("v1"), col("v2"),
+        round(when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(VectorOps.dot(col("e1"), col("e2")) / (col("n1") * col("n2"))), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   def nearDupPairs(emb: DataFrame, threshold: Double,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    planesOpt: Option[Int] = None,

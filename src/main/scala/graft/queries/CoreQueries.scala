@@ -696,6 +696,28 @@ object CoreQueries {
         round(max("value"), 6).as("mx"))
       .orderBy("col_name")
 
+  /** Q50 — cohort retention over the events stream: users cohorted by their
+    * FIRST event day, then distinct active users per (cohort, week offset) —
+    * the canonical product-analytics rollup. Two shuffles, both on `user_id`
+    * (first-touch min, then the cohort join back), then a partial-aggregable
+    * distinct count keyed by (cohort, offset) — no window over per-user
+    * event history, so a hot user costs one min() cell, not a sorted
+    * partition. At 100 TB the first-touch frame is the small side (one row
+    * per user) and the join stays an equi-join on the natural key.
+    */
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("cohort"),
+        expr("CAST(datediff(d, cohort) AS LONG) div 7").cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -117,6 +117,23 @@ object CurationQueries {
         chunkWidth = shardChunkWidth)
       .orderBy("doc_id")
 
+  /** Context-window length for the declared sequence-packing query: 512
+    * tokens means typical ~60-token docs pack several per sequence while the
+    * occasional long doc still splits across a boundary — both branches of
+    * [[Sampling.packSequences]] exercised at verify scale.
+    */
+  val seqLen = 512L
+
+  /** Fixed-length training-sequence layout ([[Sampling.packSequences]]):
+    * one row per (doc, context-window) overlap with the doc-local token
+    * range — the step that turns a curated corpus into model-ready
+    * fixed-shape sequences.
+    */
+  def packSeqs(s: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(Tables.documents(s, dir), seqLen,
+        chunkWidth = shardChunkWidth)
+      .orderBy("doc_id", "seq")
+
   /** Docs kept per source by the exact-count sampler. */
   val reservoirPerSource = 10
 
@@ -265,6 +282,17 @@ object CurationQueries {
            |   sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
            |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM documents) t
-           | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""))
+           | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+      "pack_seqs" ->
+        s"""SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
+           | CAST(greatest(seq*$seqLen, cum - toks) - (cum - toks) AS BIGINT) AS tok_start,
+           | CAST(least((seq+1)*$seqLen, cum) - (cum - toks) AS BIGINT) AS tok_end FROM
+           | (SELECT doc_id, source, toks, cum,
+           |   unnest(range(CAST((cum - toks) // $seqLen AS BIGINT), CAST(((cum - 1) // $seqLen) + 1 AS BIGINT))) AS seq FROM
+           |  (SELECT doc_id, source, len(string_split(text,' ')) AS toks,
+           |    sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |   FROM documents) c) t
+           | ORDER BY doc_id, seq""".stripMargin.replaceAll("\n", ""))
   }
 }

@@ -232,6 +232,13 @@ object Oracles {
            | round(min($c), 6) AS mn, round(max($c), 6) AS mx
            | FROM lineitem""".stripMargin.replaceAll("\n", "")
       }.mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "q50_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY user_id)
+        |SELECT cohort, CAST(date_diff('day', cohort, d) // 7 AS INTEGER) AS week_offset,
+        |       count(DISTINCT user_id) AS users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -106,6 +106,36 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Recall@k depth for the declared ANN-quality query. */
+  val recallK = 10
+
+  /** ANN quality measurement: recall@[[recallK]] of the approximate LSH arm
+    * ([[lshTopK]]) against the exact brute-force cosine top-k — the
+    * "measure, don't guess" harness an ANN deployment runs before trusting
+    * an index configuration. Both arms end in a bounded TakeOrdered top-k,
+    * so the final intersection join touches 2·k rows no matter the corpus;
+    * at 100 TB the cost is the arms themselves (the exact arm is the one
+    * full scan you pay to CALIBRATE the cheap path you then serve with).
+    */
+  def recallLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id"))
+      .limit(recallK)
+      .select("vec_id")
+    val approx = Similarity
+      .lshTopK(emb, queryId = 0L, k = recallK, maxHamming = lshTopKHamming)
+      .select("vec_id")
+    exact.join(approx, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(recallK).as("k"), col("hits"),
+        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+  }
+
   /** Code-width FLOOR for the declared batch-ANN query: 8 planes keeps the
     * Hamming-≤1 ball dense enough to fill k at verify-scale corpora. The
     * width itself is data-scaled ([[Similarity.planesFor]] with this floor),
@@ -346,6 +376,18 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_recall" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding")} AS lsh_code FROM embeddings),
+         |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM
+         |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+         |   FROM embeddings, q) t WHERE rn <= $recallK),
+         |ap AS (SELECT vec_id FROM
+         |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+         |   FROM coded, q WHERE bit_count(xor(lsh_code, qcode)) <= $lshTopKHamming) t
+         |  WHERE rn <= $recallK)
+         |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin,
     "sim_pq_topk" -> pqSql,
     "sim_ivfpq_topk" -> ivfPqSql,
     "sim_ivf_trained" -> ivfTrainedSql(),

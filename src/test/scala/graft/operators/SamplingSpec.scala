@@ -76,6 +76,41 @@ class SamplingSpec extends SparkSpec {
     assert(split.values.toSet == Set("train", "val", "test"))
   }
 
+  test("packSequences: spans tile each doc exactly and fill every non-final sequence") {
+    val L = 100L
+    val spans = Sampling.packSequences(docs, L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val toks = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-doc: spans are contiguous, non-overlapping, cover [0, toks), each <= L
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      val ordered = ss.sortBy(_._3)
+      assert(ordered.head._4 == 0L, s"doc $id first span starts at 0")
+      assert(ordered.last._5 == toks(id), s"doc $id last span ends at toks")
+      assert(ordered.sliding(2).forall(p => p.size < 2 || p(0)._5 == p(1)._4),
+        s"doc $id spans contiguous")
+      assert(ordered.forall(s => s._5 - s._4 > 0 && s._5 - s._4 <= L))
+    }
+    // per-(source, seq): every sequence except a source's last holds exactly L tokens
+    spans.groupBy(s => (s._2, s._3)).foreach { case ((src, seq), ss) =>
+      val total = ss.map(s => s._5 - s._4).sum
+      val lastSeq = spans.filter(_._2 == src).map(_._3).max
+      if (seq < lastSeq) assert(total == L, s"($src, $seq) holds $total of $L")
+      else assert(total <= L)
+    }
+  }
+
+  test("packSequences is chunkWidth-invariant like packShards") {
+    def seqs(w: Long): Set[(Long, Long, Long, Long)] =
+      Sampling.packSequences(docs, 100L, chunkWidth = w)
+        .select("doc_id", "seq", "tok_start", "tok_end").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val single = seqs(Long.MaxValue)
+    assert(seqs(7L) == single)
+    assert(seqs(64L) == single)
+  }
+
   test("packShards: shard ids are contiguous from 0 and shards respect the budget") {
     val budget = 500L
     val packed = Sampling.packShards(docs, budget)

@@ -226,6 +226,48 @@ class SimilaritySpec extends SparkSpec {
     assert(staged.nonEmpty && staged == unstaged)
   }
 
+  test("recall@k harness: one row, hits bounded by k, recall = hits/k; query 0 always hits") {
+    val r = graft.queries.SimilarityQueries.recallLsh(spark, sf0001).collect()
+    assert(r.length == 1)
+    val (k, hits, recall) = (r.head.getInt(0), r.head.getLong(1), r.head.getDouble(2))
+    assert(k == 10)
+    // vec 0 (the query itself, cosine 1.0, Hamming 0) is in both arms, so
+    // recall is never 0; and the intersection can't exceed k.
+    assert(hits >= 1L && hits <= k)
+    assert(math.abs(recall - hits.toDouble / k) < 1e-9)
+  }
+
+  test("semantic near-dup: planted same-cluster duplicates pair at cos 1.0; scope is the cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // four orthogonal 4-dim clusters; ids 0-3 are the stand-in centroids.
+    // 100/101 duplicate centroid 0's direction, 200 duplicates centroid 1's.
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(4)(i => if (i == axis) 1f else 0f)
+    val rows = Seq(
+      0L -> unit(0), 1L -> unit(1), 2L -> unit(2), 3L -> unit(3),
+      100L -> unit(0).map(_ * 2f), 101L -> unit(0).map(_ * 3f),
+      200L -> unit(1).map(_ * 5f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticNearDupPairs(emb, threshold = 0.99,
+        centroidsNOpt = Some(4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // exactly the within-cluster duplicate pairs, nothing cross-cluster
+    assert(pairs == Set(
+      (0L, 0L, 100L, 1.0), (0L, 0L, 101L, 1.0), (0L, 100L, 101L, 1.0),
+      (1L, 1L, 200L, 1.0)))
+  }
+
+  test("semantic near-dup on real data: v1 < v2, cos above threshold, cid is a real centroid") {
+    val rows = graft.queries.DedupQueries.semantic(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      assert(r.getDouble(3) >= graft.queries.DedupQueries.semanticThreshold)
+      assert(r.getLong(0) >= 0L && r.getLong(0) < Similarity.ivfCentroids)
+    }
+  }
+
   test("near-dup pairs are symmetric-free (d1 < d2) and above threshold") {
     val pairs = Similarity.nearDupPairs(emb, threshold = 0.3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))

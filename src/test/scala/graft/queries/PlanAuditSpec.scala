@@ -262,6 +262,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sequence packing fans out via Generate (explode), never a token-row join") {
+    val p = plans("pack_seqs")
+    assert(p.contains("Generate"), p)      // sequence() explode — bounded fan-out
+    assert(!p.contains("CartesianProduct"), p)
+    // same two-level window backbone as pack_shards: windows partition by
+    // (source, chunk) / (source), never a global (empty-key) window
+    assert(!p.matches("(?s).*Window.*partitionBy=\\[\\].*"), p)
+  }
+
+  test("semantic dedup pairs join per-cluster on cid — an equi-join, not a corpus cross join") {
+    val p = plans("dedup_semantic")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("retention rollup is join + partial-aggregable distinct count, no per-user window") {
+    val p = plans("q50_retention")
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("recall harness: both arms end in TakeOrdered; the intersection joins two k-row frames") {
+    val p = plans("sim_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
@@ -275,7 +302,7 @@ class PlanAuditSpec extends SparkSpec {
     // differently across engines; the contract (FIXTURES §3) requires an
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
-      "q23_approx_distinct")
+      "q23_approx_distinct", "sim_recall")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
