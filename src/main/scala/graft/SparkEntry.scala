@@ -97,6 +97,9 @@ object SparkEntry {
     "text_redact"        -> TextQueries.redactQ _,
     "text_quality_norm"  -> TextQueries.qualityNorm _,
     "text_rolling_fp"    -> TextQueries.rollingFp _,
+    "text_pmi"           -> TextQueries.pmi _,
+    "text_oov"           -> TextQueries.oov _,
+    "text_gopher"        -> TextQueries.gopher _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
     "dedup_spans"        -> DedupQueries.spans _,

@@ -197,6 +197,115 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Minimum bigram occurrences for the collocation query — PMI of rare
+    * pairs is noise (one co-occurrence of two rare words maximizes it).
+    */
+  val pmiMinCount = 5
+
+  /** Collocations kept by the declared PMI query. */
+  val pmiTopN = 20
+
+  /** Bigram collocation mining by pointwise mutual information:
+    * `PMI(x,y) = ln( p(x,y) / (p(x)·p(y)) )` over adjacent-token bigrams —
+    * the phrase-discovery step a tokenizer/normalization pipeline runs to
+    * find multi-word units ("new york") worth fusing. The bigram explode is
+    * one row per token (same backbone cost as the unigram explode); unigram
+    * and bigram counts are partial-aggregable groupBys; the two corpus
+    * totals ride broadcasts; the final ranking is a TakeOrdered
+    * top-[[pmiTopN]] over the min-count-filtered pairs.
+    */
+  def pmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val uc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uc.agg(sum("c").cast("double").as("T"))
+    val bi = docs.select(split(lower(col("text")), " ").as("W"))
+      .filter(size(col("W")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(W)-2), i -> struct(W[i] AS w1, W[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val btot = bc.agg(sum("c").cast("double").as("B"))
+    bc.filter(col("c") >= pmiMinCount)
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("c"),
+        round(log(col("c") * col("T") * col("T") / (col("B") * col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(pmiTopN)
+  }
+
+  /** Out-of-vocabulary rate per doc against the [[vocab]] id table: the
+    * fraction of a doc's tokens outside the top-[[vocabSize]] corpus
+    * vocabulary — high-OOV docs are noise/foreign/garbled, and the rate is
+    * the quality signal tokenizer-aware curation thresholds on. The vocab is
+    * a bounded [[vocabSize]]-row broadcast, so the anti-join runs scan-local;
+    * both counts are partial-aggregable.
+    */
+  def oov(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val v = vocab(s, dir).select(col("token").as("w"))
+    val per = toks.groupBy("doc_id").agg(count(lit(1)).as("toks"))
+    val ov = toks.join(broadcast(v), Seq("w"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("oov"))
+    per.join(ov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("oov"), lit(0L)).as("oov"),
+        round(coalesce(col("oov"), lit(0L)) / col("toks"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Gopher-style rule thresholds (adapted to the synthetic corpus's token
+    * regime). One val per rule — the oracle CASE expressions are rendered
+    * from these.
+    */
+  val gMinToks = 10L
+  val gMaxToks = 300L
+  val gMinMwl = 3.0
+  val gMaxMwl = 10.0
+  val gMaxPunct = 0.2
+  val gMinStops = 2L
+  val gMaxRep = 0.5
+
+  /** Rule-based quality gate (the Gopher-rules shape): per-source counts of
+    * docs passing each structural rule — token-count window, mean-word-length
+    * window, punctuation ceiling, minimum stopword evidence, repetition
+    * ceiling — plus the conjunctive keep count. All signals are the
+    * already-verified codegen'd per-doc metrics; the rollup is one
+    * partial-aggregable pass of filtered counts (shuffle carries 7 numbers
+    * per source, never rows), i.e. the gate runs in-line in a 100 TB scan.
+    */
+  def gopher(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"),
+      tokenCount(col("text")).as("t"),
+      meanWordLen(col("text")).as("m"),
+      punctRatio(col("text")).as("p"),
+      stopwordHits(col("text"), "en").as("sw"),
+      dupNgramFrac(col("text")).as("r"))
+    val rLen = col("t") >= gMinToks && col("t") <= gMaxToks
+    val rMwl = col("m") >= gMinMwl && col("m") <= gMaxMwl
+    val rPunct = col("p") <= gMaxPunct
+    val rStop = col("sw") >= gMinStops
+    val rRep = col("r") <= gMaxRep
+    d.groupBy("source").agg(
+      count(lit(1)).as("docs"),
+      count(when(rLen, 1)).as("pass_len"),
+      count(when(rMwl, 1)).as("pass_mwl"),
+      count(when(rPunct, 1)).as("pass_punct"),
+      count(when(rStop, 1)).as("pass_stop"),
+      count(when(rRep, 1)).as("pass_rep"),
+      count(when(rLen && rMwl && rPunct && rStop && rRep, 1)).as("kept"))
+      .orderBy("source")
+  }
+
   /** Misra-Gries sketch capacity for [[heavy]]. A val shared with the
     * exact-regime guard and the spec.
     */
@@ -387,6 +496,54 @@ object TextQueries {
         """SELECT fp, count(*) AS c, min(doc_id) AS keeper FROM
           | (SELECT md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))),' ')) AS fp,
           |         doc_id FROM documents) t
-          | GROUP BY fp ORDER BY c DESC, fp LIMIT 50""".stripMargin.replaceAll("\n", ""))
+          | GROUP BY fp ORDER BY c DESC, fp LIMIT 50""".stripMargin.replaceAll("\n", ""),
+      "text_pmi" ->
+        s"""WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+           |uc AS (SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS T FROM uc),
+           |bi AS (SELECT W[i] AS w1, W[i+1] AS w2 FROM
+           |  (SELECT W, unnest(range(1, len(W))) AS i FROM
+           |    (SELECT string_split(lower(text), ' ') AS W FROM documents) s0) s1
+           |  WHERE W[i] <> '' AND W[i+1] <> ''),
+           |bc AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+           |btot AS (SELECT CAST(sum(c) AS DOUBLE) AS B FROM bc)
+           |SELECT w1, w2, bc.c AS c,
+           |       round(ln(bc.c * T * T / (B * u1.c * u2.c)), 6) AS pmi
+           |FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2, tot, btot
+           |WHERE bc.c >= $pmiMinCount
+           |ORDER BY pmi DESC, w1, w2 LIMIT $pmiTopN""".stripMargin,
+      "text_oov" ->
+        s"""WITH tok AS (SELECT doc_id, w FROM
+           |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+           |  WHERE w <> ''),
+           |v AS (SELECT token FROM (
+           |  SELECT w AS token, count(*) AS c FROM tok GROUP BY w
+           |  ORDER BY c DESC, token LIMIT $vocabSize) v0),
+           |per AS (SELECT doc_id, count(*) AS toks FROM tok GROUP BY doc_id),
+           |ov AS (SELECT doc_id, count(*) AS oov FROM tok
+           |       WHERE w NOT IN (SELECT token FROM v) GROUP BY doc_id)
+           |SELECT p.doc_id, p.toks, coalesce(o.oov, 0) AS oov,
+           |       round(coalesce(o.oov, 0) / p.toks, 6) AS oov_rate
+           |FROM per p LEFT JOIN ov o USING (doc_id)
+           |ORDER BY doc_id LIMIT 200""".stripMargin,
+      "text_gopher" -> {
+        val mwlSql =
+          "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END)"
+        val g = "list_transform(range(1, len(W)-1), i -> W[i]||' '||W[i+1]||' '||W[i+2])"
+        val repSql = s"(CASE WHEN len(W) < 3 THEN 0.0 ELSE 1.0 - len(list_distinct($g))*1.0/(len(W)-2) END)"
+        val stopsSql = SqlGen.hitsSql("en")
+        s"""SELECT source, count(*) AS docs,
+           | count(CASE WHEN t >= $gMinToks AND t <= $gMaxToks THEN 1 END) AS pass_len,
+           | count(CASE WHEN m >= $gMinMwl AND m <= $gMaxMwl THEN 1 END) AS pass_mwl,
+           | count(CASE WHEN p <= $gMaxPunct THEN 1 END) AS pass_punct,
+           | count(CASE WHEN sw >= $gMinStops THEN 1 END) AS pass_stop,
+           | count(CASE WHEN r <= $gMaxRep THEN 1 END) AS pass_rep,
+           | count(CASE WHEN t >= $gMinToks AND t <= $gMaxToks AND m >= $gMinMwl AND m <= $gMaxMwl
+           |   AND p <= $gMaxPunct AND sw >= $gMinStops AND r <= $gMaxRep THEN 1 END) AS kept
+           | FROM (SELECT source, $toksSql AS t, $mwlSql AS m, $punctSql AS p,
+           |   $stopsSql AS sw, $repSql AS r FROM
+           |   (SELECT source, text, string_split(text,' ') AS W FROM documents) w0) d
+           | GROUP BY source ORDER BY source""".stripMargin.replaceAll("\n", "")
+      })
   }
 }

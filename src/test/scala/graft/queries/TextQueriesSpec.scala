@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Behavior pins for the tokenizer-facing text queries (PMI collocations,
+  * OOV rate, the Gopher-rule gate) — the oracle hash-checks exact values;
+  * these pin the semantic invariants a refactor must preserve.
+  */
+class TextQueriesSpec extends SparkSpec {
+
+  test("PMI: min-count floor holds and the score matches a hand recomputation") {
+    val rows = TextQueries.pmi(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= TextQueries.pmiTopN)
+    rows.foreach(r => assert(r.getLong(2) >= TextQueries.pmiMinCount))
+    // recompute the top pair's PMI from raw counts
+    val (w1, w2, c, pmi) =
+      (rows.head.getString(0), rows.head.getString(1), rows.head.getLong(2), rows.head.getDouble(3))
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), " ")).as("w")).filter(col("w") =!= "")
+    val t = toks.count().toDouble
+    val c1 = toks.filter(col("w") === w1).count().toDouble
+    val c2 = toks.filter(col("w") === w2).count().toDouble
+    val b = graft.Tables.documents(spark, sf0001)
+      .select(size(split(lower(col("text")), " ")).as("n"))
+      .agg(sum(col("n") - 1)).head().getLong(0).toDouble // bigrams incl. '' pairs? none in corpus
+    val expected = math.log(c * t * t / (b * c1 * c2))
+    assert(math.abs(pmi - BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+      s"pmi($w1,$w2)=$pmi expected ~$expected")
+  }
+
+  test("OOV: rate bounded, oov <= toks, and an all-vocab doc scores 0") {
+    val rows = TextQueries.oov(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (toks, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= toks)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - BigDecimal(oov.toDouble / toks)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+    }
+    // the synthetic corpus draws from a tiny vocabulary, so with vocabSize
+    // 200 every token is in-vocab and the whole column must be 0 — a loud
+    // canary if the vocab/oov tokenizations ever drift apart
+    assert(rows.forall(_.getLong(2) == 0L))
+  }
+
+  test("Gopher gate: pass counts bounded by docs, kept is the conjunction's lower envelope") {
+    val rows = TextQueries.gopher(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val docs = r.getLong(1)
+      val passes = (2 to 6).map(r.getLong)
+      val kept = r.getLong(7)
+      passes.foreach(p => assert(p >= 0 && p <= docs))
+      assert(kept <= passes.min)
+    }
+    // rules are non-degenerate at corpus scale: the gate keeps some docs and
+    // at least one rule actually rejects something
+    val totalDocs = rows.map(_.getLong(1)).sum
+    val totalKept = rows.map(_.getLong(7)).sum
+    assert(totalKept > 0 && totalKept < totalDocs)
+  }
+}
