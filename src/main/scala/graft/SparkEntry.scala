@@ -100,6 +100,7 @@ object SparkEntry {
     "text_pmi"           -> TextQueries.pmi _,
     "text_oov"           -> TextQueries.oov _,
     "text_gopher"        -> TextQueries.gopher _,
+    "chunk_docs"         -> TextQueries.chunks _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
     "dedup_spans"        -> DedupQueries.spans _,
@@ -137,6 +138,7 @@ object SparkEntry {
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
+    "mix_epochs"         -> CurationQueries.mixEpochs _,
     "curate_drift"       -> CurationQueries.drift _,
     "pack_shards"        -> CurationQueries.packShards _,
     "pack_seqs"          -> CurationQueries.packSeqs _

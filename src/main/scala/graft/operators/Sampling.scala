@@ -54,6 +54,37 @@ object Sampling {
       conv(substring(md5(concat(col(idCol).cast("string"), lit("#wmix"))), 1, 15), 16, 10)
         .cast("long") < (weight * hashSpace).cast("long"))
 
+  /** Deterministic EPOCH sampling — [[mixSample]] generalized to rates above
+    * 1: a source with rate 2.5 repeats every doc twice and a salted-hash
+    * half of them a third time, so the output materializes the per-source
+    * epoch counts a training mixture prescribes ("web 0.5 epochs, curated
+    * 3 epochs"). Each doc yields `floor(rate)` copies plus one more iff its
+    * salted 60-bit hash clears the fractional part — which makes rates < 1
+    * degrade to exactly [[mixSample]]'s keep/drop semantics (0 copies), and
+    * keeps all of its scale properties: stateless scan filter + bounded
+    * `sequence()` explode (fan-out = rate), no shuffle, reproducible, and
+    * monotone — raising a rate only ADDS copies. Output carries the copy
+    * index as `epoch` (1-based) so downstream shuffling can interleave
+    * epochs deterministically.
+    */
+  def epochSample(docs: DataFrame, rates: Map[String, Double], defaultRate: Double = 1.0,
+                  idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val ratesDf = docs.sparkSession
+      .createDataFrame(rates.toSeq.sorted).toDF(sourceCol, "rate")
+    docs.join(broadcast(ratesDf), Seq(sourceCol), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(defaultRate)))
+      .withColumn("base", floor(col("rate")).cast("long"))
+      .withColumn("u",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("#epoch"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("n", col("base") +
+        when(col("u") < ((col("rate") - col("base")) * hashSpace).cast("long"), 1L)
+          .otherwise(0L))
+      .filter(col("n") >= 1)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(1L), col("n"))).as("epoch"))
+  }
+
   /** Deterministic train/val/test split assignment: a salted 60-bit md5 of
     * the id, reduced mod 100, buckets each doc into `test` (< testPct),
     * `val` (< testPct+valPct) or `train`. Same scale properties as

@@ -462,6 +462,26 @@ object Similarity {
       assigned.select(col(idCol), col(vecCol), col("cid")), table, "cid", buckets)
   }
 
+  /** Append a new batch into a [[stageIvfBucketed]] index — the IVF
+    * counterpart of [[appendStagedLsh]]: the batch is assigned against the
+    * SAME centroid codebook the index was staged with (centroids are a
+    * bounded model artifact, so assignment is a broadcast argmax over the
+    * batch only), then shuffled into the existing `cid` buckets. Per-ingest
+    * cost ∝ batch size; probes over the grown index stay bucket-pruned.
+    */
+  def appendStagedIvf(batch: DataFrame, cent: DataFrame, table: String,
+                      buckets: Int = 8, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val assigned = batch.crossJoin(broadcast(cent))
+      .select(col(idCol), col(vecCol), col("cid"),
+        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .groupBy(idCol)
+      .agg(first(col(vecCol)).as(vecCol),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    Bucketing.appendBucketed(
+      assigned.select(col(idCol), col(vecCol), col("cid")), table, "cid", buckets)
+  }
+
   /** Probe a [[stageIvfBucketed]] table: read only the `probeCids` inverted
     * lists (bucket-pruned IN() on the storage key), exact cosine top-k on
     * the survivors.

@@ -83,6 +83,24 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Epoch rates for the declared up-sampling query: even sources run 2.5
+    * epochs (every doc twice, a hash-chosen half a third time), odd sources
+    * half an epoch (the [[mixRates]]-style down-sample as the degenerate
+    * case of the same operator).
+    */
+  val epochRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 2.5 else 0.5)).toMap
+
+  /** Deterministic epoch materialization ([[Sampling.epochSample]]): one row
+    * per (doc, epoch copy) under the per-source epoch prescription — the
+    * step that turns "curated×3, web×0.5" mixture configs into an actual
+    * training stream.
+    */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochSample(Tables.documents(s, dir), epochRates)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
   /** Split percentages for the declared split query — the oracle CASE is
     * generated from THESE constants (SqlGen rule: one source of truth).
     */
@@ -283,6 +301,20 @@ object CurationQueries {
            |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            |  FROM documents) t
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+      "mix_epochs" -> {
+        val rateCase = epochRates.toSeq.sorted
+          .map { case (s, r) => s"WHEN '$s' THEN $r" }.mkString(" ")
+        s"""SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch FROM
+           | (SELECT doc_id, source, unnest(range(1, CAST(n + 1 AS BIGINT))) AS epoch FROM
+           |  (SELECT doc_id, source,
+           |    CAST(floor(r) AS BIGINT) +
+           |    (CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#epoch'),1,15))::BIGINT
+           |       < CAST(trunc((r - floor(r)) * ${Sampling.hashSpace}) AS BIGINT) THEN 1 ELSE 0 END) AS n
+           |   FROM (SELECT doc_id, source, (CASE source $rateCase ELSE 1.0 END) AS r
+           |         FROM documents) t0) t1
+           |  WHERE n >= 1) t2
+           | ORDER BY doc_id, epoch""".stripMargin.replaceAll("\n", "")
+      },
       "pack_seqs" ->
         s"""SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
            | CAST(greatest(seq*$seqLen, cum - toks) - (cum - toks) AS BIGINT) AS tok_start,

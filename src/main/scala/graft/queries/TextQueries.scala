@@ -263,6 +263,41 @@ object TextQueries {
       .limit(200)
   }
 
+  /** Retrieval-chunking geometry: 32-token windows advancing by 24 (8-token
+    * overlap) — small enough that typical ~60-token docs produce several
+    * overlapping chunks at verify scale.
+    */
+  val chunkToks = 32L
+  val chunkStride = 24L
+
+  /** Overlapping-window document chunking (the RAG-indexing shape): each doc
+    * splits into [[chunkToks]]-token windows advancing by [[chunkStride]],
+    * the last window clamped to the doc end — one output row per chunk with
+    * its doc-local token range AND the chunk text itself. Entirely
+    * scan-local: the window count is per-row arithmetic, the fan-out is a
+    * bounded `sequence()` explode (≈ toks/stride rows per doc), the text is
+    * a `slice` + `concat_ws` over the already-split token array — no
+    * shuffle anywhere before the output sort, so at 100 TB chunking runs
+    * in-line in the read stage of the indexing job.
+    */
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("W"))
+      .withColumn("toks", size(col("W")).cast("long"))
+      .withColumn("nc",
+        when(col("toks") <= chunkToks, lit(1L))
+          .otherwise(expr(s"(toks - $chunkToks + $chunkStride - 1) div $chunkStride + 1")))
+      .select(col("doc_id"), col("W"), col("toks"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk"))
+      .select(col("doc_id"), col("chunk"), col("W"),
+        (col("chunk") * chunkStride).as("tok_start"),
+        least(col("chunk") * chunkStride + chunkToks, col("toks")).as("tok_end"))
+      .select(col("doc_id"), col("chunk"), col("tok_start"), col("tok_end"),
+        concat_ws(" ", expr(
+          "slice(W, CAST(tok_start + 1 AS INT), CAST(tok_end - tok_start AS INT))"))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk")
+
   /** Gopher-style rule thresholds (adapted to the synthetic corpus's token
     * regime). One val per rule — the oracle CASE expressions are rendered
     * from these.
@@ -526,6 +561,17 @@ object TextQueries {
            |       round(coalesce(o.oov, 0) / p.toks, 6) AS oov_rate
            |FROM per p LEFT JOIN ov o USING (doc_id)
            |ORDER BY doc_id LIMIT 200""".stripMargin,
+      "chunk_docs" ->
+        s"""SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+           | CAST(chunk*$chunkStride AS BIGINT) AS tok_start,
+           | CAST(least(chunk*$chunkStride + $chunkToks, toks) AS BIGINT) AS tok_end,
+           | array_to_string(W[chunk*$chunkStride + 1 : least(chunk*$chunkStride + $chunkToks, toks)], ' ') AS chunk_text
+           | FROM (SELECT doc_id, W, toks, unnest(range(0, nc)) AS chunk FROM
+           |  (SELECT doc_id, W, len(W) AS toks,
+           |    CASE WHEN len(W) <= $chunkToks THEN 1
+           |         ELSE (len(W) - $chunkToks + ${chunkStride - 1}) // $chunkStride + 1 END AS nc
+           |   FROM (SELECT doc_id, string_split(text, ' ') AS W FROM documents) t0) t1) t2
+           | ORDER BY doc_id, chunk""".stripMargin.replaceAll("\n", ""),
       "text_gopher" -> {
         val mwlSql =
           "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END)"

@@ -76,6 +76,30 @@ class SamplingSpec extends SparkSpec {
     assert(split.values.toSet == Set("train", "val", "test"))
   }
 
+  test("epochSample: integer rates repeat exactly, fractional rates split by hash, rate<1 matches mixSample semantics") {
+    val n = docs.count()
+    // rate 2.0 exactly doubles every doc
+    val twice = Sampling.epochSample(docs, Map.empty, defaultRate = 2.0)
+    assert(twice.count() == 2 * n)
+    assert(twice.groupBy("doc_id").count().filter(col("count") =!= 2).count() == 0)
+    // rate 2.5: every doc 2 or 3 times; the 3-copy set is the hash-chosen half
+    val twoAndHalf = Sampling.epochSample(docs, Map.empty, defaultRate = 2.5)
+    val copies = twoAndHalf.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copies.values.forall(c => c == 2 || c == 3))
+    assert(copies.values.exists(_ == 2) && copies.values.exists(_ == 3))
+    // monotone: raising a rate only adds copies
+    val three = Sampling.epochSample(docs, Map.empty, defaultRate = 3.0)
+    assert(three.count() == 3 * n)
+    // rate < 1 keeps a hash-chosen subset exactly once (mixSample semantics,
+    // different salt)
+    val half = Sampling.epochSample(docs, Map.empty, defaultRate = 0.5)
+    assert(half.count() > 0 && half.count() < n)
+    assert(half.groupBy("doc_id").count().filter(col("count") =!= 1).count() == 0)
+    // determinism
+    assert(Sampling.epochSample(docs, Map.empty, defaultRate = 0.5).count() == half.count())
+  }
+
   test("packSequences: spans tile each doc exactly and fill every non-final sequence") {
     val L = 100L
     val spans = Sampling.packSequences(docs, L)

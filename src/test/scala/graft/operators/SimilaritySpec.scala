@@ -211,6 +211,27 @@ class SimilaritySpec extends SparkSpec {
     assert(m.get.group(1).toInt < m.get.group(2).toInt)
   }
 
+  test("staged IVF index append: stage-then-append equals staging everything at once") {
+    import org.apache.spark.sql.functions._
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.stageIvfBucketed(emb.filter(col("vec_id") < 400), cent,
+      "graft_test_ann_ivf_incr", buckets = 8)
+    Similarity.appendStagedIvf(emb.filter(col("vec_id") >= 400), cent,
+      "graft_test_ann_ivf_incr", buckets = 8)
+    Similarity.stageIvfBucketed(emb, cent, "graft_test_ann_ivf_full", buckets = 8)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    def probe(t: String) = Similarity.probeStagedIvf(spark, t, qe, Seq(0L, 1L), k = 10)
+    assert(probe("graft_test_ann_ivf_incr").collect().toSeq ==
+      probe("graft_test_ann_ivf_full").collect().toSeq)
+    // pruning survives the append
+    val plan = probe("graft_test_ann_ivf_incr").queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(1).toInt < m.get.group(2).toInt)
+  }
+
   test("staged IVF probe equals ivfTopK (lists staged once vs assigned per query)") {
     import org.apache.spark.sql.functions._
     val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)

@@ -289,6 +289,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
   }
 
+  test("chunking is scan-local: explode fan-out with no shuffle before the output sort") {
+    val p = plans("chunk_docs")
+    assert(p.contains("Generate"), p)
+    // the only Exchange is the final rangepartitioning for the ORDER BY —
+    // chunk computation itself never shuffles
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), p)
+  }
+
+  test("epoch sampling: broadcast rate table + bounded explode, no wide shuffle") {
+    val p = plans("mix_epochs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")

@@ -46,6 +46,33 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) == 0L))
   }
 
+  test("chunking: windows cover every token, obey the stride/overlap geometry, and carry the right text") {
+    val (w, s) = (TextQueries.chunkToks, TextQueries.chunkStride)
+    val rows = TextQueries.chunks(spark, sf0001).collect()
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (id, cs) =>
+      val toks = docs(id).split(" ", -1)
+      val ordered = cs.sortBy(_.getLong(1))
+      // geometry: chunk i starts at i*stride; last ends at the doc end
+      ordered.foreach { r =>
+        assert(r.getLong(2) == r.getLong(1) * s)
+        assert(r.getLong(3) == math.min(r.getLong(1) * s + w, toks.length))
+        assert(r.getLong(3) > r.getLong(2))
+      }
+      assert(ordered.last.getLong(3) == toks.length)
+      // every token index is inside at least one chunk
+      val covered = ordered.flatMap(r => r.getLong(2) until r.getLong(3)).toSet
+      assert(covered == toks.indices.map(_.toLong).toSet, s"doc $id coverage")
+      // the text is the actual token slice
+      ordered.foreach { r =>
+        val expect = toks.slice(r.getLong(2).toInt, r.getLong(3).toInt).mkString(" ")
+        assert(r.getString(4) == expect, s"doc $id chunk ${r.getLong(1)}")
+      }
+    }
+  }
+
   test("Gopher gate: pass counts bounded by docs, kept is the conjunction's lower envelope") {
     val rows = TextQueries.gopher(spark, sf0001).collect()
     assert(rows.nonEmpty)
