@@ -289,6 +289,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
   }
 
+  test("edit-distance verify spreads its quadratic work: the pair frame is explicitly repartitioned") {
+    // the pair frame is tiny in bytes but each row costs O(len²) — AQE's
+    // size-based coalescing would serialize the Levenshtein pass onto one
+    // task; the explicit numPartitions (REPARTITION_BY_NUM) pins the spread
+    val p = plans("dedup_editdist")
+    assert(p.contains("REPARTITION_BY_NUM"), p)
+  }
+
   test("chunking is scan-local: explode fan-out with no shuffle before the output sort") {
     val p = plans("chunk_docs")
     assert(p.contains("Generate"), p)
