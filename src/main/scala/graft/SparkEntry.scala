@@ -83,6 +83,7 @@ object SparkEntry {
     "q48_merge_upsert"   -> CoreQueries.q48 _,
     "q49_profile"        -> CoreQueries.q49 _,
     "q50_retention"      -> CoreQueries.q50 _,
+    "q51_sessionize"     -> CoreQueries.q51 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -140,6 +141,7 @@ object SparkEntry {
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
     "mix_epochs"         -> CurationQueries.mixEpochs _,
     "curate_drift"       -> CurationQueries.drift _,
+    "pipeline_dump"      -> CurationQueries.pipelineDump _,
     "pack_shards"        -> CurationQueries.packShards _,
     "pack_seqs"          -> CurationQueries.packSeqs _
   )

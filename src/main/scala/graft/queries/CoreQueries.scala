@@ -718,6 +718,34 @@ object CoreQueries {
       .orderBy("cohort", "week_offset")
   }
 
+  /** Session gap for [[q51]] (seconds). */
+  val sessionGapSec = 1800L
+
+  /** Q51 — batch sessionization by the lag + running-sum idiom: a session
+    * break is a >[[sessionGapSec]] gap since the user's previous event; the
+    * running sum of breaks numbers each user's sessions; one aggregate row
+    * per session. The complement of q32's `session_window` (the built-in
+    * operator): this is the manual formulation every analytics engine user
+    * writes, and it exercises lag + conditional + framed-sum in one window
+    * pass. Both windows partition by `user_id` — per-user shuffle
+    * partitions, no global sort; at 100 TB a hot user costs one sorted
+    * partition of their OWN events only.
+    */
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, dir).select(col("user_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          (col("ts").cast("long") - col("prev").cast("long")) > sessionGapSec, 1)
+          .otherwise(0))
+      .withColumn("session", sum("brk").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session")
+      .agg(count(lit(1)).as("events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+      .orderBy("user_id", "session")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

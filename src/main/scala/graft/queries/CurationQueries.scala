@@ -216,6 +216,27 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** The END-TO-END training-dump composition, oracled as ONE query:
+    * curation (exact-dedup → language filter → quality floor, the
+    * [[kept]] stage) → deterministic split assignment → train slice only →
+    * fixed-length sequence packing ([[Sampling.packSequences]]) of the
+    * survivors. This is the pipeline a user actually runs before a dump —
+    * every stage is an already-verified operator, and composing them in one
+    * declared query pins that the STAGES COMPOSE: the packer sees exactly
+    * the curated train docs, offsets shift with every upstream drop, and the
+    * whole chain still hash-matches the oracle. Scale shape is the union of
+    * its parts: hash-groupBy dedup, scan-local filters, stateless split,
+    * two-level packing windows — no new shuffle beyond what the stages
+    * already pay.
+    */
+  def pipelineDump(s: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(
+        kept(s, dir)
+          .withColumn("split", Sampling.splitColumn(testPct = splitTestPct, valPct = splitValPct))
+          .filter(col("split") === "train"),
+        seqLen, chunkWidth = shardChunkWidth)
+      .orderBy("doc_id", "seq")
+
   /** Materialize a curated dump the way a 100 TB job would: parquet
     * partitioned by provenance (`source`) so downstream mixture sampling
     * prunes partitions instead of scanning, with `maxRecordsPerFile` bounding
@@ -315,6 +336,25 @@ object CurationQueries {
            |  WHERE n >= 1) t2
            | ORDER BY doc_id, epoch""".stripMargin.replaceAll("\n", "")
       },
+      "pipeline_dump" ->
+        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+           |cur AS (SELECT d.doc_id AS doc_id, source, text
+           |        FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+           |        WHERE (${SqlGen.langIdSql}) = 'en' AND $qualSql >= $qualityFloor),
+           |tr AS (SELECT doc_id, source, text FROM cur
+           |       WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100
+           |             >= ${splitTestPct + splitValPct}),
+           |c AS (SELECT doc_id, source, len(string_split(text,' ')) AS toks,
+           |        sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM tr)
+           |SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
+           | CAST(greatest(seq*$seqLen, cum - toks) - (cum - toks) AS BIGINT) AS tok_start,
+           | CAST(least((seq+1)*$seqLen, cum) - (cum - toks) AS BIGINT) AS tok_end FROM
+           | (SELECT doc_id, source, toks, cum,
+           |   unnest(range(CAST((cum - toks) // $seqLen AS BIGINT), CAST(((cum - 1) // $seqLen) + 1 AS BIGINT))) AS seq
+           |  FROM c) t
+           |ORDER BY doc_id, seq""".stripMargin,
       "pack_seqs" ->
         s"""SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
            | CAST(greatest(seq*$seqLen, cum - toks) - (cum - toks) AS BIGINT) AS tok_start,

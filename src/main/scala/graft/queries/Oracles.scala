@@ -239,6 +239,17 @@ object Oracles {
         |       count(DISTINCT user_id) AS users
         |FROM e JOIN f USING (user_id)
         |GROUP BY cohort, week_offset ORDER BY cohort, week_offset""".stripMargin,
+    "q51_sessionize" ->
+      s"""SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS events,
+         |       min(ts) AS start_ts, max(ts) AS end_ts FROM
+         | (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM
+         |  (SELECT user_id, ts,
+         |     CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > ${CoreQueries.sessionGapSec}
+         |          THEN 1 ELSE 0 END AS brk FROM
+         |   (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         |    FROM events) t0) t1) t2
+         |GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

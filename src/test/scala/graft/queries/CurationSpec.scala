@@ -15,6 +15,26 @@ class CurationSpec extends SparkSpec {
     assert(kept.join(docs, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("pipeline_dump composes: its doc set is exactly curated ∩ train, spans tile each doc") {
+    val dump = CurationQueries.pipelineDump(spark, sf0001).collect()
+    val curated = CurationQueries.curatedDocs(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = graft.Tables.documents(spark, sf0001)
+      .withColumn("split", graft.operators.Sampling.splitColumn(
+        testPct = CurationQueries.splitTestPct, valPct = CurationQueries.splitValPct))
+      .filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dumpIds = dump.map(_.getLong(0)).toSet
+    assert(dumpIds == (curated intersect train), "dump == curated ∩ train")
+    // spans still tile every surviving doc (the packer ran on the filtered set)
+    dump.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_.getLong(2))
+      assert(ordered.head.getLong(3) == 0L)
+      assert(ordered.sliding(2).forall(p => p.size < 2 || p(0).getLong(4) == p(1).getLong(3)),
+        "spans contiguous within doc")
+    }
+  }
+
   test("writeCorpus partitions by source with readable roundtrip") {
     val out = java.nio.file.Files.createTempDirectory("corpus").toString
     val kept = CurationQueries.curatedDocs(spark, sf0001)
