@@ -94,6 +94,7 @@ object SparkEntry {
     "text_vocab"         -> TextQueries.vocab _,
     "text_heavy"         -> TextQueries.heavy _,
     "text_lm_score"      -> TextQueries.lmScore _,
+    "text_bigram_lm"     -> TextQueries.bigramLm _,
     "text_repetition"    -> TextQueries.repetition _,
     "text_redact"        -> TextQueries.redactQ _,
     "text_quality_norm"  -> TextQueries.qualityNorm _,

@@ -341,6 +341,41 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Bigram language-model scoring with add-one smoothing: train
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V)` on the full corpus, score each
+    * doc by its mean bigram log-probability — one modeling order above
+    * [[lmScore]]'s unigram proxy, and the better boilerplate detector
+    * (repetitive word PAIRS score high even when the unigrams are common).
+    * Same scale shape as [[pmi]] + [[lmScore]]: one bigram explode, two
+    * partial-aggregable count tables, the vocab-size scalar on a broadcast,
+    * per-doc mean via sort-then-sum so double accumulation is
+    * engine-identical.
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val uc = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val vocabN = uc.agg(count(lit(1)).cast("double").as("V"))
+    val bi = docs.select(col("doc_id"), split(lower(col("text")), " ").as("W"))
+      .filter(size(col("W")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(W)-2), i -> struct(W[i] AS w1, W[i+1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bi.filter(col("doc_id") < 200)
+      .join(bc, Seq("w1", "w2"))
+      .join(uc.select(col("w").as("w1"), col("cu")), "w1")
+      .crossJoin(broadcast(vocabN))
+      .select(col("doc_id"), log((col("cb") + 1.0) / (col("cu") + col("V"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(
+        expr("aggregate(array_sort(collect_list(lp)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / count(lit(1)), 6).as("bigram_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Misra-Gries sketch capacity for [[heavy]]. A val shared with the
     * exact-regime guard and the spec.
     */
@@ -561,6 +596,19 @@ object TextQueries {
            |       round(coalesce(o.oov, 0) / p.toks, 6) AS oov_rate
            |FROM per p LEFT JOIN ov o USING (doc_id)
            |ORDER BY doc_id LIMIT 200""".stripMargin,
+      "text_bigram_lm" ->
+        """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+          |uc AS (SELECT w, count(*) AS cu FROM tok WHERE w <> '' GROUP BY w),
+          |vn AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uc),
+          |bi AS (SELECT doc_id, W[i] AS w1, W[i+1] AS w2 FROM
+          |  (SELECT doc_id, W, unnest(range(1, len(W))) AS i FROM
+          |    (SELECT doc_id, string_split(lower(text), ' ') AS W FROM documents) s0) s1
+          |  WHERE W[i] <> '' AND W[i+1] <> ''),
+          |bc AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2)
+          |SELECT doc_id, round(list_sum(list_sort(list(ln((cb + 1.0)/(cu + V)))))/count(*), 6) AS bigram_logp
+          |FROM bi JOIN bc USING (w1, w2) JOIN uc ON uc.w = bi.w1, vn
+          |WHERE doc_id < 200
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "chunk_docs" ->
         s"""SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
            | CAST(chunk*$chunkStride AS BIGINT) AS tok_start,

@@ -46,6 +46,21 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) == 0L))
   }
 
+  test("bigram LM: one score per scorable doc, strictly negative (smoothed probs < 1), deterministic") {
+    val rows = TextQueries.bigramLm(spark, sf0001).collect()
+    val expect = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 200 && size(split(lower(col("text")), " ")) >= 2)
+      .count()
+    assert(rows.length == expect)
+    rows.foreach { r =>
+      val lp = r.getDouble(1)
+      assert(!lp.isNaN && !lp.isInfinite && lp < 0.0, s"doc ${r.getLong(0)} lp=$lp")
+    }
+    val again = TextQueries.bigramLm(spark, sf0001).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("chunking: windows cover every token, obey the stride/overlap geometry, and carry the right text") {
     val (w, s) = (TextQueries.chunkToks, TextQueries.chunkStride)
     val rows = TextQueries.chunks(spark, sf0001).collect()
