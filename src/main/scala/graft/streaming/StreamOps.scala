@@ -112,6 +112,28 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("fp")
       .drop("fp")
 
+  /** Streaming curation gate: the batch quality rules applied in-line on a
+    * document stream. Every signal is a stateless codegen'd scan expression
+    * (token count, mean word length, punctuation ratio, stopword evidence,
+    * repetition) so the filter needs NO state store at all — it composes
+    * with any downstream watermark/dedup without adding state, which is
+    * exactly how a 100 TB ingest would run curation: inside the read stage,
+    * before anything stateful. Thresholds are the declared `text_gopher`
+    * constants, so the stream keeps precisely the batch gate's keep-set
+    * (differential-spec'd in StreamingSpec).
+    */
+  def qualityGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.queries.TextQueries._
+    val t = col(textCol)
+    docs.filter(
+      tokenCount(t) >= gMinToks && tokenCount(t) <= gMaxToks &&
+        meanWordLen(t) >= gMinMwl && meanWordLen(t) <= gMaxMwl &&
+        punctRatio(t) <= gMaxPunct &&
+        stopwordHits(t, "en") >= gMinStops &&
+        dupNgramFrac(t) <= gMaxRep)
+  }
+
   /** Stream-stream interval join: pair each flow with the REVERSE-direction
     * flow (dst→src) that started within `intervalMs` — the "find the response
     * leg of the connection" enrichment. Both sides are watermarked and the

@@ -277,6 +277,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate keeps exactly the batch Gopher keep-set; the plan is stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData(rows)
+    val gated = StreamOps.qualityGate(input.toDF().toDF("doc_id", "text"))
+    val q = gated.writeStream.format("memory").queryName("quality_gate")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamKept = spark.sql("SELECT doc_id FROM quality_gate")
+        .collect().map(_.getLong(0)).toSet
+      val batchKept = StreamOps.qualityGate(Tables.documents(spark, sf0001))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamKept.nonEmpty && streamKept == batchKept)
+      // keep counts agree with the declared text_gopher rollup
+      val gopherKept = graft.queries.TextQueries.gopher(spark, sf0001)
+        .agg(sum("kept")).head().getLong(0)
+      assert(streamKept.size.toLong == gopherKept)
+      // stateless: no state-store operator in the streaming plan
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("event sessions via session_window on the events table (batch-on-stream shape)") {
     // session_window works identically on batch frames; validate gap logic there.
     val out = StreamOps.eventSessions(Tables.events(spark, sf0001))
