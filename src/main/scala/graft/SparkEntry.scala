@@ -130,6 +130,7 @@ object SparkEntry {
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "sim_recall"         -> SimilarityQueries.recallLsh _,
+    "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,
     "search_hybrid"      -> RetrievalQueries.hybrid _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,

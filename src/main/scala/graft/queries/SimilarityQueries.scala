@@ -116,6 +116,14 @@ object SimilarityQueries {
     * so the final intersection join touches 2·k rows no matter the corpus;
     * at 100 TB the cost is the arms themselves (the exact arm is the one
     * full scan you pay to CALIBRATE the cheap path you then serve with).
+    *
+    * And it earns its keep immediately: on the synthetic corpus this reads
+    * recall 0.1 while [[recallIvf]] reads 1.0 — the true neighbors' cosines
+    * are low (~0.3), so their random-hyperplane codes differ in far more
+    * than [[lshTopKHamming]] bits, while the coarse IVF lists still contain
+    * them. Exactly the configuration signal (widen the Hamming ball / probe
+    * more lists / prefer IVF here) the harness exists to produce; see
+    * DESIGN.md.
     */
   def recallLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -129,6 +137,31 @@ object SimilarityQueries {
       .select("vec_id")
     val approx = Similarity
       .lshTopK(emb, queryId = 0L, k = recallK, maxHamming = lshTopKHamming)
+      .select("vec_id")
+    exact.join(approx, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(recallK).as("k"), col("hits"),
+        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+  }
+
+  /** [[recallLsh]]'s twin for the IVF arm: recall@[[recallK]] of
+    * [[Similarity.ivfTopK]] (2-probe, 16 stand-in centroids) against exact
+    * brute force — together the two recall rows calibrate BOTH served ANN
+    * paths against ground truth.
+    */
+  def recallIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id"))
+      .limit(recallK)
+      .select("vec_id")
+    val approx = Similarity
+      .ivfTopK(emb, queryId = 0L, k = recallK,
+        centroidsNOpt = Some(Similarity.ivfCentroids))
       .select("vec_id")
     exact.join(approx, "vec_id")
       .agg(count(lit(1)).as("hits"))
@@ -385,6 +418,24 @@ object SimilarityQueries {
          |ap AS (SELECT vec_id FROM
          |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
          |   FROM coded, q WHERE bit_count(xor(lsh_code, qcode)) <= $lshTopKHamming) t
+         |  WHERE rn <= $recallK)
+         |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin,
+    "sim_recall_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+         |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+         |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+         |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qprobe AS (SELECT cid FROM
+         |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+         |   FROM cent c, q) t WHERE rn <= 2),
+         |ex AS (SELECT vec_id FROM
+         |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+         |   FROM embeddings e, q) t WHERE rn <= $recallK),
+         |ap AS (SELECT vec_id FROM
+         |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+         |   FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q) t
          |  WHERE rn <= $recallK)
          |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
          |FROM ex JOIN ap USING (vec_id)""".stripMargin,

@@ -248,14 +248,26 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("recall@k harness: one row, hits bounded by k, recall = hits/k; query 0 always hits") {
-    val r = graft.queries.SimilarityQueries.recallLsh(spark, sf0001).collect()
-    assert(r.length == 1)
-    val (k, hits, recall) = (r.head.getInt(0), r.head.getLong(1), r.head.getDouble(2))
-    assert(k == 10)
-    // vec 0 (the query itself, cosine 1.0, Hamming 0) is in both arms, so
-    // recall is never 0; and the intersection can't exceed k.
-    assert(hits >= 1L && hits <= k)
-    assert(math.abs(recall - hits.toDouble / k) < 1e-9)
+    for (q <- Seq(
+        graft.queries.SimilarityQueries.recallLsh(spark, sf0001),
+        graft.queries.SimilarityQueries.recallIvf(spark, sf0001))) {
+      val r = q.collect()
+      assert(r.length == 1)
+      val (k, hits, recall) = (r.head.getInt(0), r.head.getLong(1), r.head.getDouble(2))
+      assert(k == 10)
+      // vec 0 (the query itself, cosine 1.0, Hamming 0 / its own list) is in
+      // both arms, so recall is never 0; the intersection can't exceed k.
+      assert(hits >= 1L && hits <= k)
+      assert(math.abs(recall - hits.toDouble / k) < 1e-9)
+    }
+    // the pair is a real discriminator: on this corpus the coarse IVF lists
+    // retain the true neighbors while the Hamming-3 code ball loses most
+    // (low-cosine neighbors differ in many bits) — IVF recall must dominate
+    val lsh = graft.queries.SimilarityQueries.recallLsh(spark, sf0001)
+      .head().getDouble(2)
+    val ivf = graft.queries.SimilarityQueries.recallIvf(spark, sf0001)
+      .head().getDouble(2)
+    assert(ivf >= lsh)
   }
 
   test("semantic near-dup: planted same-cluster duplicates pair at cos 1.0; scope is the cluster") {
