@@ -131,6 +131,8 @@ object SparkEntry {
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "sim_recall"         -> SimilarityQueries.recallLsh _,
     "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,
+    "sim_lsh_multi"      -> SimilarityQueries.lshMultiTopK _,
+    "sim_recall_multi"   -> SimilarityQueries.recallMulti _,
     "search_hybrid"      -> RetrievalQueries.hybrid _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,

@@ -72,15 +72,16 @@ object Similarity {
     * native codegen'd [[LshCode]] expression.
     */
   def withLshCode(df: DataFrame, vecCol: String = "embedding",
-                  planes: Int = lshPlanes): DataFrame =
-    df.withColumn("lsh_code",
-      ColumnBridge.column(LshCode(ColumnBridge.expression(col(vecCol)), planes, dims)))
+                  planes: Int = lshPlanes, planeOffset: Int = 0,
+                  codeCol: String = "lsh_code"): DataFrame =
+    df.withColumn(codeCol,
+      ColumnBridge.column(LshCode(ColumnBridge.expression(col(vecCol)), planes, dims, planeOffset)))
 
   /** DuckDB rendering of the same code (kept adjacent to prevent drift). */
-  def lshCodeSql(vecCol: String, planes: Int = lshPlanes): String =
+  def lshCodeSql(vecCol: String, planes: Int = lshPlanes, planeOffset: Int = 0): String =
     (0 until planes).map { p =>
       s"""(CASE WHEN list_sum(list_transform(range(1, ${dims + 1}),
-         | i -> CAST($vecCol[i] AS DOUBLE) * ${planeComponent(p, "(i-1)")})) > 0
+         | i -> CAST($vecCol[i] AS DOUBLE) * ${planeComponent(p + planeOffset, "(i-1)")})) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin.replaceAll("\n", "")
     }.mkString("(", " + ", ")")
 
@@ -156,6 +157,38 @@ object Similarity {
       .select(col(vecCol).as("qe"), col("lsh_code").as("qcode"))
     coded.crossJoin(broadcast(q))
       .filter(expr(s"bit_count(lsh_code ^ qcode)") <= maxHamming)
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("qe")), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** Multi-TABLE LSH top-k: the classic (L, K) amplification answer to a
+    * low-recall single code table — L independent plane families (table t
+    * codes with plane offset `t·planes`), candidates = the UNION of each
+    * table's Hamming-≤maxHamming ball, exact cosine on the survivors. A
+    * true neighbor is missed only if it misses ALL L balls, so the miss
+    * probability multiplies across tables: measured on the synthetic corpus
+    * (true neighbors at ~0.3 cosine — a hard ~72° angle for hyperplane
+    * codes) the single-table Hamming-3 lookup reads recall@10 = 0.1 and
+    * four Hamming-4 tables read 0.3 touching 4% of the corpus — the dial
+    * the recall harness (`sim_recall*`) exists to set, and the measurement
+    * that says THIS corpus is better served by IVF (recall 1.0). Same scale
+    * shape as [[lshTopK]] per table; storage-side, each table is its own
+    * [[stageLshBucketed]] index at 100 TB.
+    */
+  def lshMultiTopK(emb: DataFrame, queryId: Long, k: Int, tables: Int = 4,
+                   maxHamming: Int = 2, planes: Int = lshPlanes,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val coded = (0 until tables).foldLeft(emb) { (df, t) =>
+      withLshCode(df, vecCol, planes, planeOffset = t * planes, codeCol = s"code_$t")
+    }
+    val q = coded.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qe") +:
+        (0 until tables).map(t => col(s"code_$t").as(s"qcode_$t")): _*)
+    coded.crossJoin(broadcast(q))
+      .filter((0 until tables)
+        .map(t => expr(s"bit_count(code_$t ^ qcode_$t)") <= maxHamming)
+        .reduce(_ || _))
       .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("qe")), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)

@@ -144,6 +144,45 @@ object SimilarityQueries {
         round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
   }
 
+  /** Table count / Hamming radius for the multi-table LSH query — chosen
+    * from a measured (L, H) sweep at sf0.01: L=4 H=4 reads recall 0.3
+    * touching 4% of the corpus (vs 0.1 single-table; L=8 buys nothing more
+    * here). The sweep is the harness's whole point — see DESIGN.md.
+    */
+  val multiTables = 4
+  val multiHamming = 4
+
+  /** Top-10 via multi-table LSH ([[Similarity.lshMultiTopK]]): [[multiTables]]
+    * independent plane families, candidate union across tables — the
+    * amplification configuration the recall harness motivates (single-table
+    * recall 0.1 → multi-table 0.3 here; the corpus's true neighbors sit at
+    * ~0.3 cosine ≈ 72°, intrinsically hard for hyperplane codes — which is
+    * exactly why [[recallIvf]]'s 1.0 says serve THIS corpus via IVF).
+    */
+  def lshMultiTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshMultiTopK(Tables.embeddings(s, dir), queryId = 0L, k = 10,
+      tables = multiTables, maxHamming = multiHamming)
+
+  /** Recall@[[recallK]] of the multi-table arm — the third calibration row:
+    * LSH single-table < multi-table ≤ IVF on this corpus.
+    */
+  def recallMulti(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cs"))
+      .orderBy(desc("cs"), asc("vec_id"))
+      .limit(recallK)
+      .select("vec_id")
+    val approx = lshMultiTopK(s, dir).select("vec_id")
+    exact.join(approx, "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(recallK).as("k"), col("hits"),
+        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+  }
+
   /** [[recallLsh]]'s twin for the IVF arm: recall@[[recallK]] of
     * [[Similarity.ivfTopK]] (2-probe, 16 stand-in centroids) against exact
     * brute force — together the two recall rows calibrate BOTH served ANN
@@ -421,6 +460,39 @@ object SimilarityQueries {
          |  WHERE rn <= $recallK)
          |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
          |FROM ex JOIN ap USING (vec_id)""".stripMargin,
+    "sim_lsh_multi" -> {
+      val codes = (0 until multiTables).map(t =>
+        s"${Similarity.lshCodeSql("embedding", Similarity.lshPlanes, t * Similarity.lshPlanes)} AS c$t")
+        .mkString(", ")
+      val qcodes = (0 until multiTables).map(t => s"c$t AS q$t").mkString(", ")
+      val anyBall = (0 until multiTables)
+        .map(t => s"bit_count(xor(c$t, q$t)) <= $multiHamming").mkString(" OR ")
+      s"""WITH coded AS (SELECT vec_id, embedding, $codes FROM embeddings),
+         |q AS (SELECT embedding AS qe, $qcodes FROM coded WHERE vec_id = 0)
+         |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
+         |FROM coded, q
+         |WHERE $anyBall
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "sim_recall_multi" -> {
+      val codes = (0 until multiTables).map(t =>
+        s"${Similarity.lshCodeSql("embedding", Similarity.lshPlanes, t * Similarity.lshPlanes)} AS c$t")
+        .mkString(", ")
+      val qcodes = (0 until multiTables).map(t => s"c$t AS q$t").mkString(", ")
+      val anyBall = (0 until multiTables)
+        .map(t => s"bit_count(xor(c$t, q$t)) <= $multiHamming").mkString(" OR ")
+      s"""WITH coded AS (SELECT vec_id, embedding, $codes FROM embeddings),
+         |q AS (SELECT embedding AS qe, $qcodes FROM coded WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM
+         |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+         |   FROM embeddings, q) t WHERE rn <= $recallK),
+         |ap AS (SELECT vec_id FROM
+         |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+         |   FROM coded, q WHERE $anyBall) t
+         |  WHERE rn <= $recallK)
+         |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin
+    },
     "sim_recall_ivf" ->
       s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
          |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM

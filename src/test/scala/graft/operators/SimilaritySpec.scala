@@ -260,14 +260,35 @@ class SimilaritySpec extends SparkSpec {
       assert(hits >= 1L && hits <= k)
       assert(math.abs(recall - hits.toDouble / k) < 1e-9)
     }
-    // the pair is a real discriminator: on this corpus the coarse IVF lists
-    // retain the true neighbors while the Hamming-3 code ball loses most
-    // (low-cosine neighbors differ in many bits) — IVF recall must dominate
+    // the trio is a real discriminator: on this corpus the coarse IVF lists
+    // retain the true neighbors while the Hamming code balls lose most
+    // (low-cosine neighbors differ in many bits); multi-table amplification
+    // can only widen the single-table candidate union — the measured order
+    // lsh ≤ multi ≤ ivf is the configuration signal the harness exists for
     val lsh = graft.queries.SimilarityQueries.recallLsh(spark, sf0001)
+      .head().getDouble(2)
+    val multi = graft.queries.SimilarityQueries.recallMulti(spark, sf0001)
       .head().getDouble(2)
     val ivf = graft.queries.SimilarityQueries.recallIvf(spark, sf0001)
       .head().getDouble(2)
-    assert(ivf >= lsh)
+    assert(lsh <= multi && multi <= ivf, s"lsh=$lsh multi=$multi ivf=$ivf")
+  }
+
+  test("multi-table LSH: table 0 reproduces single-table codes; the union strictly widens candidates") {
+    import org.apache.spark.sql.functions._
+    // planeOffset 0 must be byte-identical to the original single-table code
+    val single = Similarity.withLshCode(emb).select("vec_id", "lsh_code").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t0 = Similarity.withLshCode(emb, planeOffset = 0, codeCol = "c0")
+      .select("vec_id", "c0").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == t0)
+    // a different family really is different
+    val t1 = Similarity.withLshCode(emb, planeOffset = Similarity.lshPlanes, codeCol = "c1")
+      .select("vec_id", "c1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t0 != t1)
+    // the multi-table result contains the query itself at cosine 1.0
+    val top = Similarity.lshMultiTopK(emb, queryId = 0L, k = 10).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
   }
 
   test("semantic near-dup: planted same-cluster duplicates pair at cos 1.0; scope is the cluster") {
