@@ -401,6 +401,35 @@ object CoreQueries {
     per.union(all).orderBy("event_type")
   }
 
+  /** Q52 — sketch-based set INTERSECTION via inclusion-exclusion:
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, with the union estimated from
+    * the two MERGED HLL sketches — the set operation q34's union rollup
+    * can't express, and the way overlap questions ("users who both viewed
+    * and purchased") are answered at 100 TB without re-scanning either side:
+    * each arm's sketch is a fixed-size partial-aggregable summary, the
+    * combine is sketch-level, and only the oracle-facing exact counts touch
+    * the raw data. Error is additive across the three estimates, so the
+    * envelope is proportional to |A|+|B| (spec-pinned tighter on real data).
+    */
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def arm(t: String, tag: String) =
+      e.filter(col("event_type") === t).agg(
+        expr("hll_sketch_agg(user_id)").as(s"sk_$tag"),
+        countDistinct(col("user_id")).as(s"exact_$tag"))
+    val exactBoth = e.filter(col("event_type") === "view").select("user_id").distinct()
+      .intersect(e.filter(col("event_type") === "purchase").select("user_id").distinct())
+      .agg(count(lit(1)).as("exact_both"))
+    arm("view", "a").crossJoin(arm("purchase", "b")).crossJoin(exactBoth)
+      .select(
+        col("exact_a").as("exact_view"),
+        col("exact_b").as("exact_purchase"),
+        col("exact_both"),
+        (abs(expr("hll_sketch_estimate(sk_a)") + expr("hll_sketch_estimate(sk_b)")
+          - expr("hll_sketch_estimate(hll_union(sk_a, sk_b))") - col("exact_both"))
+          <= greatest((col("exact_a") + col("exact_b")) * 0.1, lit(5.0))).as("approx_ok"))
+  }
+
   /** Q35 — pivot: one column per event type (values pinned so the output
     * schema is deterministic), count per (user, type), absent combos 0.
     */

@@ -117,6 +117,15 @@ object Oracles {
         | UNION ALL
         | SELECT 'ALL', count(DISTINCT user_id), true FROM events
         | ORDER BY event_type""".stripMargin.replaceAll("\n", ""),
+    "q52_sketch_intersect" ->
+      """SELECT
+        | (SELECT count(DISTINCT user_id) FROM events WHERE event_type='view') AS exact_view,
+        | (SELECT count(DISTINCT user_id) FROM events WHERE event_type='purchase') AS exact_purchase,
+        | (SELECT count(*) FROM
+        |   (SELECT DISTINCT user_id FROM events WHERE event_type='view'
+        |    INTERSECT
+        |    SELECT DISTINCT user_id FROM events WHERE event_type='purchase') t) AS exact_both,
+        | true AS approx_ok""".stripMargin.replaceAll("\n", ""),
     "q35_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (WHERE event_type='click') AS click,

@@ -22,4 +22,14 @@ class ApproxDistinctSpec extends SparkSpec {
     val r = CoreQueries.q23(spark, sf0001).head()
     assert(r.getBoolean(1))
   }
+
+  test("q52 sketch intersection: exact counts consistent, estimate inside its envelope") {
+    val r = CoreQueries.q52(spark, sf0001).head()
+    val (a, b, both) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // set algebra sanity on the exact side
+    assert(both <= math.min(a, b))
+    assert(a > 0 && b > 0 && both > 0) // 150 users over 30 days: overlap certain
+    // the declared envelope boolean (what the oracle pins to true)
+    assert(r.getBoolean(3))
+  }
 }

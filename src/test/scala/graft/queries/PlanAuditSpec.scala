@@ -326,7 +326,8 @@ class PlanAuditSpec extends SparkSpec {
     // differently across engines; the contract (FIXTURES §3) requires an
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
-      "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi")
+      "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
+      "q52_sketch_intersect")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
