@@ -65,6 +65,107 @@ final case class MemorySink(tableName: String) extends FlowSink {
   * against embedded Derby in FlowSinkSpec — `writerOverride` remains only
   * as the seam for a vendor-native (non-JDBC) writer.
   */
+/** Idempotent JDBC UPSERT sink: per micro-batch, each key's row is
+  * delete-then-inserted inside one transaction per partition — so a REPLAYED
+  * batch (restart from an earlier checkpoint, foreachBatch's at-least-once
+  * redelivery) converges to the same table state instead of duplicating.
+  * This is the standard exactly-once-by-key upgrade over [[JdbcSink]]'s
+  * append: append + replay = duplicates; upsert + replay = idempotent.
+  *
+  * Scale/semantics notes:
+  *  - the batch is key-deduplicated first (`dropDuplicates(keyCols)`), so
+  *    keys are globally unique across partitions and the per-partition
+  *    transactions can't race on a key;
+  *  - one connection + two prepared statements per PARTITION, JDBC-batched —
+  *    the same per-partition shape every distributed JDBC writer uses; no
+  *    driver-side collect;
+  *  - identifiers are double-quoted (ANSI) — Derby needs it for reserved
+  *    words like `end`; ClickHouse accepts ANSI quotes;
+  *  - DDL at `start()` mirrors [[JdbcSink]] (empty-frame overwrite when
+  *    `recreate`, else the first append creates the table if missing).
+  */
+final case class UpsertJdbcSink(url: String, keyCols: Seq[String],
+                                table: String = "flows",
+                                options: Map[String, String] = Map.empty) extends FlowSink {
+
+  private def q(c: String): String = "\"" + c + "\""
+
+  /** Delete-then-insert every row of `batch` keyed by [[keyCols]] —
+    * idempotent under replay. Package-visible so the spec can drive replay
+    * directly.
+    */
+  private[sinks] def upsert(batch: DataFrame): Unit = {
+    val cols = batch.schema.fieldNames.toSeq
+    val keys = keyCols
+    // table UNQUOTED (matches how Spark's JDBC writer created it — quoting
+    // would make it case-sensitive and miss Derby's normalized name);
+    // columns QUOTED (the writer quotes them, which is what lets reserved
+    // words like `end` exist at all). String keys compare through a VARCHAR
+    // cast: dialects that map StringType to CLOB (Derby) can't `=` on the
+    // raw column; the cast is a no-op where strings are plain VARCHAR.
+    val deleteSql = s"DELETE FROM $table WHERE " +
+      keys.map { k =>
+        batch.schema(k).dataType match {
+          case org.apache.spark.sql.types.StringType =>
+            s"CAST(${q(k)} AS VARCHAR(512)) = ?"
+          case _ => s"${q(k)} = ?"
+        }
+      }.mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES " +
+      cols.map(_ => "?").mkString("(", ", ", ")")
+    val jdbcUrl = url
+    val props = options
+    batch.dropDuplicates(keys).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          props.get("driver").foreach(Class.forName)
+          val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+          try {
+            conn.setAutoCommit(false)
+            val del = conn.prepareStatement(deleteSql)
+            val ins = conn.prepareStatement(insertSql)
+            rows.foreach { r =>
+              keys.zipWithIndex.foreach { case (k, i) =>
+                del.setObject(i + 1, r.get(r.fieldIndex(k)))
+              }
+              del.addBatch()
+              cols.zipWithIndex.foreach { case (c, i) =>
+                ins.setObject(i + 1, r.get(r.fieldIndex(c)))
+              }
+              ins.addBatch()
+            }
+            del.executeBatch()
+            ins.executeBatch()
+            conn.commit()
+          } finally conn.close()
+        }
+    }
+  }
+
+  override def start(df: DataFrame, checkpoint: String): StreamingQuery = {
+    // DDL-once via the plain JDBC writer (0-row append creates if missing).
+    val empty = df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
+    try empty.write.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+      .mode("append").save()
+    catch {
+      case e: Exception =>
+        System.err.println(s"[sink] upsert table setup failed: ${e.getMessage}")
+    }
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        try upsert(batch)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[sink] batch $id upsert failed, dropping: ${e.getMessage}")
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}
+
 final case class JdbcSink(url: String, table: String = "flows",
                           options: Map[String, String] = Map.empty,
                           recreate: Boolean = true,

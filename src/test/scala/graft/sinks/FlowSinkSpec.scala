@@ -112,6 +112,47 @@ class FlowSinkSpec extends SparkSpec {
     assert(readBack().count() == 0)
   }
 
+  test("UpsertJdbcSink on Derby: replayed data converges by key instead of duplicating") {
+    val url = "jdbc:derby:memory:graftupsert;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def readBack(): DataFrame = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "flows").options(opts).load()
+    def bytesJson(startMs: Long, src: String, bytes: Long): String =
+      s"""{"TimeFlowStartMs":$startMs,"TimeFlowEndMs":${startMs + 500},"SrcAddr":"$src","Bytes":$bytes,"Packets":1}"""
+
+    val sink = UpsertJdbcSink(url, keyCols = Seq("start", "src_ip"), options = opts)
+    val src1 = new MemoryFlowSource(spark)
+    src1.add(bytesJson(1000, "10.0.0.1", 100), bytesJson(2000, "10.0.0.2", 200))
+    val q1 = sink.start(FlowPipeline.batch(src1.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(readBack().count() == 2)
+
+    // full replay from a FRESH checkpoint (the at-least-once worst case:
+    // every batch redelivered). Append would double the table; upsert
+    // converges — same 2 keys, and the changed payload takes effect.
+    val src2 = new MemoryFlowSource(spark)
+    src2.add(bytesJson(1000, "10.0.0.1", 999), bytesJson(2000, "10.0.0.2", 200))
+    val q2 = sink.start(FlowPipeline.batch(src2.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    // (filters evaluated driver-side: Derby can't compare pushed-down
+    // predicates against its CLOB-mapped string columns)
+    val rows = readBack().select("src_ip", "bytes").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.length == 2, "replay must not duplicate")
+    assert(rows.toMap.apply("10.0.0.1") == 999L, "replayed key carries the new payload")
+
+    // within-batch duplicate keys are deduplicated before the transaction
+    val src3 = new MemoryFlowSource(spark)
+    src3.add(bytesJson(3000, "10.0.0.3", 1), bytesJson(3000, "10.0.0.3", 2))
+    val q3 = sink.start(FlowPipeline.batch(src3.stream(spark)),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try q3.processAllAvailable() finally q3.stop()
+    assert(readBack().select("src_ip").collect()
+      .count(_.getString(0) == "10.0.0.3") == 1)
+  }
+
   test("JdbcSink setup failure is non-fatal (append creates a missing table)") {
     val writes = ArrayBuffer.empty[String]
     val sink = JdbcSink("jdbc:unused://", writerOverride = Some {
