@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 
 import graft.GraftSession
 import graft.pipeline.FlowPipeline
-import graft.sinks.{ConsoleSink, FlowSink, JdbcSink, ParquetSink}
+import graft.sinks.{ConsoleSink, FlowSink, JdbcSink, ParquetSink, UpsertJdbcSink}
 import graft.sources.{FileFlowSource, FlowSource, KafkaFlowSource}
 
 /** The end-to-end application, mirroring the reference's wiring
@@ -23,6 +23,9 @@ import graft.sources.{FileFlowSource, FlowSource, KafkaFlowSource}
   *                    rather than the projected 12 columns
   *   --loglevel       reference `-loglevel` (main.go:18)
   *   --checkpoint     checkpoint dir (replaces the consumer-group offsets)
+  *   --upsertkeys     comma-separated key columns: switch the JDBC sink to
+  *                    keyed upsert (idempotent under replay) instead of
+  *                    append — e.g. `--upsertkeys start,src_ip`
   *   --recreate       true/false: drop+recreate the JDBC table at start.
   *                    Defaults to the SAFE derivation: recreate only when the
   *                    checkpoint dir is absent/empty (fresh pipeline). A
@@ -45,8 +48,10 @@ object FlowApp {
     * for testability).
     */
   def chooseSink(chUrl: String, parquetSink: String,
-                 recreate: Boolean = true): FlowSink =
-    if (chUrl.nonEmpty) JdbcSink(chUrl, recreate = recreate)
+                 recreate: Boolean = true,
+                 upsertKeys: Seq[String] = Nil): FlowSink =
+    if (chUrl.nonEmpty && upsertKeys.nonEmpty) UpsertJdbcSink(chUrl, upsertKeys)
+    else if (chUrl.nonEmpty) JdbcSink(chUrl, recreate = recreate)
     else if (parquetSink.nonEmpty) ParquetSink(parquetSink)
     else ConsoleSink()
 
@@ -118,7 +123,12 @@ object FlowApp {
 
     val recreate = boolOpt("recreate")
       .getOrElse(deriveRecreate(checkpoint, spark.sparkContext.hadoopConfiguration))
-    val sink = chooseSink(chUrl, parquetSink, recreate)
+    // --upsertkeys start,src_ip switches the JDBC sink to keyed upsert:
+    // replayed batches converge instead of duplicating (exactly-once-by-key
+    // on top of the checkpointed source's at-least-once redelivery).
+    val upsertKeys = opts.get("upsertkeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val sink = chooseSink(chUrl, parquetSink, recreate, upsertKeys)
     spark.streams.addListener(new DecodeMetricsListener)
 
     val decoded = FlowPipeline.decodeNamed(source.stream(spark))

@@ -22,6 +22,11 @@ class FlowSinkSpec extends SparkSpec {
     // the recreate decision reaches the sink (a resume must not drop rows)
     assert(!FlowApp.chooseSink("jdbc:ch://host/db", "", recreate = false)
       .asInstanceOf[JdbcSink].recreate)
+    // --upsertkeys flips the JDBC sink into keyed-upsert mode
+    val up = FlowApp.chooseSink("jdbc:ch://host/db", "",
+      upsertKeys = Seq("start", "src_ip"))
+    assert(up.isInstanceOf[UpsertJdbcSink])
+    assert(up.asInstanceOf[UpsertJdbcSink].keyCols == Seq("start", "src_ip"))
   }
 
   test("deriveRecreate: fresh checkpoint dir recreates, populated one resumes") {
