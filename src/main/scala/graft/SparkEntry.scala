@@ -85,6 +85,7 @@ object SparkEntry {
     "q50_retention"      -> CoreQueries.q50 _,
     "q51_sessionize"     -> CoreQueries.q51 _,
     "q52_sketch_intersect" -> CoreQueries.q52 _,
+    "q53_growth"         -> CoreQueries.q53 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

@@ -50,7 +50,8 @@ object FlowApp {
   def chooseSink(chUrl: String, parquetSink: String,
                  recreate: Boolean = true,
                  upsertKeys: Seq[String] = Nil): FlowSink =
-    if (chUrl.nonEmpty && upsertKeys.nonEmpty) UpsertJdbcSink(chUrl, upsertKeys)
+    if (chUrl.nonEmpty && upsertKeys.nonEmpty)
+      UpsertJdbcSink(chUrl, upsertKeys, recreate = recreate)
     else if (chUrl.nonEmpty) JdbcSink(chUrl, recreate = recreate)
     else if (parquetSink.nonEmpty) ParquetSink(parquetSink)
     else ConsoleSink()

@@ -59,9 +59,11 @@ object Sampling {
     * half of them a third time, so the output materializes the per-source
     * epoch counts a training mixture prescribes ("web 0.5 epochs, curated
     * 3 epochs"). Each doc yields `floor(rate)` copies plus one more iff its
-    * salted 60-bit hash clears the fractional part — which makes rates < 1
-    * degrade to exactly [[mixSample]]'s keep/drop semantics (0 copies), and
-    * keeps all of its scale properties: stateless scan filter + bounded
+    * salted 60-bit hash clears the fractional part — so rates < 1 degrade
+    * to [[mixSample]]-STYLE keep/drop semantics (0 or 1 copies at the same
+    * keep-probability; a DIFFERENT salt, so the kept set is an independent
+    * draw, not mixSample's — migrate rates, not membership expectations),
+    * and keeps all of its scale properties: stateless scan filter + bounded
     * `sequence()` explode (fan-out = rate), no shuffle, reproducible, and
     * monotone — raising a rate only ADDS copies. Output carries the copy
     * index as `epoch` (1-based) so downstream shuffling can interleave

@@ -775,6 +775,25 @@ object CoreQueries {
       .orderBy("user_id", "session")
   }
 
+  /** Q53 — growth accounting: per day, how many users touched the product
+    * for the FIRST time, and the cumulative user base — the other half of
+    * [[q50]]'s retention rollup. First-touch is a partial-aggregable
+    * `groupBy(user_id).min(day)`; the daily rollup shuffles one row per
+    * user; the cumulative sum windows over the DAY axis only (≤ a few
+    * thousand rows at any scale — days, not users), so the single-partition
+    * window is bounded by the calendar, never the corpus.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    val first = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min("d").as("day"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    first.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .orderBy("day")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

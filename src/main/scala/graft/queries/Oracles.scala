@@ -259,6 +259,12 @@ object Oracles {
          |   (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
          |    FROM events) t0) t1) t2
          |GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+    "q53_growth" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id)
+        |SELECT day, count(*) AS new_users,
+        |       CAST(sum(count(*)) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

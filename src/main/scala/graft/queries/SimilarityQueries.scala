@@ -109,6 +109,25 @@ object SimilarityQueries {
   /** Recall@k depth for the declared ANN-quality query. */
   val recallK = 10
 
+  /** Shared recall rollup: recall@[[recallK]] of `approx` (any served ANN
+    * arm's top-k, column `vec_id`) against the exact brute-force arm — ONE
+    * definition of both the ground-truth arm ([[Similarity.bruteForceTopK]],
+    * the same code q19 serves with) and the hits/recall aggregation, so the
+    * three declared recall rows cannot drift from each other or from the
+    * served exact path.
+    */
+  private def recallOf(s: SparkSession, dir: String,
+                       approx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val exact = Similarity
+      .bruteForceTopK(Tables.embeddings(s, dir), queryId = 0L, k = recallK)
+      .select("vec_id")
+    exact.join(approx.select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(recallK).as("k"), col("hits"),
+        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+  }
+
   /** ANN quality measurement: recall@[[recallK]] of the approximate LSH arm
     * ([[lshTopK]]) against the exact brute-force cosine top-k — the
     * "measure, don't guess" harness an ANN deployment runs before trusting
@@ -125,24 +144,9 @@ object SimilarityQueries {
     * more lists / prefer IVF here) the harness exists to produce; see
     * DESIGN.md.
     */
-  def recallLsh(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val exact = emb.crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cs"))
-      .orderBy(desc("cs"), asc("vec_id"))
-      .limit(recallK)
-      .select("vec_id")
-    val approx = Similarity
-      .lshTopK(emb, queryId = 0L, k = recallK, maxHamming = lshTopKHamming)
-      .select("vec_id")
-    exact.join(approx, "vec_id")
-      .agg(count(lit(1)).as("hits"))
-      .select(lit(recallK).as("k"), col("hits"),
-        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
-  }
+  def recallLsh(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, Similarity.lshTopK(Tables.embeddings(s, dir),
+      queryId = 0L, k = recallK, maxHamming = lshTopKHamming))
 
   /** Table count / Hamming radius for the multi-table LSH query — chosen
     * from a measured (L, H) sweep at sf0.01: L=4 H=4 reads recall 0.3
@@ -166,47 +170,17 @@ object SimilarityQueries {
   /** Recall@[[recallK]] of the multi-table arm — the third calibration row:
     * LSH single-table < multi-table ≤ IVF on this corpus.
     */
-  def recallMulti(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val exact = emb.crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cs"))
-      .orderBy(desc("cs"), asc("vec_id"))
-      .limit(recallK)
-      .select("vec_id")
-    val approx = lshMultiTopK(s, dir).select("vec_id")
-    exact.join(approx, "vec_id")
-      .agg(count(lit(1)).as("hits"))
-      .select(lit(recallK).as("k"), col("hits"),
-        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
-  }
+  def recallMulti(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, lshMultiTopK(s, dir))
 
   /** [[recallLsh]]'s twin for the IVF arm: recall@[[recallK]] of
     * [[Similarity.ivfTopK]] (2-probe, 16 stand-in centroids) against exact
     * brute force — together the two recall rows calibrate BOTH served ANN
     * paths against ground truth.
     */
-  def recallIvf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val exact = emb.crossJoin(broadcast(q))
-      .select(col("vec_id"),
-        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6).as("cs"))
-      .orderBy(desc("cs"), asc("vec_id"))
-      .limit(recallK)
-      .select("vec_id")
-    val approx = Similarity
-      .ivfTopK(emb, queryId = 0L, k = recallK,
-        centroidsNOpt = Some(Similarity.ivfCentroids))
-      .select("vec_id")
-    exact.join(approx, "vec_id")
-      .agg(count(lit(1)).as("hits"))
-      .select(lit(recallK).as("k"), col("hits"),
-        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
-  }
+  def recallIvf(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, Similarity.ivfTopK(Tables.embeddings(s, dir),
+      queryId = 0L, k = recallK, centroidsNOpt = Some(Similarity.ivfCentroids)))
 
   /** Code-width FLOOR for the declared batch-ANN query: 8 planes keeps the
     * Hamming-≤1 ball dense enough to fill k at verify-scale corpora. The

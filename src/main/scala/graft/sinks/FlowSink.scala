@@ -81,14 +81,25 @@ final case class MemorySink(tableName: String) extends FlowSink {
   *    driver-side collect;
   *  - identifiers are double-quoted (ANSI) — Derby needs it for reserved
   *    words like `end`; ClickHouse accepts ANSI quotes;
-  *  - DDL at `start()` mirrors [[JdbcSink]] (empty-frame overwrite when
-  *    `recreate`, else the first append creates the table if missing).
+  *  - DDL at `start()` mirrors [[JdbcSink]]: `recreate=true` overwrites with
+  *    the empty frame (DROP + CREATE), else a 0-row append creates the
+  *    table only if missing;
+  *  - connection `options` (user/password/driver/...) reach BOTH paths: the
+  *    Spark writer via `.options`, the executor-side connections as JDBC
+  *    `Properties` (minus the Spark-writer-only keys).
   */
 final case class UpsertJdbcSink(url: String, keyCols: Seq[String],
                                 table: String = "flows",
-                                options: Map[String, String] = Map.empty) extends FlowSink {
+                                options: Map[String, String] = Map.empty,
+                                recreate: Boolean = false) extends FlowSink {
 
   private def q(c: String): String = "\"" + c + "\""
+
+  /** Option keys consumed by the Spark JDBC writer itself — everything else
+    * is a driver connection property (user, password, ssl, ...).
+    */
+  private val sparkWriterKeys = Set("url", "dbtable", "query", "driver",
+    "numpartitions", "batchsize", "truncate", "isolationlevel")
 
   /** Delete-then-insert every row of `batch` keyed by [[keyCols]] —
     * idempotent under replay. Package-visible so the spec can drive replay
@@ -102,53 +113,73 @@ final case class UpsertJdbcSink(url: String, keyCols: Seq[String],
     // columns QUOTED (the writer quotes them, which is what lets reserved
     // words like `end` exist at all). String keys compare through a VARCHAR
     // cast: dialects that map StringType to CLOB (Derby) can't `=` on the
-    // raw column; the cast is a no-op where strings are plain VARCHAR.
+    // raw column; the cast is a no-op where strings are plain VARCHAR. The
+    // width is Derby's VARCHAR maximum — key values longer than that raise
+    // a loud truncation error (keys that long should be hashed first).
     val deleteSql = s"DELETE FROM $table WHERE " +
       keys.map { k =>
         batch.schema(k).dataType match {
           case org.apache.spark.sql.types.StringType =>
-            s"CAST(${q(k)} AS VARCHAR(512)) = ?"
+            s"CAST(${q(k)} AS VARCHAR(32672)) = ?"
           case _ => s"${q(k)} = ?"
         }
       }.mkString(" AND ")
     val insertSql = s"INSERT INTO $table (${cols.map(q).mkString(", ")}) VALUES " +
       cols.map(_ => "?").mkString("(", ", ", ")")
     val jdbcUrl = url
-    val props = options
+    val opts = options
+    val writerKeys = sparkWriterKeys
     batch.dropDuplicates(keys).foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        if (rows.nonEmpty) {
-          props.get("driver").foreach(Class.forName)
-          val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+        if (rows.hasNext) {
+          opts.get("driver").foreach(Class.forName)
+          val props = new java.util.Properties()
+          opts.foreach { case (k, v) =>
+            if (!writerKeys.contains(k.toLowerCase)) props.setProperty(k, v)
+          }
+          val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
           try {
             conn.setAutoCommit(false)
             val del = conn.prepareStatement(deleteSql)
             val ins = conn.prepareStatement(insertSql)
-            rows.foreach { r =>
-              keys.zipWithIndex.foreach { case (k, i) =>
-                del.setObject(i + 1, r.get(r.fieldIndex(k)))
+            try {
+              rows.foreach { r =>
+                keys.zipWithIndex.foreach { case (k, i) =>
+                  del.setObject(i + 1, r.get(r.fieldIndex(k)))
+                }
+                del.addBatch()
+                cols.zipWithIndex.foreach { case (c, i) =>
+                  ins.setObject(i + 1, r.get(r.fieldIndex(c)))
+                }
+                ins.addBatch()
               }
-              del.addBatch()
-              cols.zipWithIndex.foreach { case (c, i) =>
-                ins.setObject(i + 1, r.get(r.fieldIndex(c)))
-              }
-              ins.addBatch()
+              del.executeBatch()
+              ins.executeBatch()
+              conn.commit()
+            } catch {
+              case e: Throwable =>
+                // roll back so close() doesn't throw on an active
+                // transaction and mask the root cause (and so a server DB
+                // isn't left holding delete locks until timeout)
+                try conn.rollback() catch { case _: Exception => () }
+                throw e
+            } finally {
+              try del.close() catch { case _: Exception => () }
+              try ins.close() catch { case _: Exception => () }
             }
-            del.executeBatch()
-            ins.executeBatch()
-            conn.commit()
           } finally conn.close()
         }
     }
   }
 
   override def start(df: DataFrame, checkpoint: String): StreamingQuery = {
-    // DDL-once via the plain JDBC writer (0-row append creates if missing).
+    // DDL mirrors JdbcSink: overwrite (DROP + CREATE) when recreate, else a
+    // 0-row append that creates the table only if missing.
     val empty = df.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), df.schema)
     try empty.write.format("jdbc")
       .option("url", url).option("dbtable", table).options(options)
-      .mode("append").save()
+      .mode(if (recreate) "overwrite" else "append").save()
     catch {
       case e: Exception =>
         System.err.println(s"[sink] upsert table setup failed: ${e.getMessage}")
