@@ -91,7 +91,8 @@ final case class MemorySink(tableName: String) extends FlowSink {
 final case class UpsertJdbcSink(url: String, keyCols: Seq[String],
                                 table: String = "flows",
                                 options: Map[String, String] = Map.empty,
-                                recreate: Boolean = false) extends FlowSink {
+                                recreate: Boolean = false,
+                                outputMode: Option[String] = None) extends FlowSink {
 
   private def q(c: String): String = "\"" + c + "\""
 
@@ -184,7 +185,11 @@ final case class UpsertJdbcSink(url: String, keyCols: Seq[String],
       case e: Exception =>
         System.err.println(s"[sink] upsert table setup failed: ${e.getMessage}")
     }
-    df.writeStream
+    // outputMode("update") + a keyed upsert = a streaming MATERIALIZED VIEW:
+    // each re-emission of a still-open window/group replaces the previous
+    // row for its key, so the table converges to the latest aggregate state
+    // (spec: "streaming materialized view" in FlowSinkSpec).
+    val writer = df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         try upsert(batch)
         catch {
@@ -193,7 +198,7 @@ final case class UpsertJdbcSink(url: String, keyCols: Seq[String],
         }
       }
       .option("checkpointLocation", checkpoint)
-      .start()
+    outputMode.fold(writer)(writer.outputMode).start()
   }
 }
 

@@ -158,6 +158,45 @@ class FlowSinkSpec extends SparkSpec {
       .count(_.getString(0) == "10.0.0.3") == 1)
   }
 
+  test("streaming materialized view: windowed aggregates upserted by key converge across restarts") {
+    import org.apache.spark.sql.functions.col
+    val url = "jdbc:derby:memory:graftmv;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def view(src: MemoryFlowSource) =
+      graft.streaming.StreamOps.trafficPerWindow(FlowPipeline.batch(src.stream(spark)))
+        .select(col("window.start").as("win_start"),
+          col("src_namespace"), col("dst_namespace"),
+          col("bytes"), col("flows"))
+    val sink = UpsertJdbcSink(url,
+      keyCols = Seq("win_start", "src_namespace", "dst_namespace"),
+      table = "traffic_mv", options = opts, outputMode = Some("update"))
+    def readBack(): Seq[(Long, Long)] = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "traffic_mv").options(opts).load()
+      .select("bytes", "flows").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+
+    def flow(ms: Long, bytes: Long): String =
+      s"""{"TimeFlowStartMs":$ms,"TimeFlowEndMs":${ms + 1},"SrcK8S_Namespace":"ns","DstK8S_Namespace":"ns","Bytes":$bytes,"Packets":1}"""
+
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val src1 = new MemoryFlowSource(spark)
+    src1.add(flow(60000, 10), flow(61000, 20)) // same 1-min window
+    val q1 = sink.start(view(src1), ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(readBack() == Seq((30L, 2L)))
+
+    // more data lands in the SAME window after a restart: update mode
+    // re-emits the revised aggregate and the upsert REPLACES the row — the
+    // table stays one row per key, now with the converged totals. An append
+    // sink would have accumulated stale partial aggregates alongside.
+    val src2 = new MemoryFlowSource(spark)
+    src2.add(flow(60000, 10), flow(61000, 20))
+    src2.add(flow(62000, 5))
+    val q2 = sink.copy(recreate = false).start(view(src2),
+      java.nio.file.Files.createTempDirectory("ckpt").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack() == Seq((35L, 3L)), "one row per window key, converged totals")
+  }
+
   test("JdbcSink setup failure is non-fatal (append creates a missing table)") {
     val writes = ArrayBuffer.empty[String]
     val sink = JdbcSink("jdbc:unused://", writerOverride = Some {
