@@ -313,6 +313,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("tokenizer analytics keep their scale shapes: PMI TakeOrdered, OOV broadcast anti-join") {
+    assert(plans("text_pmi").contains("TakeOrderedAndProject"), plans("text_pmi"))
+    val oov = plans("text_oov")
+    assert(oov.contains("BroadcastHashJoin LeftAnti") ||
+      oov.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"), oov)
+  }
+
+  test("growth accounting: the cumulative window follows aggregation, no per-user window") {
+    val p = plans("q53_growth")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+    assert("Window".r.findAllIn(p).size <= 2, p)        // day-axis running sum only
+  }
+
+  test("end-to-end dump adds no shuffle beyond its member stages") {
+    val p = plans("pipeline_dump")
+    assert(!p.contains("CartesianProduct"), p)
+    // the packer's two-level windows partition by (source[, chunk]) — no
+    // empty-key global window anywhere in the composed plan
+    assert(!p.matches("(?s).*Window.*partitionBy=\\[\\].*"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
