@@ -86,6 +86,7 @@ object SparkEntry {
     "q51_sessionize"     -> CoreQueries.q51 _,
     "q52_sketch_intersect" -> CoreQueries.q52 _,
     "q53_growth"         -> CoreQueries.q53 _,
+    "q54_bloom_join"     -> CoreQueries.q54 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.expressions.{Bloom, BloomFilterAgg, BloomMightContain}
+
+/** Semi-join reduction via a bloom filter — the sideways-information-passing
+  * move for a selective-dim ⋈ huge-fact join at 100 TB: build a fixed-size
+  * bloom over the dim side's join keys (one aggregation whose shuffle
+  * carries OR-merged bitsets, never keys), then prefilter the fact side's
+  * SCAN with a codegen'd `might_contain` probe BEFORE the join's exchange.
+  * Fact rows whose key cannot match never enter the shuffle — for a dim that
+  * keeps 5% of keys, ~95% of the 100 TB side's shuffle I/O disappears at the
+  * cost of one bounded bitset broadcast.
+  *
+  * False positives (~1% at the sized capacity) only let a few extra rows
+  * into the shuffle; the join's exact equi-condition still removes them, so
+  * the RESULT is identical to the plain join — which is precisely what lets
+  * the oracle be plain SQL (`q54_bloom_join`).
+  *
+  * The filter blob is collected to the driver and embedded as a literal —
+  * bounded by construction (10 bits/key: ~1.2 MB for a million-key dim,
+  * the broadcast-hash-join threshold regime; a dim too big for that is too
+  * big for semi-join reduction to pay anyway). Same bounded-artifact pattern
+  * as the IVF codebook collect.
+  */
+object BloomPrune {
+
+  private def aggColumn(key: Column, numWords: Int): Column =
+    ColumnBridge.column(
+      BloomFilterAgg(ColumnBridge.expression(key), numWords).toAggregateExpression())
+
+  /** Build a serialized bloom filter over `dim`'s `key` column, sized for
+    * `expectedItems` (~1% FP at 10 bits/item, k=7).
+    */
+  def buildFilter(dim: DataFrame, key: String, expectedItems: Long): Array[Byte] =
+    dim.agg(aggColumn(col(key), Bloom.wordsFor(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Probe column: true iff `key` might be in `filter`. */
+  def mightContain(filter: Array[Byte], key: Column): Column =
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(lit(filter)),
+      ColumnBridge.expression(key)))
+
+  /** Inner equi-join with the fact side pre-pruned by a bloom of the dim
+    * keys. Result is identical to `fact.join(dim, keys)` — the filter can
+    * only pass a superset of matching keys, and the join applies the exact
+    * condition.
+    *
+    * `expectedItems` sizes the filter; pass the dim's (estimated) key count.
+    */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                      expectedItems: Long): DataFrame = {
+    val bf = buildFilter(dim, key, expectedItems)
+    fact.filter(mightContain(bf, col(key))).join(dim, Seq(key))
+  }
+}

@@ -794,6 +794,31 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  /** Q54 — bloom-pruned selective-dim join (C64,
+    * [[graft.operators.BloomPrune]]): parts with `p_size <= 3` keep ~10% of
+    * keys; a fixed-size bloom over the surviving partkeys prefilters the
+    * lineitem SCAN with a codegen'd `might_contain` probe, so ~90% of fact
+    * rows never enter the join's exchange — semi-join reduction, the
+    * sideways-information-passing move that matters when the fact side is
+    * 100 TB. False positives only add rows the exact equi-join re-drops,
+    * so the oracle is the PLAIN join SQL. Revenue rides a DECIMAL sum
+    * (order-independent) like q08.
+    */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(s, dir).filter(col("p_size") <= 3)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    val fact = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    graft.operators.BloomPrune.bloomPrunedJoin(fact, dim, "l_partkey",
+        expectedItems = dim.count())
+      .groupBy("p_brand")
+      .agg(
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 6).as("revenue"),
+        count(lit(1)).as("items"))
+      .orderBy("p_brand")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

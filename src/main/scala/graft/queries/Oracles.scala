@@ -265,6 +265,15 @@ object Oracles {
         |       CAST(sum(count(*)) OVER (ORDER BY day
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM f GROUP BY day ORDER BY day""".stripMargin,
+    // Bloom prefilter passes a superset of matching keys and the exact
+    // equi-join re-drops the false positives, so the oracle is the PLAIN join.
+    "q54_bloom_join" ->
+      """SELECT p_brand,
+        |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |       count(*) AS items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 3
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.Bloom
+
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kernel: no false negatives, ever") {
+    val words = new Array[Long](Bloom.wordsFor(1000))
+    val keys = (0L until 1000L).map(_ * 7919L - 350L)
+    keys.foreach(Bloom.set(words, Bloom.defaultHashes, _))
+    val blob = Bloom.serialize(words, Bloom.defaultHashes)
+    assert(keys.forall(Bloom.mightContain(blob, _)))
+  }
+
+  test("kernel: false-positive rate near the 1% design point") {
+    val words = new Array[Long](Bloom.wordsFor(1000))
+    (0L until 1000L).foreach(k => Bloom.set(words, Bloom.defaultHashes, k))
+    val blob = Bloom.serialize(words, Bloom.defaultHashes)
+    // disjoint probe range
+    val fps = (1000000L until 1010000L).count(Bloom.mightContain(blob, _))
+    assert(fps < 300, s"fp rate ${fps / 10000.0} way above the 1% design point")
+    assert(fps > 0, "a bloom filter with zero false positives at 10k probes is suspicious")
+  }
+
+  test("kernel: serialized header makes the blob self-describing") {
+    val words = Array(0L, 0L)
+    Bloom.set(words, 3, 42L)
+    val (w2, k2) = Bloom.deserialize(Bloom.serialize(words, 3))
+    assert(k2 === 3)
+    assert(w2.toSeq === words.toSeq)
+  }
+
+  test("aggregate merges across partitions like a single-node build") {
+    val keys = (0L until 500L).toDF("k").repartition(8)
+    val blob = BloomPrune.buildFilter(keys, "k", expectedItems = 500)
+    assert((0L until 500L).forall(Bloom.mightContain(blob, _)))
+  }
+
+  test("aggregate skips null keys") {
+    val df = Seq[Option[Long]](Some(1L), None, Some(2L)).toDF("k")
+    val blob = BloomPrune.buildFilter(df, "k", expectedItems = 16)
+    assert(Bloom.mightContain(blob, 1L) && Bloom.mightContain(blob, 2L))
+  }
+
+  test("bloomPrunedJoin result is identical to the plain join") {
+    val fact = (0L until 2000L).map(i => (i % 400L, i)).toDF("k", "v")
+    val dim = (0L until 400L by 20L).map(k => (k, s"d$k")).toDF("k", "name")
+    val pruned = BloomPrune.bloomPrunedJoin(fact, dim, "k", expectedItems = 20)
+      .orderBy("k", "v").collect().toSeq
+    val plain = fact.join(dim, Seq("k")).orderBy("k", "v").collect().toSeq
+    assert(pruned === plain)
+  }
+
+  test("the prefilter actually prunes: surviving fact rows ≈ matching + fp") {
+    val fact = (0L until 10000L).map(i => (i % 1000L, i)).toDF("k", "v")
+    val dim = (0L until 1000L by 100L).map(k => (k, s"d$k")).toDF("k", "name")
+    val blob = BloomPrune.buildFilter(dim, "k", expectedItems = 10)
+    val survivors = fact.filter(BloomPrune.mightContain(blob, col("k"))).count()
+    // 10 of 1000 keys match -> 100 true rows; leave generous fp headroom
+    assert(survivors >= 100 && survivors < 400,
+      s"expected ~100 surviving rows (plus small fp), got $survivors")
+  }
+}

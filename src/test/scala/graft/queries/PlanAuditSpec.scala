@@ -334,6 +334,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.matches("(?s).*Window.*partitionBy=\\[\\].*"), p)
   }
 
+  test("bloom join: the might_contain prefilter sits below the join, in the fact scan stage") {
+    val p = plans("q54_bloom_join")
+    assert(p.contains("graft_might_contain"), p)
+    // the probe must run BEFORE the join — i.e. appear later in the plan
+    // string (deeper in the tree) than the join operator itself
+    val joinAt = p.indexOf("Join")
+    val probeAt = p.indexOf("graft_might_contain")
+    assert(joinAt >= 0 && probeAt > joinAt,
+      s"probe filter not below the join (join@$joinAt, probe@$probeAt)")
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
