@@ -145,6 +145,7 @@ object SparkEntry {
     "mix_sample"         -> CurationQueries.mixSample _,
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,
+    "mix_dsir"           -> CurationQueries.mixDsir _,
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
     "mix_epochs"         -> CurationQueries.mixEpochs _,
     "curate_drift"       -> CurationQueries.drift _,

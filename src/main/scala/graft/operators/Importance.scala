@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"): score every document by how
+  * much more likely its hashed-n-gram profile is under a TARGET domain's
+  * unigram bucket distribution than under the raw corpus's — the standard
+  * cheap way to pull "looks like my high-quality domain" data out of a web
+  * crawl without training a classifier.
+  *
+  * Features are word unigrams + adjacent bigrams hashed into [[defaultBuckets]]
+  * buckets (the paper's hashed n-gram featurization); both distributions get
+  * add-one smoothing; a doc's log importance weight is
+  * `Σ_b count_d(b)·(ln p_target(b) − ln q_corpus(b))`.
+  *
+  * Scale shape: gram extraction is scan-local (array ops + one bounded
+  * explode, ~2 rows per token); per-doc and per-bucket counts are
+  * partial-aggregable groupBys; the log-ratio table is ≤ `buckets` rows and
+  * rides a BROADCAST join back over the per-doc features — at 100 TB the
+  * whole operator is one explode-scan plus thin aggregates, the same budget
+  * as [[graft.queries.TextQueries.lmScore]]. Per-doc accumulation is
+  * sort-then-sum so double addition is engine-order-independent.
+  *
+  * Deterministic selection: rank by (rounded weight, doc_id) — the
+  * deterministic stand-in for the paper's Gumbel-top-k resampling, same
+  * replacement the mixture sampler makes for Bernoulli draws.
+  */
+object Importance {
+
+  /** Hashed feature-space size. 128 keeps the log-ratio table broadcast-tiny
+    * while leaving collisions rare enough to discriminate at test scale;
+    * production would raise it (the paper uses 10k) — every shape below is
+    * independent of the constant.
+    */
+  val defaultBuckets = 128
+
+  /** Per-occurrence hashed gram buckets: one row per unigram AND per
+    * adjacent bigram, bucketed by the same md5-prefix hash family the
+    * MinHash signatures use (mirrored literally by the DuckDB oracle).
+    * Output: (doc_id, plus `carry` columns, b).
+    */
+  def hashedGramBuckets(docs: DataFrame, buckets: Int = defaultBuckets,
+                        carry: Seq[String] = Nil): DataFrame = {
+    val w = filter(split(lower(col("text")), " "), t => t =!= "")
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(1), size(col("w")) - 1),
+        i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id") +: carry.map(col) :+ w.as("w"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        explode(concat(col("w"), bigrams)).as("gram"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long") % buckets).as("b"): _*)
+  }
+
+  /** Per-doc DSIR log importance weights against the docs matching
+    * `isTarget`. Returns (doc_id, dsir_w ROUNDED to 6dp) for every doc.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = defaultBuckets): DataFrame = {
+    val grams = hashedGramBuckets(docs.withColumn("tgt", isTarget), buckets,
+      carry = Seq("tgt"))
+    val feat = grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    // bucket counts: corpus-wide and target-only, plus scalar totals — all
+    // bounded by the bucket constant, so everything below broadcasts
+    val qc = grams.groupBy("b").agg(count(lit(1)).as("qc"))
+    val tc = grams.filter(col("tgt")).groupBy("b").agg(count(lit(1)).as("tc"))
+    val tot = grams.agg(
+      count(lit(1)).cast("double").as("qt"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).cast("double").as("tt"))
+    val lr = qc.join(tc, Seq("b"), "left").crossJoin(tot)
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1) / (col("tt") + buckets)) -
+         log((col("qc") + 1) / (col("qt") + buckets))).as("lr"))
+    feat.join(broadcast(lr), "b")
+      .select(col("doc_id"), (col("c") * col("lr")).as("term"))
+      .groupBy("doc_id")
+      .agg(round(
+        expr("aggregate(array_sort(collect_list(term)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"),
+        6).as("dsir_w"))
+  }
+
+  /** Top-`n` docs by DSIR weight — deterministic importance "resampling". */
+  def dsirSelect(docs: DataFrame, isTarget: Column, n: Int,
+                 buckets: Int = defaultBuckets): DataFrame =
+    dsirWeights(docs, isTarget, buckets)
+      .orderBy(desc("dsir_w"), asc("doc_id"))
+      .limit(n)
+}

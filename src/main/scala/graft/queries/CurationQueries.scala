@@ -152,6 +152,20 @@ object CurationQueries {
         chunkWidth = shardChunkWidth)
       .orderBy("doc_id", "seq")
 
+  /** Docs selected by the declared DSIR query. */
+  val dsirKeep = 50
+
+  /** DSIR importance selection ([[graft.operators.Importance]]): top-
+    * [[dsirKeep]] docs whose hashed-n-gram profile looks most like the
+    * English-labeled target slice relative to the whole corpus — the
+    * classifier-free "pull my domain out of the crawl" selector. The
+    * log-ratio table is bounded by the bucket constant and broadcast; the
+    * rest is one explode-scan plus partial-aggregable counts.
+    */
+  def mixDsir(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.dsirSelect(
+      Tables.documents(s, dir), col("lang") === "en", dsirKeep)
+
   /** Docs kept per source by the exact-count sampler. */
   val reservoirPerSource = 10
 
@@ -285,6 +299,19 @@ object CurationQueries {
            | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#wmix'),1,15))::BIGINT
            |  < CAST(trunc(round($qualSql, 6) * ${Sampling.hashSpace}) AS BIGINT)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", ""),
+      "mix_dsir" -> {
+        val bk = graft.operators.Importance.defaultBuckets
+        s"""WITH wl AS (SELECT doc_id, lang, list_filter(string_split(lower(text),' '), t -> t <> '') AS w FROM documents),
+           |g AS (SELECT doc_id, lang, unnest(w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram FROM wl),
+           |gb AS (SELECT doc_id, lang, ('0x'||substr(md5(gram),1,15))::BIGINT % $bk AS b FROM g),
+           |feat AS (SELECT doc_id, b, count(*) AS c FROM gb GROUP BY doc_id, b),
+           |qc AS (SELECT b, count(*) AS qc FROM gb GROUP BY b),
+           |tc AS (SELECT b, count(*) AS tc FROM gb WHERE lang = 'en' GROUP BY b),
+           |tot AS (SELECT CAST(count(*) AS DOUBLE) AS qt, CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS tt FROM gb),
+           |lr AS (SELECT b, ln((COALESCE(tc, 0) + 1) / (tt + $bk)) - ln((qc + 1) / (qt + $bk)) AS lr FROM qc LEFT JOIN tc USING (b), tot),
+           |wts AS (SELECT doc_id, round(list_sum(list_sort(list(c * lr))), 6) AS dsir_w FROM feat JOIN lr USING (b) GROUP BY doc_id)
+           |SELECT doc_id, dsir_w FROM wts ORDER BY dsir_w DESC, doc_id LIMIT $dsirKeep""".stripMargin
+      },
       "mix_split" ->
         s"""SELECT source,
            | CASE WHEN u < $splitTestPct THEN 'test' WHEN u < ${splitTestPct + splitValPct} THEN 'val' ELSE 'train' END AS split,

@@ -345,6 +345,14 @@ class PlanAuditSpec extends SparkSpec {
       s"probe filter not below the join (join@$joinAt, probe@$probeAt)")
   }
 
+  test("dsir selection: bounded log-ratio table broadcasts, gram fan-out is an explode, no window") {
+    val p = plans("mix_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
