@@ -61,5 +61,21 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Replace a small NON-bucketed catalog table (metadata/stats sidecars for
+    * staged indexes), with the same identifier guard and orphan-location
+    * sweep as [[writeBucketed]].
+    */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeTable needs a simple [A-Za-z0-9_]+ table name, got $table")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staged inverted LEXICAL index — the text twin of the staged ANN tables
+  * (`Similarity.stageLshBucketed`): postings `(w, doc_id, tf, dl)` staged
+  * BUCKETED BY TERM, so a query whose terms arrive as literals reads only
+  * the buckets those terms hash to (`SelectedBucketsCount` pruning,
+  * plan-audited) instead of re-exploding the corpus per query — serving-path
+  * I/O ∝ postings of the queried terms, not corpus size.
+  *
+  * What is stored deliberately excludes every corpus-level number that an
+  * append would invalidate EXCEPT the two scalars:
+  *  - `df` is NOT stored — it is recomputed at probe time from the pruned
+  *    postings themselves (df(w) = posting count of w, and a probe has to
+  *    read all of w's postings to rank anyway, so this is free);
+  *  - the `(n, total_dl)` EXACT integer pair lives in a one-row sidecar
+  *    table; appends fold the batch's pair in, so `avgdl = total_dl/n`
+  *    stays exact — no drifting floating-point average.
+  * Hence [[appendToIndex]] is correct without rewriting a single existing
+  * posting: per-batch cost ∝ batch size (the dedup-staging property), with
+  * the same new-docs-only contract as `Similarity.appendStagedLsh`.
+  *
+  * BM25 scoring at probe time reproduces `TextQueries.bm25Scores`
+  * arithmetic exactly (same expression shape, same constants); per-doc
+  * accumulation is sort-then-sum so the DuckDB oracle folds identically.
+  */
+object TextIndex {
+
+  /** One row per (doc, token) occurrence — the shared tokenization. */
+  private def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+
+  /** Postings for a doc set: (w, doc_id, tf, dl). */
+  private[graft] def buildPostings(docs: DataFrame): DataFrame = {
+    val toks = tokenize(docs)
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    tf.join(dl, "doc_id").select("w", "doc_id", "tf", "dl")
+  }
+
+  private def statsTable(table: String) = s"${table}_stats"
+
+  private def batchStats(docs: DataFrame): (Long, Long) = {
+    val r = tokenize(docs).groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build the index over `docs`: postings bucketed+sorted by term plus the
+    * one-row exact stats sidecar. Idempotent (replaces any prior staging).
+    */
+  def stageIndex(docs: DataFrame, table: String, buckets: Int): Unit = {
+    Bucketing.writeBucketed(buildPostings(docs), table, "w", buckets)
+    val (n, totalDl) = batchStats(docs)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Bucketing.writeTable(Seq((n, totalDl)).toDF("n", "total_dl"), statsTable(table))
+  }
+
+  /** Fold a batch of NEW docs into an existing index: postings append into
+    * their term buckets (existing files untouched, pruning preserved), and
+    * the exact stats pair folds the batch in. Docs already indexed must not
+    * reappear in a batch — same contract as the staged-ANN appends.
+    */
+  def appendToIndex(batch: DataFrame, table: String, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val old = spark.table(statsTable(table)).head()
+    val (bn, bdl) = batchStats(batch)
+    Bucketing.appendBucketed(buildPostings(batch), table, "w", buckets)
+    import spark.implicits._
+    Bucketing.writeTable(
+      Seq((old.getLong(0) + bn, old.getLong(1) + bdl)).toDF("n", "total_dl"),
+      statsTable(table))
+  }
+
+  /** BM25 top-`k` for literal `terms`, served from the staged index. The
+    * postings scan carries an IN filter on the bucket key, so only the
+    * buckets the terms hash to are read; df comes from the pruned postings;
+    * the scalars broadcast. Score arithmetic mirrors
+    * `TextQueries.bm25Scores` term-for-term.
+    */
+  def probeIndex(spark: SparkSession, table: String, terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "probeIndex needs at least one query term")
+    val idx = Bucketing.read(spark, table).filter(col("w").isin(terms: _*))
+    val dfreq = idx.groupBy("w").agg(count(lit(1)).as("df"))
+    val stats = spark.table(statsTable(table))
+      .select(col("n").cast("double").as("n"),
+        (col("total_dl").cast("double") / col("n")).as("avgdl"))
+    idx.join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("ts"))
+      .groupBy("doc_id")
+      .agg(round(
+        expr("aggregate(array_sort(collect_list(ts)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"),
+        6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(k)
+  }
+}

@@ -29,6 +29,19 @@ object RetrievalQueries {
   /** Candidates taken from each arm before fusion. */
   val armDepth = 20
 
+  /** Literal query terms for the staged-index probe — the serving shape:
+    * terms arrive as literals, so the postings scan bucket-prunes. Chosen
+    * from the synthetic corpus's stable vocabulary (present at every SF).
+    * Declared ABOVE the oracle map, which renders them into SQL at init.
+    */
+  val lexTerms = Seq("join", "scan", "merge")
+
+  /** Postings buckets: a 3-term probe touches ≤ 3 of 8 — the pruning the
+    * plan audit asserts. At 100 TB this would be thousands; the constant
+    * sizes per-bucket files, not the algorithm.
+    */
+  val lexBuckets = 8
+
   /** Dense arm: corpus cosine vs vec 0, top-[[armDepth]] (broadcast query +
     * codegen'd dot product + TakeOrdered — the q19 serving shape).
     */
@@ -81,5 +94,49 @@ object RetrievalQueries {
         |        COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + c.rc), 0.0), 6) AS rrf,
         |  b.rb AS rb, c.rc AS rc
         |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "search_lexical_staged" -> {
+      val terms = lexTerms.map(t => s"'$t'").mkString(", ")
+      val (k1, b) = (TextQueries.bm25K1, TextQueries.bm25B)
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         |q AS (SELECT unnest([$terms]) AS w),
+         |tf AS (SELECT doc_id, t.w, count(*) AS tf FROM tk t JOIN q ON q.w = t.w GROUP BY doc_id, t.w),
+         |dfreq AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tk JOIN q USING (w)) dq GROUP BY w)
+         |SELECT tf.doc_id AS doc_id,
+         |  round(list_sum(list_sort(list(
+         |    ln(1.0 + (st.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) * (tf.tf * ${k1 + 1}) /
+         |    (tf.tf + $k1 * (${1 - b} + $b * dl.dl / st.avgdl))))), 6) AS bm25
+         |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
+         |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    })
+
+  /** The staged lexical index, built once per (session, dir) and
+    * re-validated against the catalog — same cache discipline as the staged
+    * ANN tables.
+    */
+  private val stagedLex =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  private def lexTable(s: SparkSession, dir: String): String =
+    stagedLex.get((s, dir)).filter(s.catalog.tableExists).getOrElse {
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_lexidx_$tag"
+      graft.operators.TextIndex.stageIndex(Tables.documents(s, dir), t, lexBuckets)
+      stagedLex((s, dir)) = t
+      t
+    }
+
+  /** BM25 top-10 for [[lexTerms]] served from the staged inverted index
+    * (C29's serving move applied to text): the postings scan reads only the
+    * buckets the literal terms hash to, df comes from those same pruned
+    * postings, the two corpus scalars ride a broadcast — lookup I/O ∝ the
+    * queried terms' postings, never the corpus.
+    */
+  def lexicalStaged(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextIndex.probeIndex(s, lexTable(s, dir), lexTerms, k = 10,
+      k1 = TextQueries.bm25K1, b = TextQueries.bm25B)
 }

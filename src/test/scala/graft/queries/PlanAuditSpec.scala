@@ -87,7 +87,10 @@ class PlanAuditSpec extends SparkSpec {
     // the probe's IN() literals must prune the bucketed scan — strictly
     // fewer buckets read than exist (9 probe codes can touch at most 9 of
     // 16 LSH buckets; 2 probe lists at most 2 of 8 IVF buckets).
-    Seq("sim_lsh_staged" -> 9, "sim_ivf_staged" -> 2).foreach { case (n, maxSel) =>
+    // the lexical index is the same move for text: a 3-term literal probe
+    // reads at most 3 of the postings table's 8 term buckets
+    Seq("sim_lsh_staged" -> 9, "sim_ivf_staged" -> 2,
+        "search_lexical_staged" -> RetrievalQueries.lexTerms.length).foreach { case (n, maxSel) =>
       val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plans(n))
       assert(m.isDefined, s"$n probe scan is not bucket-pruned:\n${plans(n)}")
       val (sel, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
