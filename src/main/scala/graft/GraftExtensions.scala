@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{FloatDotProduct, FreqItemsAgg, LongDotProduct, LshCode, RollingHashMin, SimhashAgg}
+import graft.expressions.{Bloom, BloomFilterAgg, BloomMightContain, FloatDotProduct, FreqItemsAgg, LongDotProduct, LshCode, RollingHashMin, SimhashAgg}
 import graft.operators.Similarity
 
 /** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
@@ -20,6 +20,10 @@ import graft.operators.Similarity
   *                               hash halves
   *   graft_freq_items(t, k)    — aggregate: Misra-Gries heavy hitters with
   *                               at most k counters per buffer
+  *   graft_bloom(k, n)         — aggregate: serialized bloom filter over
+  *                               BIGINT keys, sized for n items (~1% FP)
+  *   graft_might_contain(f, k) — probe a graft_bloom filter (no false
+  *                               negatives; ~1% false positives)
   *
   * Registered through `injectFunction`, the standard extension point — no
   * analyzer/optimizer forks, and the functions resolve in any session built
@@ -108,5 +112,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_freq_items expects exactly 2 arguments (token, capacity literal), got ${other.length}")
         }
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom"),
+      info("graft_bloom",
+        "graft_bloom(key, expectedItems) - aggregate: serialized bloom filter over " +
+          "BIGINT keys sized for `expectedItems` (~1% false positives, no false " +
+          "negatives); partial buffers OR-merge, so the shuffle carries fixed-size " +
+          "bitsets, never key sets"),
+      { args: Seq[Expression] =>
+        args match {
+          case Seq(k, Literal(n: Int, _)) => BloomFilterAgg(k, Bloom.wordsFor(n.toLong))
+          case Seq(k, Literal(n: Long, _)) => BloomFilterAgg(k, Bloom.wordsFor(n))
+          case Seq(_, n) => throw new IllegalArgumentException(
+            s"graft_bloom: expectedItems must be an integer literal, got ${n.sql}")
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom expects exactly 2 arguments (key, expectedItems literal), got ${other.length}")
+        }
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(filter, key) - probe a graft_bloom filter: false means " +
+          "definitely absent, true means present or a ~1% false positive"),
+      binary("graft_might_contain", BloomMightContain)))
   }
 }

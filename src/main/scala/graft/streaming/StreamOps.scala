@@ -144,7 +144,19 @@ object StreamOps {
     * within the key.
     */
   def reverseFlowJoin(flows: DataFrame, intervalMs: Long = 60000L,
-                      watermark: String = "10 minutes"): DataFrame = {
+                      watermark: String = "10 minutes"): DataFrame =
+    reverseFlowJoin(flows, intervalMs, watermark, "inner")
+
+  /** [[reverseFlowJoin]] with a join-type knob. `left_outer` is the
+    * "requests that never got a response" detector: an unanswered flow is
+    * HELD in state until the watermark passes its interval (only then can
+    * Spark prove no matching reverse leg can still arrive) and is emitted
+    * once with null reverse columns — bounded state AND no false unmatched
+    * rows, which is exactly what the outer-interval-join watermark contract
+    * buys over a batch left join on a truncated log.
+    */
+  def reverseFlowJoin(flows: DataFrame, intervalMs: Long,
+                      watermark: String, joinType: String): DataFrame = {
     val fwd = withEventTime(flows)
       .withWatermark("event_time", watermark)
       .select(col("src_ip").as("f_src"), col("dst_ip").as("f_dst"),
@@ -156,7 +168,8 @@ object StreamOps {
     fwd.join(rev,
       col("f_src") === col("r_dst") && col("f_dst") === col("r_src") &&
         col("r_time") >= col("f_time") &&
-        col("r_time") <= col("f_time") + expr(s"INTERVAL ${intervalMs / 1000} SECONDS"))
+        col("r_time") <= col("f_time") + expr(s"INTERVAL ${intervalMs / 1000} SECONDS"),
+      joinType)
   }
 
   /** Stream-STATIC enrichment join: attach a static dimension (e.g. an

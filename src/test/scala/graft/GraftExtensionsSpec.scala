@@ -53,6 +53,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaDf)
   }
 
+  test("graft_bloom + graft_might_contain round-trip from SQL") {
+    spark.range(0, 100).createOrReplaceTempView("bloom_keys")
+    val blob = spark.sql(
+      "SELECT graft_bloom(id, 100) AS f FROM bloom_keys").head().getAs[Array[Byte]](0)
+    // every inserted key probes true (no false negatives), via the SQL probe
+    spark.sql("SELECT graft_bloom(id, 100) AS f FROM bloom_keys")
+      .createOrReplaceTempView("bloom_f")
+    val misses = spark.sql(
+      "SELECT count(*) AS c FROM bloom_keys, bloom_f WHERE NOT graft_might_contain(f, id)")
+      .head().getLong(0)
+    assert(misses == 0L)
+    // and the SQL-built blob agrees with the kernel probe
+    assert((0L until 100L).forall(graft.expressions.Bloom.mightContain(blob, _)))
+  }
+
   test("wrong arity / non-literal planes raise usable messages, not MatchError") {
     Tables.registerAll(spark, sf0001)
     def messageOf(sql: String): String =

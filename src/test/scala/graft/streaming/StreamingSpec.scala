@@ -225,6 +225,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unanswered flows once the watermark proves no reply can come") {
+    val src = new MemoryFlowSource(spark)
+    src.add(
+      flowJson(10000, "10.0.0.1", "10.0.0.2", 100), // answered at +10s
+      flowJson(20000, "10.0.0.2", "10.0.0.1", 50),
+      flowJson(30000, "10.0.0.5", "10.0.0.6", 77))  // never answered
+    val joined = StreamOps.reverseFlowJoin(
+      FlowPipeline.batch(src.stream(spark)), 60000L, "10 minutes", "left_outer")
+    val q = joined.writeStream.format("memory").queryName("revjoin_outer")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // nothing unmatched may emit yet: the watermark hasn't passed the
+      // interval bound, so a reply could still arrive
+      val early = spark.sql(
+        "SELECT * FROM revjoin_outer WHERE r_src IS NULL").collect()
+      assert(early.isEmpty, s"outer rows emitted before the watermark allows: ${early.toSeq}")
+      // push the watermark far past every pending bound
+      src.add(flowJson(2000000, "10.9.9.9", "10.9.9.8", 1))
+      q.processAllAvailable()
+      val matched = spark.sql(
+        "SELECT f_src, f_bytes FROM revjoin_outer WHERE r_src IS NOT NULL").collect()
+      assert(matched.map(_.getString(0)).toSeq == Seq("10.0.0.1"))
+      val unmatched = spark.sql(
+        "SELECT f_src FROM revjoin_outer WHERE r_src IS NULL").collect()
+        .map(_.getString(0)).toSet
+      assert(unmatched.contains("10.0.0.5"), s"unanswered flow missing from $unmatched")
+      assert(!unmatched.contains("10.0.0.1"), "the answered flow must not also emit unmatched")
+    } finally q.stop()
+  }
+
   test("streaming near-dup drop: reordered/repeated word sets collide within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
