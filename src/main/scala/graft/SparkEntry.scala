@@ -87,6 +87,7 @@ object SparkEntry {
     "q52_sketch_intersect" -> CoreQueries.q52 _,
     "q53_growth"         -> CoreQueries.q53 _,
     "q54_bloom_join"     -> CoreQueries.q54 _,
+    "q55_quantile_bins"  -> CoreQueries.q55 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -130,6 +131,7 @@ object SparkEntry {
     "sim_quant_topk"     -> SimilarityQueries.quantTopK _,
     "sim_pq_topk"        -> SimilarityQueries.pqTopK _,
     "sim_ivfpq_topk"     -> SimilarityQueries.ivfPqTopK _,
+    "sim_ivfpq_staged"   -> SimilarityQueries.ivfPqStagedTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "sim_recall"         -> SimilarityQueries.recallLsh _,

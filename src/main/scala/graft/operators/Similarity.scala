@@ -658,6 +658,80 @@ object Similarity {
       .limit(k)
   }
 
+  /** Stage the composed IVF-PQ index durably: one row per vector holding
+    * its inverted-list id (the STORAGE key) and its [[pqM]] PQ codes packed
+    * in ascending-j order — [[ivfPqTopK]]'s layout made a table. A probe
+    * opens only `nprobe` lists' buckets and ranks from the codes alone
+    * ([[probeStagedIvfPq]]): list selection prunes I/O, PQ compression
+    * (256 B → 8 codes) keeps what IS read memory-resident — the two levers
+    * of billion-scale ANN, both now storage properties instead of per-query
+    * recomputation.
+    */
+  def stageIvfPqBucketed(emb: DataFrame, cent: DataFrame, codebook: DataFrame,
+                         table: String, buckets: Int = 8, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit =
+    Bucketing.writeBucketed(
+      ivfPqRows(emb, cent, codebook, idCol, vecCol), table, "cid", buckets)
+
+  /** Append a new batch into a [[stageIvfPqBucketed]] index: assignment and
+    * encoding run against the SAME bounded centroid/codebook artifacts the
+    * index was staged with, over the batch only, then shuffle into the
+    * existing `cid` buckets — per-ingest cost ∝ batch size, pruning
+    * preserved. New-docs-only contract, like every staged append here.
+    */
+  def appendStagedIvfPq(batch: DataFrame, cent: DataFrame, codebook: DataFrame,
+                        table: String, buckets: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit =
+    Bucketing.appendBucketed(
+      ivfPqRows(batch, cent, codebook, idCol, vecCol), table, "cid", buckets)
+
+  /** (id, cid, codes) rows for the staged IVF-PQ layout: broadcast-argmax
+    * list assignment + PQ codes packed into an ascending-j array (the fixed
+    * order [[probeStagedIvfPq]]'s ADC sum relies on).
+    */
+  private def ivfPqRows(emb: DataFrame, cent: DataFrame, codebook: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col(idCol), col("cid"),
+        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    val packed = pqEncode(emb, codebook, idCol, vecCol)
+      .groupBy(idCol)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(j AS j, code AS code))), e -> e.code)")
+        .as("codes"))
+    assigned.join(packed, idCol).select(col(idCol), col("cid"), col("codes"))
+  }
+
+  /** Probe a [[stageIvfPqBucketed]] table: read only the `probeCids` lists
+    * (bucket-pruned IN() on the storage key), then ADC-rank their members
+    * from the stored codes against the query's broadcast M×K lookup table —
+    * no float corpus vector is touched after staging. `emb` supplies only
+    * the query row and the (bounded, deterministic) codebook.
+    */
+  def probeStagedIvfPq(spark: SparkSession, table: String, emb: DataFrame,
+                       queryId: Long, probeCids: Seq[Long], k: Int = 10,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(emb, idCol, vecCol)
+    val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
+      .join(broadcast(cb), "j")
+      .select(col("j").as("lj"), col("k").as("lk"),
+        expr(s"""aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)),
+            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("ip"))
+    Bucketing.read(spark, table)
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col(idCol), posexplode(col("codes")))
+      .toDF(idCol, "j", "code")
+      .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lk"))
+      .groupBy(idCol)
+      .agg(round(expr(
+        "aggregate(array_sort(collect_list(struct(j AS j, ip AS ip))), " +
+          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.ip)"), 6).as("adc"))
+      .orderBy(desc("adc"), asc(idCol))
+      .limit(k)
+  }
+
   /** Random-projection dimensionality reduction: project each vector onto
     * `outDims` pseudo-random hyperplanes (the SAME fixed-LCG family as the
     * LSH codes, offset so the two never share planes) — the

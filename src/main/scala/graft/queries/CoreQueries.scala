@@ -819,6 +819,33 @@ object CoreQueries {
       .orderBy("p_brand")
   }
 
+  /** Q55 — quantile discretization (equal-FREQUENCY binning, the
+    * QuantileDiscretizer/feature-binning shape; q45's fixed-width histogram
+    * is the equal-WIDTH complement): 4 exact interpolated quintile cuts
+    * from one aggregate row, broadcast back over the scan, bin assignment
+    * row-local IEEE comparisons, per-bin stats partial-aggregable — two
+    * scans total, shuffle never wider than the bin count. The per-bin
+    * counts also audit the discretizer itself: on continuous data every
+    * bin holds ~20%.
+    */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
+    val cuts = li.agg(
+      expr("percentile(v, 0.2)").as("c1"), expr("percentile(v, 0.4)").as("c2"),
+      expr("percentile(v, 0.6)").as("c3"), expr("percentile(v, 0.8)").as("c4"))
+    li.crossJoin(broadcast(cuts))
+      .select(
+        when(col("v") < col("c1"), 0).when(col("v") < col("c2"), 1)
+          .when(col("v") < col("c3"), 2).when(col("v") < col("c4"), 3)
+          .otherwise(4).as("bin"),
+        col("v"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("v"), 6).as("lo"),
+        round(max("v"), 6).as("hi"))
+      .orderBy("bin")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -274,6 +274,16 @@ object Oracles {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 3
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q55_quantile_bins" ->
+      """WITH c AS (SELECT quantile_cont(l_extendedprice, 0.2) AS c1,
+        |                  quantile_cont(l_extendedprice, 0.4) AS c2,
+        |                  quantile_cont(l_extendedprice, 0.6) AS c3,
+        |                  quantile_cont(l_extendedprice, 0.8) AS c4 FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice < c1 THEN 0 WHEN l_extendedprice < c2 THEN 1
+        |            WHEN l_extendedprice < c3 THEN 2 WHEN l_extendedprice < c4 THEN 3
+        |            ELSE 4 END AS bin,
+        |       count(*) AS n, round(min(l_extendedprice), 6) AS lo, round(max(l_extendedprice), 6) AS hi
+        |FROM lineitem, c GROUP BY bin ORDER BY bin""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -273,6 +273,48 @@ object SimilarityQueries {
     * lists by reading only their buckets. Probe-list selection runs over the
     * 16-row centroid table (a model artifact — bounded driver traffic).
     */
+  /** The staged IVF-PQ table, cached with the same discipline as
+    * [[annTables]] (session-keyed, catalog-revalidated).
+    */
+  private val stagedPq =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  private def pqTable(s: SparkSession, dir: String): String =
+    stagedPq.get((s, dir)).filter(s.catalog.tableExists).getOrElse {
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_ann_ivfpq_$tag"
+      val emb = Tables.embeddings(s, dir)
+      import org.apache.spark.sql.functions.col
+      val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebook(emb), t,
+        stagedIvfBuckets)
+      stagedPq((s, dir)) = t
+      t
+    }
+
+  /** Top-10 by ADC via the STAGED IVF-PQ index: the probe reads only the 2
+    * nearest lists' buckets and ranks their members from stored PQ codes —
+    * [[ivfPqStagedTopK]] is to `sim_ivfpq_topk` what `sim_ivf_staged` is to
+    * `sim_ivf_topk`: the same math, with list membership AND compressed
+    * codes as storage properties instead of per-query recomputation. Same
+    * oracle as the one-shot composition (same centroids, codebook, probes).
+    */
+  def ivfPqStagedTopK(s: SparkSession, dir: String): DataFrame = {
+    val t = pqTable(s, dir)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10)
+  }
+
   def ivfStagedTopK(s: SparkSession, dir: String): DataFrame = {
     val (_, ivfT) = annTables(s, dir)
     import org.apache.spark.sql.functions._
@@ -487,6 +529,7 @@ object SimilarityQueries {
          |FROM ex JOIN ap USING (vec_id)""".stripMargin,
     "sim_pq_topk" -> pqSql,
     "sim_ivfpq_topk" -> ivfPqSql,
+    "sim_ivfpq_staged" -> ivfPqSql,
     "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
     "sim_lsh_staged" ->

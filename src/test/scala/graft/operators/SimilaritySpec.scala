@@ -247,6 +247,49 @@ class SimilaritySpec extends SparkSpec {
     assert(staged.nonEmpty && staged == unstaged)
   }
 
+  test("staged IVF-PQ probe equals the one-shot ivfPqTopK composition") {
+    import org.apache.spark.sql.functions._
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebook(emb),
+      "graft_test_ann_ivfpq", buckets = 8)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val probeCids = cent
+      .select(col("cid"), graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid")).limit(2).collect().map(_.getLong(0)).toSeq
+    val staged = Similarity.probeStagedIvfPq(spark, "graft_test_ann_ivfpq", emb,
+      0L, probeCids, k = 10).collect().toSeq
+    val oneShot = Similarity.ivfPqTopK(emb, queryId = 0L, k = 10,
+      centroidsNOpt = Some(Similarity.ivfCentroids)).collect().toSeq
+    assert(staged.nonEmpty && staged == oneShot)
+    // the probe reads only the probed lists' buckets AND never a float vector
+    val plan = Similarity.probeStagedIvfPq(spark, "graft_test_ann_ivfpq", emb,
+      0L, probeCids, k = 10).queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, plan)
+    assert(m.get.group(1).toInt <= 2 && m.get.group(1).toInt < m.get.group(2).toInt)
+  }
+
+  test("staged IVF-PQ append: stage-then-append equals staging everything at once") {
+    import org.apache.spark.sql.functions._
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cb = Similarity.pqCodebook(emb)
+    Similarity.stageIvfPqBucketed(emb.filter(col("vec_id") < 400), cent, cb,
+      "graft_test_ann_ivfpq_incr", buckets = 8)
+    Similarity.appendStagedIvfPq(emb.filter(col("vec_id") >= 400), cent, cb,
+      "graft_test_ann_ivfpq_incr", buckets = 8)
+    Similarity.stageIvfPqBucketed(emb, cent, cb,
+      "graft_test_ann_ivfpq_full", buckets = 8)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val probeCids = cent
+      .select(col("cid"), graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid")).limit(2).collect().map(_.getLong(0)).toSeq
+    def probe(t: String) =
+      Similarity.probeStagedIvfPq(spark, t, emb, 0L, probeCids, k = 20).collect().toSeq
+    assert(probe("graft_test_ann_ivfpq_incr") == probe("graft_test_ann_ivfpq_full"))
+  }
+
   test("recall@k harness: one row, hits bounded by k, recall = hits/k; query 0 always hits") {
     for (q <- Seq(
         graft.queries.SimilarityQueries.recallLsh(spark, sf0001),
