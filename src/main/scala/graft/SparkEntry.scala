@@ -88,6 +88,7 @@ object SparkEntry {
     "q53_growth"         -> CoreQueries.q53 _,
     "q54_bloom_join"     -> CoreQueries.q54 _,
     "q55_quantile_bins"  -> CoreQueries.q55 _,
+    "q56_skew_profile"   -> CoreQueries.q56 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -133,6 +134,7 @@ object SparkEntry {
     "sim_ivfpq_topk"     -> SimilarityQueries.ivfPqTopK _,
     "sim_ivfpq_staged"   -> SimilarityQueries.ivfPqStagedTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
+    "sim_pool"           -> SimilarityQueries.poolMatrix _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "sim_recall"         -> SimilarityQueries.recallLsh _,
     "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,

@@ -732,6 +732,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group mean-pooled centroid vectors — the embedding POOLING step
+    * (doc embedding from chunk embeddings, class centroid from members,
+    * cluster summary from assignments). One `posexplode` turns vectors into
+    * (group, dim, x) rows; per-(group, dim) means ride EXACT DECIMAL sums
+    * (the q44 moments pattern: order-independent, partial-aggregable,
+    * engine-reproducible — no corpus-sized collect anywhere); the packed
+    * centroid array reassembles in fixed dim order. Shuffle width is
+    * groups × dims, never rows × dims.
+    */
+  def meanPoolCentroids(df: DataFrame, groupCol: String = "label",
+                        vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)))
+      .toDF(groupCol, "pos", "x")
+      .groupBy(groupCol, "pos")
+      .agg((sum(col("x").cast("double").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(groupCol)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos AS pos, m AS m))), e -> e.m)")
+        .as("centroid"))
+
+  /** Cosine over ARRAY<DOUBLE> columns (pooled centroids) — same
+    * left-to-right fold and zero-vector guard as [[VectorOps.cosine]] /
+    * `SqlGen.cosSql`, expressed as HOFs because the codegen'd kernel is
+    * FLOAT-typed.
+    */
+  def doubleCosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) = expr(
+      s"aggregate(zip_with($x, $y, (p, q) -> p*q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    when(sqrt(dot(a, a)) === 0 || sqrt(dot(b, b)) === 0, lit(0.0))
+      .otherwise(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
+  }
+
   /** Random-projection dimensionality reduction: project each vector onto
     * `outDims` pseudo-random hyperplanes (the SAME fixed-LCG family as the
     * LSH codes, offset so the two never share planes) — the

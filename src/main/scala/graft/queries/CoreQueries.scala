@@ -846,6 +846,27 @@ object CoreQueries {
       .orderBy("bin")
   }
 
+  /** Q56 — join-skew diagnostic: the per-key count distribution of a join/
+    * aggregation key (mean, p50/p90/p99, max, max/mean skew ratio) — the
+    * number a pipeline owner reads BEFORE deciding whether q30's salted
+    * join or AQE skew splitting is needed, and the complement of
+    * `text_heavy` (which names the hot keys; this sizes the imbalance).
+    * Everything partial-aggregates: the key rollup shuffles one row per
+    * key, the profile is a single aggregate over that — no window, no sort.
+    */
+  def q56(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        round(avg("c"), 6).as("mean_c"),
+        round(expr("percentile(c, 0.5)"), 6).as("p50"),
+        round(expr("percentile(c, 0.9)"), 6).as("p90"),
+        round(expr("percentile(c, 0.99)"), 6).as("p99"),
+        max("c").as("max_c"))
+      .select(col("n_keys"), col("mean_c"), col("p50"), col("p90"), col("p99"),
+        col("max_c"), round(col("max_c") / col("mean_c"), 6).as("skew"))
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

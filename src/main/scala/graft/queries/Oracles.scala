@@ -284,6 +284,13 @@ object Oracles {
         |            ELSE 4 END AS bin,
         |       count(*) AS n, round(min(l_extendedprice), 6) AS lo, round(max(l_extendedprice), 6) AS hi
         |FROM lineitem, c GROUP BY bin ORDER BY bin""".stripMargin,
+    "q56_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+        |a AS (SELECT count(*) AS n_keys, round(avg(c), 6) AS mean_c,
+        |       round(quantile_cont(c, 0.5), 6) AS p50, round(quantile_cont(c, 0.9), 6) AS p90,
+        |       round(quantile_cont(c, 0.99), 6) AS p99, max(c) AS max_c FROM c)
+        |SELECT n_keys, mean_c, p50, p90, p99, CAST(max_c AS BIGINT) AS max_c,
+        |       round(max_c/mean_c, 6) AS skew FROM a""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

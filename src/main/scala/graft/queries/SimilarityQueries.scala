@@ -94,6 +94,25 @@ object SimilarityQueries {
     * [[Similarity.withRandomProjection]]): the JL bandwidth/FLOP cut
     * composed with the q19 broadcast-and-TakeOrdered search shape.
     */
+  /** Label-centroid similarity matrix over mean-pooled embeddings
+    * ([[Similarity.meanPoolCentroids]]): pool each label's vectors into one
+    * centroid (exact decimal sums — partial-aggregable, engine-exact), then
+    * the pairwise cosine between the 10 centroids — the cluster-separation
+    * diagnostic (which classes overlap in embedding space) and the pooling
+    * primitive every chunk→doc embedding pipeline needs. The matrix join
+    * runs over one bounded row per label, broadcast.
+    */
+  def poolMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cent = Similarity.meanPoolCentroids(Tables.embeddings(s, dir))
+    val a = cent.select(col("label").as("l1"), col("centroid").as("ca"))
+    val b = cent.select(col("label").as("l2"), col("centroid").as("cb"))
+    a.join(broadcast(b), col("l1") < col("l2"))
+      .select(col("l1"), col("l2"),
+        round(Similarity.doubleCosine("ca", "cb"), 6).as("cos_sim"))
+      .orderBy("l1", "l2")
+  }
+
   def rpTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Similarity.withRandomProjection(Tables.embeddings(s, dir))
@@ -530,6 +549,16 @@ object SimilarityQueries {
     "sim_pq_topk" -> pqSql,
     "sim_ivfpq_topk" -> ivfPqSql,
     "sim_ivfpq_staged" -> ivfPqSql,
+    "sim_pool" -> {
+      val d = Similarity.dims
+      s"""WITH px AS (SELECT label, pos, CAST(CAST(embedding[pos+1] AS DOUBLE) AS DECIMAL(27,12)) AS x
+         |            FROM embeddings, range(0, $d) t(pos)),
+         |pm AS (SELECT label, pos, CAST(sum(x) AS DOUBLE)/count(*) AS m FROM px GROUP BY label, pos),
+         |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM pm GROUP BY label)
+         |SELECT a.label AS l1, b.label AS l2, round(${SqlGen.cosSql("a.c", "b.c", d)}, 6) AS cos_sim
+         |FROM cent a JOIN cent b ON a.label < b.label
+         |ORDER BY l1, l2""".stripMargin
+    },
     "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
     "sim_lsh_staged" ->

@@ -290,6 +290,24 @@ class SimilaritySpec extends SparkSpec {
     assert(probe("graft_test_ann_ivfpq_incr") == probe("graft_test_ann_ivfpq_full"))
   }
 
+  test("mean pooling: planted vectors pool to their exact componentwise mean") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 4.0f)),
+      (1, Array(0.0f, 0.0f)), (1, Array(2.0f, 2.0f)))
+      .toDF("label", "embedding")
+    val cents = Similarity.meanPoolCentroids(df)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(cents(0) === Seq(2.0, 3.0))
+    assert(cents(1) === Seq(1.0, 1.0))
+    // the pooled-centroid cosine path agrees with direct computation
+    val m = Seq((Array(2.0, 3.0), Array(1.0, 1.0))).toDF("a", "b")
+      .select(round(Similarity.doubleCosine("a", "b"), 6)).head().getDouble(0)
+    val expected = (2.0 + 3.0) / (math.sqrt(4 + 9) * math.sqrt(2))
+    assert(math.abs(m - expected) < 1e-6)
+  }
+
   test("recall@k harness: one row, hits bounded by k, recall = hits/k; query 0 always hits") {
     for (q <- Seq(
         graft.queries.SimilarityQueries.recallLsh(spark, sf0001),
