@@ -830,13 +830,15 @@ object CoreQueries {
     */
   def q55(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
-    val cuts = li.agg(
-      expr("percentile(v, 0.2)").as("c1"), expr("percentile(v, 0.4)").as("c2"),
-      expr("percentile(v, 0.6)").as("c3"), expr("percentile(v, 0.8)").as("c4"))
-    li.crossJoin(broadcast(cuts))
-      .select(
-        when(col("v") < col("c1"), 0).when(col("v") < col("c2"), 1)
-          .when(col("v") < col("c3"), 2).when(col("v") < col("c4"), 3)
+    // distributed selection, not the percentile aggregate: on sf0.1's 600k
+    // mostly-distinct doubles the counts-map aggregate costs ~7 s and grows
+    // with distinct values; selection is one narrow shuffle + per-partition
+    // sorts with O(parts) driver traffic (Quantiles scaladoc has numbers)
+    val cuts = graft.operators.Quantiles.exactQuantiles(
+      li, "v", Seq(0.2, 0.4, 0.6, 0.8))
+    li.select(
+        when(col("v") < cuts(0), 0).when(col("v") < cuts(1), 1)
+          .when(col("v") < cuts(2), 2).when(col("v") < cuts(3), 3)
           .otherwise(4).as("bin"),
         col("v"))
       .groupBy("bin")

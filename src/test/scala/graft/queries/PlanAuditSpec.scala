@@ -370,7 +370,7 @@ class PlanAuditSpec extends SparkSpec {
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
-      "q52_sketch_intersect")
+      "q52_sketch_intersect", "q56_skew_profile")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
