@@ -62,17 +62,25 @@ object Importance {
                   buckets: Int = defaultBuckets): DataFrame = {
     val grams = hashedGramBuckets(docs.withColumn("tgt", isTarget), buckets,
       carry = Seq("tgt"))
-    val feat = grams.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-    // bucket counts: corpus-wide and target-only, plus scalar totals — all
-    // bounded by the bucket constant, so everything below broadcasts
-    val qc = grams.groupBy("b").agg(count(lit(1)).as("qc"))
-    val tc = grams.filter(col("tgt")).groupBy("b").agg(count(lit(1)).as("tc"))
-    val tot = grams.agg(
-      count(lit(1)).cast("double").as("qt"),
-      sum(when(col("tgt"), 1L).otherwise(0L)).cast("double").as("tt"))
-    val lr = qc.join(tc, Seq("b"), "left").crossJoin(tot)
+    // ONE pass over the gram explode: per-(doc, bucket) counts carry the
+    // doc-constant target flag, and every corpus-level number derives from
+    // this frame instead of re-exploding the corpus (bucket counts roll up
+    // from ≤ docs × buckets rows; the two scalar totals from ≤ buckets
+    // rows). The frame is staged eagerly (the dedup shingle pattern) so its
+    // three consumers scan the staged rows instead of re-running the
+    // explode + aggregation per subtree.
+    val feat = grams.groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"), first(col("tgt")).as("tgt"))
+      .localCheckpoint()
+    val bc = feat.groupBy("b").agg(
+      sum("c").as("qc"),
+      coalesce(sum(when(col("tgt"), col("c"))), lit(0L)).as("tc"))
+    val tot = bc.agg(
+      sum("qc").cast("double").as("qt"),
+      sum("tc").cast("double").as("tt"))
+    val lr = bc.crossJoin(tot)
       .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + 1) / (col("tt") + buckets)) -
+        (log((col("tc") + 1) / (col("tt") + buckets)) -
          log((col("qc") + 1) / (col("qt") + buckets))).as("lr"))
     feat.join(broadcast(lr), "b")
       .select(col("doc_id"), (col("c") * col("lr")).as("term"))

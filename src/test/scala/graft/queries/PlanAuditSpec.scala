@@ -348,10 +348,15 @@ class PlanAuditSpec extends SparkSpec {
       s"probe filter not below the join (join@$joinAt, probe@$probeAt)")
   }
 
-  test("dsir selection: bounded log-ratio table broadcasts, gram fan-out is an explode, no window") {
+  test("dsir selection: bounded log-ratio table broadcasts, staged features, no window") {
     val p = plans("mix_dsir")
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("Generate explode"), p)
+    // the gram explode runs ONCE inside the eager feature staging (the
+    // dedup shingle pattern); the declared plan reads the checkpointed
+    // feature frame — so no Generate may appear here, and no window either
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Generate"), p)
     assert(!p.contains("Window"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
