@@ -89,6 +89,7 @@ object SparkEntry {
     "q54_bloom_join"     -> CoreQueries.q54 _,
     "q55_quantile_bins"  -> CoreQueries.q55 _,
     "q56_skew_profile"   -> CoreQueries.q56 _,
+    "q57_table_checksum" -> CoreQueries.q57 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

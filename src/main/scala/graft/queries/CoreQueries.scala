@@ -869,6 +869,30 @@ object CoreQueries {
       .select(col("n_keys"), col("mean_c"), col("p50"), col("p90"), col("p99"),
         col("max_c"), round(col("max_c") / col("mean_c"), 6).as("skew"))
 
+  /** Q57 — bucketed table checksum: the anti-entropy primitive for
+    * replica/migration verification (does this table equal that one,
+    * without moving either): rows hash to a 64-bit digest, digests combine
+    * per bucket with XOR — order-independent and overflow-free, so the
+    * aggregation is partial-aggregable and ANY permutation/partitioning of
+    * the same rows produces the same 16 (bucket, cnt, checksum) rows; a
+    * divergent replica is then bisected to a bucket, not re-scanned whole.
+    * The digest covers the integer/date/string columns (double columns are
+    * excluded deliberately: their STRING rendering is engine-specific, and
+    * checksum inputs must be format-stable).
+    */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val rowStr = concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate").cast("string"))
+    Tables.lineitem(s, dir)
+      .select(
+        pmod(col("l_orderkey"), lit(16)).as("bucket"),
+        conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), bit_xor(col("h")).as("checksum"))
+      .orderBy("bucket")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

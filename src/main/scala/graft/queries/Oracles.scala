@@ -291,6 +291,13 @@ object Oracles {
         |       round(quantile_cont(c, 0.99), 6) AS p99, max(c) AS max_c FROM c)
         |SELECT n_keys, mean_c, p50, p90, p99, CAST(max_c AS BIGINT) AS max_c,
         |       round(max_c/mean_c, 6) AS skew FROM a""".stripMargin,
+    "q57_table_checksum" ->
+      """SELECT l_orderkey % 16 AS bucket, count(*) AS cnt,
+        |  bit_xor(('0x'||substr(md5(
+        |    l_orderkey || '|' || l_partkey || '|' || l_suppkey || '|' || l_linenumber || '|' ||
+        |    l_returnflag || '|' || l_linestatus || '|' || CAST(l_shipdate AS VARCHAR)
+        |  ),1,15))::BIGINT) AS checksum
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
