@@ -185,6 +185,31 @@ object StreamOps {
     flows.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
       .drop(dimKey)
 
+  /** Keep a staged LSH ANN index ([[graft.operators.Similarity
+    * .stageLshBucketed]]) fresh under STREAMING ingest: each micro-batch of
+    * new embeddings is coded alone and appended into the existing code
+    * buckets via `foreachBatch` — per-trigger cost ∝ batch size, and probes
+    * over the live index stay bucket-pruned throughout (the append
+    * preserves the bucket contract; differential-spec'd against a full
+    * restage). `foreachBatch` is the right sink here because index
+    * maintenance is an idempotent-per-epoch TABLE append, not a row sink —
+    * the same pattern a Delta/Iceberg MERGE maintenance stream uses.
+    *
+    * The checkpoint makes appends effectively-once per epoch under restart
+    * (a replayed epoch re-appends; exactly-once needs an epoch-id guard in
+    * the table layer, documented rather than faked here — same contract as
+    * the JDBC sink's at-least-once).
+    */
+  def maintainLshIndex(embeddings: DataFrame, table: String,
+                       checkpoint: String, planes: Int, buckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendStagedLsh(batch, table, planes, buckets)
+      }
+      .start()
+
   /** Per-user event sessionization over the `events` table shape using the
     * built-in session_window (gap-based), watermark-bounded.
     */

@@ -46,6 +46,14 @@ class BloomPruneSpec extends SparkSpec {
     assert(Bloom.mightContain(blob, 1L) && Bloom.mightContain(blob, 2L))
   }
 
+  test("an empty dim yields an empty join, not an error — and prunes everything") {
+    val fact = (0L until 100L).map(i => (i, i)).toDF("k", "v")
+    val dim = Seq.empty[(Long, String)].toDF("k", "name")
+    val blob = BloomPrune.buildFilter(dim, "k", expectedItems = 0)
+    assert((0L until 100L).forall(!Bloom.mightContain(blob, _)))
+    assert(BloomPrune.bloomPrunedJoin(fact, dim, "k", expectedItems = 0).count() === 0)
+  }
+
   test("bloomPrunedJoin result is identical to the plain join") {
     val fact = (0L until 2000L).map(i => (i % 400L, i)).toDF("k", "v")
     val dim = (0L until 400L by 20L).map(k => (k, s"d$k")).toDF("k", "name")

@@ -257,6 +257,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index maintenance: per-batch appends equal a full restage, pruning intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import spark.implicits._
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = 8
+    Similarity.stageLshBucketed(emb.filter(col("vec_id") < 400),
+      "graft_stream_lsh", planes, buckets = 16)
+
+    val late = emb.filter(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val src = MemoryStream[(Long, Seq[Float])](spark)
+    val q = StreamOps.maintainLshIndex(
+      src.toDF().toDF("vec_id", "embedding"),
+      "graft_stream_lsh",
+      java.nio.file.Files.createTempDirectory("ckpt").toString,
+      planes)
+    try {
+      val (b1, b2) = late.splitAt(late.length / 2)
+      src.addData(b1.toIndexedSeq); q.processAllAvailable()
+      src.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    Similarity.stageLshBucketed(emb, "graft_stream_lsh_full", planes, buckets = 16)
+    val qr = Similarity.withLshCode(emb.filter(col("vec_id") === 0), "embedding", planes)
+      .select(col("embedding"), col("lsh_code")).head()
+    def probe(t: String) = Similarity.probeStagedLsh(spark, t,
+      qr.getSeq[Float](0).toArray, qr.getLong(1), planes, k = 10)
+    assert(probe("graft_stream_lsh").collect().toSeq ==
+      probe("graft_stream_lsh_full").collect().toSeq)
+    val plan = probe("graft_stream_lsh").queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt, plan)
+  }
+
   test("streaming near-dup drop: reordered/repeated word sets collide within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
