@@ -878,7 +878,9 @@ object CoreQueries {
     * divergent replica is then bisected to a bucket, not re-scanned whole.
     * The digest covers the integer/date/string columns (double columns are
     * excluded deliberately: their STRING rendering is engine-specific, and
-    * checksum inputs must be format-stable).
+    * checksum inputs must be format-stable). md5 is the digest here because
+    * the oracle must reproduce it; a production deployment would swap in
+    * `xxhash64` (same plan shape, ~10× cheaper per row).
     */
   def q57(s: SparkSession, dir: String): DataFrame = {
     val rowStr = concat_ws("|",
