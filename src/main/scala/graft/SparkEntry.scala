@@ -136,6 +136,7 @@ object SparkEntry {
     "sim_ivfpq_staged"   -> SimilarityQueries.ivfPqStagedTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_pool"           -> SimilarityQueries.poolMatrix _,
+    "sim_dim_profile"    -> SimilarityQueries.dimProfile _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "sim_recall"         -> SimilarityQueries.recallLsh _,
     "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,

@@ -753,6 +753,43 @@ object Similarity {
         "transform(array_sort(collect_list(struct(pos AS pos, m AS m))), e -> e.m)")
         .as("centroid"))
 
+  /** Per-DIMENSION corpus statistics of an embedding column — the feature-
+    * normalization profile (mean, sd per dimension) a whitening/
+    * standardization step trains on: one posexplode, exact-decimal moment
+    * sums per dimension (the q44 pattern — partial-aggregable,
+    * order-independent, engine-exact), closed forms at the end. Shuffle
+    * width is `dims` rows of three numbers, whatever the corpus size.
+    */
+  def dimProfile(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.select(posexplode(col(vecCol))).toDF("pos", "xr")
+      .select(col("pos"), col("xr").cast("double").as("x"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(27,12)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      .select(col("pos"),
+        round(col("sx") / col("n"), 6).as("mean"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("sd"))
+
+  /** Standardize (whiten) vectors against a [[dimProfile]]: per dimension,
+    * `(x − mean)/sd`. The profile is a bounded model artifact (dims rows),
+    * collected once and embedded as literals — the transform itself is
+    * scan-local, so normalization runs in-line in a 100 TB read stage.
+    */
+  def standardize(df: DataFrame, profile: DataFrame,
+                  vecCol: String = "embedding"): DataFrame = {
+    val rows = profile.select("pos", "mean", "sd").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dimsN = rows.size
+    val means = typedlit((0 until dimsN).map(rows(_)._1))
+    val sds = typedlit((0 until dimsN).map(rows(_)._2))
+    df.withColumn(vecCol,
+      zip_with(col(vecCol), sequence(lit(0), lit(dimsN - 1)),
+        (x, i) => (x.cast("double") - element_at(means, i + 1)) /
+          element_at(sds, i + 1)))
+  }
+
   /** Cosine over ARRAY<DOUBLE> columns (pooled centroids) — same
     * left-to-right fold and zero-vector guard as [[VectorOps.cosine]] /
     * `SqlGen.cosSql`, expressed as HOFs because the codegen'd kernel is

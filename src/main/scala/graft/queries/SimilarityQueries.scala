@@ -113,6 +113,14 @@ object SimilarityQueries {
       .orderBy("l1", "l2")
   }
 
+  /** Per-dimension embedding distribution profile
+    * ([[Similarity.dimProfile]]): mean and sd of each of the 64 dimensions
+    * over the corpus — the statistics a whitening step trains on, and the
+    * drift check an embedding pipeline runs when the encoder changes.
+    */
+  def dimProfile(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimProfile(Tables.embeddings(s, dir)).orderBy("pos")
+
   def rpTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Similarity.withRandomProjection(Tables.embeddings(s, dir))
@@ -549,6 +557,17 @@ object SimilarityQueries {
     "sim_pq_topk" -> pqSql,
     "sim_ivfpq_topk" -> ivfPqSql,
     "sim_ivfpq_staged" -> ivfPqSql,
+    "sim_dim_profile" -> {
+      val d = Similarity.dims
+      s"""WITH px AS (SELECT CAST(pos AS INTEGER) AS pos, CAST(embedding[pos+1] AS DOUBLE) AS x
+         |            FROM embeddings, range(0, $d) t(pos)),
+         |a AS (SELECT pos, count(*) AS n,
+         |       CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+         |       CAST(sum(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+         |      FROM px GROUP BY pos)
+         |SELECT pos, round(sx/n, 6) AS mean, round(sqrt((sxx - sx*sx/n)/(n-1)), 6) AS sd
+         |FROM a ORDER BY pos""".stripMargin
+    },
     "sim_pool" -> {
       val d = Similarity.dims
       s"""WITH px AS (SELECT label, pos, CAST(CAST(embedding[pos+1] AS DOUBLE) AS DECIMAL(27,12)) AS x

@@ -308,6 +308,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(m - expected) < 1e-6)
   }
 
+  test("standardizing against the dim profile recenters every dimension to mean 0, sd 1") {
+    import org.apache.spark.sql.functions._
+    val profile = Similarity.dimProfile(emb)
+    val white = Similarity.standardize(emb, profile)
+    // re-profile the standardized corpus: means collapse to ~0, sds to ~1
+    val re = white.select(posexplode(col("embedding"))).toDF("pos", "x")
+      .groupBy("pos").agg(avg("x").as("m"), stddev(col("x")).as("s"))
+      .collect()
+    assert(re.length === Similarity.dims)
+    re.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-4, s"pos ${r.getInt(0)} mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-2, s"pos ${r.getInt(0)} sd ${r.getDouble(2)}")
+    }
+  }
+
   test("recall@k harness: one row, hits bounded by k, recall = hits/k; query 0 always hits") {
     for (q <- Seq(
         graft.queries.SimilarityQueries.recallLsh(spark, sf0001),
