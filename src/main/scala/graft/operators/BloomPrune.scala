@@ -51,10 +51,27 @@ object BloomPrune {
     * condition.
     *
     * `expectedItems` sizes the filter; pass the dim's (estimated) key count.
+    * Non-BIGINT keys (strings, composites) route through [[keyed]] on both
+    * sides, so any equi-join key works — the bloom sees the same xxhash64
+    * image of the key wherever it is built or probed.
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
                       expectedItems: Long): DataFrame = {
-    val bf = buildFilter(dim, key, expectedItems)
-    fact.filter(mightContain(bf, col(key))).join(dim, Seq(key))
+    val isLong = fact.schema(key).dataType ==
+      org.apache.spark.sql.types.LongType
+    val keyed_ = if (isLong) col(key) else keyed(col(key))
+    val bf = buildKeyedFilter(dim, keyed_, expectedItems)
+    fact.filter(mightContain(bf, keyed_)).join(dim, Seq(key))
   }
+
+  /** 64-bit key image for non-BIGINT join keys: the native `xxhash64`
+    * (codegen'd, collision rate ~2⁻⁶⁴ — irrelevant next to the filter's own
+    * 1% FP design point, and FPs only cost re-dropped rows anyway).
+    */
+  def keyed(key: Column): Column = xxhash64(key)
+
+  private def buildKeyedFilter(dim: DataFrame, keyExpr: Column,
+                               expectedItems: Long): Array[Byte] =
+    dim.agg(aggColumn(keyExpr, Bloom.wordsFor(expectedItems)).as("bf"))
+      .head().getAs[Array[Byte]](0)
 }

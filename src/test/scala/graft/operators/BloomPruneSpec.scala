@@ -63,6 +63,15 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned === plain)
   }
 
+  test("string keys route through xxhash64 and join identically to the plain join") {
+    val fact = (0 until 2000).map(i => (s"key${i % 400}", i)).toDF("k", "v")
+    val dim = (0 until 400 by 20).map(k => (s"key$k", s"d$k")).toDF("k", "name")
+    val pruned = BloomPrune.bloomPrunedJoin(fact, dim, "k", expectedItems = 20)
+      .orderBy("k", "v").collect().toSeq
+    val plain = fact.join(dim, Seq("k")).orderBy("k", "v").collect().toSeq
+    assert(pruned === plain && pruned.nonEmpty)
+  }
+
   test("the prefilter actually prunes: surviving fact rows ≈ matching + fp") {
     val fact = (0L until 10000L).map(i => (i % 1000L, i)).toDF("k", "v")
     val dim = (0L until 1000L by 100L).map(k => (k, s"d$k")).toDF("k", "name")
