@@ -90,6 +90,7 @@ object SparkEntry {
     "q55_quantile_bins"  -> CoreQueries.q55 _,
     "q56_skew_profile"   -> CoreQueries.q56 _,
     "q57_table_checksum" -> CoreQueries.q57 _,
+    "q58_ship_priority"  -> CoreQueries.q58 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

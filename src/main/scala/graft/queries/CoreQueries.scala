@@ -895,6 +895,35 @@ object CoreQueries {
       .orderBy("bucket")
   }
 
+  /** Q58 — the TPC-H Q3 "shipping priority" shape: segment-filtered
+    * customers ⋈ date-bounded orders ⋈ date-bounded lineitems, revenue per
+    * open order, top-10. The canonical mixed-join benchmark query: the
+    * selective customer side broadcasts after its filter, the orders ⋈
+    * lineitem leg shuffles on the order key, both date predicates push to
+    * the parquet scans, and the final ranking is TakeOrdered — the plan a
+    * warehouse engine is judged on. Revenue rides a DECIMAL sum (q08/q54
+    * discipline).
+    */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-07-01"
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).cast("double"), 6).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

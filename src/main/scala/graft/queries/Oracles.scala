@@ -298,6 +298,17 @@ object Oracles {
         |    l_returnflag || '|' || l_linestatus || '|' || CAST(l_shipdate AS VARCHAR)
         |  ),1,15))::BIGINT) AS checksum
         |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q58_ship_priority" ->
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -361,6 +361,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ship priority (Q3 shape): date filters reach the scans, customer broadcasts, top-k is TakeOrdered") {
+    val p = plans("q58_ship_priority")
+    assert(p.matches("(?s).*PushedFilters: \\[[^]]*LessThan\\(o_orderdate.*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^]]*GreaterThan\\(l_shipdate.*"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
