@@ -99,6 +99,7 @@ object SparkEntry {
     "text_tfidf"         -> TextQueries.tfidf _,
     "text_bm25"          -> TextQueries.bm25 _,
     "text_vocab"         -> TextQueries.vocab _,
+    "text_token_ids"     -> TextQueries.tokenIds _,
     "text_heavy"         -> TextQueries.heavy _,
     "text_lm_score"      -> TextQueries.lmScore _,
     "text_bigram_lm"     -> TextQueries.bigramLm _,

@@ -67,6 +67,30 @@ object TextQueries {
       .orderBy("doc_id")
       .limit(200)
 
+  /** Tokenize-to-ids: rewrite each doc's token stream as C40 vocabulary ids
+    * in original order (OOV → 0, the reserved unknown id) — the step between
+    * vocabulary construction ([[vocab]]) and fixed-length sequence packing,
+    * i.e. the actual tokenizer application pass of a training pipeline. The
+    * vocabulary is a bounded broadcast; position survives the explode via
+    * `posexplode` and the id array reassembles in pos order (sorted-struct
+    * transform, the packed-codes idiom), so the whole pass is one explode +
+    * broadcast join + partial-aggregable collect per doc.
+    */
+  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    val v = vocab(s, dir).select(col("token"), col("id"))
+    Tables.documents(s, dir).filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "token")
+      .filter(col("token") =!= "")
+      .join(broadcast(v), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0)).as("tid"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos AS pos, tid AS tid))), e -> e.tid)")
+        .as("ids"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF: the classic relevance weighting — a doc's term frequency ×
     * ln(N/df) corpus rarity; top-3 terms for each of the first 10 docs.
     * Document frequencies come from DISTINCT (doc, term) pairs over the FULL
@@ -548,6 +572,16 @@ object TextQueries {
            |    (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
            |  WHERE token <> '' GROUP BY token ORDER BY c DESC, token LIMIT $vocabSize) v
            |ORDER BY id""".stripMargin,
+      "text_token_ids" ->
+        s"""WITH vc AS (SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) AS INTEGER) AS id FROM (
+           |  SELECT token, count(*) AS c FROM
+           |    (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+           |  WHERE token <> '' GROUP BY token ORDER BY c DESC, token LIMIT $vocabSize) v),
+           |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS W FROM documents WHERE doc_id < 20),
+           |te AS (SELECT doc_id, unnest(list_transform(range(1, len(W)+1), i -> {'pos': i, 'token': W[i]})) AS e FROM ws),
+           |tk AS (SELECT doc_id, e.pos AS pos, e.token AS token FROM te WHERE e.token <> ''),
+           |idd AS (SELECT doc_id, pos, COALESCE(id, 0) AS tid FROM tk LEFT JOIN vc USING (token))
+           |SELECT doc_id, list(tid ORDER BY pos) AS ids FROM idd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_lm_score" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
           |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),

@@ -369,6 +369,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("pooling and profiling stay aggregate-only: no window, no join wider than the bounded matrix") {
+    // mean-pooling and the dim profile must partial-aggregate (decimal
+    // moment sums) — a Window or corpus-side join here would mean the
+    // pooling shape regressed to a per-row sort
+    Seq("sim_dim_profile", "q56_skew_profile", "q57_table_checksum").foreach { n =>
+      assert(!plans(n).contains("Window"), s"$n plans a Window:\n${plans(n)}")
+    }
+    assert(!plans("sim_dim_profile").contains("Join"), plans("sim_dim_profile"))
+    assert(!plans("q57_table_checksum").contains("Join"), plans("q57_table_checksum"))
+    // quantile bins: cuts are embedded literals (selection ran eagerly), so
+    // the declared plan is scan → bin → partial agg, windowless and joinless
+    assert(!plans("q55_quantile_bins").contains("Window"), plans("q55_quantile_bins"))
+    assert(!plans("q55_quantile_bins").contains("Join"), plans("q55_quantile_bins"))
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")

@@ -10,6 +10,27 @@ import graft.SparkSpec
   */
 class TextQueriesSpec extends SparkSpec {
 
+  test("token ids: decoding through the vocab reproduces the in-vocab token stream") {
+    val vocabMap = TextQueries.vocab(spark, sf0001)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val ids = TextQueries.tokenIds(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ids.size === docs.size)
+    docs.foreach { case (d, text) =>
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      val got = ids(d)
+      assert(got.length === toks.length, s"doc $d length")
+      got.zip(toks).foreach { case (id, tok) =>
+        if (id == 0) assert(!vocabMap.values.toSet.contains(tok) || vocabMap.valuesIterator.isEmpty,
+          s"doc $d: token '$tok' is in vocab but got OOV id")
+        else assert(vocabMap(id) === tok, s"doc $d: id $id decodes to ${vocabMap(id)}, not $tok")
+      }
+    }
+  }
+
   test("PMI: min-count floor holds and the score matches a hand recomputation") {
     val rows = TextQueries.pmi(spark, sf0001).collect()
     assert(rows.nonEmpty && rows.length <= TextQueries.pmiTopN)
