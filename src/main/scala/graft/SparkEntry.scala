@@ -139,6 +139,7 @@ object SparkEntry {
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_pool"           -> SimilarityQueries.poolMatrix _,
     "sim_dim_profile"    -> SimilarityQueries.dimProfile _,
+    "sim_centroid_assign" -> SimilarityQueries.centroidAssign _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
     "sim_recall"         -> SimilarityQueries.recallLsh _,
     "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,

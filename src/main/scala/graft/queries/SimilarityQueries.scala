@@ -121,6 +121,33 @@ object SimilarityQueries {
   def dimProfile(s: SparkSession, dir: String): DataFrame =
     Similarity.dimProfile(Tables.embeddings(s, dir)).orderBy("pos")
 
+  /** Nearest-centroid classification audit: assign every vector to the
+    * closest mean-pooled LABEL centroid ([[Similarity.meanPoolCentroids]])
+    * and cross-tabulate true label × predicted — the cluster-purity /
+    * label-noise diagnostic (an off-diagonal mass says two classes overlap
+    * in embedding space or labels are dirty). The 10 centroids broadcast;
+    * assignment is the established aggregation-argmax (no window over the
+    * corpus); the confusion matrix is a partial-aggregable count.
+    */
+  def centroidAssign(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("ev"))
+    val cent = Similarity.meanPoolCentroids(
+      emb.select(col("label"), col("ev").as("embedding")), vecCol = "embedding")
+      .select(col("label").as("pred"), col("centroid"))
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("pred"),
+        Similarity.doubleCosine("ev", "centroid").as("ccos"))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"),
+        max_by(col("pred"), struct(col("ccos"), (-col("pred")).as("tie"))).as("pred"))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
+  }
+
   def rpTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Similarity.withRandomProjection(Tables.embeddings(s, dir))
@@ -557,6 +584,18 @@ object SimilarityQueries {
     "sim_pq_topk" -> pqSql,
     "sim_ivfpq_topk" -> ivfPqSql,
     "sim_ivfpq_staged" -> ivfPqSql,
+    "sim_centroid_assign" -> {
+      val d = Similarity.dims
+      s"""WITH px AS (SELECT label, pos, CAST(CAST(embedding[pos+1] AS DOUBLE) AS DECIMAL(27,12)) AS x
+         |            FROM embeddings, range(0, $d) t(pos)),
+         |pm AS (SELECT label, pos, CAST(sum(x) AS DOUBLE)/count(*) AS m FROM px GROUP BY label, pos),
+         |cent AS (SELECT label AS pred, list(m ORDER BY pos) AS c FROM pm GROUP BY label),
+         |asn AS (SELECT vec_id, label, pred,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ${SqlGen.cosSql("e.embedding", "cent.c", d)} DESC, pred) AS rn
+         |  FROM embeddings e, cent)
+         |SELECT label, pred, count(*) AS n FROM asn WHERE rn = 1
+         |GROUP BY label, pred ORDER BY label, pred""".stripMargin
+    },
     "sim_dim_profile" -> {
       val d = Similarity.dims
       s"""WITH px AS (SELECT CAST(pos AS INTEGER) AS pos, CAST(embedding[pos+1] AS DOUBLE) AS x

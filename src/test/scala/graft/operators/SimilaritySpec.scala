@@ -323,6 +323,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nearest-centroid assignment: planted orthogonal clusters classify perfectly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two orthogonal clusters with slight within-cluster jitter
+    val rows = (0 until 10).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.1 * (i % 3), 0.0, 0.0)
+                 else Array(0.0, 0.0, 1.0, 0.1 * (i % 3))
+      (i.toLong, i % 2, base)
+    }
+    val df = rows.toDF("vec_id", "label", "ev")
+    val cent = Similarity.meanPoolCentroids(
+      df.select(col("label"), col("ev").as("embedding")), vecCol = "embedding")
+      .select(col("label").as("pred"), col("centroid"))
+    val confusion = df.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("pred"),
+        Similarity.doubleCosine("ev", "centroid").as("ccos"))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"),
+        max_by(col("pred"), struct(col("ccos"), (-col("pred")).as("tie"))).as("pred"))
+      .groupBy("label", "pred").count().collect()
+    assert(confusion.forall(r => r.getInt(0) == r.getInt(1)),
+      s"off-diagonal assignments: ${confusion.toSeq}")
+  }
+
   test("recall@k harness: one row, hits bounded by k, recall = hits/k; query 0 always hits") {
     for (q <- Seq(
         graft.queries.SimilarityQueries.recallLsh(spark, sf0001),
