@@ -76,7 +76,7 @@ object TextQueries {
     * transform, the packed-codes idiom), so the whole pass is one explode +
     * broadcast join + partial-aggregable collect per doc.
     */
-  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+  def tokenIdsArray(s: SparkSession, dir: String): DataFrame = {
     val v = vocab(s, dir).select(col("token"), col("id"))
     Tables.documents(s, dir).filter(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
@@ -90,6 +90,16 @@ object TextQueries {
         .as("ids"))
       .orderBy("doc_id")
   }
+
+  /** Declared-query face of [[tokenIdsArray]]: the id stream serialized to a
+    * canonical space-joined string so row hashing over the result is
+    * engine-neutral (array cells don't sort/hash portably across harnesses).
+    * Order semantics are identical — the string IS the pos-ordered id list.
+    */
+  def tokenIds(s: SparkSession, dir: String): DataFrame =
+    tokenIdsArray(s, dir)
+      .select(col("doc_id"), concat_ws(" ", col("ids")).as("ids"))
+      .orderBy("doc_id")
 
   /** TF-IDF: the classic relevance weighting — a doc's term frequency ×
     * ln(N/df) corpus rarity; top-3 terms for each of the first 10 docs.
@@ -581,7 +591,8 @@ object TextQueries {
            |te AS (SELECT doc_id, unnest(list_transform(range(1, len(W)+1), i -> {'pos': i, 'token': W[i]})) AS e FROM ws),
            |tk AS (SELECT doc_id, e.pos AS pos, e.token AS token FROM te WHERE e.token <> ''),
            |idd AS (SELECT doc_id, pos, COALESCE(id, 0) AS tid FROM tk LEFT JOIN vc USING (token))
-           |SELECT doc_id, list(tid ORDER BY pos) AS ids FROM idd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+           |SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids
+           |FROM idd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_lm_score" ->
         """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
           |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),

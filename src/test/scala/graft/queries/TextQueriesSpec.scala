@@ -13,12 +13,16 @@ class TextQueriesSpec extends SparkSpec {
   test("token ids: decoding through the vocab reproduces the in-vocab token stream") {
     val vocabMap = TextQueries.vocab(spark, sf0001)
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
-    val ids = TextQueries.tokenIds(spark, sf0001)
+    val ids = TextQueries.tokenIdsArray(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val docs = graft.Tables.documents(spark, sf0001).filter(col("doc_id") < 20)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ids.size === docs.size)
+    // the declared-query face serializes the same stream, space-joined
+    val serialized = TextQueries.tokenIds(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(serialized === ids.map { case (d, xs) => d -> xs.mkString(" ") })
     docs.foreach { case (d, text) =>
       val toks = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
       val got = ids(d)
