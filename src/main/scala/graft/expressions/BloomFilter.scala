@@ -63,9 +63,21 @@ object Bloom {
     * signature Java-primitive.
     */
   def mightContain(blob: Array[Byte], key: Long): Boolean = {
+    // graft_might_contain is SQL-exposed, so ANY binary value can reach this
+    // point — validate the header before trusting it, or a truncated/garbage
+    // blob surfaces as IndexOutOfBounds from generated code instead of a
+    // diagnosable error.
+    if (blob.length < 8)
+      throw new IllegalArgumentException(
+        s"malformed bloom filter: ${blob.length}-byte blob is shorter than the 8-byte header")
     val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
     val numHashes = bb.getInt(0)
     val numWords = bb.getInt(4)
+    if (numHashes <= 0 || numWords <= 0 || blob.length < 8 + 8L * numWords)
+      throw new IllegalArgumentException(
+        s"malformed bloom filter: header claims numHashes=$numHashes, " +
+          s"numWords=$numWords, but the blob is ${blob.length} bytes " +
+          s"(needs ${8 + 8L * math.max(numWords, 0)})")
     val m = numWords.toLong * 64L
     val h1 = mix(key)
     val h2 = mix(key ^ 0x5851F42D4C957F2DL) | 1L

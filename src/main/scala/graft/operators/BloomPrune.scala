@@ -57,8 +57,19 @@ object BloomPrune {
     */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, key: String,
                       expectedItems: Long): DataFrame = {
-    val isLong = fact.schema(key).dataType ==
-      org.apache.spark.sql.types.LongType
+    val factType = fact.schema(key).dataType
+    val dimType = dim.schema(key).dataType
+    // Mixed key widths (e.g. fact INT vs dim BIGINT) would hash to DIFFERENT
+    // xxhash64 images of the same logical value: the filter gets built on one
+    // image, probed with the other, and bloom false NEGATIVES silently drop
+    // matching rows — violating the result-identical-to-plain-join contract.
+    // Spark would happily run the plain join via implicit casts, so this has
+    // to fail loudly here rather than mis-prune.
+    require(factType == dimType,
+      s"bloomPrunedJoin: key '$key' is $factType on the fact side but " +
+        s"$dimType on the dim side; cast both sides to a common type before " +
+        "pruning — hashing mixed widths would drop matching rows")
+    val isLong = factType == org.apache.spark.sql.types.LongType
     val keyed_ = if (isLong) col(key) else keyed(col(key))
     val bf = buildKeyedFilter(dim, keyed_, expectedItems)
     fact.filter(mightContain(bf, keyed_)).join(dim, Seq(key))

@@ -77,5 +77,16 @@ object Bucketing {
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 
+  /** Append rows to a small non-bucketed sidecar table — the ledger write
+    * used by stats sidecars that fold per-batch contributions as new ROWS
+    * (readers aggregate) instead of read-modify-rewriting a single row,
+    * which would lose updates under concurrent appends.
+    */
+  def appendTable(df: DataFrame, table: String): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"appendTable needs a simple [A-Za-z0-9_]+ table name, got $table")
+    df.write.mode("append").format("parquet").saveAsTable(table)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

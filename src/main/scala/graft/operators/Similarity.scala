@@ -776,6 +776,11 @@ object Similarity {
     * `(x − mean)/sd`. The profile is a bounded model artifact (dims rows),
     * collected once and embedded as literals — the transform itself is
     * scan-local, so normalization runs in-line in a 100 TB read stage.
+    *
+    * A constant dimension (sd exactly 0, or rounding to 0 at the profile's
+    * 6-dp precision) emits 0.0 instead of dividing — it carries no signal,
+    * and an unguarded divide would poison every downstream cosine with
+    * Infinity/NaN components.
     */
   def standardize(df: DataFrame, profile: DataFrame,
                   vecCol: String = "embedding"): DataFrame = {
@@ -786,8 +791,9 @@ object Similarity {
     val sds = typedlit((0 until dimsN).map(rows(_)._2))
     df.withColumn(vecCol,
       zip_with(col(vecCol), sequence(lit(0), lit(dimsN - 1)),
-        (x, i) => (x.cast("double") - element_at(means, i + 1)) /
-          element_at(sds, i + 1)))
+        (x, i) => when(element_at(sds, i + 1) === 0.0, lit(0.0))
+          .otherwise((x.cast("double") - element_at(means, i + 1)) /
+            element_at(sds, i + 1))))
   }
 
   /** Cosine over ARRAY<DOUBLE> columns (pooled centroids) — same

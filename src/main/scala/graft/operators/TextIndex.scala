@@ -15,12 +15,21 @@ import org.apache.spark.sql.functions._
   *  - `df` is NOT stored — it is recomputed at probe time from the pruned
   *    postings themselves (df(w) = posting count of w, and a probe has to
   *    read all of w's postings to rank anyway, so this is free);
-  *  - the `(n, total_dl)` EXACT integer pair lives in a one-row sidecar
-  *    table; appends fold the batch's pair in, so `avgdl = total_dl/n`
-  *    stays exact — no drifting floating-point average.
+  *  - the `(n, total_dl)` EXACT integer pair lives in a LEDGER sidecar
+  *    table — one row per staged/appended batch, readers SUM the rows — so
+  *    `avgdl = total_dl/n` stays exact (no drifting floating-point average)
+  *    and an append never read-modify-rewrites existing stats.
   * Hence [[appendToIndex]] is correct without rewriting a single existing
   * posting: per-batch cost ∝ batch size (the dedup-staging property), with
   * the same new-docs-only contract as `Similarity.appendStagedLsh`.
+  *
+  * Write-path contract: appends assume a SINGLE WRITER per index (the same
+  * assumption every staged table here makes — there is no transactional
+  * catalog underneath). Within one append the postings land first and the
+  * stats row second; a crash between the two leaves the ledger missing one
+  * batch's pair, which skews idf/avgdl slightly but never loses postings —
+  * [[recomputeStats]] rebuilds the exact ledger from the postings table and
+  * is the recovery tool for a torn append.
   *
   * BM25 scoring at probe time reproduces `TextQueries.bm25Scores`
   * arithmetic exactly (same expression shape, same constants); per-doc
@@ -62,18 +71,31 @@ object TextIndex {
 
   /** Fold a batch of NEW docs into an existing index: postings append into
     * their term buckets (existing files untouched, pruning preserved), and
-    * the exact stats pair folds the batch in. Docs already indexed must not
-    * reappear in a batch — same contract as the staged-ANN appends.
+    * the batch's exact `(n, total_dl)` pair appends as one ledger ROW — the
+    * old stats are never read or rewritten, so there is no lost-update
+    * window and probe-time stats stay a pure sum. Docs already indexed must
+    * not reappear in a batch — same contract as the staged-ANN appends.
+    * Single-writer per index; see the object doc for the torn-append story.
     */
   def appendToIndex(batch: DataFrame, table: String, buckets: Int): Unit = {
     val spark = batch.sparkSession
-    val old = spark.table(statsTable(table)).head()
     val (bn, bdl) = batchStats(batch)
     Bucketing.appendBucketed(buildPostings(batch), table, "w", buckets)
     import spark.implicits._
-    Bucketing.writeTable(
-      Seq((old.getLong(0) + bn, old.getLong(1) + bdl)).toDF("n", "total_dl"),
-      statsTable(table))
+    Bucketing.appendTable(Seq((bn, bdl)).toDF("n", "total_dl"), statsTable(table))
+  }
+
+  /** Rebuild the stats ledger exactly from the postings table — the recovery
+    * path if an append crashed between its postings and stats writes. Full
+    * postings scan (maintenance-time, not probe-time): each doc carries its
+    * `dl` on every posting, so `n` is the distinct-doc count and `total_dl`
+    * the sum of one `dl` per doc.
+    */
+  def recomputeStats(spark: SparkSession, table: String): Unit = {
+    val pair = Bucketing.read(spark, table)
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("total_dl"))
+    Bucketing.writeTable(pair, statsTable(table))
   }
 
   /** BM25 top-`k` for literal `terms`, served from the staged index. The
@@ -88,8 +110,9 @@ object TextIndex {
     val idx = Bucketing.read(spark, table).filter(col("w").isin(terms: _*))
     val dfreq = idx.groupBy("w").agg(count(lit(1)).as("df"))
     val stats = spark.table(statsTable(table))
-      .select(col("n").cast("double").as("n"),
-        (col("total_dl").cast("double") / col("n")).as("avgdl"))
+      .agg(sum("n").as("ni"), sum("total_dl").as("tdl"))
+      .select(col("ni").cast("double").as("n"),
+        (col("tdl").cast("double") / col("ni")).as("avgdl"))
     idx.join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *

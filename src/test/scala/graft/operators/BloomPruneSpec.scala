@@ -72,6 +72,36 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned === plain && pruned.nonEmpty)
   }
 
+  test("mismatched key types fail loudly instead of silently dropping rows") {
+    val fact = (0 until 100).map(i => (i, i.toLong)).toDF("k", "v") // k: INT
+    val dim = (0L until 100L by 10L).map(k => (k, s"d$k")).toDF("k", "name") // k: BIGINT
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.bloomPrunedJoin(fact, dim, "k", expectedItems = 10)
+    }
+    assert(e.getMessage.contains("cast both sides"))
+  }
+
+  test("malformed filter blobs raise a descriptive error, not IndexOutOfBounds") {
+    val noHeader = intercept[IllegalArgumentException] {
+      Bloom.mightContain(Array[Byte](1, 2, 3), 42L)
+    }
+    assert(noHeader.getMessage.contains("malformed bloom filter"))
+    // header claims more words than the blob carries
+    val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(7); bb.putInt(1000); bb.putLong(0L)
+    val truncated = intercept[IllegalArgumentException] {
+      Bloom.mightContain(bb.array(), 42L)
+    }
+    assert(truncated.getMessage.contains("numWords=1000"))
+    // and through the SQL surface the error is equally diagnosable
+    val sqlErr = intercept[Exception] {
+      Seq(1L).toDF("k")
+        .select(BloomPrune.mightContain(Array[Byte](9), col("k"))).collect()
+    }
+    assert(sqlErr.getMessage.contains("malformed bloom filter") ||
+      Option(sqlErr.getCause).exists(_.getMessage.contains("malformed bloom filter")))
+  }
+
   test("the prefilter actually prunes: surviving fact rows ≈ matching + fp") {
     val fact = (0L until 10000L).map(i => (i % 1000L, i)).toDF("k", "v")
     val dim = (0L until 1000L by 100L).map(k => (k, s"d$k")).toDF("k", "name")

@@ -323,6 +323,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("standardize emits 0.0 for a constant dimension instead of Infinity/NaN") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // dim 1 is constant (sd = 0): unguarded (x-mean)/sd would be NaN/Inf
+    val df = Seq(
+      (0L, Array(1.0f, 5.0f)), (1L, Array(2.0f, 5.0f)), (2L, Array(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val white = Similarity.standardize(df, Similarity.dimProfile(df))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    white.values.foreach(v =>
+      v.foreach(x => assert(!x.isNaN && !x.isInfinite, s"poisoned component $x")))
+    assert(white.values.forall(_(1) === 0.0), "constant dim should whiten to 0.0")
+    assert(white(0L)(0) < 0 && white(2L)(0) > 0, "varying dim still standardizes")
+  }
+
   test("nearest-centroid assignment: planted orthogonal clusters classify perfectly") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

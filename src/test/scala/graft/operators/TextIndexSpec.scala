@@ -58,9 +58,29 @@ class TextIndexSpec extends SparkSpec {
     val b = TextIndex.probeIndex(spark, full, terms, k = 20).collect().toSeq
     assert(a === b)
 
-    val si = spark.table(s"${incr}_stats").head()
-    val sf = spark.table(s"${full}_stats").head()
+    // the incremental index's stats ledger (one row per batch) sums to the
+    // full restage's single row
+    val si = spark.table(s"${incr}_stats").agg(sum("n"), sum("total_dl")).head()
+    val sf = spark.table(s"${full}_stats").agg(sum("n"), sum("total_dl")).head()
     assert(si.getLong(0) === sf.getLong(0) && si.getLong(1) === sf.getLong(1))
+    assert(spark.table(s"${incr}_stats").count() === 2,
+      "append should add a ledger row, not rewrite the stats")
+  }
+
+  test("recomputeStats rebuilds the exact ledger from postings after a torn append") {
+    val docs = Tables.documents(spark, sf0001)
+    val t = freshName("recover")
+    TextIndex.stageIndex(docs.filter(col("doc_id") < 400), t, buckets = 8)
+    TextIndex.appendToIndex(docs.filter(col("doc_id") >= 400), t, buckets = 8)
+    val before = spark.table(s"${t}_stats").agg(sum("n"), sum("total_dl")).head()
+    // simulate the torn-append failure mode: postings present, stats row lost
+    Bucketing.writeTable(
+      spark.table(s"${t}_stats").limit(1), s"${t}_stats_tmp")
+    Bucketing.writeTable(spark.table(s"${t}_stats_tmp"), s"${t}_stats")
+    TextIndex.recomputeStats(spark, t)
+    val after = spark.table(s"${t}_stats").agg(sum("n"), sum("total_dl")).head()
+    assert(after.getLong(0) === before.getLong(0) &&
+      after.getLong(1) === before.getLong(1))
   }
 
   test("probing a term absent from the corpus returns empty, not an error") {
