@@ -160,6 +160,7 @@ object SparkEntry {
     "mix_epochs"         -> CurationQueries.mixEpochs _,
     "curate_drift"       -> CurationQueries.drift _,
     "pipeline_dump"      -> CurationQueries.pipelineDump _,
+    "pipeline_tokens"    -> CurationQueries.pipelineTokens _,
     "pack_shards"        -> CurationQueries.packShards _,
     "pack_seqs"          -> CurationQueries.packSeqs _
   )

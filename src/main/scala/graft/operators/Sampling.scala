@@ -138,20 +138,34 @@ object Sampling {
     * while parallelism scales with chunk count.
     */
   private def cumulativeTokens(docs: DataFrame, idCol: String, sourceCol: String,
-                               textCol: String, chunkWidth: Long): DataFrame = {
-    val toks = docs.withColumn("toks", TextFunctions.tokenCount(col(textCol)))
-      .withColumn("chunk", expr(s"$idCol div $chunkWidth"))
+                               textCol: String, chunkWidth: Long): DataFrame =
+    withCumulative(
+      docs.withColumn("toks", TextFunctions.tokenCount(col(textCol))),
+      idCol, sourceCol, chunkWidth)
+      .select(col(idCol), col(sourceCol), col("toks"), col("cum"))
+
+  /** The two-level running-sum backbone over an EXISTING `toks` column:
+    * returns `rows` plus the inclusive per-source cumulative sum `cum` (in
+    * `idCol` order), preserving every other input column. Callers that
+    * count tokens differently from the whitespace default — e.g. the
+    * tokenizer pipeline, whose unit is vocabulary ids — share the exact
+    * same chunked-window scale shape this way.
+    */
+  private[graft] def withCumulative(rows: DataFrame, idCol: String, sourceCol: String,
+                                    chunkWidth: Long): DataFrame = {
+    val chunked = rows.withColumn("chunk", expr(s"$idCol div $chunkWidth"))
     val wLocal = Window.partitionBy(sourceCol, "chunk").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOffset = Window.partitionBy(sourceCol).orderBy("chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toks.groupBy(col(sourceCol), col("chunk"))
+    val offsets = chunked.groupBy(col(sourceCol), col("chunk"))
       .agg(sum("toks").as("ctoks"))
       .select(col(sourceCol), col("chunk"),
         coalesce(sum("ctoks").over(wOffset), lit(0L)).as("off"))
-    toks.withColumn("lcum", sum("toks").over(wLocal))
+    chunked.withColumn("lcum", sum("toks").over(wLocal))
       .join(offsets, Seq(sourceCol, "chunk"))
-      .select(col(idCol), col(sourceCol), col("toks"), (col("off") + col("lcum")).as("cum"))
+      .withColumn("cum", col("off") + col("lcum"))
+      .drop("chunk", "lcum", "off")
   }
 
   /** Fixed-length training-sequence packing: each source's docs lay out

@@ -251,6 +251,52 @@ object CurationQueries {
         seqLen, chunkWidth = shardChunkWidth)
       .orderBy("doc_id", "seq")
 
+  /** The TOKENIZER composition, oracled end to end as ONE query: vocabulary
+    * construction (`text_vocab`) → token-id rewrite of every doc
+    * (`text_token_ids`' operator over the full corpus) → fixed-length
+    * packing of the ID STREAMS into [[seqLen]]-token context windows,
+    * emitting each window's ACTUAL token-id payload (space-joined, the
+    * engine-neutral serialization) — i.e. the real model-input tensor
+    * layout, not just window geometry. Windows span doc boundaries; each
+    * (doc, window) overlap contributes its id slice and the window
+    * reassembles by stitching slices in doc order.
+    *
+    * Scale shape: the vocab is a bounded broadcast; the id rewrite is one
+    * explode + broadcast join + per-doc collect; the running offsets ride
+    * [[Sampling.withCumulative]]'s two-level chunked windows; the final
+    * stitch groups by (source, window) — every shuffle is keyed and partial-
+    * aggregable, and window payloads are bounded by [[seqLen]].
+    */
+  def pipelineTokens(s: SparkSession, dir: String): DataFrame = {
+    val v = TextQueries.vocab(s, dir).select(col("token"), col("id"))
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "source", "pos", "token")
+      .filter(col("token") =!= "")
+      .join(broadcast(v), Seq("token"), "left")
+      .select(col("doc_id"), col("source"), col("pos"),
+        coalesce(col("id"), lit(0)).as("tid"))
+      .groupBy("doc_id", "source")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos AS pos, tid AS tid))), e -> e.tid)")
+        .as("ids"))
+      .withColumn("toks", size(col("ids")).cast("long"))
+    val L = seqLen
+    Sampling.withCumulative(ids, "doc_id", "source", shardChunkWidth)
+      .withColumn("start", col("cum") - col("toks"))
+      .withColumn("seq", explode(sequence(expr(s"start div $L"), expr(s"(cum - 1) div $L"))))
+      .select(col("source"), col("seq"), col("doc_id"),
+        expr(s"slice(ids, CAST(greatest(seq * $L, start) - start + 1 AS INT), " +
+          s"CAST(least((seq + 1) * $L, cum) - greatest(seq * $L, start) AS INT))").as("part"))
+      .groupBy("source", "seq")
+      .agg(
+        sum(size(col("part"))).cast("long").as("toks"),
+        concat_ws(" ", flatten(expr(
+          "transform(array_sort(collect_list(struct(doc_id AS d, part AS part))), e -> e.part)")))
+          .as("ids"))
+      .orderBy("source", "seq")
+  }
+
   /** Materialize a curated dump the way a 100 TB job would: parquet
     * partitioned by provenance (`source`) so downstream mixture sampling
     * prunes partitions instead of scanning, with `maxRecordsPerFile` bounding
@@ -382,6 +428,31 @@ object CurationQueries {
            |   unnest(range(CAST((cum - toks) // $seqLen AS BIGINT), CAST(((cum - 1) // $seqLen) + 1 AS BIGINT))) AS seq
            |  FROM c) t
            |ORDER BY doc_id, seq""".stripMargin,
+      "pipeline_tokens" -> {
+        val L = seqLen
+        s"""WITH vc AS (SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) AS INTEGER) AS id FROM (
+           |  SELECT token, count(*) AS c FROM
+           |    (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+           |  WHERE token <> '' GROUP BY token ORDER BY c DESC, token LIMIT ${TextQueries.vocabSize}) v),
+           |ws AS (SELECT doc_id, source, string_split(lower(text), ' ') AS W FROM documents),
+           |te AS (SELECT doc_id, source, unnest(list_transform(range(1, len(W)+1), i -> {'pos': i, 'token': W[i]})) AS e FROM ws),
+           |tk AS (SELECT doc_id, source, e.pos AS pos, e.token AS token FROM te WHERE e.token <> ''),
+           |idd AS (SELECT doc_id, source, pos, COALESCE(id, 0) AS tid FROM tk LEFT JOIN vc USING (token)),
+           |ids AS (SELECT doc_id, source, list(tid ORDER BY pos) AS ids, count(*) AS toks
+           |        FROM idd GROUP BY doc_id, source),
+           |c AS (SELECT doc_id, source, ids, toks,
+           |        sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM ids),
+           |e2 AS (SELECT doc_id, source, ids, toks, cum, cum - toks AS strt,
+           |        unnest(range(CAST((cum - toks) // $L AS BIGINT), CAST(((cum - 1) // $L) + 1 AS BIGINT))) AS seq FROM c),
+           |p AS (SELECT source, seq, doc_id,
+           |        ids[CAST(greatest(seq*$L, strt) - strt + 1 AS BIGINT) : CAST(least((seq+1)*$L, cum) - strt AS BIGINT)] AS part
+           |      FROM e2)
+           |SELECT source, CAST(seq AS BIGINT) AS seq, CAST(sum(len(part)) AS BIGINT) AS toks,
+           |       array_to_string(flatten(list(part ORDER BY doc_id)), ' ') AS ids
+           |FROM p GROUP BY source, seq ORDER BY source, seq""".stripMargin
+      },
       "pack_seqs" ->
         s"""SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
            | CAST(greatest(seq*$seqLen, cum - toks) - (cum - toks) AS BIGINT) AS tok_start,

@@ -35,6 +35,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_tokens composes: every window is exactly seqLen ids except each source's last, and payloads are the tokenized stream") {
+    val rows = CurationQueries.pipelineTokens(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // payload length always equals the declared window token count
+    rows.foreach { case (src, seq, toks, ids) =>
+      assert(ids.split(" ").length.toLong === toks, s"$src/$seq payload/toks")
+      assert(toks <= CurationQueries.seqLen)
+    }
+    // per source: seq ids are contiguous from the stream start, all full
+    // except possibly the last, and total ids = the source's token stream
+    val bySrc = rows.groupBy(_._1)
+    val streamToks = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, ws) =>
+      val ordered = ws.sortBy(_._2)
+      assert(ordered.map(_._2) === ordered.indices.map(_.toLong), s"$src seq gap")
+      ordered.init.foreach { case (_, seq, toks, _) =>
+        assert(toks === CurationQueries.seqLen, s"$src/$seq not full") }
+      assert(ordered.map(_._3).sum === streamToks(src), s"$src total ids")
+    }
+    // window ids decode through the vocab: every id is in [0, vocabSize]
+    val maxId = TextQueries.vocab(spark, sf0001).agg(max("id")).head().getInt(0)
+    rows.foreach { case (_, _, _, ids) =>
+      ids.split(" ").foreach(i => assert(i.toInt >= 0 && i.toInt <= maxId)) }
+  }
+
   test("writeCorpus partitions by source with readable roundtrip") {
     val out = java.nio.file.Files.createTempDirectory("corpus").toString
     val kept = CurationQueries.curatedDocs(spark, sf0001)
