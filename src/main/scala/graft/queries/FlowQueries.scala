@@ -14,6 +14,17 @@ object FlowQueries {
   /** B3 — startup probe: catalog scan + projection + cast-to-string alias +
     * LIMIT (`connect.go:52`: `SELECT name, toString(uuid) as uuid_str FROM
     * system.tables LIMIT 5`). `toString` maps to a STRING cast.
+    *
+    * PARITY DELTA (documented, deliberate): the reference's second column is
+    * the table UUID from ClickHouse's `system.tables`. Spark's catalog has
+    * no table-UUID concept and no `information_schema` in the session
+    * catalog, so the closest faithful shape is the catalog listing with a
+    * cast-aliased metadata column — we cast `catalog` (the containing
+    * catalog's name) where the reference casts `uuid`. Every structural
+    * element the probe actually exercises — system-metadata scan, two-column
+    * projection, cast + alias, LIMIT 5 — is preserved; only the identifier
+    * payload differs, and nothing downstream consumes it (the reference
+    * merely logs it).
     */
   def probe(spark: SparkSession): DataFrame =
     spark.catalog.listTables().toDF()
