@@ -73,11 +73,16 @@ object Bloom {
     val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
     val numHashes = bb.getInt(0)
     val numWords = bb.getInt(4)
-    if (numHashes <= 0 || numWords <= 0 || blob.length < 8 + 8L * numWords)
+    // numHashes is bounded above as well as below: a crafted blob claiming
+    // e.g. 2^31-1 hashes would otherwise pass and spin the probe loop for
+    // billions of iterations per row. The builder emits 7; 64 is far beyond
+    // any useful k for a 64-bit-word filter.
+    if (numHashes <= 0 || numHashes > 64 || numWords <= 0 ||
+        blob.length < 8 + 8L * numWords)
       throw new IllegalArgumentException(
-        s"malformed bloom filter: header claims numHashes=$numHashes, " +
-          s"numWords=$numWords, but the blob is ${blob.length} bytes " +
-          s"(needs ${8 + 8L * math.max(numWords, 0)})")
+        s"malformed bloom filter: header claims numHashes=$numHashes " +
+          s"(must be in [1, 64]), numWords=$numWords, but the blob is " +
+          s"${blob.length} bytes (needs ${8 + 8L * math.max(numWords, 0)})")
     val m = numWords.toLong * 64L
     val h1 = mix(key)
     val h2 = mix(key ^ 0x5851F42D4C957F2DL) | 1L

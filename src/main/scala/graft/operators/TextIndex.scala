@@ -52,6 +52,12 @@ object TextIndex {
 
   private def statsTable(table: String) = s"${table}_stats"
 
+  // INVARIANT: docs whose text tokenizes to zero tokens are excluded from
+  // `n` (they drop out of the groupBy below, and contribute no postings, so
+  // recomputeStats excludes them identically). BM25 never scores an empty
+  // doc, so excluding them from avgdl's denominator is the right semantics —
+  // but both paths MUST keep agreeing; TextIndexSpec pins this with an
+  // empty-text doc.
   private def batchStats(docs: DataFrame): (Long, Long) = {
     val r = tokenize(docs).groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).head()
@@ -89,7 +95,9 @@ object TextIndex {
     * path if an append crashed between its postings and stats writes. Full
     * postings scan (maintenance-time, not probe-time): each doc carries its
     * `dl` on every posting, so `n` is the distinct-doc count and `total_dl`
-    * the sum of one `dl` per doc.
+    * the sum of one `dl` per doc. Exact relative to [[batchStats]] because
+    * both exclude zero-token docs (no postings ⇒ not counted; see the
+    * invariant note on batchStats).
     */
   def recomputeStats(spark: SparkSession, table: String): Unit = {
     val pair = Bucketing.read(spark, table)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Bucketing
+import graft.operators.{Bucketing, Staging}
 
 /** Declared queries over BUCKETED staging tables ([[Bucketing.writeBucketed]])
   * — the durable, cross-job alternative to `localCheckpoint` staging named in
@@ -38,12 +38,17 @@ object BucketedQueries {
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val li = s"graft_li_b${buckets}_$tag"
       val ord = s"graft_ord_b${buckets}_$tag"
-      Bucketing.writeBucketed(
-        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
-        li, "l_orderkey", buckets)
-      Bucketing.writeBucketed(
-        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
-        ord, "o_orderkey", buckets)
+      // Cross-JVM reuse: re-register a prior run's tables when the source
+      // data + recipe fingerprint still matches, else stage fresh.
+      Staging.ensure(s, Staging.fingerprint(s, dir, s"bucketed_li_ord:b$buckets"),
+          Seq(li, ord)) {
+        Bucketing.writeBucketed(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+          li, "l_orderkey", buckets)
+        Bucketing.writeBucketed(
+          Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
+          ord, "o_orderkey", buckets)
+      }
       staged((s, dir)) = (li, ord)
       (li, ord)
     }

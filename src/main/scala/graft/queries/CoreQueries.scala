@@ -584,22 +584,41 @@ object CoreQueries {
     */
   def q44(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity"); val y = col("l_extendedprice")
-    val nd = col("n").cast("double")
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        sum(x.cast("decimal(28,6)")).cast("double").as("sx"),
-        sum(y.cast("decimal(28,6)")).cast("double").as("sy"),
-        sum((x * y).cast("decimal(38,6)")).cast("double").as("sxy"),
-        sum((x * x).cast("decimal(38,6)")).cast("double").as("sxx"),
-        sum((y * y).cast("decimal(38,6)")).cast("double").as("syy"))
+        sum(x.cast("decimal(28,6)")).as("sx"),
+        sum(y.cast("decimal(28,6)")).as("sy"),
+        sum((x * y).cast("decimal(38,6)")).as("sxy"),
+        sum((x * x).cast("decimal(38,6)")).as("sxx"),
+        sum((y * y).cast("decimal(38,6)")).as("syy"))
+      .select(col("l_returnflag"), col("n"), {
+        // The co-moment NUMERATORS n·Σxy − Σx·Σy etc. stay in exact DECIMAL
+        // (one deterministic HALF_UP rounding to scale 6 inside the Σx·Σy
+        // product — mirrored in the oracle by an explicit cast), and each is
+        // cast to double exactly ONCE; everything after is IEEE-deterministic
+        // div/sqrt shared verbatim with the oracle. The r5 sf1 rehearsal
+        // caught the old shape (sums→double, then 3+ engine-local double
+        // ops) rounding cov to a DIFFERENT 6th decimal than DuckDB on a
+        // boundary-straddling value; with a single cast per exact numerator
+        // the cross-engine window shrinks from ~1e-7 to the cast's last
+        // ulp (~1e-14 relative). Precision headroom: n·Σy² at 1e11 rows per
+        // flag is ~2e31 — still inside DECIMAL(38,6).
+        val ndec = col("n").cast("decimal(20,0)")
+        val nd = col("n").cast("double")
+        val mxy = (ndec * col("sxy") - col("sx") * col("sy")).cast("double")
+        val mxx = (ndec * col("sxx") - col("sx") * col("sx")).cast("double")
+        val myy = (ndec * col("syy") - col("sy") * col("sy")).cast("double")
+        val den = nd * (nd - 1)
+        struct(
+          round(mxy / den, 6).as("cov"),
+          round(mxy / sqrt(mxx * myy), 6).as("corr"),
+          round(sqrt(mxx / den), 6).as("sd_qty")).as("m")
+      })
       .select(col("l_returnflag"), col("n"),
-        round((col("sxy") - col("sx") * col("sy") / nd) / (nd - 1), 6).as("cov"),
-        round((nd * col("sxy") - col("sx") * col("sy")) /
-          sqrt((nd * col("sxx") - col("sx") * col("sx")) *
-               (nd * col("syy") - col("sy") * col("sy"))), 6).as("corr"),
-        round(sqrt((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)), 6).as("sd_qty"))
+        col("m.cov").as("cov"), col("m.corr").as("corr"),
+        col("m.sd_qty").as("sd_qty"))
       .orderBy("l_returnflag")
   }
 

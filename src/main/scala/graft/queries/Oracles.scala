@@ -190,17 +190,25 @@ object Oracles {
         | ORDER BY event_id""".stripMargin.replaceAll("\n", ""),
     "q44_stats" ->
       """WITH a AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS nd, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-        |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-        |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
-        | FROM lineitem GROUP BY l_returnflag)
+        |  sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,
+        |  sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS sy,
+        |  sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS sxy,
+        |  sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS sxx,
+        |  sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(38,6))) AS syy
+        | FROM lineitem GROUP BY l_returnflag),
+        |m AS (SELECT l_returnflag, n, nd,
+        |  CAST(CAST(n AS DECIMAL(10,0))*CAST(sxy AS DECIMAL(28,6))
+        |    - CAST(CAST(sx AS DECIMAL(19,6))*CAST(sy AS DECIMAL(19,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mxy,
+        |  CAST(CAST(n AS DECIMAL(10,0))*CAST(sxx AS DECIMAL(28,6))
+        |    - CAST(CAST(sx AS DECIMAL(19,6))*CAST(sx AS DECIMAL(19,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mxx,
+        |  CAST(CAST(n AS DECIMAL(10,0))*CAST(syy AS DECIMAL(28,6))
+        |    - CAST(CAST(sy AS DECIMAL(19,6))*CAST(sy AS DECIMAL(19,6)) AS DECIMAL(38,6)) AS DOUBLE) AS myy
+        | FROM a)
         |SELECT l_returnflag, n,
-        | round((sxy - sx*sy/nd)/(nd - 1), 6) AS cov,
-        | round((nd*sxy - sx*sy)/sqrt((nd*sxx - sx*sx)*(nd*syy - sy*sy)), 6) AS corr,
-        | round(sqrt((sxx - sx*sx/nd)/(nd - 1)), 6) AS sd_qty
-        |FROM a ORDER BY l_returnflag""".stripMargin,
+        | round(mxy/(nd*(nd - 1)), 6) AS cov,
+        | round(mxy/sqrt(mxx*myy), 6) AS corr,
+        | round(sqrt(mxx/(nd*(nd - 1))), 6) AS sd_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q45_histogram" ->
       """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
         |SELECT CAST(least(floor((l_extendedprice - lo)/((hi - lo)/20.0)), 19.0) AS BIGINT) AS bin,

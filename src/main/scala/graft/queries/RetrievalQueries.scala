@@ -125,7 +125,10 @@ object RetrievalQueries {
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val t = s"graft_lexidx_$tag"
-      graft.operators.TextIndex.stageIndex(Tables.documents(s, dir), t, lexBuckets)
+      val fp = graft.operators.Staging.fingerprint(s, dir, s"lexidx:b$lexBuckets")
+      graft.operators.Staging.ensure(s, fp, Seq(t, s"${t}_stats")) {
+        graft.operators.TextIndex.stageIndex(Tables.documents(s, dir), t, lexBuckets)
+      }
       stagedLex((s, dir)) = t
       t
     }

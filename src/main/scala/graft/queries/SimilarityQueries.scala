@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Similarity, Staging}
 
 /** ANN search queries over `embeddings` (C12). `q19_cosine_topk` in
   * CoreQueries is the exact baseline; this adds the LSH-bucketed scale path.
@@ -294,12 +294,16 @@ object SimilarityQueries {
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val lsh = s"graft_ann_lsh_p${planes}_$tag"
       val ivf = s"graft_ann_ivf_$tag"
-      val emb = Tables.embeddings(s, dir)
-      Similarity.stageLshBucketed(emb, lsh, planes, stagedLshBuckets)
-      import org.apache.spark.sql.functions.col
-      val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      Similarity.stageIvfBucketed(emb, cent, ivf, stagedIvfBuckets)
+      val fp = Staging.fingerprint(s, dir,
+        s"ann_lsh_ivf:p$planes:lb$stagedLshBuckets:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}")
+      Staging.ensure(s, fp, Seq(lsh, ivf)) {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.stageLshBucketed(emb, lsh, planes, stagedLshBuckets)
+        import org.apache.spark.sql.functions.col
+        val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        Similarity.stageIvfBucketed(emb, cent, ivf, stagedIvfBuckets)
+      }
       stagedAnn((s, dir)) = (lsh, ivf)
       (lsh, ivf)
     }
@@ -338,12 +342,16 @@ object SimilarityQueries {
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val t = s"graft_ann_ivfpq_$tag"
-      val emb = Tables.embeddings(s, dir)
-      import org.apache.spark.sql.functions.col
-      val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebook(emb), t,
-        stagedIvfBuckets)
+      val fp = Staging.fingerprint(s, dir,
+        s"ann_ivfpq:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:pqk${Similarity.pqK}")
+      Staging.ensure(s, fp, Seq(t)) {
+        val emb = Tables.embeddings(s, dir)
+        import org.apache.spark.sql.functions.col
+        val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebook(emb), t,
+          stagedIvfBuckets)
+      }
       stagedPq((s, dir)) = t
       t
     }

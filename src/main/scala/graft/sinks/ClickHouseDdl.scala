@@ -54,10 +54,20 @@ object ClickHouseDdl {
     * accepts it; we emit it too so the generated text is byte-comparable
     * after whitespace normalization).
     */
+  // Table and column names are interpolated into DDL text unquoted (matching
+  // the reference's plain-identifier style); restrict them so a name with
+  // spaces, quotes, or backticks can't produce broken or injectable DDL.
+  private def requireIdent(kind: String, name: String): Unit =
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"$kind name '$name' is not a plain identifier ([A-Za-z0-9_]+); " +
+        "rename the column or table before generating DDL")
+
   def createTableDdl(table: String, schema: StructType,
                      engine: String = "Memory",
                      overrides: Map[String, String] = Map.empty): String = {
+    requireIdent("table", table)
     val cols = schema.fields.map { f =>
+      requireIdent("column", f.name)
       val t = overrides.getOrElse(f.name, chType(f.dataType))
       s"${f.name} $t,"
     }.mkString("\n  ")
@@ -69,7 +79,10 @@ object ClickHouseDdl {
     */
   def setupDdl(table: String, schema: StructType,
                engine: String = "Memory",
-               overrides: Map[String, String] = Map.empty): Seq[String] = Seq(
-    s"DROP TABLE IF EXISTS $table",
-    createTableDdl(table, schema, engine, overrides))
+               overrides: Map[String, String] = Map.empty): Seq[String] = {
+    requireIdent("table", table)
+    Seq(
+      s"DROP TABLE IF EXISTS $table",
+      createTableDdl(table, schema, engine, overrides))
+  }
 }

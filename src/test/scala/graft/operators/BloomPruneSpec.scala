@@ -93,6 +93,14 @@ class BloomPruneSpec extends SparkSpec {
       Bloom.mightContain(bb.array(), 42L)
     }
     assert(truncated.getMessage.contains("numWords=1000"))
+    // header claims an absurd hash count: must fail fast, not spin the
+    // probe loop for 2^31 iterations per row
+    val bh = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bh.putInt(Int.MaxValue); bh.putInt(1); bh.putLong(-1L)
+    val hashBomb = intercept[IllegalArgumentException] {
+      Bloom.mightContain(bh.array(), 42L)
+    }
+    assert(hashBomb.getMessage.contains("numHashes"))
     // and through the SQL surface the error is equally diagnosable
     val sqlErr = intercept[Exception] {
       Seq(1L).toDF("k")

@@ -73,14 +73,35 @@ class TextIndexSpec extends SparkSpec {
     TextIndex.stageIndex(docs.filter(col("doc_id") < 400), t, buckets = 8)
     TextIndex.appendToIndex(docs.filter(col("doc_id") >= 400), t, buckets = 8)
     val before = spark.table(s"${t}_stats").agg(sum("n"), sum("total_dl")).head()
-    // simulate the torn-append failure mode: postings present, stats row lost
+    // simulate the torn-append failure mode: postings present, stats row
+    // lost. Deterministically lose the APPEND batch's ledger row (keep the
+    // stage batch's = the smaller n), so every run recovers from the same
+    // failure state.
     Bucketing.writeTable(
-      spark.table(s"${t}_stats").limit(1), s"${t}_stats_tmp")
+      spark.table(s"${t}_stats").orderBy(asc("n")).limit(1), s"${t}_stats_tmp")
     Bucketing.writeTable(spark.table(s"${t}_stats_tmp"), s"${t}_stats")
     TextIndex.recomputeStats(spark, t)
     val after = spark.table(s"${t}_stats").agg(sum("n"), sum("total_dl")).head()
     assert(after.getLong(0) === before.getLong(0) &&
       after.getLong(1) === before.getLong(1))
+  }
+
+  test("zero-token docs are excluded from n by BOTH the ledger and the rebuild") {
+    // Pins the invariant batchStats and recomputeStats must share: a doc
+    // whose text tokenizes to nothing contributes no postings, so neither
+    // path may count it in n — if either ever starts counting empty docs,
+    // the recovery rebuild would silently diverge from the live ledger.
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "   "), (4L, "gamma"))
+      .toDF("doc_id", "text")
+    val t = freshName("empty")
+    TextIndex.stageIndex(docs, t, buckets = 4)
+    val staged = spark.table(s"${t}_stats").head()
+    assert(staged.getLong(0) === 2L, "ledger must exclude the two empty docs")
+    TextIndex.recomputeStats(spark, t)
+    val rebuilt = spark.table(s"${t}_stats").head()
+    assert(rebuilt.getLong(0) === staged.getLong(0) &&
+      rebuilt.getLong(1) === staged.getLong(1),
+      "rebuild must agree with the ledger on empty-doc exclusion")
   }
 
   test("probing a term absent from the corpus returns empty, not an error") {

@@ -47,6 +47,24 @@ class ClickHouseDdlSpec extends AnyFunSuite {
     assert(stmts(1).startsWith("CREATE TABLE IF NOT EXISTS flows"))
   }
 
+  test("non-plain identifiers are rejected before they reach DDL text") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("ok_col", StringType)))
+    val badTable = intercept[IllegalArgumentException] {
+      ClickHouseDdl.createTableDdl("flows; DROP TABLE x", schema)
+    }
+    assert(badTable.getMessage.contains("not a plain identifier"))
+    val badCol = intercept[IllegalArgumentException] {
+      ClickHouseDdl.createTableDdl("flows",
+        StructType(Seq(StructField("a b`c", StringType))))
+    }
+    assert(badCol.getMessage.contains("not a plain identifier"))
+    val badSetup = intercept[IllegalArgumentException] {
+      ClickHouseDdl.setupDdl("bad name", schema)
+    }
+    assert(badSetup.getMessage.contains("not a plain identifier"))
+  }
+
   test("type table: UInt32 counters ride Spark LONG; unmapped types fail loudly") {
     import org.apache.spark.sql.types._
     // the documented mapping rows
