@@ -685,6 +685,69 @@ object Similarity {
     Bucketing.appendBucketed(
       ivfPqRows(batch, cent, codebook, idCol, vecCol), table, "cid", buckets)
 
+  /** Torn-append detection + repair for the ANN serving indexes — the
+    * counterpart of [[TextIndex.recomputeStats]], shaped by a structural
+    * difference: the lexical index is TWO tables (postings + stats ledger)
+    * whose paired writes a crash can tear apart, and its recovery rebuilds
+    * the sidecar from the postings alone. Each ANN arm is ONE bucketed
+    * table with no sidecar, so there is no cross-table invariant to
+    * recompute; the only state a crashed (or blindly retried) append can
+    * leave is row-level — part of a batch committed and the rest missing,
+    * or the whole batch present twice. That is a source↔index discrepancy,
+    * so recovery reconciles against the corpus frame: ids absent from the
+    * index are re-appended through the arm's own encode path (anti-join
+    * first, so re-running after ANY failure converges — appending only
+    * what is still missing), and duplicated ids are counted and reported.
+    * Duplicates cannot be repaired in place (parquet appends can't delete;
+    * a dup'd id would surface twice in a top-k) — a nonzero dup count
+    * tells the caller to restage the arm, which costs one corpus pass.
+    *
+    * Returns (missing ids appended, duplicated ids found).
+    */
+  def reconcileStagedLsh(corpus: DataFrame, table: String, planes: Int = lshPlanes,
+                         buckets: Int = 16, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): (Long, Long) = {
+    val idx = Bucketing.read(corpus.sparkSession, table)
+    val dups = idx.groupBy(idCol).count().filter(col("count") > 1).count()
+    val missing = corpus.join(idx.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol))
+    val nMissing = missing.count()
+    if (nMissing > 0) appendStagedLsh(missing, table, planes, buckets, idCol, vecCol)
+    (nMissing, dups)
+  }
+
+  /** [[reconcileStagedLsh]] for the IVF arm — assignment of re-appended
+    * rows runs against the SAME centroid artifact the index was staged
+    * with, exactly like [[appendStagedIvf]].
+    */
+  def reconcileStagedIvf(corpus: DataFrame, cent: DataFrame, table: String,
+                         buckets: Int = 8, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): (Long, Long) = {
+    val idx = Bucketing.read(corpus.sparkSession, table)
+    val dups = idx.groupBy(idCol).count().filter(col("count") > 1).count()
+    val missing = corpus.join(idx.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol))
+    val nMissing = missing.count()
+    if (nMissing > 0) appendStagedIvf(missing, cent, table, buckets, idCol, vecCol)
+    (nMissing, dups)
+  }
+
+  /** [[reconcileStagedLsh]] for the IVF-PQ arm — re-encoding uses the same
+    * centroid + codebook artifacts as [[appendStagedIvfPq]].
+    */
+  def reconcileStagedIvfPq(corpus: DataFrame, cent: DataFrame, codebook: DataFrame,
+                           table: String, buckets: Int = 8, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): (Long, Long) = {
+    val idx = Bucketing.read(corpus.sparkSession, table)
+    val dups = idx.groupBy(idCol).count().filter(col("count") > 1).count()
+    val missing = corpus.join(idx.select(idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), col(vecCol))
+    val nMissing = missing.count()
+    if (nMissing > 0)
+      appendStagedIvfPq(missing, cent, codebook, table, buckets, idCol, vecCol)
+    (nMissing, dups)
+  }
+
   /** (id, cid, codes) rows for the staged IVF-PQ layout: broadcast-argmax
     * list assignment + PQ codes packed into an ascending-j array (the fixed
     * order [[probeStagedIvfPq]]'s ADC sum relies on).
@@ -781,12 +844,24 @@ object Similarity {
     * 6-dp precision) emits 0.0 instead of dividing — it carries no signal,
     * and an unguarded divide would poison every downstream cosine with
     * Infinity/NaN components.
+    *
+    * The literal embedding bounds the profile width: 2·dims doubles go into
+    * the plan, and past ~1k dims that balloons the expression tree and
+    * codegen instead of failing anywhere visible. [[standardizeMaxDims]]
+    * makes misuse loud — for wider profiles, posexplode the vectors and
+    * broadcast-join the profile on `pos` instead of calling this.
     */
+  val standardizeMaxDims = 1024
+
   def standardize(df: DataFrame, profile: DataFrame,
                   vecCol: String = "embedding"): DataFrame = {
     val rows = profile.select("pos", "mean", "sd").collect()
       .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val dimsN = rows.size
+    require(dimsN <= standardizeMaxDims,
+      s"standardize embeds 2*$dimsN profile literals into the plan, past the " +
+        s"$standardizeMaxDims-dim bound; for wide profiles posexplode the " +
+        "vector column and broadcast-join the profile on pos instead")
     val means = typedlit((0 until dimsN).map(rows(_)._1))
     val sds = typedlit((0 until dimsN).map(rows(_)._2))
     df.withColumn(vecCol,

@@ -210,6 +210,28 @@ object StreamOps {
       }
       .start()
 
+  /** Keep a staged inverted LEXICAL index ([[graft.operators.TextIndex
+    * .stageIndex]]) fresh under streaming document ingest — the lexical
+    * twin of [[maintainLshIndex]], closing the serving-index family
+    * symmetrically: each micro-batch is tokenized alone and appended via
+    * [[graft.operators.TextIndex.appendToIndex]], which shuffles only the
+    * batch's postings into the existing term buckets AND adds one row to
+    * the append-only stats ledger (n, total_dl) — so BM25 probes over the
+    * live index keep exact df/avgdl without restaging. Same effectively-
+    * once-per-epoch checkpoint contract as the LSH arm; a torn append
+    * (postings landed, ledger row lost) is recovered by
+    * [[graft.operators.TextIndex.recomputeStats]].
+    */
+  def maintainLexicalIndex(docs: DataFrame, table: String,
+                           checkpoint: String, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextIndex.appendToIndex(batch, table, buckets)
+      }
+      .start()
+
   /** Per-user event sessionization over the `events` table shape using the
     * built-in session_window (gap-based), watermark-bounded.
     */

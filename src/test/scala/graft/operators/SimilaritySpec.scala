@@ -232,6 +232,83 @@ class SimilaritySpec extends SparkSpec {
     assert(m.get.group(1).toInt < m.get.group(2).toInt)
   }
 
+  test("LSH reconcile repairs a torn append: missing rows re-appended, probe matches a full restage") {
+    import org.apache.spark.sql.functions._
+    val planes = 8
+    // stage day 0, then simulate a TORN day-1 append: only half the batch's
+    // rows were committed before the crash (vec_id parity picks the half
+    // deterministically)
+    Similarity.stageLshBucketed(emb.filter(col("vec_id") < 400),
+      "graft_test_ann_lsh_torn", planes, buckets = 16)
+    Similarity.appendStagedLsh(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0),
+      "graft_test_ann_lsh_torn", planes, buckets = 16)
+    val (missing, dups) = Similarity.reconcileStagedLsh(
+      emb, "graft_test_ann_lsh_torn", planes, buckets = 16)
+    assert(missing > 0, "the torn half must be detected as missing")
+    assert(dups === 0L)
+    // converged: re-running reconcile finds nothing left to repair
+    assert(Similarity.reconcileStagedLsh(
+      emb, "graft_test_ann_lsh_torn", planes, buckets = 16) === ((0L, 0L)))
+    Similarity.stageLshBucketed(emb, "graft_test_ann_lsh_tornfull", planes, buckets = 16)
+    val q = Similarity.withLshCode(emb.filter(col("vec_id") === 0), "embedding", planes)
+      .select(col("embedding"), col("lsh_code")).head()
+    def probe(t: String) = Similarity.probeStagedLsh(spark, t,
+      q.getSeq[Float](0).toArray, q.getLong(1), planes, k = 10)
+    assert(probe("graft_test_ann_lsh_torn").collect().toSeq ==
+      probe("graft_test_ann_lsh_tornfull").collect().toSeq)
+  }
+
+  test("LSH reconcile reports duplicated ids from a blind append retry (restage signal)") {
+    import org.apache.spark.sql.functions._
+    val planes = 8
+    Similarity.stageLshBucketed(emb.filter(col("vec_id") < 400),
+      "graft_test_ann_lsh_dup", planes, buckets = 16)
+    val batch = emb.filter(col("vec_id") >= 400)
+    Similarity.appendStagedLsh(batch, "graft_test_ann_lsh_dup", planes, buckets = 16)
+    Similarity.appendStagedLsh(batch, "graft_test_ann_lsh_dup", planes, buckets = 16)
+    val (missing, dups) = Similarity.reconcileStagedLsh(
+      emb, "graft_test_ann_lsh_dup", planes, buckets = 16)
+    assert(missing === 0L)
+    assert(dups === batch.count(), "every double-appended id must be reported")
+  }
+
+  test("IVF and IVF-PQ reconcile repair torn appends through their own encode paths") {
+    import org.apache.spark.sql.functions._
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.stageIvfBucketed(emb.filter(col("vec_id") < 400), cent,
+      "graft_test_ann_ivf_torn", buckets = 8)
+    Similarity.appendStagedIvf(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0), cent,
+      "graft_test_ann_ivf_torn", buckets = 8)
+    val (im, id) = Similarity.reconcileStagedIvf(
+      emb, cent, "graft_test_ann_ivf_torn", buckets = 8)
+    assert(im > 0 && id === 0L)
+    Similarity.stageIvfBucketed(emb, cent, "graft_test_ann_ivf_tornfull", buckets = 8)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(Similarity.probeStagedIvf(spark, "graft_test_ann_ivf_torn", qe, Seq(0L, 1L), k = 10)
+      .collect().toSeq ==
+      Similarity.probeStagedIvf(spark, "graft_test_ann_ivf_tornfull", qe, Seq(0L, 1L), k = 10)
+        .collect().toSeq)
+
+    val cb = Similarity.pqCodebook(emb)
+    Similarity.stageIvfPqBucketed(emb.filter(col("vec_id") < 400), cent, cb,
+      "graft_test_ann_ivfpq_torn", buckets = 8)
+    Similarity.appendStagedIvfPq(
+      emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0), cent, cb,
+      "graft_test_ann_ivfpq_torn", buckets = 8)
+    val (pm, pd) = Similarity.reconcileStagedIvfPq(
+      emb, cent, cb, "graft_test_ann_ivfpq_torn", buckets = 8)
+    assert(pm > 0 && pd === 0L)
+    Similarity.stageIvfPqBucketed(emb, cent, cb, "graft_test_ann_ivfpq_tornfull", buckets = 8)
+    assert(Similarity.probeStagedIvfPq(spark, "graft_test_ann_ivfpq_torn", emb, 0L, Seq(0L, 1L), k = 10)
+      .collect().toSeq ==
+      Similarity.probeStagedIvfPq(spark, "graft_test_ann_ivfpq_tornfull", emb, 0L, Seq(0L, 1L), k = 10)
+        .collect().toSeq)
+  }
+
   test("staged IVF probe equals ivfTopK (lists staged once vs assigned per query)") {
     import org.apache.spark.sql.functions._
     val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
@@ -321,6 +398,16 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getDouble(1)) < 1e-4, s"pos ${r.getInt(0)} mean ${r.getDouble(1)}")
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-2, s"pos ${r.getInt(0)} sd ${r.getDouble(2)}")
     }
+  }
+
+  test("standardize rejects a profile wider than the literal-plan bound") {
+    import org.apache.spark.sql.functions._
+    val wide = spark.range(Similarity.standardizeMaxDims + 1)
+      .select(col("id").cast("int").as("pos"), lit(0.0).as("mean"), lit(1.0).as("sd"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.standardize(emb, wide)
+    }
+    assert(e.getMessage.contains("broadcast-join"))
   }
 
   test("standardize emits 0.0 for a constant dimension instead of Infinity/NaN") {

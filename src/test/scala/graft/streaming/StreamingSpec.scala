@@ -295,6 +295,45 @@ class StreamingSpec extends SparkSpec {
     assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt, plan)
   }
 
+  test("streaming lexical-index maintenance: per-batch appends equal a full restage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextIndex
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    TextIndex.stageIndex(docs.filter(col("doc_id") < 400),
+      "graft_stream_lex", buckets = 8)
+
+    val late = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val src = MemoryStream[(Long, String)](spark)
+    val q = StreamOps.maintainLexicalIndex(
+      src.toDF().toDF("doc_id", "text"),
+      "graft_stream_lex",
+      java.nio.file.Files.createTempDirectory("ckpt").toString,
+      buckets = 8)
+    try {
+      val (b1, b2) = late.splitAt(late.length / 2)
+      src.addData(b1.toIndexedSeq); q.processAllAvailable()
+      src.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    TextIndex.stageIndex(docs, "graft_stream_lex_full", buckets = 8)
+    val terms = Seq("join", "scan", "merge")
+    def probe(t: String) = TextIndex.probeIndex(spark, t, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe("graft_stream_lex") == probe("graft_stream_lex_full"),
+      "streamed appends must serve the same BM25 ranking as a full restage")
+    // the ledger accumulated one row per batch (stage + 2 micro-batches)
+    assert(spark.table("graft_stream_lex_stats").count() === 3)
+    // pruning survives streaming maintenance
+    val plan = TextIndex.probeIndex(spark, "graft_stream_lex", terms, k = 10)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt, plan)
+  }
+
   test("streaming near-dup drop: reordered/repeated word sets collide within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
