@@ -47,7 +47,7 @@ object TextFunctions {
     * languages' counts.
     */
   def stopwordHits(text: Column, lang: String): Column =
-    size(filter(wsTokens(text), t => t.isin(stopwords(lang): _*))).cast("long")
+    stopwordHitsOf(wsTokens(text), lang)
 
   /** PII redaction patterns. Conservative character classes only — `\d`,
     * `\b` (ASCII word boundary), literal classes and bounded repetition mean
@@ -131,12 +131,12 @@ object TextFunctions {
   /** Word n-grams of the text as an array column (empty array when the doc
     * is shorter than n words).
     */
-  private def ngrams(c: Column, n: Int): Column = {
-    val w = wsTokens(c)
+  private def ngrams(c: Column, n: Int): Column = ngramsOf(wsTokens(c), n)
+
+  private def ngramsOf(w: Column, n: Int): Column =
     when(size(w) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-  }
 
   /** Intra-document repetition: fraction of n-gram OCCURRENCES that are
     * duplicates of an earlier one (`1 - distinct/total`) — the Gopher-style
@@ -148,18 +148,39 @@ object TextFunctions {
     * evaluated exactly once — for the distinct count — instead of once per
     * size() probe.
     */
-  def dupNgramFrac(c: Column, n: Int = 3): Column = {
-    val total = size(wsTokens(c)) - (n - 1)
-    when(total <= 0, lit(0.0))
-      .otherwise(lit(1.0) -
-        size(array_distinct(ngrams(c, n))).cast("double") / total.cast("double"))
-  }
+  def dupNgramFrac(c: Column, n: Int = 3): Column = dupNgramFracOf(wsTokens(c), n)
 
   /** Mean word length in characters (0.0 for empty text) — short-mean docs
     * are symbol soup, long-mean docs are URLs/minified code.
     */
-  def meanWordLen(c: Column): Column =
-    when(length(c) === 0, lit(0.0))
-      .otherwise(
-        aggregate(wsTokens(c), lit(0.0), (a, x) => a + length(x)) / tokenCount(c))
+  def meanWordLen(c: Column): Column = meanWordLenOf(c, wsTokens(c))
+
+  // ---- token-array variants ------------------------------------------------
+  //
+  // Each signal above re-derives `split(text, " ")` inside its own
+  // conditional, and codegen's common-subexpression elimination does not
+  // reliably share work that only occurs in `CASE WHEN` branches — so a
+  // multi-signal projection (the Gopher gate computes five) can re-split
+  // every doc several times per row. Callers computing 2+ signals should
+  // project `wsTokens(text)` ONCE as its own column and feed it here:
+  // CollapseProject keeps a non-cheap projection that is referenced more
+  // than once, so the split runs exactly once per row and each signal reads
+  // the materialized array. Values are bit-identical to the single-column
+  // forms (which now delegate).
+
+  def tokenCountOf(w: Column): Column = size(w).cast("long")
+
+  def stopwordHitsOf(w: Column, lang: String): Column =
+    size(filter(w, t => t.isin(stopwords(lang): _*))).cast("long")
+
+  def meanWordLenOf(text: Column, w: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(aggregate(w, lit(0.0), (a, x) => a + length(x)) / tokenCountOf(w))
+
+  def dupNgramFracOf(w: Column, n: Int = 3): Column = {
+    val total = size(w) - (n - 1)
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(ngramsOf(w, n))).cast("double") / total.cast("double"))
+  }
 }

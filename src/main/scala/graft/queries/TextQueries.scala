@@ -50,10 +50,11 @@ object TextQueries {
     */
   def repetition(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), wsTokens(col("text")).as("W"))
       .select(
         col("doc_id"),
-        round(dupNgramFrac(col("text")), 6).as("dup3"),
-        round(meanWordLen(col("text")), 6).as("mwl"))
+        round(dupNgramFracOf(col("W")), 6).as("dup3"),
+        round(meanWordLenOf(col("text"), col("W")), 6).as("mwl"))
       .orderBy("doc_id")
       .limit(200)
 
@@ -353,12 +354,18 @@ object TextQueries {
     * per source, never rows), i.e. the gate runs in-line in a 100 TB scan.
     */
   def gopher(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("source"),
-      tokenCount(col("text")).as("t"),
-      meanWordLen(col("text")).as("m"),
-      punctRatio(col("text")).as("p"),
-      stopwordHits(col("text"), "en").as("sw"),
-      dupNgramFrac(col("text")).as("r"))
+    // One split per doc, five signals: W is projected as its own column so
+    // the tokenization is materialized once (CollapseProject keeps it — a
+    // non-cheap expression with 4 references) instead of re-derived inside
+    // each signal's CASE WHEN, where codegen CSE cannot share it.
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("text"), wsTokens(col("text")).as("W"))
+      .select(col("source"),
+        tokenCountOf(col("W")).as("t"),
+        meanWordLenOf(col("text"), col("W")).as("m"),
+        punctRatio(col("text")).as("p"),
+        stopwordHitsOf(col("W"), "en").as("sw"),
+        dupNgramFracOf(col("W")).as("r"))
     val rLen = col("t") >= gMinToks && col("t") <= gMaxToks
     val rMwl = col("m") >= gMinMwl && col("m") <= gMaxMwl
     val rPunct = col("p") <= gMaxPunct
