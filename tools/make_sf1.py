@@ -15,6 +15,17 @@ adversarially harder than a natural 10x corpus (candidate pairs grow ~1000x)
 — deliberate: it stress-tests the capped-bucket/candidate-bounded designs.
 
 Dev tool only (driver-side python). Usage: python3 tools/make_sf1.py
+
+Vocabulary-growth mode (`--vocab`, writes /tmp/graft_sf1v): the plain sf1
+replication leaves the DISTINCT-token count unchanged (replicas share the
+sf0.1 vocabulary plus one " repN" marker), so vocabulary-bounded queries
+(text_vocab, text_heavy, text_oov, text_pmi) see a 10x corpus but a ~1x
+vocabulary. In vocab mode every token of replica r > 0 gets a per-replica
+suffix ("tok" -> "tok_rN"), making the replica vocabularies DISJOINT:
+distinct tokens, distinct bigrams, and per-term group counts all grow
+~10x while doc count and per-doc shape grow exactly as in sf1. Only
+`documents` is replicated (the text family reads nothing else); the other
+tables are copied from sf0.1 so the directory stays valid for any query.
 """
 import shutil
 import time
@@ -69,5 +80,44 @@ def main():
         print(t, out.num_rows, f"{time.time() - t0:.1f}s")
 
 
+def main_vocab():
+    """10x docs AND ~10x distinct tokens: per-replica token suffixes make
+    each replica's vocabulary disjoint from every other's."""
+    import os
+    dst = "/tmp/graft_sf1v"
+    os.makedirs(dst, exist_ok=True)
+    t0 = time.time()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"]:
+        shutil.copy(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
+    tab = pq.read_table(f"{SRC}/documents.parquet")
+    shift = SHIFTS["documents"]["doc_id"]
+    parts = []
+    for rep in range(REPS):
+        r = tab
+        idx = r.schema.get_field_index("doc_id")
+        col = r.column("doc_id")
+        r = r.set_column(idx, r.schema.field("doc_id"),
+                         pc.add(col, pa.scalar(rep * shift, type=col.type)))
+        if rep > 0:
+            tidx = r.schema.get_field_index("text")
+            text = r.column("text").cast(pa.string())
+            # suffix every token: "a b c" -> "a_rN b_rN c_rN" (corpus is
+            # single-space separated; suffix the separator, then the tail)
+            suffixed = pc.binary_join_element_wise(
+                pc.replace_substring(text, " ", f"_r{rep} "),
+                pa.scalar(f"_r{rep}"), "")
+            r = r.set_column(tidx, r.schema.field("text"),
+                             suffixed.cast(r.schema.field("text").type))
+        parts.append(r)
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{dst}/documents.parquet")
+    print("documents", out.num_rows, f"{time.time() - t0:.1f}s")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--vocab" in sys.argv:
+        main_vocab()
+    else:
+        main()
