@@ -91,6 +91,8 @@ object SparkEntry {
     "q56_skew_profile"   -> CoreQueries.q56 _,
     "q57_table_checksum" -> CoreQueries.q57 _,
     "q58_ship_priority"  -> CoreQueries.q58 _,
+    "q59_asof_join"      -> CoreQueries.q59 _,
+    "q60_range_join"     -> CoreQueries.q60 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.Layout
+import graft.operators.{Layout, TemporalJoin}
 
 /** The declared relational query set (FIXTURES.md §3, Q01-Q19), written
   * DataFrame-first so Catalyst plans them (column pruning + filter pushdown to
@@ -941,6 +941,57 @@ object CoreQueries {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
       .limit(10)
+  }
+
+  /** Q59 — backward as-of join (C75, [[graft.operators.TemporalJoin
+    * .asofBackward]]): each purchase event picks up the user's latest click
+    * at-or-before it (the trades⋈quotes shape every time-series store
+    * special-cases). The union-then-window formulation joins WITHOUT a join:
+    * one shuffle by `user_id`, payloads carried forward by a per-user sorted
+    * window — a pure inequality `l.join(r, cond)` would plan a
+    * broadcast-nested-loop over |purchases|×|clicks|. Oracle: DuckDB's
+    * native `ASOF LEFT JOIN` — an independent implementation of the same
+    * semantic. Deterministic because (user_id, ts) is unique in the corpus.
+    */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    TemporalJoin.asofBackward(purchases, clicks, Seq("user_id"), "ts",
+      Seq("click_value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("click_value"),
+        (col("ts").cast("long") - col("asof_ts").cast("long")).as("lag_sec"))
+      .orderBy("event_id")
+  }
+
+  /** Window for [[q60]]: follows within 30 minutes. */
+  val rangeJoinWindowSec = 1800L
+
+  /** Q60 — bounded-interval range join (C76, [[graft.operators.TemporalJoin
+    * .rangeJoinBucketed]]): per error event, how many clicks the same user
+    * made in the following [[rangeJoinWindowSec]] — the "did the error stop
+    * them" diagnostic. Timestamps compare as exact integer microseconds.
+    * The bucketed candidate join keeps the plan a hash join with ≤2×
+    * fan-out on the error side; errors with zero follow-ups are restored by
+    * a left join against the (error-keyed, error-sized) count frame. The
+    * oracle is DuckDB's plain inequality join — quadratic there, which is
+    * the point: the bucketed plan computes the same pairs without one.
+    */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val errs = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+    val counts = TemporalJoin.rangeJoinBucketed(errs, clicks, Seq("user_id"),
+      "us", "cus", 0L, rangeJoinWindowSec * 1000000L)
+      .groupBy("event_id").agg(count(lit(1)).as("follows"))
+    errs.select("event_id", "user_id").join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("follows"), lit(0L)).as("follows"))
+      .orderBy("event_id")
   }
 
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`

@@ -317,6 +317,30 @@ object Oracles {
         |  AND l_shipdate > TIMESTAMP '1998-07-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of the
+    // backward-as-of semantic (>= means at-or-before, matching asofBackward).
+    "q59_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value, c.value AS click_value,
+        |  CASE WHEN c.ts IS NULL THEN NULL
+        |       ELSE date_diff('second', c.ts, p.ts) END AS lag_sec
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // Plain inequality join: quadratic in DuckDB, which is the point — the
+    // Spark side computes the same pairs through the bucketed hash join.
+    "q60_range_join" ->
+      s"""SELECT e.event_id, e.user_id, count(c.user_id) AS follows
+         |FROM (SELECT event_id, user_id, ts FROM events
+         |      WHERE event_type = 'error') e
+         |LEFT JOIN (SELECT user_id, ts FROM events
+         |      WHERE event_type = 'click') c
+         |  ON e.user_id = c.user_id
+         | AND epoch_us(c.ts) > epoch_us(e.ts)
+         | AND epoch_us(c.ts) <= epoch_us(e.ts) + ${CoreQueries.rangeJoinWindowSec * 1000000L}
+         |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward matches a brute-force per-row argmax, including at-or-before ties") {
+    // left at ts 5/10/20; right at 5 (exact tie), 9, 15; key 2 has no right rows
+    val left = Seq((1L, "k1", 5L, "a"), (2L, "k1", 10L, "b"), (3L, "k1", 20L, "c"),
+      (4L, "k2", 10L, "d")).toDF("id", "k", "ts", "lpay")
+    val right = Seq(("k1", 5L, "r5"), ("k1", 9L, "r9"), ("k1", 15L, "r15"))
+      .toDF("k", "ts", "rpay")
+    val got = TemporalJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rpay"))
+      .select("id", "asof_ts", "rpay").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    // ts=5 matches the SAME-instant right row (at-or-before), ts=10 the 9,
+    // ts=20 the 15, and the keyless-right left row stays with NULLs
+    assert(got === Set((1L, 5L, "r5"), (2L, 9L, "r9"), (3L, 15L, "r15"), (4L, -1L, "-")))
+  }
+
+  test("asofBackward: a legitimately-NULL payload field on the matched row survives (struct carrier)") {
+    val left = Seq((1L, "k", 10L)).toDF("id", "k", "ts")
+    val right = Seq(("k", 3L, Some("early")), ("k", 8L, None))
+      .toDF("k", "ts", "rpay")
+    val row = TemporalJoin.asofBackward(left, right, Seq("k"), "ts", Seq("rpay")).head()
+    // the ts=8 row (rpay NULL) is the match; ignoreNulls must NOT fall back
+    // to the earlier non-null payload
+    assert(row.getAs[Long]("asof_ts") === 8L)
+    assert(row.isNullAt(row.fieldIndex("rpay")))
+  }
+
+  test("asofBackward rejects colliding payload names") {
+    val df = Seq((1L, "k", 1L)).toDF("ts", "k", "pay")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.asofBackward(df, df, Seq("k"), "ts", Seq("pay"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("rangeJoinBucketed equals the brute-force inequality join on real events, edges exact") {
+    val ev = graft.Tables.events(spark, sf0001).withColumn("us", unix_micros(col("ts")))
+    val l = ev.filter(col("event_type") === "error").select(col("event_id"), col("user_id"), col("us"))
+    val r = ev.filter(col("event_type") === "view").select(col("user_id"), col("us").as("rus"))
+    val w = 600L * 1000000L
+    val got = TemporalJoin.rangeJoinBucketed(l, r, Seq("user_id"), "us", "rus", 0L, w)
+      .select("event_id", "rus").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val brute = l.collect().flatMap { lr =>
+      val (id, u, us) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+      r.collect().collect { case rr if rr.getLong(0) == u &&
+        rr.getLong(1) > us && rr.getLong(1) <= us + w => (id, rr.getLong(1)) }
+    }.toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture must actually produce pairs")
+  }
+
+  test("rangeJoinBucketed half-open edges: low edge excluded, high edge included, bucket boundary crossed") {
+    // window (0, 10]: right at l+0 excluded, l+10 included, l+11 excluded;
+    // ts 95 -> 105 crosses the width-10 bucket boundary at 100
+    val l = Seq((1L, "k", 95L)).toDF("id", "k", "us")
+    val r = Seq(("k", 95L), ("k", 105L), ("k", 106L), ("k", 104L))
+      .toDF("k", "rus")
+    val got = TemporalJoin.rangeJoinBucketed(l, r, Seq("k"), "us", "rus", 0L, 10L)
+      .select("rus").collect().map(_.getLong(0)).toSet
+    assert(got === Set(104L, 105L))
+  }
+
+  test("plans: asof joins without a join operator; range join is a hash join, never nested-loop") {
+    val asofPlan = graft.queries.CoreQueries.q59(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!asofPlan.contains("CartesianProduct") &&
+      !asofPlan.contains("BroadcastNestedLoopJoin"), asofPlan)
+    // the union-then-window form has a Window but NO binary join operator
+    assert(asofPlan.contains("Window"), asofPlan)
+    assert(!asofPlan.contains("SortMergeJoin") && !asofPlan.contains("HashJoin"), asofPlan)
+
+    val rangePlan = graft.queries.CoreQueries.q60(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("CartesianProduct") &&
+      !rangePlan.contains("BroadcastNestedLoopJoin"), rangePlan)
+    assert(rangePlan.contains("HashJoin") || rangePlan.contains("SortMergeJoin"), rangePlan)
+  }
+}
