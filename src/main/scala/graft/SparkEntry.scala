@@ -92,6 +92,7 @@ object SparkEntry {
     "q57_table_checksum" -> CoreQueries.q57 _,
     "q58_ship_priority"  -> CoreQueries.q58 _,
     "q59_asof_join"      -> CoreQueries.q59 _,
+    "q61_interval_join"  -> CoreQueries.q61 _,
     "q60_range_join"     -> CoreQueries.q60 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "dedup_spans"        -> DedupQueries.spans _,
     "dedup_minhash_est"  -> DedupQueries.minhashEstimate _,
     "dedup_jaccard"      -> DedupQueries.jaccard _,
+    "dedup_setsim"       -> DedupQueries.setsim _,
     "dedup_simhash"      -> DedupQueries.simhash _,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
     "dedup_editdist"     -> DedupQueries.editDistance _,

@@ -145,6 +145,50 @@ object Dedup {
   def minhashCandidatesFromShingles(shm: DataFrame, k: Int = 16, bandsN: Int = 8): DataFrame =
     candidatePairs(bands(minhashSignatures(shm, k), bandsN, k / bandsN))
 
+  /** EXACT set-similarity candidates via global-frequency prefix filtering
+    * (the PPJoin-family prefix lemma): every pair with shingle-set Jaccard ≥
+    * tn/td shares at least one element of its rarest-first PREFIX, so an
+    * equi-join on prefix elements generates ALL qualifying pairs — no false
+    * negatives, unlike the MinHash-LSH path whose banding is probabilistic
+    * and whose occupancy caps deliberately drop saturated buckets. This is
+    * the verify-everything arm a decontamination or legal-compliance pass
+    * needs, at the cost of candidate fan-out bounded by document frequency
+    * instead of band width.
+    *
+    * Mechanics: order each doc's shingles by GLOBAL document frequency
+    * ascending (ties by hash — a total order both engines reproduce); with
+    * `p = n - ceil(t·n) + 1`, two docs whose Jaccard reaches t must collide
+    * inside their first p shingles (pigeonhole on the shared global order).
+    * Rarest-first is also the skew defense: join buckets are keyed by each
+    * doc's RAREST shingles, so bucket occupancy ≈ document frequency of rare
+    * tokens — boilerplate n-grams that would flood an uncapped join land at
+    * the END of every prefix order and rarely enter one. The companion
+    * length filter (`t ≤ n1/n2 ≤ 1/t`) prunes size-incompatible collisions
+    * before the pair is even emitted.
+    *
+    * The threshold is the RATIONAL tn/td so prefix lengths use exact integer
+    * arithmetic (`ceil(tn·n/td) = (tn·n + td − 1) div td`) — a float `ceil`
+    * can land on either side at exact multiples and silently change the
+    * candidate set between engines.
+    */
+  def prefixFilterCandidates(shm: DataFrame, tn: Int = 7, td: Int = 10): DataFrame = {
+    require(tn > 0 && td >= tn, s"threshold $tn/$td must sit in (0, 1]")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val ranked = shm
+      .join(shm.groupBy("m").agg(count(lit(1)).as("df")), "m")
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df").asc, col("m").asc)))
+      .withColumn("nsh", count(lit(1)).over(byDoc))
+    val prefix = ranked
+      .filter(col("pos") <= col("nsh") - expr(s"(nsh * $tn + ${td - 1}) div $td") + 1)
+      .select(col("doc_id"), col("m"), col("nsh"))
+    val a = prefix.select(col("doc_id").as("d1"), col("m"), col("nsh").as("n1"))
+    val b = prefix.select(col("doc_id").as("d2"), col("m"), col("nsh").as("n2"))
+    a.join(b, "m")
+      .filter(col("d1") < col("d2") &&
+        col("n1") * tn <= col("n2") * td && col("n2") * tn <= col("n1") * td)
+      .select("d1", "d2").distinct()
+  }
+
   /** ESTIMATED Jaccard for candidate pairs straight from their MinHash
     * signatures: the fraction of the k signature components that agree is an
     * unbiased estimator of the true Jaccard (the classic MinHash property).

@@ -85,6 +85,40 @@ object TemporalJoin {
     * in exactly one bucket). Equality keys keep the join a hash join; the
     * exact range predicate re-checks after the bucket match.
     */
+  /** Inner interval-overlap join: pairs sharing `keys` whose HALF-OPEN
+    * intervals `[lStart, lEnd)` and `[rStart, rEnd)` intersect
+    * (`lStart < rEnd && rStart < lEnd`). Column values are integer
+    * microseconds; empty intervals (`end <= start`) never match.
+    *
+    * Both sides explode to the `bucketUs`-wide buckets their interval
+    * touches and equi-join on (keys, bucket) — a hash join, never a
+    * nested-loop. Because an overlapping pair can now co-occupy SEVERAL
+    * buckets, each true pair is claimed by exactly one: the bucket holding
+    * the overlap's left edge `max(lStart, rStart)` (that instant lies inside
+    * both intervals, so both sides exploded its bucket) — the standard
+    * emit-once rule for grid-partitioned spatial joins.
+    *
+    * Fan-out per row is `intervalLen/bucketUs + 1`: size `bucketUs` near the
+    * typical interval length. A pathological interval B times the bucket
+    * width costs B candidate rows — bounded and linear, but callers with
+    * heavy-tailed interval lengths should clamp or split upstream.
+    */
+  def intervalOverlapBucketed(left: DataFrame, right: DataFrame,
+                              keys: Seq[String],
+                              lStartCol: String, lEndCol: String,
+                              rStartCol: String, rEndCol: String,
+                              bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucket width must be positive, got $bucketUs")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s)).withColumn("__b", explode(sequence(
+        expr(s"$s div ${bucketUs}L"), expr(s"($e - 1L) div ${bucketUs}L"))))
+    buckets(left, lStartCol, lEndCol)
+      .join(buckets(right, rStartCol, rEndCol), keys :+ "__b")
+      .filter(col(lStartCol) < col(rEndCol) && col(rStartCol) < col(lEndCol) &&
+        col("__b") === expr(s"greatest($lStartCol, $rStartCol) div ${bucketUs}L"))
+      .drop("__b")
+  }
+
   def rangeJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
                         leftUsCol: String, rightUsCol: String,
                         lowUs: Long, highUs: Long): DataFrame = {

@@ -994,6 +994,38 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Bucket width for [[q61]]: 10 minutes, near the typical view-interval
+    * length so per-row explode fan-out stays ≲ 5.
+    */
+  val overlapBucketUs = 600L * 1000000L
+
+  /** Q61 — interval-overlap join (C77, [[graft.operators.TemporalJoin
+    * .intervalOverlapBucketed]]): per view "session" (open for value×10
+    * seconds), how many same-user click intervals (open for value seconds)
+    * overlap it — the concurrent-activity shape (sessions × campaigns,
+    * playback × ad slots). Interval lengths derive from `value` via
+    * `floor()` so both engines truncate identically. The oracle is the
+    * plain double-inequality overlap join — quadratic per user in DuckDB,
+    * while the Spark plan stays a hash equi-join on (user, bucket) with
+    * each true pair claimed by exactly one bucket.
+    */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("us").as("vs"),
+        (col("us") + floor(col("value")) * 10000000L).as("ve"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cs"),
+        (col("us") + floor(col("value")) * 1000000L).as("ce"))
+    val counts = TemporalJoin.intervalOverlapBucketed(views, clicks,
+      Seq("user_id"), "vs", "ve", "cs", "ce", overlapBucketUs)
+      .groupBy("event_id").agg(count(lit(1)).as("overlaps"))
+    views.select("event_id", "user_id").join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("overlaps"), lit(0L)).as("overlaps"))
+      .orderBy("event_id")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -341,6 +341,18 @@ object Oracles {
          | AND epoch_us(c.ts) > epoch_us(e.ts)
          | AND epoch_us(c.ts) <= epoch_us(e.ts) + ${CoreQueries.rangeJoinWindowSec * 1000000L}
          |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
+    // Plain inequality overlap join — quadratic per user in DuckDB; the
+    // Spark side buckets and claims each pair once. floor() both sides.
+    "q61_interval_join" ->
+      """SELECT v.event_id, v.user_id, count(c.user_id) AS overlaps
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS vs,
+        |             epoch_us(ts) + CAST(floor(value) AS BIGINT)*10000000 AS ve
+        |      FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS cs,
+        |             epoch_us(ts) + CAST(floor(value) AS BIGINT)*1000000 AS ce
+        |      FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND greatest(v.vs, c.cs) < least(v.ve, c.ce)
+        |GROUP BY v.event_id, v.user_id ORDER BY v.event_id""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

@@ -222,4 +222,38 @@ class DedupSpec extends SparkSpec {
       .orderBy("d1", "d2").collect().toSeq
     assert(staged.nonEmpty && staged == oneShot)
   }
+
+  test("prefix filtering is EXACT on the real corpus: verified pairs equal the all-pairs truth") {
+    val sh = Dedup.shingleHashes(docs).distinct().localCheckpoint(true)
+    // ground truth: unrestricted shingle self-join (fine at sf0.001)
+    val allCands = sh.select(col("doc_id").as("d1"))
+      .join(sh.select(col("doc_id").as("d2")), col("d1") < col("d2")).distinct()
+    def pairs(cands: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardOnCandidatesFromShingles(sh, cands, threshold = 0.7)
+        .select(col("d1"), col("d2"), round(col("jac"), 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val truth = pairs(allCands)
+    val got = pairs(Dedup.prefixFilterCandidates(sh))
+    assert(got === truth, "prefix filtering must lose no true pair")
+    assert(truth.nonEmpty, "fixture must contain near-dup pairs")
+    // and it must actually FILTER: far fewer candidates than all pairs
+    val nAll = allCands.count(); val nPf = Dedup.prefixFilterCandidates(sh).count()
+    assert(nPf < nAll / 4, s"prefix filter kept $nPf of $nAll pairs — not filtering")
+  }
+
+  test("prefix filtering finds a pair at EXACTLY the 0.7 threshold (integer prefix arithmetic)") {
+    import spark.implicits._
+    // A: a1..a19 -> 17 shingles; B: a1..a16,b1..b3 -> 14 shared + 3 own.
+    // inter=14, union=20, J=0.7 exactly >= 7/10 — a float-ceil prefix length
+    // could miss it; the (7n+9) div 10 form must not.
+    val a = (1 to 19).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 16).map(i => s"a$i") ++ (1 to 3).map(i => s"b$i")).mkString(" ")
+    val d = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(d).distinct()
+    val cands = Dedup.prefixFilterCandidates(sh).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet === Set((1L, 2L)))
+    val ver = Dedup.jaccardOnCandidatesFromShingles(sh, Dedup.prefixFilterCandidates(sh), 0.7)
+      .collect()
+    assert(ver.length == 1 && math.abs(ver(0).getAs[Double]("jac") - 0.7) < 1e-12)
+  }
 }

@@ -68,6 +68,43 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got === Set(104L, 105L))
   }
 
+  test("intervalOverlapBucketed equals the brute-force overlap join on real events, pairs emitted once") {
+    val ev = graft.Tables.events(spark, sf0001).withColumn("us", unix_micros(col("ts")))
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("us").as("ls"),
+        (col("us") + floor(col("value")) * 10000000L).as("le"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("rs"),
+        (col("us") + floor(col("value")) * 1000000L).as("re"))
+    val gotAll = TemporalJoin.intervalOverlapBucketed(l, r, Seq("user_id"),
+      "ls", "le", "rs", "re", 600L * 1000000L)
+      .select("event_id", "rs").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(gotAll.length === gotAll.distinct.length, "a pair crossed buckets and was emitted twice")
+    val brute = l.collect().flatMap { lr =>
+      val (id, u, ls, le) = (lr.getLong(0), lr.getLong(1), lr.getLong(2), lr.getLong(3))
+      r.collect().collect { case rr if rr.getLong(0) == u &&
+        math.max(ls, rr.getLong(1)) < math.min(le, rr.getLong(2)) => (id, rr.getLong(1)) }
+    }.toSet
+    assert(gotAll.toSet === brute)
+    assert(brute.nonEmpty, "fixture must actually produce overlaps")
+  }
+
+  test("intervalOverlapBucketed: multi-bucket span emits once; empty intervals never match") {
+    // left [95, 125) spans buckets 9..12 at width 10; right [105, 118) spans 10..11
+    val l = Seq((1L, "k", 95L, 125L)).toDF("id", "k", "ls", "le")
+    val r = Seq(("k", 105L, 118L), // overlaps, claimed by bucket of max(95,105)=105
+      ("k", 100L, 100L), // EMPTY right interval strictly inside left: no match
+      ("k", 125L, 130L), // touches at the half-open edge: no match
+      ("k", 90L, 96L) // overlaps on the entry edge
+    ).toDF("k", "rs", "re")
+    val got = TemporalJoin.intervalOverlapBucketed(l, r, Seq("k"), "ls", "le", "rs", "re", 10L)
+      .select("rs").collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(90L, 105L))
+    // empty LEFT interval matches nothing either
+    val le = Seq((1L, "k", 100L, 100L)).toDF("id", "k", "ls", "le")
+    assert(TemporalJoin.intervalOverlapBucketed(le, r, Seq("k"), "ls", "le", "rs", "re", 10L).count() === 0L)
+  }
+
   test("plans: asof joins without a join operator; range join is a hash join, never nested-loop") {
     val asofPlan = graft.queries.CoreQueries.q59(spark, sf0001)
       .queryExecution.executedPlan.toString
@@ -82,5 +119,11 @@ class TemporalJoinSpec extends SparkSpec {
     assert(!rangePlan.contains("CartesianProduct") &&
       !rangePlan.contains("BroadcastNestedLoopJoin"), rangePlan)
     assert(rangePlan.contains("HashJoin") || rangePlan.contains("SortMergeJoin"), rangePlan)
+
+    val overlapPlan = graft.queries.CoreQueries.q61(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!overlapPlan.contains("CartesianProduct") &&
+      !overlapPlan.contains("BroadcastNestedLoopJoin"), overlapPlan)
+    assert(overlapPlan.contains("HashJoin") || overlapPlan.contains("SortMergeJoin"), overlapPlan)
   }
 }
