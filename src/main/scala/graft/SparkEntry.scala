@@ -93,6 +93,7 @@ object SparkEntry {
     "q58_ship_priority"  -> CoreQueries.q58 _,
     "q59_asof_join"      -> CoreQueries.q59 _,
     "q61_interval_join"  -> CoreQueries.q61 _,
+    "q62_regression"     -> CoreQueries.q62 _,
     "q60_range_join"     -> CoreQueries.q60 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,

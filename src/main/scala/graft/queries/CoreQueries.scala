@@ -622,6 +622,46 @@ object CoreQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Q62 — grouped OLS trend fit (C79): per event type, the least-squares
+    * line of `value` against second-of-day, plus r² — the "does activity
+    * drift through the day" diagnostic, and the single-pass closed-form
+    * regression every profiling suite ships. Same execution contract as
+    * [[q44]]: one scan, five exact-DECIMAL moment sums shuffled as ONE row
+    * per group, each co-moment numerator cast to double exactly once, then
+    * IEEE div/sqrt shared verbatim with the oracle. x is integer
+    * second-of-day (`div`, not a double divide), so Σx² per 1e11-row group
+    * stays ~7.5e31 — inside DECIMAL(38,6) like q44's headroom note.
+    */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("x", expr("(unix_micros(ts) % 86400000000L) div 1000000L"))
+    val x = col("x"); val y = col("value")
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast("decimal(28,6)")).as("sx"),
+        sum(y.cast("decimal(28,6)")).as("sy"),
+        sum((x * y).cast("decimal(38,6)")).as("sxy"),
+        sum((x * x).cast("decimal(38,6)")).as("sxx"),
+        sum((y * y).cast("decimal(38,6)")).as("syy"))
+      .select(col("event_type"), col("n"), {
+        val ndec = col("n").cast("decimal(20,0)")
+        val nd = col("n").cast("double")
+        val mxy = (ndec * col("sxy") - col("sx") * col("sy")).cast("double")
+        val mxx = (ndec * col("sxx") - col("sx") * col("sx")).cast("double")
+        val myy = (ndec * col("syy") - col("sy") * col("sy")).cast("double")
+        val slope = mxy / mxx
+        struct(
+          round(slope, 6).as("slope"),
+          round((col("sy").cast("double") - slope * col("sx").cast("double")) / nd, 6)
+            .as("intercept"),
+          round((mxy * mxy) / (mxx * myy), 6).as("r2")).as("m")
+      })
+      .select(col("event_type"), col("n"), col("m.slope").as("slope"),
+        col("m.intercept").as("intercept"), col("m.r2").as("r2"))
+      .orderBy("event_type")
+  }
+
   /** Q45 — fixed-width histogram (20 bins) over l_extendedprice: the (min,
     * max) envelope is ONE aggregated row broadcast back over the scan, bin
     * assignment is pure row-local double arithmetic (identical IEEE ops in

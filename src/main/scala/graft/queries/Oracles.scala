@@ -209,6 +209,31 @@ object Oracles {
         | round(mxy/sqrt(mxx*myy), 6) AS corr,
         | round(sqrt(mxx/(nd*(nd - 1))), 6) AS sd_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    // q44's proven cross-engine decimal-moment rendering, re-targeted at the
+    // regression closed forms (x = integer second-of-day).
+    "q62_regression" ->
+      """WITH e AS (SELECT event_type, value,
+        |  (epoch_us(ts) % 86400000000) // 1000000 AS x FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nd, count(*) AS n,
+        |  sum(CAST(x AS DECIMAL(28,6))) AS sx,
+        |  sum(CAST(value AS DECIMAL(28,6))) AS sy,
+        |  sum(CAST(x*value AS DECIMAL(38,6))) AS sxy,
+        |  sum(CAST(x*x AS DECIMAL(38,6))) AS sxx,
+        |  sum(CAST(value*value AS DECIMAL(38,6))) AS syy
+        | FROM e GROUP BY event_type),
+        |m AS (SELECT event_type, n, nd, sx, sy,
+        |  CAST(CAST(n AS DECIMAL(10,0))*CAST(sxy AS DECIMAL(28,6))
+        |    - CAST(CAST(sx AS DECIMAL(19,6))*CAST(sy AS DECIMAL(19,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mxy,
+        |  CAST(CAST(n AS DECIMAL(10,0))*CAST(sxx AS DECIMAL(28,6))
+        |    - CAST(CAST(sx AS DECIMAL(19,6))*CAST(sx AS DECIMAL(19,6)) AS DECIMAL(38,6)) AS DOUBLE) AS mxx,
+        |  CAST(CAST(n AS DECIMAL(10,0))*CAST(syy AS DECIMAL(28,6))
+        |    - CAST(CAST(sy AS DECIMAL(19,6))*CAST(sy AS DECIMAL(19,6)) AS DECIMAL(38,6)) AS DOUBLE) AS myy
+        | FROM a)
+        |SELECT event_type, n,
+        | round(mxy/mxx, 6) AS slope,
+        | round((CAST(sy AS DOUBLE) - (mxy/mxx)*CAST(sx AS DOUBLE))/nd, 6) AS intercept,
+        | round((mxy*mxy)/(mxx*myy), 6) AS r2
+        |FROM m ORDER BY event_type""".stripMargin,
     "q45_histogram" ->
       """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
         |SELECT CAST(least(floor((l_extendedprice - lo)/((hi - lo)/20.0)), 19.0) AS BIGINT) AS bin,

@@ -180,6 +180,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
   }
 
+  test("grouped OLS regression is one scan + one aggregate, and its closed forms are right") {
+    val p = plans("q62_regression")
+    assert("Scan parquet".r.findAllIn(p).length == 1, "events scanned more than once")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
+    // closed forms against a hand-computed fixture: y = 2x + 1 exactly,
+    // so slope 2, intercept 1, r2 1 with no float slack
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    val fix = Seq((1L, "lin"), (2L, "lin"), (3L, "lin"))
+      .map { case (x, t) => (t, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(base + x)), 2.0 * x + 1.0) }
+      .toDF("event_type", "ts", "value")
+      .withColumn("event_id", org.apache.spark.sql.functions.lit(0L))
+    val dir = java.nio.file.Files.createTempDirectory("q62fix").toString
+    fix.select("event_id", "ts", "event_type", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val r = graft.queries.CoreQueries.q62(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("slope") === 2.0)
+    assert(r(0).getAs[Double]("intercept") === 1.0)
+    assert(r(0).getAs[Double]("r2") === 1.0)
+  }
+
   test("histogram and LM-score broadcast their single-row stats, never shuffle against them") {
     Seq("q45_histogram", "text_lm_score").foreach { n =>
       assert(plans(n).contains("BroadcastNestedLoopJoin"), n)
