@@ -22,9 +22,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // testdata events.ts is parquet TIMESTAMP(NANOS); read as long nanos
-      // (Tables.events converts back to TimestampType, losslessly).
+      // testdata events.ts has shipped as TIMESTAMP(NANOS) (read as long
+      // nanos; Tables.events converts back, losslessly) and as naive
+      // TIMESTAMP(MICROS) (read as TIMESTAMP, not NTZ, so time arithmetic
+      // works unchanged; session zone UTC keeps it equal to the naive value).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Every bucketed table in this library is a DELIBERATE staging table
       // (Bucketing.writeBucketed) whose layout is the point — either
       // exchange-free joins (q31) or bucket-pruned ANN probes. The
@@ -80,7 +83,8 @@ object GraftSession {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
     "spark.shuffle.compress" -> "true",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
   def clusterBuilder(totalCores: Int = 3000): SparkSession.Builder =
     clusterConf(totalCores).foldLeft(SparkSession.builder().appName("graft")) {

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md §2).
   *
@@ -34,16 +34,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Graft sessions). The
-    * raw long nanos are converted to a proper TimestampType here; the testdata
-    * has no sub-microsecond components (verified), so `div 1000` is lossless.
+  /** `events.ts` normalized to session-zone TimestampType whatever the parquet
+    * physical shape. Generator versions have produced two shapes so far:
+    * TIMESTAMP(NANOS) (reads as raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`; no sub-microsecond components,
+    * so `div 1000` is lossless) and naive TIMESTAMP(MICROS) (reads as
+    * TIMESTAMP_NTZ when a session leaves `inferTimestampNTZ` on — Graft
+    * sessions turn it off, but users bring their own sessions). The session
+    * zone is UTC, so the NTZ→LTZ cast is wall-clock identity and both shapes
+    * agree with DuckDB's naive read of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
