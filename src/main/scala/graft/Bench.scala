@@ -65,7 +65,15 @@ object Bench {
 
     // Throughput first, on a quiet JVM — measured after the 39-query suite it
     // reads up to 7x low from accumulated heap/codegen-cache pressure.
-    val throughput = pipelineThroughput(spark, 500000L)
+    // Warm-up + median of 3, same methodology as the query suite: a single
+    // cold pass conflates JIT/stream-init cost with steady-state throughput
+    // (observed 130k cold vs 324-430k warm on an idle host) and is exposed
+    // to one-shot host-contention spikes (the r6 official reading halved
+    // with no code change on the pipeline path).
+    val throughput = {
+      pipelineThroughput(spark, 500000L) // warm-up
+      Seq.fill(3)(pipelineThroughput(spark, 500000L)).sorted.apply(1)
+    }
 
     // Optional args restrict the suite (dev loop); driver passes none.
     val names =

@@ -22,12 +22,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // testdata events.ts has shipped as TIMESTAMP(NANOS) (read as long
-      // nanos; Tables.events converts back, losslessly) and as naive
-      // TIMESTAMP(MICROS) (read as TIMESTAMP, not NTZ, so time arithmetic
-      // works unchanged; session zone UTC keeps it equal to the naive value).
+      // testdata events.ts has shipped as TIMESTAMP(NANOS) — without this
+      // flag that physical type throws on read; with it, it reads as long
+      // nanos and Tables.events converts back losslessly. There is no
+      // per-read option for nanos, hence session-wide. The naive
+      // TIMESTAMP(MICROS) shape needs NO session flag: it reads as
+      // TIMESTAMP_NTZ (inferTimestampNTZ defaults on) and Tables.events
+      // anchors it to UTC instant-correctly in any session zone, so we do
+      // not flip inferTimestampNTZ off session-wide — users reading their
+      // own naive-timestamp parquet through a Graft session get stock Spark
+      // semantics.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Every bucketed table in this library is a DELIBERATE staging table
       // (Bucketing.writeBucketed) whose layout is the point — either
       // exchange-free joins (q31) or bucket-pruned ANN probes. The
@@ -83,8 +88,7 @@ object GraftSession {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
     "spark.shuffle.compress" -> "true",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
   def clusterBuilder(totalCores: Int = 3000): SparkSession.Builder =
     clusterConf(totalCores).foldLeft(SparkSession.builder().appName("graft")) {

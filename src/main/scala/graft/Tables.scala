@@ -34,21 +34,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` normalized to session-zone TimestampType whatever the parquet
-    * physical shape. Generator versions have produced two shapes so far:
-    * TIMESTAMP(NANOS) (reads as raw long under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`; no sub-microsecond components,
-    * so `div 1000` is lossless) and naive TIMESTAMP(MICROS) (reads as
-    * TIMESTAMP_NTZ when a session leaves `inferTimestampNTZ` on — Graft
-    * sessions turn it off, but users bring their own sessions). The session
-    * zone is UTC, so the NTZ→LTZ cast is wall-clock identity and both shapes
-    * agree with DuckDB's naive read of the same file.
+  /** `events.ts` normalized to TimestampType with the SAME epoch instant in
+    * ANY session zone: the file's naive wall-clock is anchored as UTC (what
+    * the generator means, and what DuckDB's naive read + the driver's UTC
+    * canonicalization compare against). Generator versions have produced two
+    * shapes so far:
+    *
+    *  - TIMESTAMP(NANOS): reads as raw long under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (no sub-microsecond
+    *    components, so `div 1000` is lossless); `timestamp_micros` is
+    *    epoch-based, hence instant-preserving regardless of zone.
+    *  - naive TIMESTAMP(MICROS): reads as TIMESTAMP_NTZ under stock Spark
+    *    (`inferTimestampNTZ` defaults on). A bare NTZ→LTZ cast would be
+    *    wall-clock-preserving in the SESSION zone, which only equals the
+    *    anchored instant when that zone is UTC — so we first shift the naive
+    *    value from UTC wall-clock to session-zone wall-clock
+    *    (`convert_timezone`), making the cast land on the UTC-anchored
+    *    instant in every zone. Both shapes therefore agree everywhere.
+    *
+    * Caveat (documented semantics, not a bug): a foreign session that
+    * explicitly disables `inferTimestampNTZ` reads the naive file directly as
+    * session-zone TimestampType before this loader sees it; that shape is
+    * indistinguishable from a genuinely UTC-adjusted file, so it is passed
+    * through (wall-clock semantics in that session's zone). Graft-built
+    * sessions never take that path.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        val zone = s.conf.get("spark.sql.session.timeZone")
+        raw.withColumn(
+          "ts", expr(s"convert_timezone('UTC', '$zone', ts)").cast(TimestampType))
       case _                => raw
     }
   }

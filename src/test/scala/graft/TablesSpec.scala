@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Zone-independence of the events loader (ADVICE r6): the naive-micros and
+  * epoch-long generator shapes of `events.ts` must yield the SAME epoch
+  * instants whatever the session zone, anchored at naive-wall-clock = UTC.
+  */
+class TablesEventsSpec extends SparkSpec {
+
+  private def instants(zone: String, dir: String): Seq[Long] = {
+    // newSession shares the context but has its own SQLConf — exactly the
+    // "user brings their own session zone" scenario from the advice.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", zone)
+    Tables.events(s2, dir)
+      .select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  test("naive-micros shape reads as NTZ without a session-wide flag") {
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    assert(raw.schema("ts").dataType == TimestampNTZType,
+      "stock inferTimestampNTZ should be in effect (no session-wide override)")
+  }
+
+  test("events instants agree across session zones (naive-micros shape)") {
+    val utc = instants("UTC", sf0001)
+    assert(utc.nonEmpty)
+    assert(instants("Asia/Tokyo", sf0001) == utc)
+    assert(instants("America/New_York", sf0001) == utc)
+  }
+
+  test("epoch-long (nanos) shape matches the naive-micros shape, any zone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-long").toString
+    // TIMESTAMP(NANOS) reads as LongType under nanosAsLong; a plain long
+    // column takes the identical branch in Tables.events.
+    Tables.events(spark, sf0001)
+      .selectExpr("event_id", "unix_micros(ts) * 1000 AS ts",
+        "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val utcNaive = instants("UTC", sf0001)
+    assert(instants("UTC", dir) == utcNaive)
+    assert(instants("Asia/Tokyo", dir) == utcNaive)
+  }
+}

@@ -156,14 +156,13 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming q15 over a parquet file stream equals the batch q15 result") {
     import org.apache.spark.sql.functions._
-    // the file-stream source needs a directory; stage the table file into one
-    val src = java.nio.file.Paths.get(s"$sf0001/events.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("events-stream")
-    java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
-    val path = dir.toString
+    // the file-stream source needs a directory; stage the NORMALIZED table
+    // (Tables.events handles the generator's ts shapes — the stream then
+    // reads plain instant-typed timestamps, same contract as the batch query)
+    val path = java.nio.file.Files.createTempDirectory("events-stream").toString
+    Tables.events(spark, sf0001).write.mode("overwrite").parquet(path)
     val schema = spark.read.parquet(path).schema
     val stream = spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = stream
       .groupBy(date_trunc("HOUR", col("ts")).as("w"), col("event_type"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 6).as("sv"))
