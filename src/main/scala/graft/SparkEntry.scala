@@ -95,6 +95,9 @@ object SparkEntry {
     "q61_interval_join"  -> CoreQueries.q61 _,
     "q62_regression"     -> CoreQueries.q62 _,
     "q60_range_join"     -> CoreQueries.q60 _,
+    "q63_scd2"           -> CoreQueries.q63 _,
+    "q64_rolling_anomaly" -> CoreQueries.q64 _,
+    "q65_gap_audit"      -> CoreQueries.q65 _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,

@@ -1066,6 +1066,100 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** Q63 — SCD2 history collapse (warehouse dimension maintenance): each
+    * customer's order-status timeline is collapsed into validity ranges —
+    * consecutive orders with the same status become one row with
+    * `[valid_from, valid_to)` and an order count; the open run carries a null
+    * `valid_to`. Classic gaps-and-islands via two windows: a lag-change flag,
+    * a running sum to number the runs, then a per-run rollup and a lead for
+    * the range end.
+    *
+    * Scale: both windows and the rollup hash-partition on `o_custkey`, so the
+    * whole query is ONE shuffle of (custkey, date, status) — no joins, no
+    * state beyond a partition sort. Skewed customers are bounded by their own
+    * order counts; AQE handles stragglers.
+    */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderstatus"))
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val runs = o
+      .withColumn("chg",
+        when(lag("o_orderstatus", 1).over(w).isNull ||
+          lag("o_orderstatus", 1).over(w) =!= col("o_orderstatus"), 1)
+          .otherwise(0))
+      .withColumn("run",
+        sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy("o_custkey", "run")
+      .agg(min("o_orderstatus").as("status"), // constant within a run
+        min("o_orderdate").as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val w2 = Window.partitionBy("o_custkey").orderBy("run")
+    hist
+      .withColumn("valid_to", lead("valid_from", 1).over(w2))
+      // `run` doubles as the SCD2 version number — and makes the final sort
+      // total (two runs CAN share valid_from when a customer places
+      // different-status orders on one date; FIXTURES §3 requires a total
+      // ORDER BY for the positional oracle compare)
+      .select(col("o_custkey"), col("run").as("version"), col("status"),
+        col("valid_from"), col("valid_to"), col("n_orders"))
+      .orderBy("o_custkey", "version")
+  }
+
+  /** Q64 — rolling-window anomaly detection over the event stream: per
+    * event_type ordered by time, each value is scored against the mean and
+    * stddev of its 20 PRECEDING observations (self excluded, so an anomaly
+    * cannot mask itself), and rows more than 3 sigma out are reported with
+    * their local statistics.
+    *
+    * Scale: one window over `(event_type)` with a bounded ROWS frame — state
+    * is 20 rows per partition cursor regardless of corpus size, and the only
+    * shuffle is the partition-by. The time-ordered sort is per event-type,
+    * not global.
+    */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-20, -1)
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .withColumn("roll_n", count("value").over(w))
+      .withColumn("roll_avg", avg("value").over(w))
+      .withColumn("roll_sd", stddev_samp("value").over(w))
+      .where(col("roll_n") >= 10 && col("roll_sd") > 0 &&
+        abs(col("value") - col("roll_avg")) > col("roll_sd") * 3)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"),
+        round(col("roll_avg"), 6).as("roll_avg"),
+        round(col("roll_sd"), 6).as("roll_sd"))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** Q65 — time-partition completeness audit (pipeline ops): per event_type,
+    * how many hourly partitions exist between its first and last hour, and
+    * how many are MISSING — the "did ingestion drop an hour" check every
+    * scheduled pipeline needs before publishing a day's data.
+    *
+    * Scale: expected-hour count is closed-form from min/max (no calendar
+    * explode — a year of hours at 100 TB would otherwise materialize 8760
+    * rows per type just to count gaps), so the whole audit is one partial
+    * aggregate: (min, max, distinct-hours, count) per event_type.
+    */
+  def q65(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("h"))
+      .groupBy("event_type")
+      .agg(min("h").as("first_hour"), max("h").as("last_hour"),
+        countDistinct(col("h")).as("actual_hours"),
+        count(lit(1)).as("n_events"))
+      .withColumn("expected_hours",
+        expr("(unix_seconds(last_hour) - unix_seconds(first_hour)) div 3600") + 1)
+      .withColumn("missing_hours", col("expected_hours") - col("actual_hours"))
+      .select(col("event_type"), col("first_hour"), col("last_hour"),
+        col("n_events"), col("expected_hours"), col("actual_hours"),
+        col("missing_hours"))
+      .orderBy("event_type")
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

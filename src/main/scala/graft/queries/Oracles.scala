@@ -378,6 +378,45 @@ object Oracles {
         |      FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND greatest(v.vs, c.cs) < least(v.ve, c.ce)
         |GROUP BY v.event_id, v.user_id ORDER BY v.event_id""".stripMargin,
+    // Same gaps-and-islands construction, independently phrased with
+    // DuckDB's WINDOW clause.
+    "q63_scd2" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+        |  CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |        OR lag(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |g AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM r),
+        |h AS (SELECT o_custkey, run, min(o_orderstatus) AS status,
+        |        min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |      FROM g GROUP BY o_custkey, run)
+        |SELECT o_custkey, run AS version, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
+        |  n_orders
+        |FROM h ORDER BY o_custkey, version""".stripMargin,
+    "q64_rolling_anomaly" ->
+      """WITH t AS (SELECT event_type, event_id, value,
+        |  count(value) OVER w AS roll_n,
+        |  avg(value) OVER w AS roll_avg,
+        |  stddev_samp(value) OVER w AS roll_sd
+        | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, round(value, 6) AS value,
+        |  round(roll_avg, 6) AS roll_avg, round(roll_sd, 6) AS roll_sd
+        |FROM t
+        |WHERE roll_n >= 10 AND roll_sd > 0 AND abs(value - roll_avg) > roll_sd*3
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q65_gap_audit" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events)
+        |SELECT event_type, min(h) AS first_hour, max(h) AS last_hour,
+        |  count(*) AS n_events,
+        |  CAST(epoch(max(h)) AS BIGINT)//3600 - CAST(epoch(min(h)) AS BIGINT)//3600 + 1
+        |    AS expected_hours,
+        |  count(DISTINCT h) AS actual_hours,
+        |  CAST(epoch(max(h)) AS BIGINT)//3600 - CAST(epoch(min(h)) AS BIGINT)//3600 + 1
+        |    - count(DISTINCT h) AS missing_hours
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim

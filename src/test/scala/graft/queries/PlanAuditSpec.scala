@@ -407,6 +407,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plans("q55_quantile_bins").contains("Join"), plans("q55_quantile_bins"))
   }
 
+  test("scd2 and rolling-anomaly stay single-shuffle: one exchange, no join") {
+    // both are pure window/rollup pipelines keyed on one column — a Join or a
+    // second hashpartitioning would mean the gaps-and-islands construction
+    // regressed into self-joins (quadratic at 100 TB)
+    Seq("q63_scd2", "q64_rolling_anomaly").foreach { n =>
+      val p = plans(n)
+      assert(!p.contains("Join"), s"$n plans a join:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$n has $exchanges hash exchanges:\n$p")
+    }
+  }
+
+  test("gap audit is closed-form: no calendar explode, no join, windowless") {
+    val p = plans("q65_gap_audit")
+    assert(!p.contains("Generate"), s"expected-hours must not explode:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
