@@ -98,6 +98,8 @@ object SparkEntry {
     "q63_scd2"           -> CoreQueries.q63 _,
     "q64_rolling_anomaly" -> CoreQueries.q64 _,
     "q65_gap_audit"      -> CoreQueries.q65 _,
+    "graph_pagerank"     -> GraphQueries.pagerank _,
+    "graph_degree"       -> GraphQueries.degree _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -180,5 +182,5 @@ object SparkEntry {
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
       CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle ++
-      RetrievalQueries.oracle
+      RetrievalQueries.oracle ++ GraphQueries.oracle
 }

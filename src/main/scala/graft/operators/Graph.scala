@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over edge lists — the family that complements
+  * [[Dedup.connectedComponents]] (membership) with IMPORTANCE (PageRank) and
+  * SHAPE (degree profile). No GraphX, no RDDs: edges are a DataFrame, every
+  * round is an equi-join + partial-aggregable groupBy, so Catalyst/AQE plan
+  * each round like any other relational stage.
+  *
+  * Scale shape: the routing table (edges + out-degree) is built ONCE,
+  * `localCheckpoint`ed, and re-joined per round; ranks are one row per node
+  * (always ≤ the edge count), so each of the fixed `iters` rounds shuffles
+  * |edges| contributions and |nodes| rank rows — identical to one groupBy-sum
+  * over the edges, times a small constant. Nothing driver-side but the node
+  * count (one scalar action).
+  *
+  * Determinism contract (the reason this matches a SQL oracle bit-for-bit):
+  * rank mass is INTEGER micro-units (1e15 = total graph mass), per-edge
+  * contributions are integer division by out-degree, and the damping mix is
+  * integer arithmetic too — every round is exact and order-independent in
+  * both engines, where double (or even double→decimal-cast) sums would
+  * drift with partition order or engine conversion rules. The sub-resolution
+  * mass shed by the integer divisions (< deg·1e-15 per node per round) is
+  * part of the algorithm's definition, not noise. Floats appear only in the
+  * final normalized display column.
+  */
+object Graph {
+
+  /** Total rank mass in micro-units: 1e15 keeps per-node ranks ≥ 1e6 units
+    * for graphs up to ~1e9 nodes (9 orders of magnitude of resolution) while
+    * per-destination contribution sums stay ≤ 1e15 — no BIGINT overflow at
+    * ANY node count, because the per-round global mass is conserved.
+    */
+  val massUnits = 1000000000000000L
+
+  /** Damping as an integer percentage so the mix stays exact. */
+  val dampingPct = 85L
+
+  /** PageRank over an UNDIRECTED graph given as distinct directed pairs
+    * (the caller's edge derivation dedups; this symmetrizes). Fixed
+    * iteration count — on 100 TB you run the budgeted number of rounds and
+    * ship, rather than gating a 1000-executor job on a convergence probe.
+    *
+    * Returns the (node, u) frame (u in micro-units) plus the node count, so
+    * callers can render [[normalized]] without re-counting the graph.
+    */
+  def pagerank(pairs: DataFrame, iters: Int): (DataFrame, Long) = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = p.union(p.select(col("dst"), col("src"))).distinct()
+    // routing table: every directed edge with its source's out-degree.
+    // Window(partitionBy src) instead of groupBy+self-join: one shuffle, and
+    // the result is already hash-partitioned by src — the join key every
+    // round reuses.
+    val routed = sym
+      .withColumn("deg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint(true)
+    val n = routed.select(countDistinct(col("src"))).first().getLong(0)
+    require(n > 0, "pagerank on an empty edge list")
+    val baseU = massUnits * (100L - dampingPct) / 100L / n
+    var ranks = routed.select(col("src").as("node")).distinct()
+      .withColumn("u", lit(massUnits / n))
+    for (_ <- 1 to iters) {
+      ranks = routed
+        .join(ranks, routed("src") === ranks("node"))
+        .select(col("dst"), expr("u div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .select(col("dst").as("node"),
+          (lit(baseU) + expr(s"(s * $dampingPct) div 100")).as("u"))
+      // every node has in-edges (symmetric graph), so no dangling-mass term
+      // and no outer join: rank mass that a directed formulation would lose
+      // to sinks cannot exist here.
+    }
+    (ranks, n)
+  }
+
+  /** Conventional mean-1.0 normalized rank from micro-units: u·n / 1e15. */
+  def normalized(ranks: DataFrame, n: Long): DataFrame =
+    ranks.select(col("node"),
+      round(col("u").cast("double") * lit(n) / lit(1.0e15), 6).as("rank"))
+
+  /** Degree profile of the same symmetrized graph: how many nodes have each
+    * degree — the one-scan shape check (hubs? saturation? orphan shards?)
+    * run before committing to a join strategy on an unknown graph.
+    */
+  def degreeProfile(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("src"), col("dst"))
+    val sym = p.union(p.select(col("dst"), col("src"))).distinct()
+    sym.groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+}

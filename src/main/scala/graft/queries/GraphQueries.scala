@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Graph
+
+/** Graph-analytics queries over the customer↔supplier trade graph: an edge
+  * for every (customer, supplier) pair that traded at least once
+  * (orders ⋈ lineitem, deduped). Nodes are key-disjoint by parity encoding —
+  * customers at `2k`, suppliers at `2k+1` — so one Long column carries both
+  * sides.
+  *
+  * This is the graph the curation pipeline already walks implicitly
+  * (dedup groups = connected components); PageRank adds the "which nodes
+  * MATTER" reading used for e.g. source-weighting a crawl frontier, and the
+  * degree profile is the pre-join shape check.
+  */
+object GraphQueries {
+
+  val pagerankIters = 5
+
+  /** Distinct trade edges customer→supplier in parity encoding. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  /** `graph_pagerank` — 5 rounds of damped PageRank over the symmetrized
+    * trade graph; every node with its mean-1.0 normalized rank.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val (ranks, n) = Graph.pagerank(tradeEdges(s, dir), iters = pagerankIters)
+    Graph.normalized(ranks, n).orderBy("node")
+  }
+
+  /** `graph_degree` — degree histogram of the same graph. */
+  def degree(s: SparkSession, dir: String): DataFrame =
+    Graph.degreeProfile(tradeEdges(s, dir))
+      .orderBy("degree")
+
+  /** Shared edge-derivation SQL: the parity-encoded symmetrized trade graph
+    * with per-source degree (mirrored pairs cannot collide — src is even,
+    * dst odd — so UNION ALL matches the Spark union+distinct).
+    */
+  private val edgeSql =
+    """e0 AS (SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)""".stripMargin
+
+  /** The PageRank oracle mirrors the integer micro-unit contract of
+    * [[graft.operators.Graph]] term for term — 1e15 mass units, floor
+    * division by degree, integer damping mix — so every iteration is
+    * bit-exact in both engines; the unrolled CTE chain is the SQL rendering
+    * of the fixed iteration count.
+    */
+  private def pagerankOracle: String = {
+    val m = Graph.massUnits
+    val d = Graph.dampingPct
+    val iters = (1 to pagerankIters).map { k =>
+      s"""r$k AS (SELECT ed.dst AS node,
+         |  ($m * ${100 - d} // 100) // (SELECT n FROM nn)
+         |    + (sum(p.u // ed.deg) * $d) // 100 AS u
+         | FROM ed JOIN r${k - 1} p ON p.node = ed.src GROUP BY ed.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeSql,
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, $m // (SELECT n FROM nn) AS u FROM deg),
+       |$iters
+       |SELECT node,
+       |  round(CAST(u AS DOUBLE) * (SELECT n FROM nn) / 1.0e15, 6) AS rank
+       |FROM r$pagerankIters ORDER BY node""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankOracle,
+    "graph_degree" ->
+      s"""WITH $edgeSql
+         |SELECT deg AS degree, count(*) AS n_nodes
+         |FROM deg GROUP BY deg ORDER BY degree""".stripMargin
+  )
+}

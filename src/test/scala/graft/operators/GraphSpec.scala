@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(pairs: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] = {
+    val (r, _) = Graph.pagerank(pairs.toDF("src", "dst"), iters)
+    r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+  }
+
+  test("star graph: the hub outranks every leaf") {
+    val r = ranks(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)))
+    assert((1L to 4L).forall(l => r(0L) > r(l)))
+    assert((1L to 4L).map(r).distinct.size == 1) // leaves are symmetric
+  }
+
+  test("path graph: the middle node ranks highest, ends lowest") {
+    val r = ranks(Seq((1L, 2L), (2L, 3L)))
+    assert(r(2L) > r(1L) && r(2L) > r(3L))
+    assert(r(1L) == r(3L)) // symmetric ends bit-identical
+  }
+
+  test("mass is conserved up to the documented integer-division shed") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val (r, n) = Graph.pagerank(pairs.toDF("src", "dst"), iters = 5)
+    val total = r.agg(sum("u")).first().getLong(0)
+    assert(n == 5)
+    assert(total <= Graph.massUnits)
+    // per round each node sheds < deg units to floor division and the
+    // damping mix sheds < 1 unit per node: micro-loss, never gain
+    assert(total > GraphSpecBounds.massUnitsLowerBound(nNodes = 5, iters = 5))
+  }
+
+  test("regular graph is the fixpoint: uniform ranks stay uniform") {
+    // a 4-cycle: every node degree 2 — rank must stay exactly 1/n
+    val r = ranks(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(r.values.toSet.size == 1)
+  }
+
+  test("degree profile counts nodes per degree") {
+    val p = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val d = Graph.degreeProfile(p).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(d == Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("iteration bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      Graph.pagerank(Seq((0L, 1L)).toDF("src", "dst"), iters = 0)
+    }
+  }
+}
+
+/** Spec-local helper: loose lower bound for the conserved-mass check. */
+object GraphSpecBounds {
+  def massUnitsLowerBound(nNodes: Int, iters: Int): Long =
+    Graph.massUnits - iters.toLong * nNodes * (nNodes + 1)
+}
