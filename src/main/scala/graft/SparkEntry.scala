@@ -100,6 +100,7 @@ object SparkEntry {
     "q65_gap_audit"      -> CoreQueries.q65 _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
+    "link_parts"         -> LinkQueries.parts _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
     "text_quality"       -> TextQueries.quality _,
@@ -182,5 +183,5 @@ object SparkEntry {
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
       CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle ++
-      RetrievalQueries.oracle ++ GraphQueries.oracle
+      RetrievalQueries.oracle ++ GraphQueries.oracle ++ LinkQueries.oracle
 }
