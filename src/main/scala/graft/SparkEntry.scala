@@ -127,6 +127,7 @@ object SparkEntry {
     "dedup_minhash_est"  -> DedupQueries.minhashEstimate _,
     "dedup_jaccard"      -> DedupQueries.jaccard _,
     "dedup_setsim"       -> DedupQueries.setsim _,
+    "dedup_containment"  -> DedupQueries.containment _,
     "dedup_simhash"      -> DedupQueries.simhash _,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
     "dedup_editdist"     -> DedupQueries.editDistance _,
@@ -149,6 +150,7 @@ object SparkEntry {
     "sim_ivfpq_staged"   -> SimilarityQueries.ivfPqStagedTopK _,
     "sim_rp_topk"        -> SimilarityQueries.rpTopK _,
     "sim_pool"           -> SimilarityQueries.poolMatrix _,
+    "sim_maxsim"         -> SimilarityQueries.maxSim _,
     "sim_dim_profile"    -> SimilarityQueries.dimProfile _,
     "sim_centroid_assign" -> SimilarityQueries.centroidAssign _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
@@ -166,6 +168,7 @@ object SparkEntry {
     "mix_sample"         -> CurationQueries.mixSample _,
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,
+    "mix_temperature"    -> CurationQueries.mixTemperature _,
     "mix_dsir"           -> CurationQueries.mixDsir _,
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
     "mix_epochs"         -> CurationQueries.mixEpochs _,

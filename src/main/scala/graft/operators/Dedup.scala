@@ -222,6 +222,28 @@ object Dedup {
     * common shingles — before candidates could prune it. Intersections join
     * on the fixed-width digest `m`, never the raw n-gram string.
     */
+  /** CONTAINMENT verify over the same candidate/shingle frames: score is
+    * |A∩B| / min(|A|,|B|) — the asymmetric reading that catches "the small
+    * doc is quoted inside the big one" (boilerplate inclusion, excerpt
+    * reposts), which symmetric Jaccard structurally under-scores as the size
+    * gap grows (jac ≤ |A|/|B|). Same candidate-bounded cost shape as the
+    * Jaccard tier; recall inherits the candidate generator's.
+    */
+  def containmentOnCandidatesFromShingles(shm: DataFrame, cands: DataFrame,
+                                          threshold: Double): DataFrame = {
+    val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cands
+      .join(shm.select(col("doc_id").as("d1"), col("m")), "d1")
+      .join(shm.select(col("doc_id").as("d2"), col("m")), Seq("d2", "m"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2"), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / least(col("n1"), col("n2"))).as("cont"))
+      .filter(col("cont") >= threshold)
+  }
+
   def jaccardOnCandidatesFromShingles(shm: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val leftSh = shm.select(col("doc_id").as("d1"), col("m"))

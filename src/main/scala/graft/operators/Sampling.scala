@@ -38,6 +38,41 @@ object Sampling {
       .drop("u", "rate")
   }
 
+  /** TEMPERATURE-flattened mixture sampling (the T5/"sampling temperature"
+    * recipe): per-source keep rates are derived from the corpus itself —
+    * source s with n_s docs gets probability mass ∝ n_s^alpha, so alpha=1
+    * reproduces natural proportions, alpha=0 samples sources uniformly, and
+    * the usual 0<alpha<1 up-weights small high-value sources without a
+    * hand-written rate table. `targetFrac` sets the overall sample size as a
+    * fraction of the corpus; per-source rates cap at 1 (no up-sampling —
+    * compose with epochSample for that).
+    *
+    * Determinism across engines: the only cross-source reduction (the
+    * weight-sum denominator) is an exact DECIMAL sum of 6-rounded weights,
+    * and each rate is rounded to 6 before the coin compare, so the oracle
+    * computes bit-identical thresholds. Scale shape: one partial-aggregable
+    * count per source, one single-row broadcast, then the same stateless
+    * coin filter as [[mixSample]] — no shuffle touches the corpus.
+    */
+  def temperatureSample(docs: DataFrame, alpha: Double, targetFrac: Double,
+                        idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    val w6 = round(pow(col("n").cast("double"), alpha), 6)
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum(w6.cast("decimal(28,6)")).as("wsum"), sum(col("n")).as("ntot"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          round(lit(targetFrac) * (w6 / col("wsum").cast("double")) *
+            col("ntot") / col("n"), 6)).as("rate"))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("u",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("#temp"))), 1, 15), 16, 10)
+          .cast("long"))
+      .filter(col("u") < (col("rate") * hashSpace).cast("long"))
+      .drop("u", "rate")
+  }
+
   /** Per-document WEIGHTED sampling: keep a doc iff its salted 60-bit md5
     * falls below `weight × 2^60`, where `weight ∈ [0,1]` is any per-row
     * column (typically a quality score — high-quality docs survive at their

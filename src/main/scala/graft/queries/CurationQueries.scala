@@ -71,6 +71,22 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Temperature constants for the declared query — the oracle SQL is
+    * generated from THESE (one source of truth).
+    */
+  val tempAlpha = 0.7
+  val tempTargetFrac = 0.5
+
+  /** Temperature-flattened sampling ([[Sampling.temperatureSample]]):
+    * per-source rates ∝ n^0.7 normalized to keep ~half the corpus — the
+    * standard "don't let the web crawl drown the small curated sources"
+    * mixture step, with rates derived from the data instead of a config.
+    */
+  def mixTemperature(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(Tables.documents(s, dir), tempAlpha, tempTargetFrac)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
   /** Quality-WEIGHTED sampling ([[Sampling.weightedSample]]): each doc's
     * keep-probability is its own quality score (rounded to 6 decimals so
     * the weight is the identical double in both engines), so curation and
@@ -340,6 +356,21 @@ object CurationQueries {
            |  < CAST(trunc((CASE source $rateCase ELSE 0.0 END) * ${Sampling.hashSpace}) AS BIGINT)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
       },
+      // Rates recomputed from source counts with the exact-decimal
+      // denominator and 6-rounded weights of Sampling.temperatureSample.
+      "mix_temperature" ->
+        s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+           |t AS (SELECT sum(CAST(round(pow(n, $tempAlpha), 6) AS DECIMAL(28,6))) AS wsum,
+           |        sum(n) AS ntot FROM c),
+           |r AS (SELECT c.source,
+           |        least(CAST(1.0 AS DOUBLE),
+           |          round($tempTargetFrac * (round(pow(c.n, $tempAlpha), 6)
+           |            / CAST(t.wsum AS DOUBLE)) * t.ntot / c.n, 6)) AS rate
+           |      FROM c, t)
+           |SELECT d.doc_id, d.source FROM documents d JOIN r ON r.source = d.source
+           |WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)||'#temp'),1,15))::BIGINT
+           |  < CAST(trunc(r.rate * ${Sampling.hashSpace}) AS BIGINT)
+           |ORDER BY doc_id""".stripMargin,
       "mix_weighted" ->
         s"""SELECT doc_id, source FROM documents
            | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#wmix'),1,15))::BIGINT

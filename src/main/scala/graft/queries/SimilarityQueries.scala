@@ -102,6 +102,42 @@ object SimilarityQueries {
     * primitive every chunk→doc embedding pipeline needs. The matrix join
     * runs over one bounded row per label, broadcast.
     */
+  /** How many consecutive vec_ids form one multi-vector "document" for the
+    * late-interaction query (the oracle SQL derives from this too).
+    */
+  val maxSimGroup = 10
+
+  /** `sim_maxsim` — LATE-INTERACTION retrieval (the ColBERT scoring shape):
+    * embeddings are grouped into multi-vector documents (`vec_id div 10`),
+    * the query is document 0's vector set, and each candidate document
+    * scores `Σ_q max_d dot(q, d)` — every query vector finds its best
+    * counterpart in the candidate, so partial matches count where a single
+    * pooled-vector cosine would wash them out. Top-10 documents by score.
+    *
+    * Scale shape: the query's vectors broadcast (bounded — one document);
+    * per-candidate-vector work is |Q| codegen'd dots in the scan stage, and
+    * both reductions (max per query-vector, sum per document) are
+    * partial-aggregable groupBys. Engine-exact: maxima are 6-rounded then
+    * summed as DECIMAL, so the cross-vector sum is order-independent.
+    */
+  def maxSim(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = Tables.embeddings(s, dir)
+      .select(expr(s"vec_id div $maxSimGroup").as("doc"),
+        col("vec_id"), col("embedding"))
+    val q = v.filter(col("doc") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    v.filter(col("doc") =!= 0)
+      .join(broadcast(q))
+      .select(col("doc"), col("qid"),
+        graft.functions.VectorOps.dot(col("embedding"), col("qe")).as("d"))
+      .groupBy("doc", "qid").agg(max(col("d")).as("mx"))
+      .groupBy("doc").agg(sum(round(col("mx"), 6).cast("decimal(18,6)")).as("sdec"))
+      .select(col("doc"), round(col("sdec").cast("double"), 6).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("doc"))
+      .limit(10)
+  }
+
   def poolMatrix(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val cent = Similarity.meanPoolCentroids(Tables.embeddings(s, dir))
@@ -526,6 +562,15 @@ object SimilarityQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim_maxsim" ->
+      s"""WITH v AS (SELECT vec_id // $maxSimGroup AS doc, vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE doc = 0),
+         |d AS (SELECT v.doc, q.qid, max(${SqlGen.dotSql("v.embedding", "q.qe")}) AS mx
+         |      FROM v, q WHERE v.doc <> 0 GROUP BY v.doc, q.qid),
+         |s AS (SELECT doc, sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS sdec
+         |      FROM d GROUP BY doc)
+         |SELECT doc, round(CAST(sdec AS DOUBLE), 6) AS maxsim
+         |FROM s ORDER BY maxsim DESC, doc LIMIT 10""".stripMargin,
     "sim_recall" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding")} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0),

@@ -21,6 +21,38 @@ class SamplingSpec extends SparkSpec {
     assert(low.nonEmpty && high.size < docs.count())
   }
 
+  test("temperatureSample flattens source proportions and keeps ~targetFrac") {
+    import spark.implicits._
+    // 900 docs from "big", 100 from "small": alpha 0.5 should up-weight the
+    // small source's keep RATE well above the big one's
+    val skewed = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(skewed, alpha = 0.5, targetFrac = 0.5)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = bySrc.values.sum
+    assert(total > 350 && total < 650, s"~half expected, got $total")
+    val bigRate = bySrc.getOrElse("big", 0L).toDouble / 900
+    val smallRate = bySrc.getOrElse("small", 0L).toDouble / 100
+    assert(smallRate > bigRate * 2,
+      s"small source should be up-weighted: small=$smallRate big=$bigRate")
+    // deterministic
+    assert(Sampling.temperatureSample(skewed, 0.5, 0.5).count() == total)
+  }
+
+  test("temperatureSample at alpha=1 reproduces natural proportions (uniform rate)") {
+    import spark.implicits._
+    val skewed = ((1L to 300L).map(i => (i, "a")) ++ (301L to 400L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    // alpha=1 -> every source's rate equals targetFrac exactly; keep counts
+    // then binomial around 0.4 of each source
+    val kept = Sampling.temperatureSample(skewed, alpha = 1.0, targetFrac = 0.4)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") > 60 && bySrc("a") < 180)
+    assert(bySrc("b") > 15 && bySrc("b") < 65)
+  }
+
   test("mixSample: unlisted sources use the default rate") {
     val none = Sampling.mixSample(docs, Map("no-such-source" -> 1.0))
     assert(none.count() == 0) // defaultRate 0.0 drops everything else
