@@ -100,6 +100,7 @@ object SparkEntry {
     "q65_gap_audit"      -> CoreQueries.q65 _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
+    "graph_common"       -> GraphQueries.common _,
     "link_parts"         -> LinkQueries.parts _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
@@ -169,6 +170,7 @@ object SparkEntry {
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,
     "mix_temperature"    -> CurationQueries.mixTemperature _,
+    "curate_kl"          -> CurationQueries.curateKl _,
     "mix_dsir"           -> CurationQueries.mixDsir _,
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
     "mix_epochs"         -> CurationQueries.mixEpochs _,

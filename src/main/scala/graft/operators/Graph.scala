@@ -83,6 +83,38 @@ object Graph {
     ranks.select(col("node"),
       round(col("u").cast("double") * lit(n) / lit(1.0e15), 6).as("rank"))
 
+  /** Common-neighbor (co-occurrence) similarity over a bipartite edge list
+    * (group, item): item pairs sharing groups, scored by the overlap
+    * coefficient `common / min(deg_a, deg_b)` — co-purchase similarity,
+    * "suppliers serving the same customers", any market-basket reading.
+    *
+    * Scale discipline: the pair explosion is quadratic IN THE GROUP SIZE, so
+    * groups larger than `cap` are dropped deterministically (the occupancy
+    * rule every capped operator here shares) — worst case #groups·cap²
+    * candidate rows into a partial-aggregable count, never corpus².
+    */
+  def commonNeighbors(edges: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, s"cap must allow pairs, got $cap")
+    val e = edges.select(col("g"), col("i")).distinct()
+      .withColumn("_k",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .filter(col("_k") <= cap)
+      .drop("_k")
+      .localCheckpoint(true)
+    val deg = e.groupBy("i").agg(count(lit(1)).as("d"))
+    val pairs = e.as("a")
+      .join(e.select(col("g"), col("i").as("i2")).as("b"),
+        col("a.g") === col("b.g") && col("a.i") < col("i2"))
+      .groupBy(col("a.i").as("i1"), col("i2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(deg.select(col("i").as("i1"), col("d").as("d1")), "i1")
+      .join(deg.select(col("i").as("i2"), col("d").as("d2")), "i2")
+      .select(col("i1"), col("i2"), col("common"),
+        round(col("common").cast("double") / least(col("d1"), col("d2")), 6)
+          .as("overlap"))
+  }
+
   /** Degree profile of the same symmetrized graph: how many nodes have each
     * degree — the one-scan shape check (hubs? saturation? orphan shards?)
     * run before committing to a join strategy on an unknown graph.

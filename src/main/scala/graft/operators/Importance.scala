@@ -90,6 +90,47 @@ object Importance {
         6).as("dsir_w"))
   }
 
+  /** Per-source distribution drift vs the whole corpus over the hashed gram
+    * buckets: add-one-smoothed KL(source ‖ corpus) and the symmetric,
+    * bounded Jensen-Shannon divergence — the "which source shifted under
+    * me" monitor between ingests (PSI's cousin with information-theoretic
+    * units; PSI is `curate_drift`).
+    *
+    * Scale shape: one gram explode (scan-local hashing) → per-(source,
+    * bucket) partial-aggregable counts; everything after operates on
+    * ≤ sources × buckets rows. The per-source reduction over the bucket
+    * grid is a sorted fold (identical in the oracle), so the double sums
+    * are engine-reproducible. Zero-count buckets still contribute their
+    * smoothed mass — the grid is completed by a broadcast bucket range, not
+    * by trusting the data to hit every bucket.
+    */
+  def klDrift(docs: DataFrame, buckets: Int = defaultBuckets): DataFrame = {
+    val sc = hashedGramBuckets(docs, buckets, carry = Seq("source"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val qb = sc.groupBy("b").agg(sum("c").as("q"))
+    val ns = sc.groupBy("source").agg(sum("c").as("n"))
+    val tot = qb.agg(sum("q").cast("double").as("nn"))
+    val bucketIds = docs.sparkSession.range(buckets).select(col("id").as("b"))
+    val terms = ns.crossJoin(broadcast(bucketIds))
+      .join(sc, Seq("source", "b"), "left")
+      .join(broadcast(qb), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        ((coalesce(col("c"), lit(0L)) + 1) / (col("n") + lit(buckets))).as("ps"),
+        ((coalesce(col("q"), lit(0L)) + 1) / (col("nn") + lit(buckets))).as("pc"))
+    val m = (col("ps") + col("pc")) / 2
+    terms
+      .select(col("source"),
+        (col("ps") * log(col("ps") / col("pc"))).as("klt"),
+        (lit(0.5) * (col("ps") * log(col("ps") / m) +
+          col("pc") * log(col("pc") / m))).as("jst"))
+      .groupBy("source")
+      .agg(
+        round(expr("aggregate(array_sort(collect_list(klt)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"), 6).as("kl"),
+        round(expr("aggregate(array_sort(collect_list(jst)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"), 6).as("js"))
+  }
+
   /** Top-`n` docs by DSIR weight — deterministic importance "resampling". */
   def dsirSelect(docs: DataFrame, isTarget: Column, n: Int,
                  buckets: Int = defaultBuckets): DataFrame =

@@ -71,6 +71,16 @@ object CurationQueries {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Per-source KL/JS drift vs the corpus ([[Importance.klDrift]]) over the
+    * DSIR hashed gram buckets — the information-theoretic companion to
+    * `curate_drift`'s PSI: KL is the asymmetric "how surprised is the corpus
+    * model by this source", JS its bounded symmetric form.
+    */
+  def curateKl(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Importance.klDrift(Tables.documents(s, dir))
+      .select(col("source"), col("kl"), col("js"))
+      .orderBy("source")
+
   /** Temperature constants for the declared query — the oracle SQL is
     * generated from THESE (one source of truth).
     */
@@ -355,6 +365,31 @@ object CurationQueries {
            | WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#mix'),1,15))::BIGINT
            |  < CAST(trunc((CASE source $rateCase ELSE 0.0 END) * ${Sampling.hashSpace}) AS BIGINT)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
+      },
+      // Same hashed-gram bucket family as mix_dsir; smoothed probabilities
+      // and the sorted-fold double sums mirror Importance.klDrift term for
+      // term (zero-count buckets completed by the range cross join).
+      "curate_kl" -> {
+        val bk = graft.operators.Importance.defaultBuckets
+        s"""WITH wl AS (SELECT doc_id, source, list_filter(string_split(lower(text),' '), t -> t <> '') AS w FROM documents),
+           |g AS (SELECT doc_id, source, unnest(w || list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram FROM wl),
+           |gb AS (SELECT source, ('0x'||substr(md5(gram),1,15))::BIGINT % $bk AS b FROM g),
+           |sc AS (SELECT source, b, count(*) AS c FROM gb GROUP BY source, b),
+           |qb AS (SELECT b, sum(c) AS q FROM sc GROUP BY b),
+           |ns AS (SELECT source, sum(c) AS n FROM sc GROUP BY source),
+           |tot AS (SELECT CAST(sum(q) AS DOUBLE) AS nn FROM qb),
+           |grid AS (SELECT ns.source, ns.n, r.range AS b FROM ns CROSS JOIN range(0, $bk) r),
+           |terms AS (SELECT gr.source,
+           |    (COALESCE(sc.c, 0) + 1) / (gr.n + $bk) AS ps,
+           |    (COALESCE(qb.q, 0) + 1) / (t.nn + $bk) AS pc
+           |  FROM grid gr
+           |  LEFT JOIN sc ON sc.source = gr.source AND sc.b = gr.b
+           |  LEFT JOIN qb ON qb.b = gr.b
+           |  CROSS JOIN tot t)
+           |SELECT source,
+           |  round(list_sum(list_sort(list(ps*ln(ps/pc)))), 6) AS kl,
+           |  round(list_sum(list_sort(list(0.5*(ps*ln(ps/((ps+pc)/2)) + pc*ln(pc/((ps+pc)/2)))))), 6) AS js
+           |FROM terms GROUP BY source ORDER BY source""".stripMargin
       },
       // Rates recomputed from source counts with the exact-decimal
       // denominator and 6-rounded weights of Sampling.temperatureSample.

@@ -42,6 +42,22 @@ object GraphQueries {
     Graph.degreeProfile(tradeEdges(s, dir))
       .orderBy("degree")
 
+  val commonCap = 64
+
+  /** `graph_common` — co-purchase similarity: supplier pairs serving the
+    * same customers, scored by overlap coefficient over the capped bipartite
+    * edge list ([[Graph.commonNeighbors]]); top 50.
+    */
+  def common(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("g"), col("l_suppkey").as("i"))
+    Graph.commonNeighbors(e, cap = commonCap)
+      .orderBy(desc("overlap"), asc("i1"), asc("i2"))
+      .limit(50)
+  }
+
   /** Shared edge-derivation SQL: the parity-encoded symmetrized trade graph
     * with per-source degree (mirrored pairs cannot collide — src is even,
     * dst odd — so UNION ALL matches the Spark union+distinct).
@@ -78,6 +94,19 @@ object GraphQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "graph_common" ->
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS g, l_suppkey AS i
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |cnt AS (SELECT g, count(*) AS k FROM e GROUP BY g),
+         |ec AS (SELECT e.g, e.i FROM e JOIN cnt USING (g) WHERE cnt.k <= $commonCap),
+         |deg AS (SELECT i, count(*) AS d FROM ec GROUP BY i),
+         |pairs AS (SELECT a.i AS i1, b.i AS i2, count(*) AS common
+         |          FROM ec a JOIN ec b ON a.g = b.g AND a.i < b.i
+         |          GROUP BY a.i, b.i)
+         |SELECT p.i1, p.i2, CAST(p.common AS BIGINT) AS common,
+         |  round(p.common*1.0/least(d1.d, d2.d), 6) AS overlap
+         |FROM pairs p JOIN deg d1 ON d1.i = p.i1 JOIN deg d2 ON d2.i = p.i2
+         |ORDER BY overlap DESC, p.i1, p.i2 LIMIT 50""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
     "graph_degree" ->
       s"""WITH $edgeSql
