@@ -47,10 +47,14 @@ object Tables {
     *  - naive TIMESTAMP(MICROS): reads as TIMESTAMP_NTZ under stock Spark
     *    (`inferTimestampNTZ` defaults on). A bare NTZ→LTZ cast would be
     *    wall-clock-preserving in the SESSION zone, which only equals the
-    *    anchored instant when that zone is UTC — so we first shift the naive
-    *    value from UTC wall-clock to session-zone wall-clock
-    *    (`convert_timezone`), making the cast land on the UTC-anchored
-    *    instant in every zone. Both shapes therefore agree everywhere.
+    *    anchored instant when that zone is UTC — and any conversion that
+    *    routes through a DST zone's wall-clock is ambiguous for the
+    *    repeated hour of each fall-back transition. So the naive value is
+    *    turned into epoch micros by pure NTZ arithmetic
+    *    (`timestampdiff(MICROSECOND, NTZ epoch, ts)` — no zone is consulted
+    *    anywhere), then `timestamp_micros` builds the instant. Both shapes
+    *    therefore agree in every session zone, including across DST
+    *    transitions.
     *
     * Caveat (documented semantics, not a bug): a foreign session that
     * explicitly disables `inferTimestampNTZ` reads the naive file directly as
@@ -64,9 +68,15 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType =>
-        val zone = s.conf.get("spark.sql.session.timeZone")
-        raw.withColumn(
-          "ts", expr(s"convert_timezone('UTC', '$zone', ts)").cast(TimestampType))
+        // field extraction only: date/hour/minute/second read the naive
+        // wall-clock directly from the NTZ value (no implicit NTZ→LTZ cast
+        // anywhere — timestampdiff and friends route through the session
+        // zone and corrupt DST-gap/overlap times, spec-pinned)
+        raw.withColumn("ts", expr(
+          """timestamp_micros(
+            |  unix_date(cast(ts AS DATE)) * 86400000000L +
+            |  hour(ts) * 3600000000L + minute(ts) * 60000000L +
+            |  cast(extract(SECOND FROM ts) * 1000000 AS BIGINT))""".stripMargin))
       case _                => raw
     }
   }

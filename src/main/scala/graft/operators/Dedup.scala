@@ -230,34 +230,31 @@ object Dedup {
     * Jaccard tier; recall inherits the candidate generator's.
     */
   def containmentOnCandidatesFromShingles(shm: DataFrame, cands: DataFrame,
-                                          threshold: Double): DataFrame = {
-    val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = cands
-      .join(shm.select(col("doc_id").as("d1"), col("m")), "d1")
-      .join(shm.select(col("doc_id").as("d2"), col("m")), Seq("d2", "m"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2"), "d2")
+                                          threshold: Double): DataFrame =
+    intersectionWithSizes(shm, cands)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / least(col("n1"), col("n2"))).as("cont"))
       .filter(col("cont") >= threshold)
-  }
 
-  def jaccardOnCandidatesFromShingles(shm: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val leftSh = shm.select(col("doc_id").as("d1"), col("m"))
-    val rightSh = shm.select(col("doc_id").as("d2"), col("m"))
-    val inter = cands
-      .join(leftSh, "d1")
-      .join(rightSh, Seq("d2", "m"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2"), "d2")
+  def jaccardOnCandidatesFromShingles(shm: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
+    intersectionWithSizes(shm, cands)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
+
+  /** Shared verify-tier staging for the set-overlap scorers: per-candidate
+    * shingle intersection counts plus both docs' set sizes —
+    * (d1, d2, inter, n1, n2). The candidate/shingle contract lives HERE so
+    * the Jaccard and containment tiers cannot drift apart.
+    */
+  private def intersectionWithSizes(shm: DataFrame, cands: DataFrame): DataFrame = {
+    val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    cands
+      .join(shm.select(col("doc_id").as("d1"), col("m")), "d1")
+      .join(shm.select(col("doc_id").as("d2"), col("m")), Seq("d2", "m"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("nsh", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("nsh", "n2"), "d2")
   }
 
   /** Stage an existing corpus's MinHash index as bucketed catalog tables —

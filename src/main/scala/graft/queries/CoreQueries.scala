@@ -1124,14 +1124,18 @@ object CoreQueries {
     Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("ts"), col("value"))
       .withColumn("roll_n", count("value").over(w))
-      .withColumn("roll_avg", avg("value").over(w))
-      .withColumn("roll_sd", stddev_samp("value").over(w))
+      // the anomaly predicate compares 6-ROUNDED quantities: Spark
+      // recomputes each bounded frame in row order while DuckDB's window
+      // aggregation merges segment-tree partials, so the raw doubles can
+      // differ in the last ulps — a raw >3sigma compare would be an
+      // engine-dependent boundary (the FIXTURES round-before-compare rule)
+      .withColumn("roll_avg", round(avg("value").over(w), 6))
+      .withColumn("roll_sd", round(stddev_samp("value").over(w), 6))
       .where(col("roll_n") >= 10 && col("roll_sd") > 0 &&
-        abs(col("value") - col("roll_avg")) > col("roll_sd") * 3)
+        round(abs(col("value") - col("roll_avg")) - col("roll_sd") * 3, 6) > 0)
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"),
-        round(col("roll_avg"), 6).as("roll_avg"),
-        round(col("roll_sd"), 6).as("roll_sd"))
+        col("roll_avg"), col("roll_sd"))
       .orderBy("event_type", "event_id")
   }
 

@@ -21,11 +21,20 @@ object GraphQueries {
 
   val pagerankIters = 5
 
-  /** Distinct trade edges customer→supplier in parity encoding. */
-  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+  /** The ONE trade-relation derivation every graph query builds on:
+    * (customer, supplier) pairs that traded at least once. Change the edge
+    * definition (e.g. exclude cancelled orders) here and the PageRank,
+    * degree, and co-purchase graphs move together.
+    */
+  private def customerSupplierPairs(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+
+  /** Distinct trade edges customer→supplier in parity encoding. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    customerSupplierPairs(s, dir)
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
 
@@ -49,9 +58,7 @@ object GraphQueries {
     * edge list ([[Graph.commonNeighbors]]); top 50.
     */
   def common(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
+    val e = customerSupplierPairs(s, dir)
       .select(col("o_custkey").as("g"), col("l_suppkey").as("i"))
     Graph.commonNeighbors(e, cap = commonCap)
       .orderBy(desc("overlap"), asc("i1"), asc("i2"))

@@ -21,9 +21,12 @@ object LinkQueries {
     * occupancy — then verifies candidates with codegen'd `levenshtein`.
     */
   def parts(s: SparkSession, dir: String): DataFrame = {
+    // null-safe second-word extraction (`get` + coalesce, not element_at:
+    // ANSI mode throws on out-of-range indexes) — a single-word name blocks
+    // under '' exactly like the oracle's split_part
     val p = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_name"), col("p_size"),
-        element_at(split(col("p_name"), " "), 2).as("noun"))
+        coalesce(get(split(col("p_name"), " "), lit(1)), lit("")).as("noun"))
     FuzzyJoin.bestMatch(p, "p_partkey", Seq("noun", "p_size"), "p_name",
       (a, b) => levenshtein(a, b), maxDist = linkMaxDist, cap = linkBlockCap)
       .orderBy("p_partkey")

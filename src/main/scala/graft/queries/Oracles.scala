@@ -395,17 +395,19 @@ object Oracles {
         |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
         |  n_orders
         |FROM h ORDER BY o_custkey, version""".stripMargin,
+    // the predicate compares 6-rounded stats (see the Spark-side comment:
+    // segment-tree vs recompute window partials differ in last ulps)
     "q64_rolling_anomaly" ->
       """WITH t AS (SELECT event_type, event_id, value,
         |  count(value) OVER w AS roll_n,
-        |  avg(value) OVER w AS roll_avg,
-        |  stddev_samp(value) OVER w AS roll_sd
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  round(stddev_samp(value) OVER w, 6) AS roll_sd
         | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
         |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, event_id, round(value, 6) AS value,
-        |  round(roll_avg, 6) AS roll_avg, round(roll_sd, 6) AS roll_sd
+        |SELECT event_type, event_id, round(value, 6) AS value, roll_avg, roll_sd
         |FROM t
-        |WHERE roll_n >= 10 AND roll_sd > 0 AND abs(value - roll_avg) > roll_sd*3
+        |WHERE roll_n >= 10 AND roll_sd > 0
+        |  AND round(abs(value - roll_avg) - roll_sd*3, 6) > 0
         |ORDER BY event_type, event_id""".stripMargin,
     "q65_gap_audit" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events)

@@ -32,6 +32,29 @@ class TablesEventsSpec extends SparkSpec {
     assert(instants("America/New_York", sf0001) == utc)
   }
 
+  test("DST-ambiguous naive times still anchor to unique UTC instants") {
+    // 2025-11-02 01:30 naive is AMBIGUOUS as a New York wall-clock (the
+    // fall-back hour repeats); any loader path that routes through a DST
+    // zone's wall-clock would shift it. The anchored instants must be the
+    // plain naive-as-UTC micros in every session zone.
+    import org.apache.spark.sql.functions.{lit, to_timestamp_ntz}
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-dst").toString
+    val times = Seq("2025-11-02 01:30:00", "2025-11-02 06:30:00",
+      "2025-03-09 02:30:00") // third: nonexistent local time (spring-forward gap)
+    import spark.implicits._
+    times.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("event_id", "raw")
+      .select(col("event_id"), to_timestamp_ntz(col("raw")).as("ts"),
+        lit(0L).as("user_id"), lit("x").as("event_type"),
+        lit(0.0).as("value"), lit("").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = times.map(t =>
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L).sorted
+    assert(instants("UTC", dir) == expected)
+    assert(instants("America/New_York", dir) == expected)
+    assert(instants("Australia/Lord_Howe", dir) == expected) // 30-min DST zone
+  }
+
   test("epoch-long (nanos) shape matches the naive-micros shape, any zone") {
     val dir = java.nio.file.Files.createTempDirectory("graft-events-long").toString
     // TIMESTAMP(NANOS) reads as LongType under nanosAsLong; a plain long
