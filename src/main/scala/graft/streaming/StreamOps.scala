@@ -241,4 +241,58 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("events"), sum("value").as("value"))
+
+  case class AnomIn(event_type: String, event_id: Long, ts: Timestamp, value: Double)
+  case class Anomaly(event_type: String, event_id: Long, value: Double,
+                     roll_avg: Double, roll_sd: Double)
+
+  /** Streaming twin of batch `q64_rolling_anomaly`: per event_type, each
+    * event is scored against the mean/sd of the previous `window`
+    * observations held in keyed state (a bounded deque — state is `window`
+    * rows per ACTIVE key forever, never stream history), and >3σ events are
+    * emitted as they happen — the alerting form of the batch audit.
+    *
+    * Ordering semantics (the honest streaming contract): rows are scored in
+    * (ts, event_id) order WITHIN each micro-batch; a late event that crosses
+    * a batch boundary scores against state as of its arrival. When one batch
+    * carries the whole replay, the output equals the batch query exactly —
+    * the differential the spec pins. The predicate compares the same
+    * 6-rounded quantities as q64, so scores agree with the batch/oracle
+    * convention.
+    */
+  def anomalyStream(events: DataFrame, minN: Int = 10, window: Int = 20): Dataset[Anomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Spark's round() is BigDecimal HALF_UP on the shortest representation —
+    // mirror it exactly (math.rint is HALF_EVEN and would disagree at ties)
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .as[AnomIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[Seq[Double], Anomaly](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[Seq[Double]]) =>
+          // state: the last `window` values, oldest first — same order the
+          // batch query's ROWS frame accumulates, so the double sums agree
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[Anomaly]
+          rows.toSeq
+            .sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id))
+            .foreach { e =>
+              val n = hist.size
+              if (n >= minN) {
+                val mean = hist.sum / n
+                val sd = math.sqrt(hist.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+                val (ra, rs) = (r6(mean), r6(sd))
+                if (rs > 0 && r6(math.abs(e.value - ra) - rs * 3) > 0)
+                  out += Anomaly(key, e.event_id, r6(e.value), ra, rs)
+              }
+              hist = (hist :+ e.value).takeRight(window)
+            }
+          state.update(hist)
+          out.result().iterator
+      }
+  }
 }

@@ -179,6 +179,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling-anomaly equals batch q64 when one batch replays the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val src = MemoryStream[StreamOps.AnomIn](spark)
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_type", $"event_id", $"ts", $"value")
+      .as[StreamOps.AnomIn].collect().toSeq
+    src.addData(rows)
+    val q = StreamOps.anomalyStream(src.toDF())
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT event_type, event_id, value, roll_avg, roll_sd FROM anom_stream " +
+          "ORDER BY event_type, event_id").collect().toSeq
+      val batch = graft.queries.CoreQueries.q64(spark, sf0001).collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins a dim without join state") {
     import spark.implicits._
     val src = new MemoryFlowSource(spark)
