@@ -98,6 +98,8 @@ object SparkEntry {
     "q63_scd2"           -> CoreQueries.q63 _,
     "q64_rolling_anomaly" -> CoreQueries.q64 _,
     "q65_gap_audit"      -> CoreQueries.q65 _,
+    "q66_transitions"    -> CoreQueries.q66 _,
+    "q67_snapshot_diff"  -> CoreQueries.q67 _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
     "graph_common"       -> GraphQueries.common _,

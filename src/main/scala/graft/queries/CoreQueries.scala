@@ -1164,6 +1164,56 @@ object CoreQueries {
         col("missing_hours"))
       .orderBy("event_type")
 
+  /** Q66 — event-transition matrix (path analysis): for each user's
+    * time-ordered event stream, count adjacent (from_type → to_type)
+    * transitions — the Markov-chain reading behind "what do users do after
+    * an error". One window keyed by user (single shuffle) + a partial-
+    * aggregable pair count; no self-join against the stream.
+    */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Q67 — snapshot diff (release audit): compare two corpus versions by
+    * keyed content digest and classify every key as added / removed /
+    * changed / unchanged — the "what did this rebuild actually touch" gate
+    * before publishing a dataset version. Version 2 is derived
+    * deterministically here (drop `id%97=0`, mutate `id%101=0`, add clones
+    * at `id+10^7` for `id%103=0`) so both engines diff identical snapshots.
+    *
+    * Scale shape: digests are computed in the scan stage, the full-outer
+    * join shuffles once on the key, and the classification rolls up to one
+    * partial-aggregated row per status — the diff of two 100 TB snapshots
+    * moves digests, never documents.
+    */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.select(col("doc_id"), md5(col("text")).as("d1"))
+    val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 101 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("d2"))
+      .union(docs.filter(col("doc_id") % 103 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), md5(col("text")).as("d2")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("d1").isNull, "added")
+          .when(col("d2").isNull, "removed")
+          .when(col("d1") =!= col("d2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_key"),
+        max("doc_id").as("last_key"))
+      .orderBy("status")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

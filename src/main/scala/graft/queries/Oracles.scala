@@ -419,6 +419,32 @@ object Oracles {
         |  CAST(epoch(max(h)) AS BIGINT)//3600 - CAST(epoch(min(h)) AS BIGINT)//3600 + 1
         |    - count(DISTINCT h) AS missing_hours
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q66_transitions" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        | FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS transitions
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    // identical deterministic v2 derivation (drop %97, mutate %101, clone
+    // %103 at key+1e7), digest-level full-outer diff
+    "q67_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS d1 FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 101 = 0 THEN text || ' v2' ELSE text END) AS d2
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, md5(text) AS d2
+        |  FROM documents WHERE doc_id % 103 = 0),
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.d1 IS NULL THEN 'added'
+        |         WHEN v2.d2 IS NULL THEN 'removed'
+        |         WHEN v1.d1 <> v2.d2 THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT status, count(*) AS n, min(doc_id) AS first_key,
+        |  max(doc_id) AS last_key
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "q19_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
