@@ -419,6 +419,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("transition matrix is window-only and snapshot diff joins exactly once") {
+    val t = plans("q66_transitions")
+    assert(!t.contains("Join"), s"q66 must not self-join the stream:\n$t")
+    // user-keyed window + the (tiny, partial-agg'd) pair-count exchange —
+    // anything beyond those two means the lag regressed into a self-join
+    assert("Exchange hashpartitioning".r.findAllIn(t).size <= 2, t)
+    assert(t.contains("Window"), t)
+    val d = plans("q67_snapshot_diff")
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(d).size == 1,
+      s"q67 must diff through ONE key join:\n$d")
+  }
+
   test("gap audit is closed-form: no calendar explode, no join, windowless") {
     val p = plans("q65_gap_audit")
     assert(!p.contains("Generate"), s"expected-hours must not explode:\n$p")
