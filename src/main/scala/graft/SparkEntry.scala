@@ -135,6 +135,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
     "dedup_editdist"     -> DedupQueries.editDistance _,
     "dedup_groups"       -> DedupQueries.groups _,
+    "dedup_keep_best"    -> DedupQueries.keepBest _,
     "dedup_apply"        -> DedupQueries.applyDedup _,
     "dedup_decontam"     -> DedupQueries.decontam _,
     "dedup_incr"         -> DedupQueries.incremental _,

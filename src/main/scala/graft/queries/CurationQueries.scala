@@ -337,12 +337,8 @@ object CurationQueries {
       .parquet(path)
 
   val oracle: Map[String, String] = {
-    val toksSql = "len(string_split(text,' '))"
-    val punctSql =
-      "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
-    val swrSql = s"CAST(${SqlGen.hitsSql("en")} AS DOUBLE)/$toksSql"
-    val qualSql =
-      s"(least($toksSql/100.0, 1.0)*0.4 + (1.0 - $punctSql)*0.3 + least($swrSql*5.0, 1.0)*0.3)"
+    val toksSql = SqlGen.toksSql
+    val qualSql = SqlGen.qualitySql
     Map(
       "curate_corpus" ->
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))

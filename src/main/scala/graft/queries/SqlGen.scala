@@ -108,6 +108,17 @@ object SqlGen {
     * positive literal doesn't fit BIGINT) added FIRST — partial sums then
     * stay in signed-64 range, which matters because DuckDB checks overflow.
     */
+  /** Token count / punctuation ratio / stopword ratio / composite quality —
+    * the DuckDB rendering of `TextFunctions.qualityScore`, shared by every
+    * oracle that scores text (curation, weighted sampling, keep-best).
+    */
+  val toksSql = "len(string_split(text,' '))"
+  val punctSql =
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
+  def swrSql: String = s"CAST(${hitsSql("en")} AS DOUBLE)/$toksSql"
+  def qualitySql: String =
+    s"(least($toksSql/100.0, 1.0)*0.4 + (1.0 - $punctSql)*0.3 + least($swrSql*5.0, 1.0)*0.3)"
+
   def simhashPrefix(bits: Int = graft.operators.Dedup.simhashBits): String = {
     def bitExpr(b: Int) = if (b < 32) s"(hlo >> $b)" else s"(hhi >> ${b - 32})"
     val votes = (0 until bits)
