@@ -174,6 +174,7 @@ object SparkEntry {
     "mix_weighted"       -> CurationQueries.mixWeighted _,
     "mix_temperature"    -> CurationQueries.mixTemperature _,
     "curate_kl"          -> CurationQueries.curateKl _,
+    "mix_curriculum"     -> CurationQueries.mixCurriculum _,
     "mix_dsir"           -> CurationQueries.mixDsir _,
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
     "mix_epochs"         -> CurationQueries.mixEpochs _,

@@ -81,6 +81,42 @@ object CurationQueries {
       .select(col("source"), col("kl"), col("js"))
       .orderBy("source")
 
+  val curriculumPhases = 4
+
+  /** Curriculum phasing (`mix_curriculum`): order each source's docs from
+    * easiest to hardest by mean unigram log-probability under the corpus LM
+    * (the text_lm_score signal, corpus-wide) and cut into equal-depth
+    * phases — the "train on easy data first, balanced per source" ordering
+    * step. Per-SOURCE ntile windows (never a global sort); per-doc scores
+    * are 6-rounded BEFORE the ordering so phase boundaries are
+    * engine-deterministic; output is the bounded per-(source, phase)
+    * summary. At 100 TB the same phase column comes from broadcast quantile
+    * cuts (the q55 machinery) instead of ntile; the equal-depth semantics
+    * here are the spec of that.
+    */
+  def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum("c").cast("double").as("tot"))
+    val scored = toks.join(wc, "w").crossJoin(broadcast(tot))
+      .select(col("doc_id"), log(col("c") / col("tot")).as("lp"))
+      .groupBy("doc_id")
+      .agg(round(
+        expr("aggregate(array_sort(collect_list(lp)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / count(lit(1)), 6).as("lm6"))
+    scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("phase", ntile(curriculumPhases).over(
+        Window.partitionBy("source").orderBy(desc("lm6"), asc("doc_id"))))
+      .groupBy("source", "phase")
+      .agg(count(lit(1)).as("n_docs"),
+        max("lm6").as("easiest"), min("lm6").as("hardest"))
+      .orderBy("source", "phase")
+  }
+
   /** Temperature constants for the declared query — the oracle SQL is
     * generated from THESE (one source of truth).
     */
@@ -362,6 +398,19 @@ object CurationQueries {
            |  < CAST(trunc((CASE source $rateCase ELSE 0.0 END) * ${Sampling.hashSpace}) AS BIGINT)
            | ORDER BY doc_id""".stripMargin.replaceAll("\n", "")
       },
+      // Shared LM CTEs + the same rounded-score-then-ntile construction.
+      "mix_curriculum" ->
+        s"""${SqlGen.lmPrefix},
+           |scored AS (SELECT doc_id,
+           |    round(list_sum(list_sort(list(ln(c/tot))))/count(*), 6) AS lm6
+           |  FROM tk JOIN wc USING (w), tot GROUP BY doc_id),
+           |p AS (SELECT d.source, s.lm6,
+           |    ntile($curriculumPhases) OVER (PARTITION BY d.source
+           |      ORDER BY s.lm6 DESC, s.doc_id) AS phase
+           |  FROM scored s JOIN documents d USING (doc_id))
+           |SELECT source, phase, count(*) AS n_docs,
+           |  max(lm6) AS easiest, min(lm6) AS hardest
+           |FROM p GROUP BY source, phase ORDER BY source, phase""".stripMargin,
       // Same hashed-gram bucket family as mix_dsir; smoothed probabilities
       // and the sorted-fold double sums mirror Importance.klDrift term for
       // term (zero-count buckets completed by the range cross join).

@@ -119,6 +119,16 @@ object SqlGen {
   def qualitySql: String =
     s"(least($toksSql/100.0, 1.0)*0.4 + (1.0 - $punctSql)*0.3 + least($swrSql*5.0, 1.0)*0.3)"
 
+  /** Unigram-LM scoring CTEs (tokens, counts, total) — shared by the
+    * text_lm_score oracle and every composition that scores docs by corpus
+    * log-probability (curriculum phasing).
+    */
+  val lmPrefix: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+      |wc AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM wc)""".stripMargin
+
   def simhashPrefix(bits: Int = graft.operators.Dedup.simhashBits): String = {
     def bitExpr(b: Int) = if (b < 32) s"(hlo >> $b)" else s"(hhi >> ${b - 32})"
     val votes = (0 until bits)

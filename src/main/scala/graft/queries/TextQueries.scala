@@ -601,10 +601,7 @@ object TextQueries {
            |SELECT doc_id, array_to_string(list(tid ORDER BY pos), ' ') AS ids
            |FROM idd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "text_lm_score" ->
-        """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-          |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-          |wc AS (SELECT w, count(*) AS c FROM tk GROUP BY w),
-          |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM wc)
+        s"""${SqlGen.lmPrefix}
           |SELECT doc_id, round(list_sum(list_sort(list(ln(c/tot))))/count(*), 6) AS lm_logp
           |FROM tk JOIN wc USING (w), tot WHERE doc_id < 200
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

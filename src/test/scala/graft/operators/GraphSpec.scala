@@ -52,6 +52,22 @@ class GraphSpec extends SparkSpec {
       Graph.pagerank(Seq((0L, 1L)).toDF("src", "dst"), iters = 0)
     }
   }
+
+  test("empty edge list is rejected loudly, not returned as empty ranks") {
+    intercept[IllegalArgumentException] {
+      Graph.pagerank(Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 1)
+    }
+  }
+
+  test("commonNeighbors: oversized groups drop; remaining pairs score exactly") {
+    // group "hot" (3 items, cap 2) must vanish; group "ok" pairs normally
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 20L))
+      .toDF("g", "i")
+    val out = Graph.commonNeighbors(e, cap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only (20,21) from group 2 survives; deg(20)=2 (groups 2 and 3), deg(21)=1
+    assert(out.toSeq == Seq((20L, 21L, 1L, 1.0)))
+  }
 }
 
 /** Spec-local helper: loose lower bound for the conserved-mass check. */
