@@ -136,6 +136,7 @@ object SparkEntry {
     "dedup_editdist"     -> DedupQueries.editDistance _,
     "dedup_groups"       -> DedupQueries.groups _,
     "dedup_keep_best"    -> DedupQueries.keepBest _,
+    "dedup_lines"        -> DedupQueries.lines _,
     "dedup_apply"        -> DedupQueries.applyDedup _,
     "dedup_decontam"     -> DedupQueries.decontam _,
     "dedup_incr"         -> DedupQueries.incremental _,
