@@ -70,10 +70,12 @@ object Bench {
     // (observed 130k cold vs 324-430k warm on an idle host) and is exposed
     // to one-shot host-contention spikes (the r6 official reading halved
     // with no code change on the pipeline path).
-    val throughput = {
-      pipelineThroughput(spark, 500000L) // warm-up
+    // The first pass is reported too (`pipeline_rows_per_sec_cold`) so rounds
+    // using the pre-r7 single-cold-pass methodology stay comparable; the
+    // `pipeline_method` tag marks which regime the headline number comes from.
+    val throughputCold = pipelineThroughput(spark, 500000L)
+    val throughput =
       Seq.fill(3)(pipelineThroughput(spark, 500000L)).sorted.apply(1)
-    }
 
     // Optional args restrict the suite (dev loop); driver passes none.
     val names =
@@ -104,7 +106,7 @@ object Bench {
     // Failed queries carry the -1 sentinel in `queries` but must not shrink
     // the headline total.
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows_per_sec":$throughput}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows_per_sec":$throughput,"pipeline_rows_per_sec_cold":$throughputCold,"pipeline_method":"warm_median3"}""")
     spark.stop()
   }
 }

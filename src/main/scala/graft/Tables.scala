@@ -50,11 +50,14 @@ object Tables {
     *    anchored instant when that zone is UTC — and any conversion that
     *    routes through a DST zone's wall-clock is ambiguous for the
     *    repeated hour of each fall-back transition. So the naive value is
-    *    turned into epoch micros by pure NTZ arithmetic
-    *    (`timestampdiff(MICROSECOND, NTZ epoch, ts)` — no zone is consulted
-    *    anywhere), then `timestamp_micros` builds the instant. Both shapes
-    *    therefore agree in every session zone, including across DST
-    *    transitions.
+    *    turned into epoch micros by pure FIELD EXTRACTION — `unix_date`,
+    *    `hour`, `minute`, `extract(SECOND)` read the wall-clock components
+    *    straight off the NTZ value and recombine them arithmetically; no
+    *    zone is consulted anywhere. `timestampdiff` was considered and
+    *    REJECTED: it routes its NTZ operands through the session zone, which
+    *    corrupts times inside DST gaps/overlaps (spec-pinned). Then
+    *    `timestamp_micros` builds the instant. Both shapes therefore agree
+    *    in every session zone, including across DST transitions.
     *
     * Caveat (documented semantics, not a bug): a foreign session that
     * explicitly disables `inferTimestampNTZ` reads the naive file directly as

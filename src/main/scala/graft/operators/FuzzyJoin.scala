@@ -41,6 +41,13 @@ object FuzzyJoin {
                 maxDist: Int, cap: Int): DataFrame = {
     require(blockCols.nonEmpty, "at least one blocking column")
     require(cap >= 2, s"cap must allow pairs, got $cap")
+    // Internal working columns are injected with withColumn on the caller's
+    // frame; a caller column with one of these names would be silently
+    // shadowed mid-pipeline (ADVICE r7) — reject it up front instead.
+    val internal = Set("_bs", "_yid", "_ypay", "_d", "_rn")
+    val clash = records.columns.filter(internal)
+    require(clash.isEmpty,
+      s"records frame uses reserved internal column name(s): ${clash.mkString(", ")}")
     val bw = Window.partitionBy(blockCols.map(col): _*)
     val b = records
       .select((idCol +: payload +: blockCols).distinct.map(col): _*)

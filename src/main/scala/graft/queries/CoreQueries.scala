@@ -1201,7 +1201,15 @@ object CoreQueries {
         md5(when(col("doc_id") % 101 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text"))).as("d2"))
       .union(docs.filter(col("doc_id") % 103 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), md5(col("text")).as("d2")))
+        // The clone id rides the guard: any corpus whose ids reach the offset
+        // fails loudly in the scan stage instead of silently double-counting
+        // colliding keys in the full-outer (ADVICE r7). The guard lives on
+        // the value column itself so column pruning can never drop it.
+        .select(
+          when(col("doc_id") < 10000000L, col("doc_id") + 10000000L)
+            .otherwise(raise_error(lit(
+              "q67: doc_id >= clone offset 1e7 - raise the offset"))).as("doc_id"),
+          md5(col("text")).as("d2")))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("d1").isNull, "added")
@@ -1212,6 +1220,190 @@ object CoreQueries {
       .agg(count(lit(1)).as("n"), min("doc_id").as("first_key"),
         max("doc_id").as("last_key"))
       .orderBy("status")
+  }
+
+  /** Q68 — merged-interval coverage (the "total watch time" shape): each
+    * view event opens an interval (`value`×10 s, the q61 convention); per
+    * user, overlapping intervals are merged gaps-and-islands style and the
+    * query reports raw vs merged interval counts and total covered
+    * microseconds — the union-of-intervals primitive behind session
+    * coverage, SLA uptime, and span-overlap audits.
+    *
+    * Scale: both windows and both rollups hash-partition on `user_id`, so
+    * the whole query is ONE shuffle of (user, start, end); island detection
+    * is a running max + running sum per partition cursor — no join, no
+    * explode. Tie rows (identical start AND end) cannot perturb island
+    * boundaries, so the per-user rollup is order-deterministic.
+    */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .filter(col("event_type") === "view")
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("user_id"), col("us").as("st"),
+        (col("us") + floor(col("value")) * 10000000L).as("en"))
+    val w = Window.partitionBy("user_id").orderBy("st", "en")
+    iv
+      .withColumn("maxe",
+        max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newgrp",
+        when(col("maxe").isNull || col("st") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("grp", sum("newgrp")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(min("st").as("gs"), max("en").as("ge"), count(lit(1)).as("nsrc"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_merged"), sum("nsrc").as("n_raw"),
+        sum(col("ge") - col("gs")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** MAD outlier multiplier for [[q69]]: 3 sigma-equivalents (3 × 1.4826,
+    * the normal-consistency constant), written as the literal both engines
+    * share.
+    */
+  val madK = 4.4478
+
+  /** Q69 — robust outlier profile per event type: median + MAD (median
+    * absolute deviation), then the count of values beyond [[madK]]·MAD —
+    * the outlier gate that, unlike q46's IQR fences or q64's rolling sigma,
+    * a few extreme values cannot drag (median and MAD have 50% breakdown).
+    *
+    * Three passes over the (type, value) projection — median, MAD (needs
+    * the median), outlier count (needs both) — each a partial-aggregable
+    * groupBy with the 20-row stats frame BROADCAST back, so no pass
+    * shuffles the events themselves. The predicate compares 6-ROUNDED
+    * stats (the q64/FIXTURES rule): both engines threshold on identical
+    * quantized med/mad, so an engine-local interpolation ulp can't flip a
+    * boundary row.
+    */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(min("med").as("med"),
+        round(expr("percentile(abs(value - med), 0.5)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(min("n").as("n"), min("med").as("med"), min("mad").as("mad"),
+        sum(when(round(abs(col("value") - col("med")) - col("mad") * madK, 6) > 0,
+          1L).otherwise(0L)).as("outliers"))
+      .orderBy("event_type")
+  }
+
+  /** Q70 — period-over-period movers: monthly revenue per nation with the
+    * previous month and percent change alongside — the MoM trend table
+    * every revenue dashboard leads with. Revenue sums are exact DECIMAL
+    * (order-independent), each numerator cast to double exactly once for
+    * the IEEE percent division both engines share verbatim.
+    *
+    * Scale: the dimension joins broadcast (customer/nation vs the orders
+    * fact), the monthly rollup partial-aggregates to nations×months rows,
+    * and the lag window runs on that TINY aggregate — the expensive scan
+    * never reaches a window.
+    */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revd"))
+    val w = Window.partitionBy("n_name").orderBy("month")
+    rev
+      .withColumn("prev", lag("revd", 1).over(w))
+      .select(col("n_name"), col("month"),
+        round(col("revd").cast("double"), 6).as("revenue"),
+        round(col("prev").cast("double"), 6).as("prev_revenue"),
+        round((col("revd") - col("prev")).cast("double") /
+          col("prev").cast("double") * 100, 6).as("pct_change"))
+      .orderBy("n_name", "month")
+  }
+
+  /** Kernel length for [[q71]]'s truncated exponential smoothing. */
+  val ewmaK = 8
+
+  /** Q71 — EWMA trend smoothing of the daily event stream: per event type,
+    * each day's mean value and its exponentially-weighted moving average
+    * over the trailing [[ewmaK]] days (α = 0.5, truncated kernel,
+    * renormalized over the days actually present).
+    *
+    * Determinism is the whole design: α = 0.5 makes every kernel weight a
+    * TERMINATING decimal (0.5^k), daily means are quantized to
+    * DECIMAL(18,6) before smoothing, and the weighted sum is a fixed-arity
+    * lag-term expression — so numerator and denominator are exact decimals
+    * in both engines and the single final double division is shared IEEE.
+    * (A windowed double SUM would hit the q64 segment-tree-order problem;
+    * a recursive EWMA would not be expressible in one window pass at all.)
+    *
+    * Scale: the smoothing runs on the DAILY AGGREGATE (types × days rows),
+    * not the stream — one partial-aggregable rollup shuffles, the window
+    * is a bounded 8-lag frame on the tiny frame.
+    */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(round(sum(col("value").cast("decimal(28,6)")).cast("double") /
+        count(lit(1)), 6).cast("decimal(18,6)").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val terms = (0 until ewmaK).map { k =>
+      val wk = lit(BigDecimal(0.5).pow(k))
+      val xk = if (k == 0) col("x") else lag("x", k).over(w)
+      (when(xk.isNotNull, xk * wk).otherwise(lit(BigDecimal(0))),
+        when(xk.isNotNull, wk).otherwise(lit(BigDecimal(0))))
+    }
+    daily
+      .withColumn("ewma", round(terms.map(_._1).reduce(_ + _).cast("double") /
+        terms.map(_._2).reduce(_ + _).cast("double"), 6))
+      .select(col("event_type"), col("day"),
+        round(col("x").cast("double"), 6).as("daily_avg"), col("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Delta cutoff for [[q72]]: orders strictly before it are the "already
+    * aggregated" base, the rest arrive as the delta batch.
+    */
+  val incrCutoff = "1997-06-01"
+
+  /** Q72 — incremental aggregate maintenance (materialized-view merge): the
+    * monthly order stats are computed as TWO independent partial states —
+    * a base batch (orders before [[incrCutoff]]) and a delta batch — whose
+    * mergeable state tuples (n, Σx, Σx²) are then combined by a plain
+    * state-sum, exactly the nightly "merge the delta, never rescan the
+    * base" discipline a 100 TB warehouse runs. Because the moments are
+    * exact DECIMAL, merged state ≡ full recompute BIT-FOR-BIT — which is
+    * what the oracle (a direct recompute) verifies.
+    *
+    * Scale: each batch partial-aggregates to months-sized states before any
+    * shuffle; the merge itself unions two tiny state frames. At 100 TB the
+    * base state is a staged table and only the delta ever scans.
+    */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      date_trunc("MONTH", col("o_orderdate")).as("month"),
+      col("o_orderdate"), col("o_totalprice"))
+    def state(df: DataFrame): DataFrame = df.groupBy("month").agg(
+      count(lit(1)).as("n"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).as("s"),
+      sum((col("o_totalprice") * col("o_totalprice")).cast("decimal(38,6)")).as("ss"))
+    val cutoff = lit(incrCutoff).cast("timestamp_ntz")
+    val merged = state(o.filter(col("o_orderdate") < cutoff))
+      .unionByName(state(o.filter(col("o_orderdate") >= cutoff)))
+      .groupBy("month")
+      .agg(sum("n").as("n"), sum("s").as("s"), sum("ss").as("ss"))
+    merged.select(col("month"), col("n"), {
+        val ndec = col("n").cast("decimal(20,0)")
+        val nd = col("n").cast("double")
+        val m2 = (ndec * col("ss") - col("s") * col("s")).cast("double")
+        struct(
+          round(col("s").cast("double"), 6).as("total"),
+          round(col("s").cast("double") / nd, 6).as("avg_price"),
+          round(sqrt(m2 / (nd * (nd - 1))), 6).as("sd_price")).as("m")
+      })
+      .select(col("month"), col("n"), col("m.total").as("total"),
+        col("m.avg_price").as("avg_price"), col("m.sd_price").as("sd_price"))
+      .orderBy("month")
   }
 
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`

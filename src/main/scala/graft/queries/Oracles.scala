@@ -385,8 +385,8 @@ object Oracles {
         |  CASE WHEN lag(o_orderstatus) OVER w IS NULL
         |        OR lag(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
         | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-        |g AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey
-        |        ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS run
+        |g AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
         |      FROM r),
         |h AS (SELECT o_custkey, run, min(o_orderstatus) AS status,
         |        min(o_orderdate) AS valid_from, count(*) AS n_orders

@@ -43,4 +43,13 @@ class FuzzyJoinSpec extends SparkSpec {
       run(Seq((1L, "a", "b")), cap = 1)
     }
   }
+
+  test("reserved internal column names are rejected, not shadowed") {
+    val clashing = Seq((1L, "a", "b", 9)).toDF("id", "name", "blk", "_d")
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.bestMatch(clashing, "id", Seq("blk"), "name",
+        (a, b) => levenshtein(a, b), 3, 10)
+    }
+    assert(e.getMessage.contains("_d"))
+  }
 }

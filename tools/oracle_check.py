@@ -34,6 +34,21 @@ def main(sf_dir, out_dir):
             print(f"[rows-only] {name}: {len(got)} rows")
             continue
         try:
+            # Type-parity sweep first: DuckDB silently widens integer sums
+            # (windowed sum -> HUGEINT, count products, etc.) to types Spark
+            # never emits, which the driver hashes as a mismatch even when
+            # every value is identical (the q63_scd2 round-7 red row). Reject
+            # any oracle whose result schema carries a width Spark can't
+            # produce so the class can't recur.
+            bad = [
+                (r[0], r[1]) for r in con.execute(f"DESCRIBE {oracles[name]}").fetchall()
+                if r[1].upper() in ("HUGEINT", "UHUGEINT", "UTINYINT",
+                                    "USMALLINT", "UINTEGER", "UBIGINT")]
+            if bad:
+                print(f"[FAIL] {name}: oracle type-parity: {bad} "
+                      f"(cast to a Spark-representable type in the oracle SQL)")
+                n_fail += 1
+                continue
             exp_rel = con.execute(oracles[name])
             exp_cols = [c[0] for c in exp_rel.description]
             exp = exp_rel.fetchall()
