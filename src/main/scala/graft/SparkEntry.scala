@@ -100,9 +100,15 @@ object SparkEntry {
     "q65_gap_audit"      -> CoreQueries.q65 _,
     "q66_transitions"    -> CoreQueries.q66 _,
     "q67_snapshot_diff"  -> CoreQueries.q67 _,
+    "q68_interval_coverage" -> CoreQueries.q68 _,
+    "q69_mad_outliers"   -> CoreQueries.q69 _,
+    "q70_pop_movers"     -> CoreQueries.q70 _,
+    "q71_ewma"           -> CoreQueries.q71 _,
+    "q72_incr_agg"       -> CoreQueries.q72 _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
     "graph_common"       -> GraphQueries.common _,
+    "graph_triangles"    -> GraphQueries.triangles _,
     "link_parts"         -> LinkQueries.parts _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,
@@ -112,6 +118,7 @@ object SparkEntry {
     "text_tfidf"         -> TextQueries.tfidf _,
     "text_bm25"          -> TextQueries.bm25 _,
     "text_vocab"         -> TextQueries.vocab _,
+    "text_zipf"          -> TextQueries.zipf _,
     "text_token_ids"     -> TextQueries.tokenIds _,
     "text_heavy"         -> TextQueries.heavy _,
     "text_lm_score"      -> TextQueries.lmScore _,
@@ -132,6 +139,7 @@ object SparkEntry {
     "dedup_setsim"       -> DedupQueries.setsim _,
     "dedup_containment"  -> DedupQueries.containment _,
     "dedup_simhash"      -> DedupQueries.simhash _,
+    "dedup_snm"          -> DedupQueries.snm _,
     "dedup_simhash_pairs" -> DedupQueries.simhashPairs _,
     "dedup_editdist"     -> DedupQueries.editDistance _,
     "dedup_groups"       -> DedupQueries.groups _,
@@ -170,6 +178,7 @@ object SparkEntry {
     "mm_frames"          -> MultimodalQueries.frames _,
     "curate_corpus"      -> CurationQueries.curate _,
     "curate_docs"        -> CurationQueries.curatedDocs _,
+    "curate_budget"      -> CurationQueries.curateBudget _,
     "mix_sample"         -> CurationQueries.mixSample _,
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,

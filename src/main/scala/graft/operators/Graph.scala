@@ -115,6 +115,54 @@ object Graph {
           .as("overlap"))
   }
 
+  /** Triangle census of an undirected graph (columns `a`, `b`): node/edge
+    * counts, wedge count (Σ d(d−1)/2), triangle count, and the global
+    * clustering coefficient 3·triangles/wedges.
+    *
+    * The enumeration is DEGREE-ORDERED: every edge is oriented toward its
+    * (degree, id)-larger endpoint, wedges pair two out-edges of one pivot,
+    * and a candidate closes iff its third side exists as an oriented edge
+    * (a LEFT SEMI equi-join). Orientation is what makes this scale — each
+    * triangle is generated exactly once from its smallest-rank corner, and
+    * a hub of degree d contributes wedges only through its LOW-degree
+    * neighbors, bounding candidates by O(m^1.5) (arboricity) instead of
+    * Σ d² — the classic result a naive a<b<c self-join does not have.
+    * Wedge generation and the closing semi-join are plain hash equi-joins
+    * on the pivot / the (x,y) pair.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // reused by deg, orientation, and the closing join
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val e = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val o = e.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("t"))
+      .select(col("t.u").as("u"), col("t.v").as("v"), col("t.dv").as("dv"))
+      .localCheckpoint(true) // wedge pivot side AND closing side
+    val wedgeCands = o.as("e1").join(o.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+    val tri = wedgeCands
+      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("triangles"))
+    val shape = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("(d * (d - 1)) div 2")).as("wedges"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    shape.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("wedges"), col("triangles"),
+        round(col("triangles") * 3.0 / col("wedges"), 6).as("gcc"))
+  }
+
   /** Degree profile of the same symmetrized graph: how many nodes have each
     * degree — the one-scan shape check (hubs? saturation? orphan shards?)
     * run before committing to a join strategy on an unknown graph.

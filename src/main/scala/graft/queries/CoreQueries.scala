@@ -1308,7 +1308,7 @@ object CoreQueries {
     val rev = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name"), date_trunc("MONTH", col("o_orderdate")).as("month"))
+      .groupBy(col("n_name"), trunc(col("o_orderdate"), "month").as("month"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revd"))
     val w = Window.partitionBy("n_name").orderBy("month")
     rev
@@ -1343,7 +1343,7 @@ object CoreQueries {
     */
   def q71(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
-      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(round(sum(col("value").cast("decimal(28,6)")).cast("double") /
         count(lit(1)), 6).cast("decimal(18,6)").as("x"))
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -1381,7 +1381,7 @@ object CoreQueries {
     */
   def q72(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(
-      date_trunc("MONTH", col("o_orderdate")).as("month"),
+      trunc(col("o_orderdate"), "month").as("month"),
       col("o_orderdate"), col("o_totalprice"))
     def state(df: DataFrame): DataFrame = df.groupBy("month").agg(
       count(lit(1)).as("n"),

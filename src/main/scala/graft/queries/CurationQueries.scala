@@ -50,6 +50,42 @@ object CurationQueries {
           / count(lit(1)), 6).as("avg_quality"))
       .orderBy("source")
 
+  /** Per-source character budget for [[curateBudget]]. */
+  val budgetChars = 60000L
+
+  /** Token-budget selection: per source, greedily keep the highest-quality
+    * docs until the [[budgetChars]] character budget is exhausted — how a
+    * fixed-size training mix is actually filled from ranked candidates
+    * ("take the best N tokens per source", not "take all docs above a
+    * floor"). Selection order is total (quality desc, doc_id asc), the
+    * budget check is a cumulative window sum of exact integer sizes, and
+    * the per-source report carries what was spent and the quality bar the
+    * budget implied.
+    *
+    * Scale: quality is computed in the scan stage; the only shuffle is the
+    * per-source window partition (sources are few and balanced — at 100 TB
+    * the same cumsum runs per (source, shard) with a budget per shard, or
+    * via [[graft.operators.Quantiles]]-style threshold selection instead
+    * of a full sort when partitions skew).
+    */
+  def curateBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(qualityScore(col("text")), 6).as("q"))
+    val w = Window.partitionBy("source").orderBy(desc("q"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum", sum("n_chars").over(w))
+      .filter(col("cum") <= budgetChars)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("n_chars").as("chars_used"),
+        min("q").as("min_quality"),
+        round(sum(col("q").cast("decimal(18,9)")).cast("double")
+          / count(lit(1)), 6).as("avg_quality"))
+      .orderBy("source")
+  }
+
   /** The curated corpus itself, one row per kept doc — what a training dump
     * would materialize (id + provenance + token budget contribution).
     */
@@ -383,6 +419,18 @@ object CurationQueries {
            |       round(CAST(sum(CAST($qualSql AS DECIMAL(18,9))) AS DOUBLE)/count(*), 6) AS avg_quality
            |FROM documents d JOIN keep k ON k.doc_id = d.doc_id
            |WHERE (${SqlGen.langIdSql}) = 'en' AND $qualSql >= $qualityFloor
+           |GROUP BY source ORDER BY source""".stripMargin,
+      "curate_budget" ->
+        s"""WITH sc AS (SELECT doc_id, source, n_chars, round($qualSql, 6) AS q
+           |    FROM documents),
+           |c AS (SELECT *, CAST(sum(n_chars) OVER (PARTITION BY source
+           |    ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |  FROM sc)
+           |SELECT source, count(*) AS n_selected,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars_used,
+           |  min(q) AS min_quality,
+           |  round(CAST(sum(CAST(q AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS avg_quality
+           |FROM c WHERE cum <= $budgetChars
            |GROUP BY source ORDER BY source""".stripMargin,
       "curate_docs" ->
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))

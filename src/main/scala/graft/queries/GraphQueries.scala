@@ -65,6 +65,22 @@ object GraphQueries {
       .limit(50)
   }
 
+  /** `graph_triangles` — triangle census ([[Graph.triangleStats]]) of the
+    * part co-occurrence graph: parts are connected when some order contains
+    * both. The pair explosion is per-order (bounded by order size, ≤7 in
+    * TPC-H-shaped data), so edge derivation is one equi-join on the order
+    * key; the census itself is degree-ordered (see the operator doc).
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = li.as("x")
+      .join(li.select(col("ok"), col("pk").as("pk2")).as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("pk2"))
+      .select(col("x.pk").as("a"), col("pk2").as("b"))
+    Graph.triangleStats(pairs)
+  }
+
   /** Shared edge-derivation SQL: the parity-encoded symmetrized trade graph
     * with per-source degree (mirrored pairs cannot collide — src is even,
     * dst odd — so UNION ALL matches the Spark union+distinct).
@@ -115,6 +131,24 @@ object GraphQueries {
          |FROM pairs p JOIN deg d1 ON d1.i = p.i1 JOIN deg d2 ON d2.i = p.i2
          |ORDER BY overlap DESC, p.i1, p.i2 LIMIT 50""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
+    // Natural a<b<c triple join — counts each triangle once, same totals as
+    // the degree-ordered enumeration (which exists for scale, not results).
+    "graph_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT v, count(*) AS d FROM
+        |  (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) t GROUP BY v),
+        |tri AS (SELECT count(*) AS triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS wedges,
+        |  CAST(triangles AS BIGINT) AS triangles,
+        |  round(CAST(triangles AS DOUBLE) * 3.0
+        |    / CAST((SELECT sum((d * (d - 1)) // 2) FROM deg) AS DOUBLE), 6) AS gcc
+        |FROM tri""".stripMargin,
     "graph_degree" ->
       s"""WITH $edgeSql
          |SELECT deg AS degree, count(*) AS n_nodes

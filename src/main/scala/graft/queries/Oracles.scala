@@ -14,6 +14,33 @@ package graft.queries
   *  - integer SUM: DuckDB widens to HUGEINT, so the oracle casts back to BIGINT.
   */
 object Oracles {
+
+  /** q71's truncated-kernel EWMA, generated with the same [[CoreQueries
+    * .ewmaK]] lag terms and exact 0.5^k decimal weights as the Spark side:
+    * numerator and denominator are exact decimals in both engines, the one
+    * double division is shared IEEE.
+    */
+  private def ewmaOracle: String = {
+    val ks = 0 until CoreQueries.ewmaK
+    val lags = ks.drop(1).map(k =>
+      s"lag(x, $k) OVER (PARTITION BY event_type ORDER BY day) AS x$k").mkString(",\n  ")
+    def w(k: Int) = java.math.BigDecimal.valueOf(0.5).pow(k).toPlainString
+    val num = (s"x * ${w(0)}" +: ks.drop(1).map(k => s"coalesce(x$k * ${w(k)}, 0)").toSeq)
+      .mkString(" + ")
+    val den = (w(0) +: ks.drop(1).map(k => s"CASE WHEN x$k IS NULL THEN 0 ELSE ${w(k)} END").toSeq)
+      .mkString(" + ")
+    s"""WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+       |    CAST(round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+       |      / count(*), 6) AS DECIMAL(18,6)) AS x
+       |  FROM events GROUP BY 1, 2),
+       |l AS (SELECT event_type, day, x,
+       |  $lags
+       |  FROM daily)
+       |SELECT event_type, day, round(CAST(x AS DOUBLE), 6) AS daily_avg,
+       |  round(CAST($num AS DOUBLE) / CAST($den AS DOUBLE), 6) AS ewma
+       |FROM l ORDER BY event_type, day""".stripMargin
+  }
+
   val core: Map[String, String] = Map(
     "q01_project" ->
       "SELECT event_id, event_type AS kind, coalesce(props,'') AS props FROM events ORDER BY event_id LIMIT 50",
@@ -395,6 +422,66 @@ object Oracles {
         |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
         |  n_orders
         |FROM h ORDER BY o_custkey, version""".stripMargin,
+    // Same islands construction; interval lengths floor() to integers on
+    // both sides, running max/sum phrased with explicit ROWS frames.
+    "q68_interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value) AS BIGINT)*10000000 AS en
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (SELECT user_id, st, en, max(en) OVER (PARTITION BY user_id
+        |    ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |g AS (SELECT *, CAST(sum(CASE WHEN maxe IS NULL OR st > maxe THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY st, en ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS grp
+        |  FROM m),
+        |i AS (SELECT user_id, grp, min(st) AS gs, max(en) AS ge, count(*) AS nsrc
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, count(*) AS n_merged, CAST(sum(nsrc) AS BIGINT) AS n_raw,
+        |  CAST(sum(ge - gs) AS BIGINT) AS covered_us
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // quantile_cont matches Spark's percentile interpolation; the outlier
+    // predicate thresholds on the 6-ROUNDED med/mad both engines share.
+    "q69_mad_outliers" ->
+      s"""WITH med AS (SELECT event_type,
+         |    round(quantile_cont(value, 0.5), 6) AS med
+         |  FROM events GROUP BY event_type),
+         |mad AS (SELECT e.event_type, min(m.med) AS med,
+         |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad,
+         |    count(*) AS n
+         |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+         |SELECT e.event_type, min(t.n) AS n, min(t.med) AS med, min(t.mad) AS mad,
+         |  CAST(sum(CASE WHEN round(abs(e.value - t.med) - t.mad * ${CoreQueries.madK}, 6) > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+         |FROM events e JOIN mad t USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // exact DECIMAL revenue sums; numerators cast to double exactly once.
+    "q70_pop_movers" ->
+      """WITH rev AS (SELECT n_name, date_trunc('month', o_orderdate) AS month,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revd
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name, 2),
+        |l AS (SELECT *, lag(revd) OVER (PARTITION BY n_name ORDER BY month) AS prev
+        |  FROM rev)
+        |SELECT n_name, month, round(CAST(revd AS DOUBLE), 6) AS revenue,
+        |  round(CAST(prev AS DOUBLE), 6) AS prev_revenue,
+        |  round(CAST(revd - prev AS DOUBLE) / CAST(prev AS DOUBLE) * 100, 6) AS pct_change
+        |FROM l ORDER BY n_name, month""".stripMargin,
+    "q71_ewma" -> ewmaOracle,
+    // direct recompute — the Spark side's base+delta state merge must equal
+    // it bit-for-bit (exact DECIMAL moments, cast-once doubles).
+    "q72_incr_agg" ->
+      """WITH st AS (SELECT date_trunc('month', o_orderdate) AS month,
+        |    count(*) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        |    sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS ss
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(n AS BIGINT) AS n,
+        |  round(CAST(s AS DOUBLE), 6) AS total,
+        |  round(CAST(s AS DOUBLE) / n, 6) AS avg_price,
+        |  round(sqrt(CAST(CAST(n AS DECIMAL(20,0)) * ss - s * s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_price
+        |FROM st ORDER BY month""".stripMargin,
     // the predicate compares 6-rounded stats (see the Spark-side comment:
     // segment-tree vs recompute window partials differ in last ulps)
     "q64_rolling_anomaly" ->

@@ -206,6 +206,55 @@ object TextQueries {
       .orderBy("id")
   }
 
+  /** Top-rank cutoff for [[zipf]]'s log-log fit. */
+  val zipfTopN = 100
+
+  /** Zipf rank-frequency fit per source: OLS slope of ln(freq) against
+    * ln(rank) over each source's top [[zipfTopN]] tokens, with r² — the
+    * "is this source natural language" diagnostic (natural text sits near
+    * slope −1; templated/boilerplate corpora flatten or cliff). Both
+    * engines quantize ln values to 6 decimals and cast them to exact
+    * DECIMAL before the moment sums, so the only doubles are the shared
+    * ln() inputs (integer ranks/counts) and the final closed-form division
+    * written identically on both sides.
+    *
+    * Scale: token counts partial-aggregate on (source, token); the rank
+    * window runs per source over the VOCABULARY-sized aggregate, never the
+    * corpus; the fit reduces to one 6-number moment row per source.
+    */
+  def zipf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val win = Window.partitionBy("source").orderBy(desc("c"), asc("w"))
+    val pts = counts.withColumn("r", row_number().over(win))
+      .filter(col("r") <= zipfTopN)
+      .select(col("source"),
+        round(log(col("r").cast("double")), 6).cast("decimal(18,6)").as("x"),
+        round(log(col("c").cast("double")), 6).cast("decimal(18,6)").as("y"))
+    pts.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n"), {
+        val nd = col("n").cast("double")
+        val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+        val mxy = nd * col("sxy").cast("double") - sx * sy
+        val mxx = nd * col("sxx").cast("double") - sx * sx
+        val myy = nd * col("syy").cast("double") - sy * sy
+        struct(
+          round(mxy / mxx, 6).as("slope"),
+          round((mxy * mxy) / (mxx * myy), 6).as("r2")).as("m")
+      })
+      .select(col("source"), col("n"), col("m.slope").as("slope"),
+        col("m.r2").as("r2"))
+      .orderBy("source")
+  }
+
   /** Unigram language-model scoring: train p(w) = count(w)/total on the full
     * corpus, then score each doc by its mean token log-probability — the
     * cheap perplexity proxy a curation pipeline thresholds on (boilerplate
@@ -583,6 +632,30 @@ object TextQueries {
         s"""$bm25WithChain
           |$bm25SelectSql
           |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+      "text_zipf" ->
+        s"""WITH tok AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+           |    FROM documents),
+           |cnt AS (SELECT source, w, count(*) AS c FROM tok WHERE w <> ''
+           |    GROUP BY source, w),
+           |rk AS (SELECT source, c, row_number() OVER (
+           |    PARTITION BY source ORDER BY c DESC, w) AS r FROM cnt),
+           |pts AS (SELECT source, CAST(round(ln(r), 6) AS DECIMAL(18,6)) AS x,
+           |    CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y
+           |  FROM rk WHERE r <= $zipfTopN),
+           |mo AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+           |  FROM pts GROUP BY source),
+           |d AS (SELECT source, n,
+           |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS mxy,
+           |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS mxx,
+           |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS myy
+           |  FROM mo)
+           |SELECT source, CAST(n AS BIGINT) AS n, round(mxy / mxx, 6) AS slope,
+           |  round((mxy * mxy) / (mxx * myy), 6) AS r2
+           |FROM d ORDER BY source""".stripMargin,
       "text_vocab" ->
         s"""SELECT CAST(row_number() OVER (ORDER BY c DESC, token) AS INTEGER) AS id, token, c FROM (
            |  SELECT token, count(*) AS c FROM

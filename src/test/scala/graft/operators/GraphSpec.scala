@@ -59,6 +59,22 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleStats: K4 has 4 triangles; the census is direction/dup-proof") {
+    // K4 = 6 edges, C(4,3)=4 triangles, wedges = 4 * C(3,2) = 12, gcc = 1.
+    // Feed edges with mixed direction and a duplicate to prove normalization.
+    val e = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      ++ Seq((3L, 1L), (4L, 2L))).toDF("a", "b")
+    val r = Graph.triangleStats(e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      == ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("triangleStats: a triangle-free star reports zero closures") {
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val r = Graph.triangleStats(e).collect().head
+    assert(r.getLong(3) == 0L && r.getLong(2) == 3L) // wedges C(3,2) at the hub
+  }
+
   test("commonNeighbors: oversized groups drop; remaining pairs score exactly") {
     // group "hot" (3 items, cap 2) must vanish; group "ok" pairs normally
     val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 20L))

@@ -438,6 +438,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("interval coverage and SNM are window pipelines: no join anywhere") {
+    // both are single-sort-key constructions — a Join means the islands
+    // merge (q68) or the neighborhood pairing (snm) regressed into a
+    // self-join, which is the quadratic shape these operators exist to avoid
+    Seq("q68_interval_coverage", "dedup_snm").foreach { n =>
+      val p = plans(n)
+      assert(!p.contains("Join"), s"$n plans a join:\n$p")
+      assert(p.contains("Window"), s"$n lost its window:\n$p")
+    }
+  }
+
+  test("MAD outliers broadcast the stats frames back; the events never re-shuffle") {
+    val p = plans("q69_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"per-type stats must broadcast, not shuffle the events:\n$p")
+  }
+
+  test("movers/EWMA windows run on the aggregate, never the fact scan") {
+    // the window partition column must be the post-rollup key; a window
+    // whose spec carries the raw fact key (o_orderkey / event_id) would mean
+    // the lag smoothing regressed onto the unaggregated stream
+    Seq("q70_pop_movers", "q71_ewma").foreach { n =>
+      val p = plans(n)
+      assert(p.contains("Window"), s"$n lost its window:\n$p")
+      assert(!p.contains("event_id#") || !"windowspecdefinition\\([^)]*event_id#".r
+        .findFirstIn(p).isDefined, s"$n windows over the raw stream:\n$p")
+      assert(p.contains("partial_"), s"$n lost partial aggregation:\n$p") // map-side combine before the rollup shuffle
+    }
+  }
+
+  test("incremental agg merges two partial states through a union, no join") {
+    val p = plans("q72_incr_agg")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), s"state merge must not join:\n$p")
+  }
+
+  test("triangle census closes wedges with a LEFT SEMI equi-join") {
+    val p = plans("graph_triangles")
+    assert(p.contains("LeftSemi"), s"closing join must be left semi:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("zipf fit and budget selection window over per-source aggregates") {
+    Seq("text_zipf", "curate_budget").foreach { n =>
+      val p = plans(n)
+      assert(!p.contains("Join"), s"$n plans a join:\n$p")
+      assert("windowspecdefinition\\(source#".r.findFirstIn(p).isDefined,
+        s"$n must window per source:\n$p")
+    }
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
@@ -452,7 +504,7 @@ class PlanAuditSpec extends SparkSpec {
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
-      "q52_sketch_intersect", "q56_skew_profile")
+      "q52_sketch_intersect", "q56_skew_profile", "graph_triangles")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
