@@ -188,9 +188,8 @@ object CoreQueries {
 
   /** Q18 — tokenize + explode + word count top-k. */
   def q18(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    graft.queries.TextBackbone.unigrams(s, dir)
+      .select("w")
       .groupBy("w")
       .agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("w"))

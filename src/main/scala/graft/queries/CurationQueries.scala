@@ -133,9 +133,7 @@ object CurationQueries {
   def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val toks = TextBackbone.unigrams(s, dir).select("doc_id", "w")
     val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = wc.agg(sum("c").cast("double").as("tot"))
     val scored = toks.join(wc, "w").crossJoin(broadcast(tot))

@@ -112,13 +112,11 @@ object TextQueries {
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    def toks(d: org.apache.spark.sql.DataFrame) =
-      d.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
+    val toks = TextBackbone.unigrams(s, dir).select("doc_id", "w")
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    val tf = toks(docs.filter(col("doc_id") < 10)).groupBy("doc_id", "w")
+    val tf = toks.filter(col("doc_id") < 10).groupBy("doc_id", "w")
       .agg(count(lit(1)).as("tf"))
-    val dfreq = toks(docs).distinct().groupBy("w").agg(count(lit(1)).as("df"))
+    val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(desc("tfidf"), asc("term"))
     tf.join(dfreq, "w").crossJoin(broadcast(n))
@@ -154,10 +152,7 @@ object TextQueries {
     * depth.
     */
   private[queries] def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val toks = TextBackbone.unigrams(s, dir).select("doc_id", "w")
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
     val q = toks.filter(col("doc_id") === 0).select("w").distinct()
@@ -195,9 +190,8 @@ object TextQueries {
     * single-partition shape is bounded by the constant, not the corpus.
     */
   def vocab(s: SparkSession, dir: String): DataFrame = {
-    val top = Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
-      .filter(col("token") =!= "")
+    val top = TextBackbone.unigrams(s, dir)
+      .select(col("w").as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("token")).limit(vocabSize)
     val w = org.apache.spark.sql.expressions.Window.orderBy(desc("c"), asc("token"))
@@ -224,9 +218,7 @@ object TextQueries {
     */
   def zipf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = Tables.documents(s, dir)
-      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val counts = TextBackbone.unigrams(s, dir).select("source", "w")
       .groupBy("source", "w").agg(count(lit(1)).as("c"))
     val win = Window.partitionBy("source").orderBy(desc("c"), asc("w"))
     val pts = counts.withColumn("r", row_number().over(win))
@@ -266,9 +258,7 @@ object TextQueries {
     * single document's length, never the corpus.
     */
   def lmScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val toks = TextBackbone.unigrams(s, dir).select("doc_id", "w")
     val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = wc.agg(sum("c").cast("double").as("tot"))
     toks.filter(col("doc_id") < 200)
@@ -299,18 +289,10 @@ object TextQueries {
     * top-[[pmiTopN]] over the min-count-filtered pairs.
     */
   def pmi(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val toks = docs
-      .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val toks = TextBackbone.unigrams(s, dir).select("w")
     val uc = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = uc.agg(sum("c").cast("double").as("T"))
-    val bi = docs.select(split(lower(col("text")), " ").as("W"))
-      .filter(size(col("W")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(W)-2), i -> struct(W[i] AS w1, W[i+1] AS w2))")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bi = TextBackbone.bigrams(s, dir).select("w1", "w2")
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val btot = bc.agg(sum("c").cast("double").as("B"))
     bc.filter(col("c") >= pmiMinCount)
@@ -332,9 +314,7 @@ object TextQueries {
     * both counts are partial-aggregable.
     */
   def oov(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val toks = TextBackbone.unigrams(s, dir).select("doc_id", "w")
     val v = vocab(s, dir).select(col("token").as("w"))
     val per = toks.groupBy("doc_id").agg(count(lit(1)).as("toks"))
     val ov = toks.join(broadcast(v), Seq("w"), "left_anti")
@@ -442,17 +422,10 @@ object TextQueries {
     * engine-identical.
     */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val uc = docs.select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val uc = TextBackbone.unigrams(s, dir).select("w")
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val vocabN = uc.agg(count(lit(1)).cast("double").as("V"))
-    val bi = docs.select(col("doc_id"), split(lower(col("text")), " ").as("W"))
-      .filter(size(col("W")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(W)-2), i -> struct(W[i] AS w1, W[i+1] AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val bi = TextBackbone.bigrams(s, dir)
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     bi.filter(col("doc_id") < 200)
       .join(bc, Seq("w1", "w2"))
@@ -488,9 +461,7 @@ object TextQueries {
     */
   def heavy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val toks = Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
-      .filter(col("token") =!= "")
+    val toks = TextBackbone.unigrams(s, dir).select(col("w").as("token"))
     val vocabN = vocabCounts.getOrElseUpdate((s, dir), toks.distinct().count())
     require(vocabN <= heavyCapacity,
       s"corpus vocabulary $vocabN exceeds the $heavyCapacity-counter exact regime " +
