@@ -105,6 +105,13 @@ object SparkEntry {
     "q70_pop_movers"     -> CoreQueries.q70 _,
     "q71_ewma"           -> CoreQueries.q71 _,
     "q72_incr_agg"       -> CoreQueries.q72 _,
+    "q73_rolling_wau"    -> CoreQueries.q73 _,
+    "q74_pareto"         -> CoreQueries.q74 _,
+    "q75_basket"         -> CoreQueries.q75 _,
+    "q76_cohort_ltv"     -> CoreQueries.q76 _,
+    "q77_chi2"           -> StatQueries.chi2 _,
+    "q78_abtest"         -> StatQueries.abtest _,
+    "q79_corr"           -> StatQueries.corr2 _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
     "graph_common"       -> GraphQueries.common _,
@@ -130,6 +137,7 @@ object SparkEntry {
     "text_pmi"           -> TextQueries.pmi _,
     "text_oov"           -> TextQueries.oov _,
     "text_gopher"        -> TextQueries.gopher _,
+    "text_novelty"       -> TextQueries.novelty _,
     "chunk_docs"         -> TextQueries.chunks _,
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
@@ -199,7 +207,7 @@ object SparkEntry {
     * parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++
+    Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++ StatQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
       CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle ++
       RetrievalQueries.oracle ++ GraphQueries.oracle ++ LinkQueries.oracle

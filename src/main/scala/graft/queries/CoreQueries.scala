@@ -1396,13 +1396,170 @@ object CoreQueries {
         val nd = col("n").cast("double")
         val m2 = (ndec * col("ss") - col("s") * col("s")).cast("double")
         struct(
-          round(col("s").cast("double"), 6).as("total"),
+          // round at SCALE 2, not 6: the monthly total reaches ~4.3e9 at
+          // sf1, where 6-decimal rounding needs 16 significant digits —
+          // past double's exact range, and the two engines' rounding
+          // mechanisms disagree by one scale-6 ulp (observed in the sf1
+          // rehearsal). At scale 2 the scaled value stays far below 2^53.
+          round(col("s").cast("double"), 2).as("total"),
           round(col("s").cast("double") / nd, 6).as("avg_price"),
           round(sqrt(m2 / (nd * (nd - 1))), 6).as("sd_price")).as("m")
       })
       .select(col("month"), col("n"), col("m.total").as("total"),
         col("m.avg_price").as("avg_price"), col("m.sd_price").as("sd_price"))
       .orderBy("month")
+  }
+
+  /** Rolling-window length (days) for [[q73]]. */
+  val wauDays = 7
+
+  /** Q73 — rolling 7-day active users (WAU) per day, WITHOUT a
+    * distinct-over-sliding-window: for each user's active day, emit the
+    * days whose trailing [[wauDays]]-day window that activity is the
+    * user's FIRST contribution to — `[max(d, prev_active + 7), d + 6]`, an
+    * interval that is empty-proof and disjoint from the previous
+    * occurrence's by construction — then a plain partial-aggregable count
+    * per day. The naive phrasing (`count(DISTINCT user) OVER (RANGE 6
+    * PRECEDING)`) re-shuffles every event into every window it touches
+    * and cannot partial-aggregate; this one is a (user, day) dedup, a
+    * per-user lag, a ≤7-row bounded explode, and one count — every stage
+    * shuffles compact keys, so the same plan holds at 100 TB.
+    */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    act
+      .withColumn("prev", lag("d", 1).over(w))
+      .withColumn("from",
+        when(col("prev").isNull, col("d"))
+          .otherwise(greatest(col("d"), date_add(col("prev"), wauDays))))
+      .withColumn("to", date_add(col("d"), wauDays - 1))
+      .select(explode(sequence(col("from"), col("to"))).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("wau"))
+      .orderBy("day")
+  }
+
+  /** Band width (in exact cents) for [[q74]]'s distributed prefix sum. */
+  val paretoBandCents = 6553600L
+
+  /** Cumulative-share class boundaries for [[q74]] (percent). */
+  val paretoA = 80L
+  val paretoB = 95L
+
+  /** Q74 — Pareto/ABC classification of parts by revenue: rank parts by
+    * exact DECIMAL revenue, classify A while the cumulative share before a
+    * part is under [[paretoA]]%, B under [[paretoB]]%, C otherwise, and
+    * roll up each class. The cumulative sum NEVER runs as a global
+    * single-partition window: parts are banded by `revenue_cents div
+    * [[paretoBandCents]]` (bands are order-consistent with revenue — a
+    * strictly higher band means strictly higher revenue), band totals get
+    * a running offset on the BAND-count-sized frame, and each part's
+    * global cumulative = band offset + within-band window partitioned BY
+    * band — the classic two-level distributed prefix sum. Class
+    * comparisons multiply exact decimals by integer percents, so no
+    * engine can flip a boundary part.
+    */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("r"))
+      .withColumn("band",
+        expr(s"CAST(r * 100 AS BIGINT) div $paretoBandCents"))
+    val bandOff = rev.groupBy("band").agg(sum("r").as("bsum"))
+      .withColumn("off", coalesce(
+        sum("bsum").over(Window.orderBy(desc("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(BigDecimal(0))))
+      .select("band", "off")
+    val tot = rev.agg(sum("r").as("T"))
+    val wLoc = Window.partitionBy("band").orderBy(desc("r"), asc("l_partkey"))
+    rev.join(broadcast(bandOff), "band")
+      .withColumn("cum", col("off") + sum("r").over(wLoc))
+      .withColumn("cb", col("cum") - col("r"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cb") * 100 < col("T") * paretoA, "A")
+          .when(col("cb") * 100 < col("T") * paretoB, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), sum("r").as("revd"), max("T").as("T"))
+      .select(col("cls"), col("n_parts"),
+        // class totals reach ~2e9 even at verify scale — scale-2 rounding
+        // (exact: the decimal source has scale 2) keeps both engines'
+        // rounding in double's exact range; the SHARE is ≤ 1 so scale 6
+        // is safe there.
+        round(col("revd").cast("double"), 2).as("revenue"),
+        round(col("revd").cast("double") / col("T").cast("double"), 6).as("share"))
+      .orderBy("cls")
+  }
+
+  /** Minimum pair co-occurrence kept by [[q75]]. */
+  val basketMinSup = 3
+
+  /** Q75 — market-basket association rules over order baskets: distinct
+    * part pairs co-occurring in an order, with support, confidence and
+    * lift. The pair generator is a SELF-EQUI-join on `l_orderkey` with
+    * `p1 < p2` — both sides hash to the same orderkey partitioning (ONE
+    * shuffle, co-partitioned), and the fan-out is bounded by the basket
+    * size (≤ ~dozens of lines), never the catalog. Per-part order counts
+    * ride broadcasts; the ranking is a TakeOrdered over the
+    * [[basketMinSup]]-filtered pairs on the ROUNDED lift (ties by part
+    * keys).
+    */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val it = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val n = it.agg(countDistinct("l_orderkey").cast("double").as("N"))
+    val pc = it.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val pairs = it.as("a")
+      .join(it.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= basketMinSup)
+    pairs
+      .join(broadcast(pc.select(col("l_partkey").as("p1"), col("c").as("c1"))), "p1")
+      .join(broadcast(pc.select(col("l_partkey").as("p2"), col("c").as("c2"))), "p2")
+      .crossJoin(broadcast(n))
+      .select(col("p1"), col("p2"), col("cnt"),
+        round(col("cnt") / col("N"), 6).as("support"),
+        round(col("cnt") / col("c1"), 6).as("confidence"),
+        round(col("cnt") * col("N") / (col("c1") * col("c2")), 6).as("lift"))
+      .orderBy(desc("lift"), asc("p1"), asc("p2"))
+      .limit(20)
+  }
+
+  /** Q76 — cohort lifetime-value matrix: customers grouped by first-order
+    * month, revenue per (cohort, month offset) with the running cumulative
+    * and per-customer LTV. First-order months are one partial-aggregable
+    * min; the offset rollup shuffles (cohort, offset) keys only; the
+    * cumulative window partitions BY COHORT over the months-sized
+    * aggregate (never the orders); cohort sizes ride a broadcast. Revenue
+    * is exact DECIMAL end-to-end, cast to double exactly once per output
+    * column.
+    */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"), trunc(col("o_orderdate"), "month").as("m"),
+      col("o_totalprice"))
+    val first = o.groupBy("o_custkey").agg(min("m").as("cohort"))
+    val sz = first.groupBy("cohort").agg(count(lit(1)).as("customers"))
+    val rev = o.join(first, "o_custkey")
+      .groupBy(col("cohort"),
+        months_between(col("m"), col("cohort")).cast("int").as("m_offset"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revd"))
+    rev.join(broadcast(sz), "cohort")
+      .withColumn("cum", sum("revd").over(
+        Window.partitionBy("cohort").orderBy("m_offset")))
+      .select(col("cohort"), col("m_offset"), col("customers"),
+        round(col("revd").cast("double"), 2).as("revenue"),
+        round(col("cum").cast("double"), 2).as("cum_revenue"),
+        round(col("cum").cast("double") / col("customers"), 6).as("ltv"))
+      .orderBy("cohort", "m_offset")
   }
 
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`

@@ -422,6 +422,63 @@ object Oracles {
         |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
         |  n_orders
         |FROM h ORDER BY o_custkey, version""".stripMargin,
+    // brute-force window join (sound at verify scale); the Spark side's
+    // bounded coverage-interval explode must produce identical counts
+    "q73_rolling_wau" ->
+      s"""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         |days AS (SELECT DISTINCT d + CAST(i AS INTEGER) AS day
+         |  FROM act, range(${CoreQueries.wauDays}) t(i))
+         |SELECT day, count(DISTINCT a.user_id) AS wau
+         |FROM days j JOIN act a
+         |  ON a.d BETWEEN j.day - ${CoreQueries.wauDays - 1} AND j.day
+         |GROUP BY day ORDER BY day""".stripMargin,
+    // single global window cumsum (fine at verify scale); class boundaries
+    // compare exact decimals times integer percents on both sides
+    "q74_pareto" ->
+      s"""WITH rev AS (SELECT l_partkey,
+         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT sum(r) AS T FROM rev),
+         |c AS (SELECT l_partkey, r,
+         |    sum(r) OVER (ORDER BY r DESC, l_partkey) AS cum FROM rev),
+         |k AS (SELECT l_partkey, r, cum - r AS cb, T FROM c, t)
+         |SELECT CASE WHEN cb*100 < T*${CoreQueries.paretoA} THEN 'A'
+         |            WHEN cb*100 < T*${CoreQueries.paretoB} THEN 'B'
+         |            ELSE 'C' END AS cls,
+         |  count(*) AS n_parts, round(CAST(sum(r) AS DOUBLE), 2) AS revenue,
+         |  round(CAST(sum(r) AS DOUBLE) / CAST(min(T) AS DOUBLE), 6) AS share
+         |FROM k GROUP BY 1 ORDER BY cls""".stripMargin,
+    "q75_basket" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS N FROM it),
+         |pc AS (SELECT l_partkey, count(*) AS c FROM it GROUP BY 1),
+         |pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS cnt
+         |  FROM it a JOIN it b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= ${CoreQueries.basketMinSup})
+         |SELECT p1, p2, cnt, round(cnt / N, 6) AS support,
+         |  round(cnt / c1.c, 6) AS confidence,
+         |  round(cnt * N / (c1.c * c2.c), 6) AS lift
+         |FROM pr JOIN pc c1 ON c1.l_partkey = pr.p1
+         |  JOIN pc c2 ON c2.l_partkey = pr.p2, nn
+         |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin,
+    "q76_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+        |    o_totalprice FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS cohort FROM o GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS customers FROM f GROUP BY 1),
+        |rev AS (SELECT cohort,
+        |    CAST(date_diff('month', cohort, m) AS INTEGER) AS m_offset,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revd
+        |  FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+        |c AS (SELECT cohort, m_offset, revd,
+        |    sum(revd) OVER (PARTITION BY cohort ORDER BY m_offset) AS cum
+        |  FROM rev)
+        |SELECT c.cohort, m_offset, customers,
+        |  round(CAST(revd AS DOUBLE), 2) AS revenue,
+        |  round(CAST(cum AS DOUBLE), 2) AS cum_revenue,
+        |  round(CAST(cum AS DOUBLE) / customers, 6) AS ltv
+        |FROM c JOIN sz USING (cohort) ORDER BY cohort, m_offset""".stripMargin,
     // Same islands construction; interval lengths floor() to integers on
     // both sides, running max/sum phrased with explicit ROWS frames.
     "q68_interval_coverage" ->
@@ -477,7 +534,7 @@ object Oracles {
         |    sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS ss
         |  FROM orders GROUP BY 1)
         |SELECT month, CAST(n AS BIGINT) AS n,
-        |  round(CAST(s AS DOUBLE), 6) AS total,
+        |  round(CAST(s AS DOUBLE), 2) AS total,
         |  round(CAST(s AS DOUBLE) / n, 6) AS avg_price,
         |  round(sqrt(CAST(CAST(n AS DECIMAL(20,0)) * ss - s * s AS DOUBLE)
         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_price

@@ -509,6 +509,32 @@ object TextQueries {
       .limit(200)
   }
 
+  /** Per-doc 3-gram novelty: the fraction of a doc's DISTINCT word
+    * 3-grams whose FIRST corpus occurrence (minimum doc_id) is this doc —
+    * the marginal-contribution curve dataset growth decisions read
+    * ("newly crawled shard N adds 3% novel content"). One bounded 3-gram
+    * explode, a per-gram min partial-aggregate, and one gram-keyed join
+    * back — every shuffle carries gram keys or per-doc counters, so the
+    * pass scales exactly like the dedup family's shingle stage.
+    */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("W"))
+      .filter(size(col("W")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(W)-3), i -> concat_ws(' ', W[i], W[i+1], W[i+2]))")).as("g"))
+      .distinct()
+    val firstDoc = grams.groupBy("g").agg(min("doc_id").as("fd"))
+    grams.join(firstDoc, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_grams"), col("novel"),
+        round(col("novel") / col("n_grams"), 6).as("novelty"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
   /** Oracle mirror of [[bm25Scores]], split as (WITH-chain, final SELECT) so
     * [[RetrievalQueries]]'s hybrid oracle can wrap the SELECT as one more CTE
     * — one source for both renderings, the two cannot drift.
@@ -713,6 +739,18 @@ object TextQueries {
            |         ELSE (len(W) - $chunkToks + ${chunkStride - 1}) // $chunkStride + 1 END AS nc
            |   FROM (SELECT doc_id, string_split(text, ' ') AS W FROM documents) t0) t1) t2
            | ORDER BY doc_id, chunk""".stripMargin.replaceAll("\n", ""),
+      "text_novelty" ->
+        """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS W FROM documents),
+          |g AS (SELECT DISTINCT doc_id, W[i]||' '||W[i+1]||' '||W[i+2] AS g
+          |  FROM (SELECT doc_id, W, unnest(range(1, len(W)-1)) AS i FROM w
+          |        WHERE len(W) >= 3) t),
+          |fd AS (SELECT g, min(doc_id) AS fd FROM g GROUP BY g)
+          |SELECT g.doc_id, count(*) AS n_grams,
+          |  CAST(sum(CASE WHEN fd.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+          |  round(CAST(sum(CASE WHEN fd.fd = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          |    / count(*), 6) AS novelty
+          |FROM g JOIN fd USING (g)
+          |GROUP BY g.doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
       "text_gopher" -> {
         val mwlSql =
           "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END)"

@@ -490,6 +490,57 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("rolling WAU never plans a distinct-over-window: bounded explode + one count") {
+    val p = plans("q73_rolling_wau")
+    assert(!p.contains("Join"), s"WAU must not join days to activity:\n$p")
+    assert(p.contains("Generate"), s"lost the coverage-interval explode:\n$p")
+    assert(p.contains("partial_count"), s"day rollup lost map-side combine:\n$p")
+  }
+
+  test("Pareto cumsum is two-level: within-band windows, band offsets broadcast") {
+    val p = plans("q74_pareto")
+    assert("windowspecdefinition\\(band#".r.findFirstIn(p).isDefined,
+      s"part-level cumsum must partition by band:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"band offsets and the total must broadcast:\n$p")
+  }
+
+  test("basket pairs come from ONE co-partitioned equi-self-join; ranking is top-k") {
+    val p = plans("q75_basket")
+    assert(p.contains("TakeOrderedAndProject"), s"lift ranking must be top-k:\n$p")
+    val sortMerges = "SortMergeJoin".r.findAllIn(p).length
+    val shuffledHash = "ShuffledHashJoin".r.findAllIn(p).length
+    assert(sortMerges + shuffledHash <= 1,
+      s"only the orderkey pair join may shuffle; part counts broadcast:\n$p")
+  }
+
+  test("cohort LTV windows partition by cohort; cohort sizes broadcast") {
+    val p = plans("q76_cohort_ltv")
+    assert("windowspecdefinition\\(cohort#".r.findFirstIn(p).isDefined,
+      s"cumulative must partition by cohort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cohort sizes must broadcast:\n$p")
+  }
+
+  test("stat tests are single-scan moment rollups") {
+    // chi2: contingency margins broadcast back, never a fact re-shuffle
+    val chi = plans("q77_chi2")
+    assert(!chi.contains("SortMergeJoin") && !chi.contains("ShuffledHashJoin"), chi)
+    // corr: NO join at all — one aggregate row unfolds into the pair rows
+    val corr = plans("q79_corr")
+    assert(!corr.contains("Join"), s"corr matrix must be join-free:\n$corr")
+    assert(corr.contains("Generate"), s"pair unfold lost its explode:\n$corr")
+    // all three partial-aggregate before their single shuffle
+    Seq("q77_chi2", "q78_abtest", "q79_corr").foreach { n =>
+      assert(plans(n).contains("partial_"), s"$n lost map-side combine")
+    }
+  }
+
+  test("novelty shuffles gram keys only: explode, partial min, one gram join") {
+    val p = plans("text_novelty")
+    assert(p.contains("Generate"), s"lost the 3-gram explode:\n$p")
+    assert(p.contains("partial_min"), s"first-occurrence min lost partials:\n$p")
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
