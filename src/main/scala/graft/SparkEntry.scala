@@ -112,6 +112,11 @@ object SparkEntry {
     "q77_chi2"           -> StatQueries.chi2 _,
     "q78_abtest"         -> StatQueries.abtest _,
     "q79_corr"           -> StatQueries.corr2 _,
+    "q80_attribution"    -> CoreQueries.q80 _,
+    "q81_window_funnel"  -> CoreQueries.q81 _,
+    "q82_fill_rate"      -> CoreQueries.q82 _,
+    "q83_ratio_report"   -> CoreQueries.q83 _,
+    "q84_paths"          -> CoreQueries.q84 _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
     "graph_common"       -> GraphQueries.common _,

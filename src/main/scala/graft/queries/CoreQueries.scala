@@ -1562,6 +1562,154 @@ object CoreQueries {
       .orderBy("cohort", "m_offset")
   }
 
+  /** Q80 — first-touch revenue attribution: each user's purchases credited
+    * to the event type that FIRST brought them in. The first touch is a
+    * partial-aggregable `min(struct(us, event_id, type))` — the packed-min
+    * idiom, NOT a row_number window, so the event log partial-aggregates
+    * map-side instead of fully shuffling by user; per-user purchase rollups
+    * shuffle the same key, and the final attribution rollup is
+    * touch-type-sized. Purchase values sum as exact DECIMAL; the
+    * attributed total rounds at SCALE 2 (the SCALE_r8 magnitude rule).
+    */
+  def q80(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+    val first = ev
+      .groupBy("user_id")
+      .agg(min(struct(col("us").as("us"), col("event_id").as("eid"),
+        col("event_type").as("et"))).as("f"))
+      .select(col("user_id"), col("f.et").as("first_touch"))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("np"),
+        sum(col("value").cast("decimal(28,6)")).as("v"))
+    first.join(conv, Seq("user_id"), "left")
+      .groupBy("first_touch")
+      .agg(count(lit(1)).as("users"),
+        sum(when(col("np").isNotNull, 1L).otherwise(0L)).as("converted"),
+        coalesce(sum("np"), lit(0L)).as("purchases"),
+        round(coalesce(sum("v"), lit(BigDecimal(0))).cast("double"), 2)
+          .as("attributed_value"))
+      .orderBy("first_touch")
+  }
+
+  /** Funnel window for [[q81]] in microseconds (24 h). */
+  val funnelWindowUs = 86400000000L
+
+  /** Q81 — TIME-BOUNDED window funnel (the `windowFunnel` shape): the
+    * deepest view → click → purchase chain each user completes with the
+    * whole chain inside [[funnelWindowUs]], counted per depth. Unlike
+    * q42's untimed first-occurrence funnel, chain EXISTENCE under a time
+    * bound cannot anchor on first events — so the plan computes, in ONE
+    * pass of cascaded conditional running maxes over each user's ordered
+    * stream, `lv` = latest view strictly before each row and `ca` = the
+    * best (latest) view-anchor among clicks strictly before each row; a
+    * purchase completes depth 3 iff `ca ≥ ts − window`, a click depth 2
+    * iff `lv ≥ ts − window` (v < c < p makes the inner gaps free). One
+    * user-keyed shuffle, two same-spec window frames (no extra exchange),
+    * no self-join, no per-anchor re-scan — the event log is read once at
+    * any scale.
+    */
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("lv",
+        max(when(col("event_type") === "view", col("us"))).over(wPrev))
+      .withColumn("ca",
+        max(when(col("event_type") === "click", col("lv"))).over(wPrev))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+        max(when(col("event_type") === "click" &&
+          col("lv") >= col("us") - funnelWindowUs, 1).otherwise(0)).as("l2"),
+        max(when(col("event_type") === "purchase" &&
+          col("ca") >= col("us") - funnelWindowUs, 1).otherwise(0)).as("l3"))
+      .select(
+        when(col("l3") === 1, 3).when(col("l2") === 1, 2)
+          .when(col("l1") === 1, 1).otherwise(0).as("level"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("level")
+  }
+
+  /** Q82 — order-to-ship service levels: the lag-day distribution per
+    * order priority (n, min, max, p50/p90/p99). The fact-fact join runs
+    * co-partitioned on the order key (both sides shuffle once to the same
+    * partitioning — at 100 TB this is the bucketed-join shape, never a
+    * broadcast of a fact); lags are exact integer day counts, so the
+    * percentile interpolation is the engine-shared exact arithmetic the
+    * q69 family already pins.
+    */
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val lag = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d2"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("d1")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), datediff(col("d2"), col("d1")).as("lag"))
+    lag.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min("lag").as("min_lag"), max("lag").as("max_lag"),
+        round(expr("percentile(lag, 0.5)"), 6).as("p50"),
+        round(expr("percentile(lag, 0.9)"), 6).as("p90"),
+        round(expr("percentile(lag, 0.99)"), 6).as("p99"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q83 — ratio-to-report within a hierarchy: each nation's revenue as a
+    * share of its region and of the world. Dimension joins broadcast; the
+    * share windows run on the 25-row (region, nation) AGGREGATE (the
+    * region partition bounds the frame); the world total is a broadcast
+    * single-row aggregate. Revenue is exact DECIMAL, totals round at
+    * scale 2.
+    */
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("revd"))
+    val tot = rev.agg(sum("revd").as("gt"))
+    rev
+      .withColumn("rtot", sum("revd").over(Window.partitionBy("r_name")))
+      .crossJoin(broadcast(tot))
+      .select(col("r_name"), col("n_name"),
+        round(col("revd").cast("double"), 2).as("revenue"),
+        round(col("revd").cast("double") / col("rtot").cast("double"), 6)
+          .as("share_region"),
+        round(col("revd").cast("double") / col("gt").cast("double"), 6)
+          .as("share_total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Q84 — top event PATHS: the most common length-3 event-type sequences
+    * across all user streams — q66's transition matrix extended one order
+    * deeper, still window-only: two lags over each user's ordered stream
+    * (one shuffle), a partial-aggregable path count, and a TakeOrdered
+    * top-20. The path alphabet bounds the aggregate (|types|³), never the
+    * stream.
+    */
+  def q84(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(20)
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

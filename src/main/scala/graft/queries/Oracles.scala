@@ -422,6 +422,78 @@ object Oracles {
         |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
         |  n_orders
         |FROM h ORDER BY o_custkey, version""".stripMargin,
+    // first-touch via row_number CTE — mechanism differs from Spark's
+    // packed-min (deliberate: (us, event_id) is a total order, so both
+    // derivations name the same event); HUGEINT-prone sums cast to BIGINT
+    "q80_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, event_type AS first_touch FROM
+        |  (SELECT user_id, event_type, row_number() OVER
+        |     (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM e) t
+        |  WHERE rn = 1),
+        |c AS (SELECT user_id, count(*) AS np,
+        |    sum(CAST(value AS DECIMAL(28,6))) AS v
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT first_touch, count(*) AS users,
+        |  CAST(sum(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS converted,
+        |  CAST(coalesce(sum(np), 0) AS BIGINT) AS purchases,
+        |  round(CAST(coalesce(sum(v), 0) AS DOUBLE), 2) AS attributed_value
+        |FROM f LEFT JOIN c USING (user_id)
+        |GROUP BY first_touch ORDER BY first_touch""".stripMargin,
+    // identical cascaded running-max construction; window bound shared
+    "q81_window_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN us END) OVER
+         |   (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv FROM e),
+         |w2 AS (SELECT *, max(CASE WHEN event_type = 'click' THEN lv END) OVER
+         |   (PARTITION BY user_id ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ca FROM w1),
+         |u AS (SELECT user_id,
+         |   max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS l1,
+         |   max(CASE WHEN event_type = 'click'
+         |     AND lv >= us - ${CoreQueries.funnelWindowUs} THEN 1 ELSE 0 END) AS l2,
+         |   max(CASE WHEN event_type = 'purchase'
+         |     AND ca >= us - ${CoreQueries.funnelWindowUs} THEN 1 ELSE 0 END) AS l3
+         | FROM w2 GROUP BY user_id)
+         |SELECT CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2
+         |            WHEN l1 = 1 THEN 1 ELSE 0 END AS level,
+         |  count(*) AS users
+         |FROM u GROUP BY 1 ORDER BY level""".stripMargin,
+    "q82_fill_rate" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(lag) AS INTEGER) AS min_lag, CAST(max(lag) AS INTEGER) AS max_lag,
+        |  round(quantile_cont(lag, 0.5), 6) AS p50,
+        |  round(quantile_cont(lag, 0.9), 6) AS p90,
+        |  round(quantile_cont(lag, 0.99), 6) AS p99
+        |FROM (SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q83_ratio_report" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS revd
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |t AS (SELECT sum(revd) AS gt FROM rev),
+        |w AS (SELECT r_name, n_name, revd,
+        |    sum(revd) OVER (PARTITION BY r_name) AS rtot FROM rev)
+        |SELECT r_name, n_name, round(CAST(revd AS DOUBLE), 2) AS revenue,
+        |  round(CAST(revd AS DOUBLE) / CAST(rtot AS DOUBLE), 6) AS share_region,
+        |  round(CAST(revd AS DOUBLE) / CAST(gt AS DOUBLE), 6) AS share_total
+        |FROM w, t ORDER BY r_name, n_name""".stripMargin,
+    "q84_paths" ->
+      """SELECT path, count(*) AS n FROM
+        |  (SELECT lag(event_type, 2) OVER w || '>' ||
+        |          lag(event_type, 1) OVER w || '>' || event_type AS path
+        |   FROM events
+        |   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+        |WHERE path IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // brute-force window join (sound at verify scale); the Spark side's
     // bounded coverage-interval explode must produce identical counts
     "q73_rolling_wau" ->

@@ -242,6 +242,53 @@ object StreamOps {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("events"), sum("value").as("value"))
 
+  case class WauIn(user_id: Long, ts: Timestamp)
+  case class WauCover(day: java.sql.Date, user_id: Long)
+
+  /** Streaming twin of batch `q73_rolling_wau`: per user, keyed state holds
+    * ONLY the last active epoch day (one long per active user, forever),
+    * and each newly-seen active day emits the user's disjoint coverage
+    * interval `[max(d, prev + window), d + window − 1]` as one row per day
+    * — a bounded ≤ `windowDays` fan-out. Downstream, rolling distinct
+    * users per day is a plain streaming `groupBy(day).count()` over these
+    * rows: the distinct-over-sliding-window that normally needs per-window
+    * user sets in state reduces to a counter, because the coverage
+    * construction guarantees each (user, day) is emitted AT MOST ONCE.
+    *
+    * Ordering contract (same honesty as [[anomalyStream]]): days are
+    * processed in ascending order within each micro-batch; an active day
+    * at or before the user's recorded last-active day arrives late and is
+    * ignored (its coverage was already emitted). When one batch replays
+    * the whole log, the emitted rows equal the batch query's coverage
+    * explode exactly — the differential the spec pins.
+    */
+  def wauCoverageStream(events: DataFrame, windowDays: Int = 7): Dataset[WauCover] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts")).as[WauIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, WauCover](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid, rows, state: GroupState[Long]) =>
+          var prev = state.getOption
+          val out = Seq.newBuilder[WauCover]
+          rows.map(_.ts.toLocalDateTime.toLocalDate.toEpochDay)
+            .toSeq.distinct.sorted
+            .foreach { d =>
+              if (prev.forall(_ < d)) {
+                val from = prev.map(p => math.max(d, p + windowDays)).getOrElse(d)
+                (from to d + windowDays - 1).foreach { e =>
+                  out += WauCover(
+                    java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(e)), uid)
+                }
+                prev = Some(d)
+              }
+            }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   case class AnomIn(event_type: String, event_id: Long, ts: Timestamp, value: Double)
   case class Anomaly(event_type: String, event_id: Long, value: Double,
                      roll_avg: Double, roll_sd: Double)

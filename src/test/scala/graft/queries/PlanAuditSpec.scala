@@ -541,6 +541,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"first-occurrence min lost partials:\n$p")
   }
 
+  test("attribution first-touch is a packed-min aggregate, not a row_number window") {
+    val p = plans("q80_attribution")
+    assert(!p.contains("row_number"), s"first touch must partial-aggregate:\n$p")
+    assert(p.contains("partial_min"), s"packed-min lost map-side combine:\n$p")
+  }
+
+  test("window funnel is one pass: single user shuffle, no self-join") {
+    val p = plans("q81_window_funnel")
+    assert(!p.contains("Join"), s"funnel chains must not self-join:\n$p")
+    val shuffles = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(shuffles <= 1, s"cascaded windows must share one user exchange:\n$p")
+  }
+
+  test("fill-rate joins the facts co-partitioned; ratio-report broadcasts dims") {
+    assert(!plans("q82_fill_rate").contains("CartesianProduct"))
+    val p = plans("q83_ratio_report")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-fact shuffle join here:\n$p")
+  }
+
+  test("event paths: window lags then partial-aggregated top-k") {
+    val p = plans("q84_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"path ranking must be top-k:\n$p")
+    assert(p.contains("partial_count"), s"path count lost map-side combine:\n$p")
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")

@@ -203,6 +203,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming WAU coverage equals batch q73 when one batch replays the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val src = MemoryStream[StreamOps.WauIn](spark)
+    val rows = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts").as[StreamOps.WauIn].collect().toSeq
+    src.addData(rows)
+    val q = StreamOps.wauCoverageStream(src.toDF())
+      .writeStream.format("memory").queryName("wau_stream")
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // each (user, day) emitted at most once -> WAU is a plain count
+      val streamed = spark.sql(
+        "SELECT day, count(*) AS wau FROM wau_stream GROUP BY day ORDER BY day")
+        .collect().toSeq
+      val batch = graft.queries.CoreQueries.q73(spark, sf0001).collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins a dim without join state") {
     import spark.implicits._
     val src = new MemoryFlowSource(spark)
