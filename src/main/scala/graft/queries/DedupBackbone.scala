@@ -1,0 +1,93 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Shared staged chain for the MinHash-LSH dedup family.
+  *
+  * Seven declared queries run the SAME upstream pipeline over the corpus —
+  * distinct shingle hashes → minhash signatures → banded LSH candidates →
+  * Jaccard-verified pairs → connected components — and differ only in the
+  * tier they read (candidates, scores, pairs, groups) or the tail they
+  * apply (argmax, drop, per-lang rollup). Re-running the chain per query
+  * re-paid the explode, the band self-join and the pointer-jumping
+  * fixpoint up to seven times per suite JVM.
+  *
+  * Each tier is computed ONCE per (session, dir) and pinned with an eager
+  * `localCheckpoint` — exactly the staging the per-query code already did
+  * WITHIN a query, widened to the family. This mirrors how the production
+  * pipeline runs (one chain, many consumers — `pipeline_dump` is that
+  * statement as a query); at cluster scale the same tiers live in bucketed
+  * staging tables ([[graft.operators.Bucketing]], and
+  * `dedup_incr_staged`'s index IS the durable form of the signature/band
+  * tiers). Results are bit-identical with sharing on or off;
+  * `SPARK_GRAFT_DEDUP_BACKBONE=false` restores per-query construction for
+  * A/B adjudication.
+  */
+object DedupBackbone {
+
+  private def enabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_DEDUP_BACKBONE", "true").toBoolean
+
+  /** LSH/verify constants shared by every consumer (and the SqlGen-rendered
+    * oracles, which derive from the same Dedup defaults).
+    */
+  val jaccardThreshold = 0.7
+
+  private val cache =
+    TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def tier(s: SparkSession, dir: String, name: String)
+                  (build: => DataFrame): DataFrame =
+    if (!enabled) build
+    else cache.getOrElseUpdate((s, dir, name), build.localCheckpoint(true))
+
+  /** Distinct (doc_id, m) shingle-hash frame — the root every tier shares.
+    * In off-mode this still checkpoints PER CALL (the pre-backbone queries
+    * staged their sh frame the same way, because verify references it
+    * twice in one DAG); only the cross-query reuse is disabled.
+    */
+  def shingles(s: SparkSession, dir: String): DataFrame =
+    if (!enabled)
+      Dedup.shingleHashes(Tables.documents(s, dir)).distinct().localCheckpoint(true)
+    else tier(s, dir, "sh") {
+      Dedup.shingleHashes(Tables.documents(s, dir)).distinct()
+    }
+
+  /** One minhash-signature row per doc (min is multiset-invariant, so the
+    * distinct root gives identical signatures to the raw shingle stream).
+    */
+  def signatures(s: SparkSession, dir: String): DataFrame =
+    tier(s, dir, "sig") { Dedup.minhashSignatures(shingles(s, dir)) }
+
+  /** Banded LSH candidate pairs (capped buckets, d1 < d2, distinct). */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    tier(s, dir, "cand") {
+      Dedup.candidatePairs(Dedup.bands(signatures(s, dir)))
+    }
+
+  /** Jaccard-verified candidate pairs at [[jaccardThreshold]], WITH the
+    * unrounded score — score consumers round it, pair consumers project it
+    * away, incremental consumers filter it by the id cutoff (verification
+    * distributes over candidate subsets).
+    */
+  def verifiedJac(s: SparkSession, dir: String): DataFrame =
+    tier(s, dir, "ver") {
+      Dedup.jaccardOnCandidatesFromShingles(
+        shingles(s, dir), lshCandidates(s, dir), jaccardThreshold)
+    }
+
+  /** Connected components (doc_id → min reachable doc_id) of the verified
+    * pair graph — the most expensive tier (iterative pointer jumping),
+    * shared by the groups / keep-best / apply consumers.
+    */
+  def components(s: SparkSession, dir: String): DataFrame =
+    tier(s, dir, "comp") {
+      Dedup.connectedComponents(verifiedJac(s, dir).select("d1", "d2"))
+    }
+}
