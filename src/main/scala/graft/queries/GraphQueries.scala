@@ -22,21 +22,32 @@ object GraphQueries {
   val pagerankIters = 5
 
   /** The ONE trade-relation derivation every graph query builds on:
-    * (customer, supplier) pairs that traded at least once. Change the edge
-    * definition (e.g. exclude cancelled orders) here and the PageRank,
-    * degree, and co-purchase graphs move together.
+    * DISTINCT (customer, supplier) pairs that traded at least once —
+    * staged once per (session, dir) like the dedup/text backbones, since
+    * PageRank, degree and co-purchase all open with the same orders ⋈
+    * lineitem. Change the edge definition (e.g. exclude cancelled orders)
+    * here and every graph moves together.
+    * (`distinct` commutes with the downstream parity encoding — it is
+    * injective — and [[Graph.commonNeighbors]] re-distincts internally, so
+    * sharing the deduped root is value-neutral for every consumer.)
     */
-  private def customerSupplierPairs(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def customerSupplierPairs(s: SparkSession, dir: String): DataFrame = {
+    def build = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey"))
+      .distinct()
+    if (!sys.env.getOrElse("SPARK_GRAFT_GRAPH_BACKBONE", "true").toBoolean) build
+    else pairCache.getOrElseUpdate((s, dir), build.localCheckpoint(true))
+  }
 
   /** Distinct trade edges customer→supplier in parity encoding. */
   private def tradeEdges(s: SparkSession, dir: String): DataFrame =
     customerSupplierPairs(s, dir)
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
 
   /** `graph_pagerank` — 5 rounds of damped PageRank over the symmetrized
     * trade graph; every node with its mean-1.0 normalized rank.
