@@ -117,6 +117,10 @@ object SparkEntry {
     "q82_fill_rate"      -> CoreQueries.q82 _,
     "q83_ratio_report"   -> CoreQueries.q83 _,
     "q84_paths"          -> CoreQueries.q84 _,
+    "q85_integrity"      -> CoreQueries.q85 _,
+    "q86_winsorize"      -> CoreQueries.q86 _,
+    "q87_clamped_balance" -> CoreQueries.q87 _,
+    "q88_rolling_median" -> CoreQueries.q88 _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
     "graph_common"       -> GraphQueries.common _,

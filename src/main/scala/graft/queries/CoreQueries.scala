@@ -1710,6 +1710,134 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** Q85 — referential-integrity audit (the relationship-test suite a
+    * warehouse runs before publishing): one row per FK constraint with the
+    * child row count, the orphan count (left-anti against the parent key),
+    * and the pass flag. Dimension-side parents broadcast; the fact-fact
+    * check (lineitem → orders) runs as a co-partitioned anti-join; every
+    * count partial-aggregates. Five thin aggregates union into the
+    * 5-row report — at 100 TB each constraint is one scan + one anti-join,
+    * and they share nothing, so they schedule in parallel.
+    */
+  def q85(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, ckey: String,
+              parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pkey))
+      val orphans = child.select(col(ckey))
+        .join(if (bcast) broadcast(p) else p, col(ckey) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      child.agg(count(lit(1)).as("child_rows"))
+        .crossJoin(orphans)
+        .select(lit(name).as("fk"), col("child_rows"), col("orphans"),
+          (col("orphans") === 0).as("ok"))
+    }
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      check("lineitem.orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", bcast = false),
+      check("lineitem.partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey", bcast = true),
+      check("lineitem.suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey", bcast = true),
+      check("orders.custkey->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", bcast = true),
+      check("customer.nationkey->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey", bcast = true))
+      .reduce(_ unionByName _)
+      .orderBy("fk")
+  }
+
+  /** Winsorization percentiles for [[q86]]. */
+  val winsorLo = 0.01
+  val winsorHi = 0.99
+
+  /** Q86 — winsorized robust stats: per event type, mean/sd before vs
+    * after clipping values to the [p01, p99] band — the outlier-HANDLING
+    * step downstream of q69's outlier-DETECTION gate. The percentile pass
+    * broadcasts its 6-ROUNDED bounds back (both engines clip at identical
+    * quantized fences), the clipped pass re-reads the scan once, and both
+    * moment sets are exact DECIMAL with cast-once-double closed forms.
+    */
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val fences = ev.groupBy("event_type").agg(
+      round(expr(s"percentile(value, $winsorLo)"), 6).as("lo"),
+      round(expr(s"percentile(value, $winsorHi)"), 6).as("hi"))
+    val c = ev.join(broadcast(fences), "event_type")
+      .select(col("event_type"), col("value"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("w"))
+    def stats(x: String, suf: String): Seq[org.apache.spark.sql.Column] = Seq(
+      sum(col(x).cast("decimal(28,6)")).as(s"s$suf"),
+      sum((col(x) * col(x)).cast("decimal(38,6)")).as(s"ss$suf"))
+    val m = c.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), stats("value", "r") ++ stats("w", "w"): _*)
+    def fold(suf: String): (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val nd = col("n").cast("double")
+      val nDec = col("n").cast("decimal(20,0)")
+      val mean = col(s"s$suf").cast("double") / nd
+      val sd = sqrt((nDec * col(s"ss$suf") - col(s"s$suf") * col(s"s$suf")).cast("double") /
+        (nd * (nd - 1)))
+      (round(mean, 6), round(sd, 6))
+    }
+    val (mr, sr) = fold("r"); val (mw, sw) = fold("w")
+    m.select(col("event_type"), col("n"), mr.as("mean_raw"), sr.as("sd_raw"),
+        mw.as("mean_wins"), sw.as("sd_wins"))
+      .orderBy("event_type")
+  }
+
+  /** Output part-key bound for [[q87]] (keeps the declared result small;
+    * the filter pushes to the scan so the bound also scopes the work).
+    */
+  val balanceMaxPart = 50L
+
+  /** Q87 — clamped running balance (inventory with stockout): per part,
+    * daily net quantity (receipts when `l_linestatus = 'F'`, issues
+    * otherwise) accumulated with the balance FLOORED AT ZERO. The clamp
+    * makes the recurrence non-linear (`b_i = max(0, b_{i-1} + x_i)`), so
+    * it looks like it needs a sequential scan — but the one-sided clamp
+    * has a closed form over plain windows:
+    * `balance_i = prefix_i − min(0, running_min(prefix))`, two cumulative
+    * windows partitioned by part over the daily aggregate. Exact DECIMAL
+    * throughout; no iteration, no mapPartitions.
+    */
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") < balanceMaxPart)
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("day"))
+      .agg(sum(when(col("l_linestatus") === "F", col("l_quantity"))
+        .otherwise(-col("l_quantity")).cast("decimal(18,2)")).as("net"))
+    val w = Window.partitionBy("l_partkey").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("pfx", sum("net").over(w))
+      .withColumn("rmin", min("pfx").over(w))
+      .select(col("l_partkey"), col("day"),
+        round(col("net").cast("double"), 2).as("net"),
+        round((col("pfx") - least(lit(BigDecimal(0)), col("rmin"))).cast("double"), 2)
+          .as("balance"))
+      .orderBy("l_partkey", "day")
+  }
+
+  /** Q88 — rolling MEDIAN anomaly baseline: per event type, the median of
+    * the 20 PRECEDING values alongside each event (emitted once 10
+    * observations exist) — the robust companion to q64's rolling mean/σ
+    * (one extreme value shifts a trailing mean for 20 rows; the median
+    * shrugs it off). The percentile aggregate runs INSIDE the bounded
+    * ROWS frame — one user-visible shuffle on the type key, frames never
+    * hold more than 20 values.
+    */
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-20, -1)
+    Tables.events(s, dir)
+      .withColumn("roll_n", count("value").over(w))
+      .withColumn("roll_med", round(expr("percentile(value, 0.5)").over(w), 6))
+      .filter(col("roll_n") >= 10)
+      .select(col("event_type"), col("event_id"),
+        round(col("value"), 6).as("value"), col("roll_med"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -422,6 +422,74 @@ object Oracles {
         |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to,
         |  n_orders
         |FROM h ORDER BY o_custkey, version""".stripMargin,
+    // NOT EXISTS mirrors left-anti; all five checks in one UNION ALL
+    "q85_integrity" -> {
+      def check(name: String, child: String, ckey: String,
+                parent: String, pkey: String): String =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT count(*) FROM $child) AS child_rows,
+           |  (SELECT count(*) FROM $child c WHERE NOT EXISTS
+           |     (SELECT 1 FROM $parent p WHERE p.$pkey = c.$ckey)) AS orphans,
+           |  (SELECT count(*) FROM $child c WHERE NOT EXISTS
+           |     (SELECT 1 FROM $parent p WHERE p.$pkey = c.$ckey)) = 0 AS ok""".stripMargin
+      Seq(
+        check("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        check("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        check("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        check("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        check("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    },
+    // identical 6-rounded fences, decimal moments, cast-once closed forms
+    "q86_winsorize" ->
+      s"""WITH f AS (SELECT event_type,
+         |    round(quantile_cont(value, ${CoreQueries.winsorLo}), 6) AS lo,
+         |    round(quantile_cont(value, ${CoreQueries.winsorHi}), 6) AS hi
+         |  FROM events GROUP BY 1),
+         |c AS (SELECT e.event_type, value,
+         |    least(greatest(value, lo), hi) AS w
+         |  FROM events e JOIN f USING (event_type)),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    sum(CAST(value AS DECIMAL(28,6))) AS sr,
+         |    sum(CAST(value * value AS DECIMAL(38,6))) AS ssr,
+         |    sum(CAST(w AS DECIMAL(28,6))) AS sw,
+         |    sum(CAST(w * w AS DECIMAL(38,6))) AS ssw
+         |  FROM c GROUP BY 1)
+         |SELECT event_type, n,
+         |  round(CAST(sr AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_raw,
+         |  round(sqrt(CAST(CAST(n AS DECIMAL(20,0)) * ssr - sr * sr AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_raw,
+         |  round(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_wins,
+         |  round(sqrt(CAST(CAST(n AS DECIMAL(20,0)) * ssw - sw * sw AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_wins
+         |FROM m ORDER BY event_type""".stripMargin,
+    // same prefix/running-min closed form, explicit ROWS frames
+    "q87_clamped_balance" ->
+      s"""WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+         |    sum(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity
+         |             ELSE -l_quantity END AS DECIMAL(18,2))) AS net
+         |  FROM lineitem WHERE l_partkey < ${CoreQueries.balanceMaxPart}
+         |  GROUP BY 1, 2),
+         |w1 AS (SELECT l_partkey, day, net, sum(net) OVER
+         |    (PARTITION BY l_partkey ORDER BY day ROWS UNBOUNDED PRECEDING) AS pfx
+         |  FROM d),
+         |w2 AS (SELECT *, min(pfx) OVER
+         |    (PARTITION BY l_partkey ORDER BY day ROWS UNBOUNDED PRECEDING) AS rmin
+         |  FROM w1)
+         |SELECT l_partkey, day, round(CAST(net AS DOUBLE), 2) AS net,
+         |  round(CAST(pfx - least(CAST(0 AS DECIMAL(18,2)), rmin) AS DOUBLE), 2)
+         |    AS balance
+         |FROM w2 ORDER BY l_partkey, day""".stripMargin,
+    // q64's frame with the median aggregate inside it
+    "q88_rolling_median" ->
+      """WITH t AS (SELECT event_type, event_id, value,
+        |  count(value) OVER w AS roll_n,
+        |  round(quantile_cont(value, 0.5) OVER w, 6) AS roll_med
+        | FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, round(value, 6) AS value, roll_med
+        |FROM t WHERE roll_n >= 10
+        |ORDER BY event_type, event_id""".stripMargin,
     // first-touch via row_number CTE — mechanism differs from Spark's
     // packed-min (deliberate: (us, event_id) is a total order, so both
     // derivations name the same event); HUGEINT-prone sums cast to BIGINT

@@ -567,6 +567,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"path count lost map-side combine:\n$p")
   }
 
+  test("integrity audit: dim parents broadcast their anti-joins") {
+    val p = plans("q85_integrity")
+    assert("BroadcastHashJoin [^\n]*LeftAnti".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("winsorize broadcasts its fences; clamped balance pushes the part filter") {
+    val w = plans("q86_winsorize")
+    assert(w.contains("BroadcastHashJoin") && !w.contains("SortMergeJoin"), w)
+    val b = plans("q87_clamped_balance")
+    assert(b.matches("(?s).*PushedFilters: \\[[^]]*LessThan\\(l_partkey,50.*"),
+      s"part bound must reach the scan:\n$b")
+    assert("windowspecdefinition\\(l_partkey#".r.findFirstIn(b).isDefined, b)
+  }
+
+  test("rolling median stays a bounded-frame window, no join") {
+    val p = plans("q88_rolling_median")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("specifiedwindowframe(RowFrame, -20, -1)"),
+      s"median frame must stay bounded:\n$p")
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
