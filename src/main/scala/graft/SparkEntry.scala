@@ -121,6 +121,10 @@ object SparkEntry {
     "q86_winsorize"      -> CoreQueries.q86 _,
     "q87_clamped_balance" -> CoreQueries.q87 _,
     "q88_rolling_median" -> CoreQueries.q88 _,
+    "q89_bounce"         -> CoreQueries.q89 _,
+    "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,
+    "mix_cluster_weight" -> CurationQueries.mixClusterWeight _,
+    "text_ttr"           -> TextQueries.ttr _,
     "graph_pagerank"     -> GraphQueries.pagerank _,
     "graph_degree"       -> GraphQueries.degree _,
     "graph_common"       -> GraphQueries.common _,

@@ -1838,6 +1838,22 @@ object CoreQueries {
       .orderBy("event_type", "event_id")
   }
 
+  /** Q89 — daily bounce rate: sessions ([[q51]]'s gap construction),
+    * single-event sessions, and their ratio per session-start day — the
+    * engagement headline over the sessionize operator. All rollups
+    * partial-aggregate on (user, session) then (day); the same one-shuffle
+    * window shape as q51.
+    */
+  def q89(s: SparkSession, dir: String): DataFrame =
+    q51(s, dir)
+      .select(to_date(col("start_ts")).as("day"), col("events"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("sessions"),
+        sum(when(col("events") === 1, 1L).otherwise(0L)).as("bounces"))
+      .select(col("day"), col("sessions"), col("bounces"),
+        round(col("bounces") / col("sessions"), 6).as("bounce_rate"))
+      .orderBy("day")
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

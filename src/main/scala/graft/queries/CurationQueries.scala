@@ -130,6 +130,33 @@ object CurationQueries {
     * cuts (the q55 machinery) instead of ntile; the equal-depth semantics
     * here are the spec of that.
     */
+  /** Dedup-aware effective corpus size: each doc weighted 1/|its near-dup
+    * cluster| (cluster-free docs weigh 1), rolled up per source — the
+    * honest "how much UNIQUE data does this source really contribute"
+    * number a mixture designer weighs sources by, instead of raw doc
+    * counts that near-duplicates inflate. Weights are 12-decimal-quantized
+    * BEFORE the exact-decimal sum, so the fold is order-proof in both
+    * engines; cluster sizes come off the shared
+    * [[DedupBackbone.components]] tier and the weight join is co-keyed on
+    * doc_id.
+    */
+  def mixClusterWeight(s: SparkSession, dir: String): DataFrame = {
+    val comp = DedupBackbone.components(s, dir)
+    val sizes = comp.groupBy("group_id").agg(count(lit(1)).as("sz"))
+    val wts = comp.join(sizes, "group_id")
+      .select(col("doc_id"),
+        round(lit(1.0) / col("sz"), 12).cast("decimal(18,12)").as("wt"))
+    Tables.documents(s, dir).select("doc_id", "source")
+      .join(wts, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("wt").isNotNull, 1L).otherwise(0L)).as("in_clusters"),
+        round(sum(coalesce(col("wt"),
+          lit(BigDecimal(1)).cast("decimal(18,12)"))).cast("double"), 6)
+          .as("effective_docs"))
+      .orderBy("source")
+  }
+
   def mixCurriculum(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)

@@ -319,6 +319,21 @@ object Oracles {
          |   (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
          |    FROM events) t0) t1) t2
          |GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+    "q89_bounce" ->
+      s"""WITH se AS (SELECT user_id, session, count(*) AS events, min(ts) AS start_ts FROM
+         | (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM
+         |  (SELECT user_id, ts,
+         |     CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > ${CoreQueries.sessionGapSec}
+         |          THEN 1 ELSE 0 END AS brk FROM
+         |   (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         |    FROM events) t0) t1) t2
+         | GROUP BY user_id, session)
+         |SELECT CAST(start_ts AS DATE) AS day, count(*) AS sessions,
+         |  CAST(sum(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+         |  round(CAST(sum(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    / count(*), 6) AS bounce_rate
+         |FROM se GROUP BY 1 ORDER BY day""".stripMargin,
     "q53_growth" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id)
         |SELECT day, count(*) AS new_users,

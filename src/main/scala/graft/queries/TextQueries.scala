@@ -535,6 +535,22 @@ object TextQueries {
       .limit(200)
   }
 
+  /** Lexical diversity per doc: type-token ratio and Guiraud's root-TTR
+    * (types / √tokens, the length-corrected variant) — the vocabulary-
+    * richness quality signal (templated/boilerplate text repeats its few
+    * types; rich prose doesn't). One partial-aggregable count +
+    * two-phase distinct over the shared token backbone.
+    */
+  def ttr(s: SparkSession, dir: String): DataFrame =
+    TextBackbone.unigrams(s, dir).select("doc_id", "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("tokens"), countDistinct("w").as("types"))
+      .select(col("doc_id"), col("tokens"), col("types"),
+        round(col("types") / col("tokens"), 6).as("ttr"),
+        round(col("types") / sqrt(col("tokens")), 6).as("guiraud"))
+      .orderBy("doc_id")
+      .limit(200)
+
   /** Oracle mirror of [[bm25Scores]], split as (WITH-chain, final SELECT) so
     * [[RetrievalQueries]]'s hybrid oracle can wrap the SELECT as one more CTE
     * — one source for both renderings, the two cannot drift.
@@ -739,6 +755,14 @@ object TextQueries {
            |         ELSE (len(W) - $chunkToks + ${chunkStride - 1}) // $chunkStride + 1 END AS nc
            |   FROM (SELECT doc_id, string_split(text, ' ') AS W FROM documents) t0) t1) t2
            | ORDER BY doc_id, chunk""".stripMargin.replaceAll("\n", ""),
+      "text_ttr" ->
+        """WITH tk AS (SELECT doc_id, w FROM
+          |  (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+          |  WHERE w <> '')
+          |SELECT doc_id, count(*) AS tokens, count(DISTINCT w) AS types,
+          |  round(count(DISTINCT w) / count(*), 6) AS ttr,
+          |  round(count(DISTINCT w) / sqrt(count(*)), 6) AS guiraud
+          |FROM tk GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin,
       "text_novelty" ->
         """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS W FROM documents),
           |g AS (SELECT DISTINCT doc_id, W[i]||' '||W[i+1]||' '||W[i+2] AS g

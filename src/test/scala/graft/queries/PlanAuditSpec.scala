@@ -588,6 +588,21 @@ class PlanAuditSpec extends SparkSpec {
       s"median frame must stay bounded:\n$p")
   }
 
+  test("cluster-size audit and dedup-weighted mixture ride the shared components tier") {
+    // both must read the checkpointed components (Scan ExistingRDD), not
+    // re-run the candidate/verify/fixpoint chain
+    Seq("dedup_cluster_sizes", "mix_cluster_weight").foreach { n =>
+      val p = plans(n)
+      assert(p.contains("Scan ExistingRDD"), s"$n rebuilt the dedup chain:\n$p")
+      assert(!p.contains("posexplode"), s"$n re-ran banding:\n$p")
+    }
+  }
+
+  test("bounce rate and TTR partial-aggregate their rollups") {
+    assert(plans("q89_bounce").contains("partial_count"))
+    assert(plans("text_ttr").contains("partial_count"))
+  }
+
   test("driver contract: every declared query carries a DuckDB oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle.isEmpty, s"queries without oracle: $noOracle")
