@@ -242,6 +242,30 @@ object StreamOps {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("events"), sum("value").as("value"))
 
+  /** Streaming heavy hitters per event-time window: the mergeable
+    * Misra-Gries sketch ([[graft.expressions.FreqItemsAgg]]) running as
+    * the aggregate of a streaming `groupBy(window(...))` — per-window
+    * state is ONE bounded `capacity`-counter buffer no matter how many
+    * events the window sees, because TypedImperativeAggregate buffers
+    * serialize into the streaming state store and MERGE across
+    * micro-batches exactly like they merge across shuffle partitions. The
+    * continuous form of the batch `text_heavy` sketch; within the sketch's
+    * exact regime (distinct keys ≤ capacity) the emitted counts are exact,
+    * which is what the replay spec pins against a batch groupBy count.
+    */
+  def heavyHittersStream(events: DataFrame, window_ : String = "6 hours",
+                         capacity: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = graft.expressions.FreqItemsAgg(
+      ColumnBridge.expression(col("event_type")), capacity).toAggregateExpression()
+    events
+      .groupBy(window(col("ts"), window_))
+      .agg(ColumnBridge.column(agg).as("hh"))
+      .select(col("window"), explode(col("hh")).as("e"))
+      .select(col("window.start").as("w"), col("e.token").as("event_type"),
+        col("e.cnt").as("c"))
+  }
+
   case class WauIn(user_id: Long, ts: Timestamp)
   case class WauCover(day: java.sql.Date, user_id: Long)
 

@@ -203,6 +203,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitter sketch windows equal exact batch counts on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    case class Ev(ts: java.sql.Timestamp, event_type: String)
+    val src = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val rows = Tables.events(spark, sf0001)
+      .select($"ts", $"event_type").as[(java.sql.Timestamp, String)].collect().toSeq
+    src.addData(rows)
+    val q = StreamOps.heavyHittersStream(
+        src.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT w, event_type, c FROM hh_stream ORDER BY w, event_type").collect().toSeq
+      val batch = Tables.events(spark, sf0001)
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "6 hours"), $"event_type")
+        .count()
+        .select($"window.start".as("w"), $"event_type", $"count".as("c"))
+        .orderBy("w", "event_type").collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch) // exact regime: 5 types <= 64 counters
+    } finally q.stop()
+  }
+
   test("streaming WAU coverage equals batch q73 when one batch replays the table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
