@@ -266,6 +266,22 @@ object StreamOps {
         col("e.cnt").as("c"))
   }
 
+  /** Streaming distinct users per event-time window via the mergeable HLL
+    * sketch (`hll_sketch_agg`, the Datasketches build Spark ships): state
+    * per window is one fixed-size sketch, never a user set — the streaming
+    * form of C3's mergeable-distinct family, and the companion to
+    * [[heavyHittersStream]] (frequencies there, cardinalities here). The
+    * sketch is deterministic for a given input multiset, so a single-batch
+    * replay equals the batch estimate EXACTLY (the spec pins it), and the
+    * estimate's error envelope is the one ApproxDistinctSpec already pins
+    * for the batch side.
+    */
+  def distinctUsersStream(events: DataFrame, window_ : String = "6 hours"): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
+      .select(col("window.start").as("w"), col("approx_users"))
+
   case class WauIn(user_id: Long, ts: Timestamp)
   case class WauCover(day: java.sql.Date, user_id: Long)
 

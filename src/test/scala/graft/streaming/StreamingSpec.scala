@@ -231,6 +231,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL distinct-user windows equal the batch sketch on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val src = MemoryStream[(java.sql.Timestamp, Long)](spark)
+    val rows = Tables.events(spark, sf0001)
+      .select($"ts", $"user_id").as[(java.sql.Timestamp, Long)].collect().toSeq
+    src.addData(rows)
+    val q = StreamOps.distinctUsersStream(src.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("du_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT w, approx_users FROM du_stream ORDER BY w")
+        .collect().toSeq
+      import org.apache.spark.sql.functions._
+      val batch = Tables.events(spark, sf0001)
+        .groupBy(window($"ts", "6 hours"))
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("approx_users"))
+        .select($"window.start".as("w"), $"approx_users")
+        .orderBy("w").collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch) // same multiset -> identical sketch -> identical estimate
+      // sanity: estimates track the exact distincts within HLL's envelope
+      val exact = Tables.events(spark, sf0001)
+        .groupBy(window($"ts", "6 hours"))
+        .agg(countDistinct($"user_id").cast("double").as("n"))
+        .select($"window.start".as("w"), $"n").orderBy("w").collect()
+        .map(r => r.getTimestamp(0) -> r.getDouble(1)).toMap
+      streamed.foreach { r =>
+        val (w, est) = (r.getTimestamp(0), r.getLong(1).toDouble)
+        val n = exact(w)
+        assert(math.abs(est - n) <= math.max(4.0, 0.1 * n), s"window $w: est=$est exact=$n")
+      }
+    } finally q.stop()
+  }
+
   test("streaming WAU coverage equals batch q73 when one batch replays the table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
