@@ -1504,10 +1504,14 @@ object CoreQueries {
     * lift. The pair generator is a SELF-EQUI-join on `l_orderkey` with
     * `p1 < p2` — both sides hash to the same orderkey partitioning (ONE
     * shuffle, co-partitioned), and the fan-out is bounded by the basket
-    * size (≤ ~dozens of lines), never the catalog. Per-part order counts
-    * ride broadcasts; the ranking is a TakeOrdered over the
-    * [[basketMinSup]]-filtered pairs on the ROUNDED lift (ties by part
-    * keys).
+    * size (≤ ~dozens of lines), never the catalog. The per-part count
+    * joins carry NO broadcast hint — `pc` is part-catalog-sized, which at
+    * 100 TB is too big to pin to every executor; AQE broadcasts it when
+    * (and only when) it measures small. Lift's `c1*c2` denominator
+    * multiplies as DOUBLE: two catalog-scale longs can overflow int64
+    * while their double product (the division semantics anyway) cannot.
+    * The ranking is a TakeOrdered over the [[basketMinSup]]-filtered pairs
+    * on the ROUNDED lift (ties by part keys).
     */
   def q75(s: SparkSession, dir: String): DataFrame = {
     val it = Tables.lineitem(s, dir)
@@ -1522,13 +1526,14 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= basketMinSup)
     pairs
-      .join(broadcast(pc.select(col("l_partkey").as("p1"), col("c").as("c1"))), "p1")
-      .join(broadcast(pc.select(col("l_partkey").as("p2"), col("c").as("c2"))), "p2")
+      .join(pc.select(col("l_partkey").as("p1"), col("c").as("c1")), "p1")
+      .join(pc.select(col("l_partkey").as("p2"), col("c").as("c2")), "p2")
       .crossJoin(broadcast(n))
       .select(col("p1"), col("p2"), col("cnt"),
         round(col("cnt") / col("N"), 6).as("support"),
         round(col("cnt") / col("c1"), 6).as("confidence"),
-        round(col("cnt") * col("N") / (col("c1") * col("c2")), 6).as("lift"))
+        round(col("cnt") * col("N") /
+          (col("c1").cast("double") * col("c2").cast("double")), 6).as("lift"))
       .orderBy(desc("lift"), asc("p1"), asc("p2"))
       .limit(20)
   }
@@ -1824,7 +1829,11 @@ object CoreQueries {
     * (one extreme value shifts a trailing mean for 20 rows; the median
     * shrugs it off). The percentile aggregate runs INSIDE the bounded
     * ROWS frame — one user-visible shuffle on the type key, frames never
-    * hold more than 20 values.
+    * hold more than 20 values. The DECLARED result caps at the first 500
+    * rows of the total (type, id) order — like novelty/ttr's caps, so
+    * verify/bench hash a bounded frame instead of the whole events table
+    * at larger scale factors (r8 ADVICE); the underlying window computes
+    * over everything regardless.
     */
   def q88(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -1836,6 +1845,7 @@ object CoreQueries {
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"), col("roll_med"))
       .orderBy("event_type", "event_id")
+      .limit(500)
   }
 
   /** Q89 — daily bounce rate: sessions ([[q51]]'s gap construction),

@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,13 +37,11 @@ object DedupBackbone {
     */
   val jaccardThreshold = 0.7
 
-  private val cache =
-    TrieMap.empty[(SparkSession, String, String), DataFrame]
-
   private def tier(s: SparkSession, dir: String, name: String)
                   (build: => DataFrame): DataFrame =
     if (!enabled) build
-    else cache.getOrElseUpdate((s, dir, name), build.localCheckpoint(true))
+    else BackboneRegistry.getOrBuild(s, s"dedup:$name:$dir")(
+      build.localCheckpoint(true))
 
   /** Distinct (doc_id, m) shingle-hash frame — the root every tier shares.
     * In off-mode this still checkpoints PER CALL (the pre-backbone queries

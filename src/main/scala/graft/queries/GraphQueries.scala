@@ -31,9 +31,6 @@ object GraphQueries {
     * injective — and [[Graph.commonNeighbors]] re-distincts internally, so
     * sharing the deduped root is value-neutral for every consumer.)
     */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def customerSupplierPairs(s: SparkSession, dir: String): DataFrame = {
     def build = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
@@ -41,7 +38,8 @@ object GraphQueries {
       .select(col("o_custkey"), col("l_suppkey"))
       .distinct()
     if (!sys.env.getOrElse("SPARK_GRAFT_GRAPH_BACKBONE", "true").toBoolean) build
-    else pairCache.getOrElseUpdate((s, dir), build.localCheckpoint(true))
+    else BackboneRegistry.getOrBuild(s, s"graph:pairs:$dir")(
+      build.localCheckpoint(true))
   }
 
   /** Distinct trade edges customer→supplier in parity encoding. */

@@ -504,7 +504,7 @@ object Oracles {
         |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, event_id, round(value, 6) AS value, roll_med
         |FROM t WHERE roll_n >= 10
-        |ORDER BY event_type, event_id""".stripMargin,
+        |ORDER BY event_type, event_id LIMIT 500""".stripMargin,
     // first-touch via row_number CTE — mechanism differs from Spark's
     // packed-min (deliberate: (us, event_id) is a total order, so both
     // derivations name the same event); HUGEINT-prone sums cast to BIGINT
@@ -613,7 +613,7 @@ object Oracles {
          |  GROUP BY 1, 2 HAVING count(*) >= ${CoreQueries.basketMinSup})
          |SELECT p1, p2, cnt, round(cnt / N, 6) AS support,
          |  round(cnt / c1.c, 6) AS confidence,
-         |  round(cnt * N / (c1.c * c2.c), 6) AS lift
+         |  round(cnt * N / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE)), 6) AS lift
          |FROM pr JOIN pc c1 ON c1.l_partkey = pr.p1
          |  JOIN pc c2 ON c2.l_partkey = pr.p2, nn
          |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin,

@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -31,14 +29,14 @@ import graft.Tables
   * falls back to its original inline explode) for A/B adjudication of the
   * caching itself — results are bit-identical in both regimes, only the
   * physical reuse changes.
+  *
+  * Caching lifecycle (eviction on session stop, single-flight builds,
+  * stale-on-rewrite caveat) is [[BackboneRegistry]]'s.
   */
 object TextBackbone {
 
   private def enabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_TEXT_BACKBONE", "true").toBoolean
-
-  private val uniCache = TrieMap.empty[(SparkSession, String), DataFrame]
-  private val biCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** One row per non-empty whitespace token occurrence:
     * (doc_id, source, w). Consumers `.select` the columns they need —
@@ -50,7 +48,7 @@ object TextBackbone {
         explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
     if (!enabled) plan
-    else uniCache.getOrElseUpdate((s, dir),
+    else BackboneRegistry.getOrBuild(s, s"text:uni:$dir")(
       plan.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
@@ -67,7 +65,7 @@ object TextBackbone {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
     if (!enabled) plan
-    else biCache.getOrElseUpdate((s, dir),
+    else BackboneRegistry.getOrBuild(s, s"text:bi:$dir")(
       plan.persist(StorageLevel.MEMORY_AND_DISK))
   }
 }

@@ -312,7 +312,11 @@ object StreamOps {
         (uid, rows, state: GroupState[Long]) =>
           var prev = state.getOption
           val out = Seq.newBuilder[WauCover]
-          rows.map(_.ts.toLocalDateTime.toLocalDate.toEpochDay)
+          // Epoch day derived from the instant in UTC — batch q73 buckets
+          // with to_date(ts) under the session TZ pinned to UTC
+          // (GraftSession), so deriving via the JVM-default zone
+          // (toLocalDateTime) would shift day boundaries on non-UTC hosts.
+          rows.map(_.ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toEpochDay)
             .toSeq.distinct.sorted
             .foreach { d =>
               if (prev.forall(_ < d)) {

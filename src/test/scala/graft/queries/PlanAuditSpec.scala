@@ -510,8 +510,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"lift ranking must be top-k:\n$p")
     val sortMerges = "SortMergeJoin".r.findAllIn(p).length
     val shuffledHash = "ShuffledHashJoin".r.findAllIn(p).length
-    assert(sortMerges + shuffledHash <= 1,
-      s"only the orderkey pair join may shuffle; part counts broadcast:\n$p")
+    // The orderkey pair self-join plus at most the two part-count joins:
+    // pc is deliberately UNHINTED (part-catalog-sized at 100 TB — r8 ADVICE),
+    // so the static plan may shuffle it and AQE demotes to broadcast at
+    // runtime when it measures small.
+    assert(sortMerges + shuffledHash <= 3,
+      s"only the orderkey pair join and the unhinted part-count joins may shuffle:\n$p")
   }
 
   test("cohort LTV windows partition by cohort; cohort sizes broadcast") {
