@@ -41,6 +41,13 @@ object GraftSession {
       // doesn't credit bucket PRUNING as a benefit, which silently reverts
       // a pruned index probe to a full-corpus scan.
       .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      // Report the in-bucket SORT order from bucketed scans (off by default
+      // since 3.0 because it only holds with one file per bucket — which
+      // Bucketing.writeBucketedSorted guarantees by construction). This is
+      // what lets the staged events tables feed WindowExec with no sort:
+      // the scan declares (key, ts, event_id) ordering and EnsureRequirements
+      // elides both the exchange and the sort.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // keep catalog tables (bucketed writes) out of the repo working dir
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
@@ -86,6 +93,9 @@ object GraftSession {
     // bucketed tables are deliberate staging tables; keep bucketed scans on
     // so ANN index probes stay bucket-pruned (see builder note)
     "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
+    // single-file-per-bucket staged tables carry their sort order into the
+    // plan (see builder note) — sessionization/funnel windows run sort-free
+    "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true",
     "spark.shuffle.compress" -> "true",
     "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true")

@@ -28,19 +28,51 @@ object Bucketing {
     * arbitrary directory.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
-    require(table.matches("[A-Za-z0-9_]+"),
-      s"writeBucketed needs a simple [A-Za-z0-9_]+ table name, got $table")
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropWithOrphanSweep(df.sparkSession, table)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** Write `df` bucketed on `key` and in-bucket SORTED by `sortCols` (which
+    * may extend past the key — e.g. bucket by user_id, sort by (user_id,
+    * ts, event_id)), with ONE file per bucket: the pre-write
+    * `repartition(buckets, key)` uses the same Murmur3 pmod as the bucket
+    * assignment, so partition id == bucket id and each write task emits
+    * exactly its own bucket's file. Single-file buckets are the condition
+    * under which Spark's bucketed scan reports its `outputOrdering` — which
+    * is what lets a downstream window/sort-merge-join skip BOTH the
+    * exchange (bucketing) and the sort (in-bucket order). Append-maintained
+    * tables can't keep this contract (a second file per bucket voids the
+    * ordering, [[appendBucketed]]); sorted staging is for probe-only
+    * artifacts re-staged whole.
+    */
+  def writeBucketedSorted(df: DataFrame, table: String, key: String,
+                          sortCols: Seq[String], buckets: Int): Unit = {
+    require(sortCols.nonEmpty, "writeBucketedSorted needs sort columns")
+    dropWithOrphanSweep(df.sparkSession, table)
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Shared drop + orphaned-managed-location sweep (see class doc for why
+    * the strict identifier whitelist matters — `Path(parent, child)`
+    * ignores the parent for absolute children).
+    */
+  private def dropWithOrphanSweep(spark: SparkSession, table: String): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"staged writes need a simple [A-Za-z0-9_]+ table name, got $table")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Append a batch into an EXISTING bucketed table with the same (key,
@@ -66,14 +98,7 @@ object Bucketing {
     * sweep as [[writeBucketed]].
     */
   def writeTable(df: DataFrame, table: String): Unit = {
-    require(table.matches("[A-Za-z0-9_]+"),
-      s"writeTable needs a simple [A-Za-z0-9_]+ table name, got $table")
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    dropWithOrphanSweep(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
   }
 

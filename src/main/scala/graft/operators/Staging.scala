@@ -129,7 +129,10 @@ object Staging {
     val schemaDdl = props.getProperty("schema")
     val bucketClause = Option(props.getProperty("bucketKey")).map { key =>
       val n = props.getProperty("buckets").toInt
-      s"CLUSTERED BY ($key) SORTED BY ($key) INTO $n BUCKETS "
+      // sortKey may extend past the bucket key (sorted staged tables);
+      // markers written before it existed sorted by the key itself.
+      val sort = Option(props.getProperty("sortKey")).getOrElse(key)
+      s"CLUSTERED BY ($key) SORTED BY ($sort) INTO $n BUCKETS "
     }.getOrElse("")
     val loc = location(spark, table).toUri.toString
     spark.sql(
@@ -147,6 +150,8 @@ object Staging {
     meta.bucketSpec.foreach { bs =>
       props.setProperty("bucketKey", bs.bucketColumnNames.mkString(", "))
       props.setProperty("buckets", bs.numBuckets.toString)
+      if (bs.sortColumnNames.nonEmpty)
+        props.setProperty("sortKey", bs.sortColumnNames.mkString(", "))
     }
     val mp = new Path(location(spark, table), markerFile)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -820,7 +820,7 @@ object CoreQueries {
     */
   def q51(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
-    Tables.events(s, dir).select(col("user_id"), col("ts"))
+    EventsBackbone.byUser(s, dir).select(col("user_id"), col("ts"))
       .withColumn("prev", lag("ts", 1).over(w))
       .withColumn("brk",
         when(col("prev").isNull ||
@@ -1120,7 +1120,7 @@ object CoreQueries {
   def q64(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
       .rowsBetween(-20, -1)
-    Tables.events(s, dir)
+    EventsBackbone.byType(s, dir)
       .select(col("event_type"), col("event_id"), col("ts"), col("value"))
       .withColumn("roll_n", count("value").over(w))
       // the anomaly predicate compares 6-ROUNDED quantities: Spark
@@ -1171,7 +1171,7 @@ object CoreQueries {
     */
   def q66(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(s, dir)
+    EventsBackbone.byUser(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("from_type", lag("event_type", 1).over(w))
       .where(col("from_type").isNotNull)
@@ -1426,7 +1426,7 @@ object CoreQueries {
     * shuffles compact keys, so the same plan holds at 100 TB.
     */
   def q73(s: SparkSession, dir: String): DataFrame = {
-    val act = Tables.events(s, dir)
+    val act = EventsBackbone.byUser(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
     val w = Window.partitionBy("user_id").orderBy("d")
@@ -1577,7 +1577,7 @@ object CoreQueries {
     * attributed total rounds at SCALE 2 (the SCALE_r8 magnitude rule).
     */
   def q80(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val ev = EventsBackbone.byUser(s, dir)
       .withColumn("us", unix_micros(col("ts")))
     val first = ev
       .groupBy("user_id")
@@ -1616,9 +1616,12 @@ object CoreQueries {
     * any scale.
     */
   def q81(s: SparkSession, dir: String): DataFrame = {
-    val wPrev = Window.partitionBy("user_id").orderBy("us", "event_id")
+    // ordering by (ts, event_id) ≡ (us, event_id) — unix_micros is a
+    // monotone injection — but only the ts form matches the staged
+    // in-bucket sort, so only it lets the scan satisfy the window
+    val wPrev = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, dir)
+    EventsBackbone.byUser(s, dir)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("lv",
         max(when(col("event_type") === "view", col("us"))).over(wPrev))
@@ -1704,7 +1707,7 @@ object CoreQueries {
     */
   def q84(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(s, dir)
+    EventsBackbone.byUser(s, dir)
       .withColumn("t1", lag("event_type", 2).over(w))
       .withColumn("t2", lag("event_type", 1).over(w))
       .filter(col("t1").isNotNull)
@@ -1838,7 +1841,7 @@ object CoreQueries {
   def q88(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
       .rowsBetween(-20, -1)
-    Tables.events(s, dir)
+    EventsBackbone.byType(s, dir)
       .withColumn("roll_n", count("value").over(w))
       .withColumn("roll_med", round(expr("percentile(value, 0.5)").over(w), 6))
       .filter(col("roll_n") >= 10)

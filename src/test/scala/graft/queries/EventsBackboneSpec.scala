@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The staged events tables are a PHYSICAL rearrangement only: same rows,
+  * same values, plus the layout contract (one file per bucket, in-bucket
+  * sort) the sort-elision depends on. PlanAuditSpec pins the plans; this
+  * spec pins the data and the layout.
+  */
+class EventsBackboneSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id").collect().toSeq
+
+  test("staged events equal the raw table row-for-row (both keys)") {
+    val raw = canon(Tables.events(spark, sf0001))
+    assert(raw.nonEmpty)
+    assert(canon(EventsBackbone.byUser(spark, sf0001)) == raw)
+    assert(canon(EventsBackbone.byType(spark, sf0001)) == raw)
+  }
+
+  test("staged layout holds the single-file-per-bucket sorted contract") {
+    // one file per bucket is the condition under which the scan reports
+    // its sort order (GraftSession enables the reporting conf); verify it
+    // on disk rather than trusting the writer
+    EventsBackbone.byUser(spark, sf0001).count() // force staging
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val dirs = new java.io.File(warehouse.stripPrefix("file:")).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ev_"))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      val buckets = parts.map(_.getName.split("_")(1).take(5))
+      assert(buckets.distinct.length == buckets.length,
+        s"${d.getName} has a bucket with >1 file — sort reporting voids")
+    }
+  }
+
+  test("in-bucket rows really are sorted by (user_id, ts, event_id)") {
+    // read ONE bucket file directly and check monotonicity — the physical
+    // guarantee the window relies on, independent of Spark's planner
+    import spark.implicits._
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val userDir = new java.io.File(warehouse.stripPrefix("file:")).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ev_user_"))
+      .maxBy(_.lastModified)
+    val aFile = userDir.listFiles().filter(_.getName.startsWith("part-")).head
+    val rows = spark.read.parquet(aFile.getAbsolutePath)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows == rows.sortBy(identity),
+      "bucket file is not sorted by (user_id, ts, event_id)")
+  }
+}

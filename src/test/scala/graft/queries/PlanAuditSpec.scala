@@ -592,6 +592,29 @@ class PlanAuditSpec extends SparkSpec {
       s"median frame must stay bounded:\n$p")
   }
 
+  test("events-family windows ride the staged sorted buckets: no hash exchange left") {
+    // The staged events tables (EventsBackbone) are bucketed on the window
+    // key and in-bucket sorted by (key, ts, event_id) with one file per
+    // bucket, so the scan itself satisfies WindowExec's distribution AND
+    // ordering. The only exchange these plans may carry is the final
+    // oracle-determinism range sort.
+    Seq("q51_sessionize", "q64_rolling_anomaly").foreach { n =>
+      val p = plans(n)
+      assert(p.contains("graft_ev_"), s"$n must read the staged events table:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$n re-shuffled events the staging exists to avoid:\n$p")
+    }
+  }
+
+  test("q88 is fully exchange-free and sort-free off the staged type buckets") {
+    // scan → bounded-frame window → filter → TakeOrdered: nothing moves
+    val p = plans("q88_rolling_median")
+    assert(p.contains("graft_ev_type"), s"q88 must read the staged type table:\n$p")
+    assert(!p.contains("Exchange"), s"q88 must plan no exchange at all:\n$p")
+    assert(!p.contains("Sort ["), s"q88 must plan no sort at all:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("cluster-size audit and dedup-weighted mixture ride the shared components tier") {
     // both must read the checkpointed components (Scan ExistingRDD), not
     // re-run the candidate/verify/fixpoint chain
