@@ -170,6 +170,22 @@ object Dedup {
     * arithmetic (`ceil(tn·n/td) = (tn·n + td − 1) div td`) — a float `ceil`
     * can land on either side at exact multiples and silently change the
     * candidate set between engines.
+    *
+    * POSITIONAL filtering (the PPJoin+ refinement, added r9): a qualifying
+    * pair's overlap `o = |A∩B|` must reach `α = ceil(tn·(n1+n2)/(tn+td))`
+    * (from `jac ≥ tn/td ⟺ o·(tn+td) ≥ tn·(n1+n2)`), and its EARLIEST
+    * common element in the shared global order — which the prefix lemma
+    * puts inside BOTH prefixes, at the minimal positions any common
+    * element attains — bounds it: every other common element sits strictly
+    * after positions (p1, p2), so `o ≤ 1 + min(n1−p1, n2−p2)`. Keeping a
+    * pair iff SOME prefix match satisfies that bound (the max-bound match
+    * dominates, and the earliest common element is one of the matches)
+    * therefore loses no qualifying pair, while pruning the collisions the
+    * prefix overlap alone admits — the candidates whose matching element
+    * sits so deep in either doc that the remaining suffixes cannot reach α.
+    * The pair-dedup groupBy this rides replaces the `.distinct()` the
+    * unpositioned form needed anyway: same shuffle, strictly fewer
+    * surviving candidates for the expensive Jaccard verify join.
     */
   def prefixFilterCandidates(shm: DataFrame, tn: Int = 7, td: Int = 10): DataFrame = {
     require(tn > 0 && td >= tn, s"threshold $tn/$td must sit in (0, 1]")
@@ -180,13 +196,21 @@ object Dedup {
       .withColumn("nsh", count(lit(1)).over(byDoc))
     val prefix = ranked
       .filter(col("pos") <= col("nsh") - expr(s"(nsh * $tn + ${td - 1}) div $td") + 1)
-      .select(col("doc_id"), col("m"), col("nsh"))
-    val a = prefix.select(col("doc_id").as("d1"), col("m"), col("nsh").as("n1"))
-    val b = prefix.select(col("doc_id").as("d2"), col("m"), col("nsh").as("n2"))
+      .select(col("doc_id"), col("m"), col("nsh"), col("pos"))
+    val a = prefix.select(col("doc_id").as("d1"), col("m"),
+      col("nsh").as("n1"), col("pos").as("p1"))
+    val b = prefix.select(col("doc_id").as("d2"), col("m"),
+      col("nsh").as("n2"), col("pos").as("p2"))
     a.join(b, "m")
       .filter(col("d1") < col("d2") &&
         col("n1") * tn <= col("n2") * td && col("n2") * tn <= col("n1") * td)
-      .select("d1", "d2").distinct()
+      .groupBy("d1", "d2")
+      // n1/n2 are constant per (d1, d2) group; max is just the
+      // deterministic way to carry them through the aggregate
+      .agg(max(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))).as("ub"),
+        max("n1").as("n1"), max("n2").as("n2"))
+      .filter(col("ub") * (tn + td) >= col("n1").plus(col("n2")) * tn)
+      .select("d1", "d2")
   }
 
   /** ESTIMATED Jaccard for candidate pairs straight from their MinHash

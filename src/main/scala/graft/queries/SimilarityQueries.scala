@@ -19,21 +19,31 @@ object SimilarityQueries {
   private[queries] def embCount(s: SparkSession, dir: String): Long =
     counts.getOrElseUpdate((s, dir), Tables.embeddings(s, dir).count())
 
-  /** Assert the corpus is inside the FIXED-WIDTH regime for a declared query
-    * whose DuckDB oracle is rendered at `floor` planes: [[Similarity.planesFor]]
-    * returns exactly `floor` only while n ≤ targetBucketRows·2^floor, and
-    * beyond that Spark would widen the code while the oracle text stayed
-    * fixed — a silent divergence. Failing loudly here turns that into a
-    * driver-visible error instead of a hash mismatch (every shipped testdata
-    * scale is well inside the regime).
+  /** ADAPTIVE code width for a query family whose DuckDB oracle must be
+    * rendered at the SAME width the Spark plan used: [[apply]] resolves
+    * [[Similarity.planesFor]] (cached per (session, dir)) and records the
+    * resolution; [[forOracle]] is the width the oracle text renders with.
+    *
+    * This retires round ≤8's fixed-width regime guard (which REFUSED
+    * corpora past `targetBucketRows·2^floor` rather than diverge from a
+    * frozen oracle text): the oracle is now rendered at dump time, AFTER
+    * `Verify` has run every query against its single target dir, so "the
+    * most recent resolution in this JVM" is exactly the width the dumped
+    * SQL must carry, at ANY corpus size. A dump that runs NO query of the
+    * family (dev-only `Verify <dir> <out> names...` filtering) renders at
+    * the floor — the width every driver-scale corpus resolves to anyway.
     */
-  private def fixedWidthPlanes(s: SparkSession, dir: String, floor: Int): Int = {
-    val n = embCount(s, dir)
-    val planes = Similarity.planesFor(n, floor)
-    require(planes == floor,
-      s"embeddings n=$n is outside the $floor-plane fixed-width oracle regime " +
-        s"(max ${Similarity.targetBucketRows << floor} rows); re-render the oracle at $planes planes")
-    planes
+  private final class AdaptiveWidth(floor: Int) {
+    private val resolved =
+      scala.collection.concurrent.TrieMap[(SparkSession, String), Int]()
+    @volatile private var last: Int = floor
+    def apply(s: SparkSession, dir: String): Int = {
+      val p = resolved.getOrElseUpdate((s, dir),
+        Similarity.planesFor(embCount(s, dir), floor))
+      last = p
+      p
+    }
+    def forOracle: Int = last
   }
 
   /** Code Hamming radius for the LSH top-k: 3 of 16 planes disagreeing
@@ -281,28 +291,32 @@ object SimilarityQueries {
     */
   val batchPlanes = 8
 
+  private val batchWidth = new AdaptiveWidth(batchPlanes)
+
   /** Batch ANN: top-5 neighbors for every query in a 3-vector batch, over a
-    * code space scaled to the corpus (floored at [[batchPlanes]], the value
-    * the oracle is rendered with — [[fixedWidthPlanes]] asserts the corpus
-    * hasn't outgrown the fixed-width oracle, and the count is cached instead
-    * of re-run per plan construction).
+    * code space scaled to the corpus (floored at [[batchPlanes]]; the
+    * oracle renders at the SAME resolved width — [[AdaptiveWidth]]).
     */
   def batchTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     import org.apache.spark.sql.functions.col
     Similarity.lshBatchTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
-        planesOpt = Some(fixedWidthPlanes(s, dir, batchPlanes)))
+        planesOpt = Some(batchWidth(s, dir)))
       .orderBy("query_id", "rn")
   }
 
-  /** Code width for the STAGED serving path: 8 planes = 256 code values
-    * keeps Hamming-1 candidate pools dense enough to fill k at testdata
-    * scale (the oracle is rendered at this width; [[fixedWidthPlanes]]
-    * guards the regime). At 100 TB the same staging runs at
-    * [[Similarity.planesFor]] width — the probe list just grows to planes+1
-    * literals.
+  /** Code-width FLOOR for the STAGED serving path: 8 planes = 256 code
+    * values keeps Hamming-1 candidate pools dense enough to fill k at
+    * testdata scale. Past `64·2^8` vectors the width scales as
+    * [[Similarity.planesFor]] — probe lists grow to planes+1 literals, the
+    * staged table (name, fingerprint) carries its width, and the oracle
+    * renders at the same resolved width ([[AdaptiveWidth]]), so the pair
+    * rehearses at ANY scale factor instead of refusing past the floor
+    * regime (the r8 guard this replaced).
     */
   val stagedPlanes = 8
+
+  private val stagedWidth = new AdaptiveWidth(stagedPlanes)
 
   /** Storage buckets for the staged ANN tables. 16 means a 9-code Hamming-1
     * probe can touch at most 9 buckets — the pruning PlanAuditSpec asserts.
@@ -325,7 +339,7 @@ object SimilarityQueries {
   private def annTables(s: SparkSession, dir: String): (String, String) = {
     def live(t: (String, String)) = s.catalog.tableExists(t._1) && s.catalog.tableExists(t._2)
     stagedAnn.get((s, dir)).filter(live).getOrElse {
-      val planes = fixedWidthPlanes(s, dir, stagedPlanes)
+      val planes = stagedWidth(s, dir)
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val lsh = s"graft_ann_lsh_p${planes}_$tag"
@@ -345,22 +359,25 @@ object SimilarityQueries {
     }
   }
 
-  /** Top-10 by cosine via the STAGED LSH index: the probe reads only the 9
-    * Hamming-≤1 probe-code buckets of the staged table (bucket pruning,
-    * plan-audited as `SelectedBucketsCount < total`) — the serving-path
-    * answer to "similarity search at 100 TB", where [[lshTopK]]'s
-    * scan-everything shape is the batch-scoring answer. The query vector +
-    * code are fetched as one bounded row (a query parameter, not a corpus
-    * scan).
+  /** Top-10 by cosine via the STAGED LSH index: the probe reads only the
+    * planes+1 Hamming-≤1 probe-code buckets of the staged table (bucket
+    * pruning, plan-audited as `SelectedBucketsCount < total`) — the
+    * serving-path answer to "similarity search at 100 TB", where
+    * [[lshTopK]]'s scan-everything shape is the batch-scoring answer. The
+    * query vector + code are fetched as one bounded row (a query
+    * parameter, not a corpus scan). Code width resolves adaptively with
+    * the corpus ([[stagedWidth]]) and the query row is coded at the SAME
+    * width the table was staged with.
     */
   def lshStagedTopK(s: SparkSession, dir: String): DataFrame = {
+    val planes = stagedWidth(s, dir)
     val (lshT, _) = annTables(s, dir)
     import org.apache.spark.sql.functions.col
     val q = Similarity.withLshCode(
-        Tables.embeddings(s, dir).filter(col("vec_id") === 0), "embedding", stagedPlanes)
+        Tables.embeddings(s, dir).filter(col("vec_id") === 0), "embedding", planes)
       .select(col("embedding"), col("lsh_code")).head()
     Similarity.probeStagedLsh(s, lshT, q.getSeq[Float](0).toArray, q.getLong(1),
-      stagedPlanes, k = 10)
+      planes, k = 10)
   }
 
   /** Top-10 by cosine via the STAGED IVF index: probe the 2 nearest inverted
@@ -561,7 +578,13 @@ object SimilarityQueries {
        |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** A `def`, not a `val`: the two LSH oracles render at the ADAPTIVE code
+    * width their queries resolved ([[AdaptiveWidth.forOracle]]), and
+    * `Verify` dumps `oracle_sql.json` AFTER running the queries — so the
+    * dumped SQL always carries the width the parquet results were computed
+    * with, at any scale factor.
+    */
+  def oracle: Map[String, String] = Map(
     "sim_maxsim" ->
       s"""WITH v AS (SELECT vec_id // $maxSimGroup AS doc, vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE doc = 0),
@@ -673,7 +696,7 @@ object SimilarityQueries {
     "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
     "sim_lsh_staged" ->
-      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedPlanes)} AS lsh_code FROM embeddings),
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle)} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)
          |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
          |FROM coded, q
@@ -687,7 +710,7 @@ object SimilarityQueries {
          |ORDER BY rp_cos DESC, p.vec_id LIMIT 10""".stripMargin,
     "sim_ivf_topk" -> ivfProbeSql,
     "sim_batch_topk" ->
-      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchPlanes)} AS lsh_code FROM embeddings),
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchWidth.forOracle)} AS lsh_code FROM embeddings),
          |q AS (SELECT * FROM coded WHERE vec_id < 3),
          |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |  round(${SqlGen.cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim

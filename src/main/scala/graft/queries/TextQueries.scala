@@ -455,9 +455,9 @@ object TextQueries {
     * counters no matter the input size; at 100 TB the shuffle carries a
     * fixed-size sketch, never the token-frequency table. The oracle compares
     * against exact counts, which is sound only while the corpus vocabulary
-    * fits the sketch (the Misra-Gries exact regime — decrements never fire);
-    * the guard fails LOUDLY if the corpus outgrows that regime, the
-    * fixedWidthPlanes move from the similarity suite.
+    * fits the sketch (the Misra-Gries exact regime — decrements never
+    * fire); the guard fails LOUDLY if the corpus outgrows that regime
+    * rather than silently diverging from the exact-count oracle.
     */
   def heavy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
