@@ -128,7 +128,15 @@ object Graph {
     * neighbors, bounding candidates by O(m^1.5) (arboricity) instead of
     * Σ d² — the classic result a naive a<b<c self-join does not have.
     * Wedge generation and the closing semi-join are plain hash equi-joins
-    * on the pivot / the (x,y) pair.
+    * on the pivot / the wedge-endpoint key.
+    *
+    * The closing join — the plan's dominant shuffle (tens of millions of
+    * wedge candidates against the oriented edge list) — keys on ONE packed
+    * long `x·2³² + y` instead of the (x, y) column pair whenever every
+    * node id fits 31 bits (one cheap aggregate over the checkpointed edge
+    * frame decides): half the shuffle key width and a single-long hash on
+    * the suite's largest-constant exchange. Graphs with wider ids keep the
+    * two-column key — identical result either way.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
     val und = edges
@@ -152,8 +160,15 @@ object Graph {
           (col("e1.dv") < col("e2.dv") ||
             (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.v").as("x"), col("e2.v").as("y"))
-    val tri = wedgeCands
-      .join(o.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+    val packable = und.agg(greatest(max("a"), max("b")).lt(lit(1L << 31)) &&
+      least(min("a"), min("b")).geq(lit(0L))).head().getBoolean(0)
+    val tri = (if (packable)
+        wedgeCands.select(shiftleft(col("x"), 32).plus(col("y")).as("xy"))
+          .join(o.select(shiftleft(col("u"), 32).plus(col("v")).as("xy")),
+            Seq("xy"), "left_semi")
+      else
+        wedgeCands.join(o.select(col("u").as("x"), col("v").as("y")),
+          Seq("x", "y"), "left_semi"))
       .agg(count(lit(1)).as("triangles"))
     val shape = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(d * (d - 1)) div 2")).as("wedges"))

@@ -75,6 +75,18 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(3) == 0L && r.getLong(2) == 3L) // wedges C(3,2) at the hub
   }
 
+  test("triangleStats: ids past 31 bits take the unpacked closing key, same census") {
+    // the packed x·2^32+y key only engages when every id fits 31 bits; a
+    // graph with wider ids must fall back to the (x, y) pair — K3 shifted
+    // into 33-bit id space still counts exactly one triangle
+    val base = 1L << 32
+    val e = Seq((base, base + 1), (base, base + 2), (base + 1, base + 2))
+      .toDF("a", "b")
+    val r = Graph.triangleStats(e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))
+      == ((3L, 3L, 1L, 1.0)))
+  }
+
   test("commonNeighbors: oversized groups drop; remaining pairs score exactly") {
     // group "hot" (3 items, cap 2) must vanish; group "ok" pairs normally
     val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 20L))
