@@ -752,7 +752,9 @@ object CoreQueries {
         coalesce(col("u_tp"), col("b_tp")).as("tp"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("tp").cast("decimal(28,6)")).cast("double"), 6).as("total"))
+        // monetary TOTAL: scale 2 (SCALE_r8 magnitude rule — already past
+        // 1e9 at sf0.01; the round-9 oracle_check lint enforces the class)
+        round(sum(col("tp").cast("decimal(28,6)")).cast("double"), 2).as("total"))
       .orderBy("status")
   }
 
@@ -871,8 +873,10 @@ object CoreQueries {
         expectedItems = dim.count())
       .groupBy("p_brand")
       .agg(
+        // monetary TOTAL: scale 2 (SCALE_r8 magnitude rule; crosses 1e9
+        // between sf0.1 and sf1 — the lint projection catches it)
         round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).cast("double"), 6).as("revenue"),
+          .cast("decimal(18,4)")).cast("double"), 2).as("revenue"),
         count(lit(1)).as("items"))
       .orderBy("p_brand")
   }

@@ -290,7 +290,7 @@ object Oracles {
         |        SELECT o_orderkey + 100000000 AS k, 'N' AS u_st, o_totalprice AS u_tp
         |        FROM orders WHERE o_orderkey % 97 = 0)
         |SELECT COALESCE(u_st, b_st) AS status, count(*) AS n,
-        |  round(CAST(sum(CAST(COALESCE(u_tp, b_tp) AS DECIMAL(28,6))) AS DOUBLE), 6) AS total
+        |  round(CAST(sum(CAST(COALESCE(u_tp, b_tp) AS DECIMAL(28,6))) AS DOUBLE), 2) AS total
         |FROM base FULL OUTER JOIN upd USING (k)
         |GROUP BY status ORDER BY status""".stripMargin,
     "q49_profile" ->
@@ -344,7 +344,7 @@ object Oracles {
     // equi-join re-drops the false positives, so the oracle is the PLAIN join.
     "q54_bloom_join" ->
       """SELECT p_brand,
-        |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+        |       round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
         |       count(*) AS items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 3
