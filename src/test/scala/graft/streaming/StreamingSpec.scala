@@ -293,6 +293,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions equal batch q51's CLOSED sessions on a replayed log") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val src = MemoryStream[StreamOps.SessIn](spark)
+    val rows = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts").as[StreamOps.SessIn].collect().toSeq
+    src.addData(rows)
+    val q = StreamOps.sessionsStream(src.toDF())
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, session, events, start_ts, end_ts FROM sess_stream " +
+          "ORDER BY user_id, session").collect().toSeq
+      // the stream emits a session when a LATER event proves the gap, so a
+      // single-batch replay yields exactly q51 minus each user's final
+      // (still-open) session — the production flush is an event-time timeout
+      val batch = graft.queries.CoreQueries.q51(spark, sf0001)
+      val closed = batch.join(
+          batch.groupBy("user_id").agg(
+            org.apache.spark.sql.functions.max("session").as("session")),
+          Seq("user_id", "session"), "left_anti")
+        .orderBy("user_id", "session").collect().toSeq
+      assert(closed.nonEmpty, "fixture must contain multi-session users")
+      assert(streamed == closed)
+      // state really is one open session per user: every user's emitted
+      // session indexes are a gap-free prefix 1..k
+      val byUser = streamed.groupBy(_.getLong(0))
+      byUser.foreach { case (u, ss) =>
+        assert(ss.map(_.getLong(1)).sorted == (1L to ss.length).toSeq, s"user $u")
+      }
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins a dim without join state") {
     import spark.implicits._
     val src = new MemoryFlowSource(spark)
