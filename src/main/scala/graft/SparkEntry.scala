@@ -122,6 +122,10 @@ object SparkEntry {
     "q87_clamped_balance" -> CoreQueries.q87 _,
     "q88_rolling_median" -> CoreQueries.q88 _,
     "q89_bounce"         -> CoreQueries.q89 _,
+    "q90_rfm"            -> CoreQueries.q90 _,
+    "q91_conversion_lag" -> CoreQueries.q91 _,
+    "q92_twap"           -> CoreQueries.q92 _,
+    "q93_seasonality"    -> CoreQueries.q93 _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,
     "mix_cluster_weight" -> CurationQueries.mixClusterWeight _,
     "text_ttr"           -> TextQueries.ttr _,

@@ -1871,6 +1871,138 @@ object CoreQueries {
         round(col("bounces") / col("sessions"), 6).as("bounce_rate"))
       .orderBy("day")
 
+  /** Q90 — RFM segmentation (the classic customer-base cube): per
+    * customer, recency (days from last order to the corpus's last order
+    * date), frequency (orders), monetary (exact DECIMAL spend); each
+    * dimension scored 1–5 against its own exact quintile cut points; one
+    * row per occupied (r, f, m) cell with its population and average spend.
+    *
+    * Scale shape — deliberately NOT `ntile(5)` over customers: a global
+    * ntile is a single-partition sort of the whole customer base. The cut
+    * points are ONE exact-percentile aggregate row (the engine-shared
+    * interpolation arithmetic the q69/q82 family pins) broadcast back, so
+    * the plan is: per-customer rollup (one custkey shuffle) → broadcast
+    * cuts → stateless classify → a ≤125-cell rollup. Scores count cut
+    * points strictly below the value, so ties land identically in both
+    * engines; recency scores INVERT (recent = high).
+    */
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderdate"),
+      col("o_totalprice").cast("decimal(18,2)").as("tp"))
+    val per = o.groupBy("o_custkey").agg(
+      max("o_orderdate").as("last_d"),
+      count(lit(1)).as("f"),
+      sum("tp").as("m"))
+    val anchor = o.agg(max("o_orderdate").as("corpus_last"))
+    val rfm = per.crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("corpus_last"), col("last_d")).cast("long").as("r"),
+        col("f"), col("m").cast("double").as("m"), col("m").as("m_dec"))
+    val cuts = rfm.agg(
+      expr("percentile(r, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(f, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(m, array(0.2, 0.4, 0.6, 0.8))").as("mc"))
+    rfm.crossJoin(broadcast(cuts))
+      .select(
+        (lit(6) - (lit(1) + expr("aggregate(rc, 0, (a, x) -> a + IF(x < r, 1, 0))")))
+          .as("r_score"), // recent = LOW days = HIGH score
+        (lit(1) + expr("aggregate(fc, 0, (a, x) -> a + IF(x < f, 1, 0))")).as("f_score"),
+        (lit(1) + expr("aggregate(mc, 0, (a, x) -> a + IF(x < m, 1, 0))")).as("m_score"),
+        col("m_dec"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("customers"),
+        // exact DECIMAL cell sum, divided as double — a double avg() would
+        // be fold-order-dependent across partitions. The QUOTIENT rounds at
+        // scale 6, not 2: cents/count quotients routinely print as exact
+        // 3-decimal values (x.885 for even counts), and rounding THOSE at
+        // scale 2 is a guaranteed cross-engine repr-vs-binary tie; at scale
+        // 6 the same value needs no rounding at all (found by the r9 gate:
+        // cell 86 hashed .89 vs .88)
+        round(sum("m_dec").cast("double") / count(lit(1)), 6).as("avg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Q91 — conversion latency: per user, the gap between the FIRST 'view'
+    * and the FIRST LATER 'purchase' (both packed-min conditional
+    * aggregates — one user-keyed rollup off the staged user buckets, no
+    * window, no self-join), then the funnel headline: audience, converted
+    * count, conversion rate, and the exact p50/p90 latency in seconds.
+    * The percentile runs over one row per CONVERTED user — at 100 TB still
+    * one shuffle of (user → two longs) and a bounded final aggregate.
+    */
+  def q91(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsBackbone.byUser(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val per = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("us"))).as("v"),
+      min(when(col("event_type") === "purchase", col("us"))).as("p"))
+    per
+      .select(col("v"), col("p"),
+        when(col("v").isNotNull && col("p").isNotNull && col("p") > col("v"),
+          (col("p") - col("v")) / lit(1000000L)).as("lag_sec"))
+      .filter(col("v").isNotNull)
+      .agg(count(lit(1)).as("viewers"),
+        count(col("lag_sec")).as("converted"),
+        round(count(col("lag_sec")).cast("double") / count(lit(1)), 6).as("cvr"),
+        round(expr("percentile(lag_sec, 0.5)"), 6).as("p50_sec"),
+        round(expr("percentile(lag_sec, 0.9)"), 6).as("p90_sec"))
+  }
+
+  /** Q92 — time-weighted average (TWAP) per event type: each value holds
+    * until the type's NEXT event (the step-function reading a sampled
+    * metric needs — a plain mean over-weights bursts), so the average
+    * weighs each value by its holding duration. The `lead` runs over the
+    * staged type-sorted buckets (no exchange, no sort — the
+    * EventsBackbone contract) and each type's last event contributes no
+    * duration. value×seconds sums as exact DECIMAL, the final ratio is a
+    * value-magnitude number (scale 6 safe at any sf).
+    */
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    EventsBackbone.byType(s, dir)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .select(col("event_type"),
+        (col("next_us") - col("us")).as("dur_us"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("dur_us").as("total_us"),
+        // value×duration sums as exact DECIMAL (long micros × decimal
+        // value); both operands of the final division cast to double so
+        // the quotient is one deterministic double op, not an
+        // engine-specific decimal division
+        round(sum(col("value").cast("decimal(18,6)") * col("dur_us")).cast("double") /
+          sum(col("dur_us")).cast("double"), 6).as("twap"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("plain_avg"))
+      .orderBy("event_type")
+  }
+
+  /** Q93 — day-of-week × hour seasonality profile: event volume and mean
+    * value on the 7×24 grid, with each cell's share of its weekday — the
+    * load-shape readout capacity planning and anomaly baselines start
+    * from. One partial-aggregable rollup to ≤168 cells; the share window
+    * runs on the CELL aggregate (bounded by the calendar, never the
+    * corpus).
+    */
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"),
+        col("value"))
+      .groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_value"))
+    cells
+      .withColumn("dow_share",
+        round(col("n") / sum("n").over(Window.partitionBy("dow")), 6))
+      .orderBy("dow", "hr")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -334,6 +334,70 @@ object Oracles {
          |  round(CAST(sum(CASE WHEN events = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    / count(*), 6) AS bounce_rate
          |FROM se GROUP BY 1 ORDER BY day""".stripMargin,
+    // quintile cut points via quantile_cont (the engine-shared interpolation
+    // the q69/q82 family pins); scores count cuts STRICTLY below the value
+    "q90_rfm" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders),
+        |per AS (SELECT o_custkey, max(o_orderdate) AS last_d, count(*) AS f,
+        |    sum(tp) AS m FROM o GROUP BY 1),
+        |a AS (SELECT max(o_orderdate) AS corpus_last FROM o),
+        |rfm AS (SELECT o_custkey,
+        |    CAST(date_diff('day', last_d, corpus_last) AS BIGINT) AS r,
+        |    f, CAST(m AS DOUBLE) AS md, m FROM per, a),
+        |cuts AS (SELECT quantile_cont(r, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |    quantile_cont(f, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |    quantile_cont(md, [0.2, 0.4, 0.6, 0.8]) AS mc FROM rfm),
+        |sc AS (SELECT
+        |    CAST(6 - (1 + len(list_filter(rc, x -> x < r))) AS INTEGER) AS r_score,
+        |    CAST(1 + len(list_filter(fc, x -> x < f)) AS INTEGER) AS f_score,
+        |    CAST(1 + len(list_filter(mc, x -> x < md)) AS INTEGER) AS m_score,
+        |    m FROM rfm, cuts)
+        |SELECT r_score, f_score, m_score, count(*) AS customers,
+        |  round(CAST(sum(m) AS DOUBLE) / count(*), 6) AS avg_monetary
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // single aggregate row (no ORDER BY needed); packed-min first touches
+    "q91_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |per AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS v,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) AS p
+        |  FROM e GROUP BY 1),
+        |l AS (SELECT CASE WHEN v IS NOT NULL AND p IS NOT NULL AND p > v
+        |    THEN (p - v) / 1000000 END AS lag_sec
+        |  FROM per WHERE v IS NOT NULL)
+        |SELECT count(*) AS viewers, count(lag_sec) AS converted,
+        |  round(CAST(count(lag_sec) AS DOUBLE) / count(*), 6) AS cvr,
+        |  round(quantile_cont(lag_sec, 0.5), 6) AS p50_sec,
+        |  round(quantile_cont(lag_sec, 0.9), 6) AS p90_sec
+        |FROM l""".stripMargin,
+    // DECIMAL(19,6) operand forces int128 decimal multiply (the DuckDB
+    // int64-product overflow class FIXTURES records); both division
+    // operands cast to double so the quotient is one deterministic op
+    "q92_twap" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us, event_id, value
+        |    FROM events),
+        |x AS (SELECT event_type, value, us, lead(us) OVER
+        |    (PARTITION BY event_type ORDER BY us, event_id) AS next_us FROM e),
+        |d AS (SELECT event_type, next_us - us AS dur_us, value FROM x
+        |  WHERE next_us IS NOT NULL)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_us,
+        |  round(CAST(sum(CAST(value AS DECIMAL(19,6)) * dur_us) AS DOUBLE)
+        |    / CAST(sum(dur_us) AS DOUBLE), 6) AS twap,
+        |  round(CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+        |    / count(*), 6) AS plain_avg
+        |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, hence the +1
+    "q93_seasonality" ->
+      """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |    CAST(hour(ts) AS INTEGER) AS hr, count(*) AS n,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*), 6) AS avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hr, n, avg_value,
+        |  round(n / sum(n) OVER (PARTITION BY dow), 6) AS dow_share
+        |FROM c ORDER BY dow, hr""".stripMargin,
     "q53_growth" ->
       """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id)
         |SELECT day, count(*) AS new_users,

@@ -333,6 +333,25 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-window value percentiles via the mergeable
+    * `approx_percentile` sketch (QuantileSummaries — Spark's
+    * TypedImperativeAggregate, so per-window state is ONE bounded summary
+    * that serializes into the state store and merges across micro-batches,
+    * exactly like [[heavyHittersStream]]'s counter buffer): p50/p90/p99 of
+    * `value` per event-time window. Within the sketch's exact regime
+    * (rows ≤ accuracy: no compression fires, the summary holds every
+    * sample) the emitted percentiles are exact order statistics, which is
+    * what the replay spec pins against the batch aggregate.
+    */
+  def valuePercentilesStream(events: DataFrame, window_ : String = "6 hours",
+                             accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(window(col("ts"), window_))
+      .agg(expr(s"approx_percentile(value, array(0.5, 0.9, 0.99), $accuracy)").as("p"))
+      .select(col("window.start").as("w"),
+        round(col("p")(0), 6).as("p50"), round(col("p")(1), 6).as("p90"),
+        round(col("p")(2), 6).as("p99"))
+
   case class SessIn(user_id: Long, ts: Timestamp)
   case class Session(user_id: Long, session: Long, events: Long,
                      start_ts: Timestamp, end_ts: Timestamp)

@@ -615,6 +615,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("RFM never plans a global ntile: cut points broadcast, scores are stateless") {
+    val p = plans("q90_rfm")
+    assert("\\bntile\\(".r.findFirstIn(p).isEmpty,
+      s"global ntile is a single-partition sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"cuts and anchor must broadcast:\n$p")
+  }
+
+  test("conversion lag is one packed-min rollup: no window, no join") {
+    val p = plans("q91_conversion_lag")
+    assert(!p.contains("windowspecdefinition"), s"first touches must be aggregates:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("TWAP's lead window rides the staged type buckets exchange-free") {
+    val p = plans("q92_twap")
+    assert(p.contains("graft_ev_type"), s"q92 must read the staged type table:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"window and type rollup must reuse the bucket partitioning:\n$p")
+  }
+
+  test("seasonality joins nothing; the share window runs on the cell aggregate") {
+    val p = plans("q93_seasonality")
+    assert(!p.contains("Join"), p)
+    assert("windowspecdefinition\\(dow#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("cluster-size audit and dedup-weighted mixture ride the shared components tier") {
     // both must read the checkpointed components (Scan ExistingRDD), not
     // re-run the candidate/verify/fixpoint chain
@@ -644,7 +671,8 @@ class PlanAuditSpec extends SparkSpec {
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
-      "q52_sketch_intersect", "q56_skew_profile", "graph_triangles")
+      "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
+      "q91_conversion_lag")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")

@@ -330,6 +330,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming window percentiles equal the batch sketch on replay (exact regime)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val src = MemoryStream[(java.sql.Timestamp, Double)](spark)
+    val rows = Tables.events(spark, sf0001)
+      .select($"ts", $"value").as[(java.sql.Timestamp, Double)].collect().toSeq
+    src.addData(rows)
+    val q = StreamOps.valuePercentilesStream(
+        src.toDF().toDF("ts", "value"))
+      .writeStream.format("memory").queryName("pct_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM pct_stream ORDER BY w").collect().toSeq
+      val batch = StreamOps.valuePercentilesStream(
+          Tables.events(spark, sf0001).select($"ts", $"value"))
+        .orderBy("w").collect().toSeq
+      assert(batch.nonEmpty && streamed == batch)
+      // within the exact regime the sketch returns true order statistics:
+      // p50 must sit between the window's min and max and below p99
+      streamed.foreach { r =>
+        assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+      }
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins a dim without join state") {
     import spark.implicits._
     val src = new MemoryFlowSource(spark)

@@ -86,6 +86,12 @@ def sf_of(sf_dir):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # 10x-rehearsal knobs: the recursive-CTE components fixpoint at sf1
+    # needs a spill directory and a generous memory ceiling (SCALE_r8)
+    if os.environ.get("GRAFT_DUCKDB_TMP"):
+        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
+    if os.environ.get("GRAFT_DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     cur_sf = sf_of(sf_dir)
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
