@@ -126,6 +126,7 @@ object SparkEntry {
     "q91_conversion_lag" -> CoreQueries.q91 _,
     "q92_twap"           -> CoreQueries.q92 _,
     "q93_seasonality"    -> CoreQueries.q93 _,
+    "q94_user_entropy"   -> CoreQueries.q94 _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,
     "mix_cluster_weight" -> CurationQueries.mixClusterWeight _,
     "text_ttr"           -> TextQueries.ttr _,

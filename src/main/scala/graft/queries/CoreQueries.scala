@@ -2003,6 +2003,32 @@ object CoreQueries {
       .orderBy("dow", "hr")
   }
 
+  /** Q94 — behavioral-diversity profile: Shannon entropy of each user's
+    * event-type distribution, histogrammed in 0.1-nat buckets with the
+    * population and mean activity per bucket — the "bots repeat one
+    * action, humans mix" segmentation signal. The per-user entropy uses
+    * `H = ln n − (Σ c·ln c)/n`, so the only float fold is `Σ c·ln c`,
+    * summed in FIXED type order (sorted-struct aggregate — the pqTopK
+    * determinism idiom) over at most |event types| terms; the (user,
+    * type) rollup rides the staged user buckets exchange-free. Bucket
+    * counts and activity sums are exact integers.
+    */
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val ut = EventsBackbone.byUser(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    ut.groupBy("user_id")
+      .agg(sum("c").as("n"),
+        expr("""aggregate(array_sort(collect_list(struct(event_type AS t, c AS c))),
+                CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.c * ln(e.c))""").as("slnc"))
+      .select(col("n"),
+        (log(col("n")) - col("slnc") / col("n")).as("ent"))
+      .select(floor(col("ent") * 10).cast("long").as("decibucket"), col("n"))
+      .groupBy("decibucket")
+      .agg(count(lit(1)).as("users"),
+        round(sum("n").cast("double") / count(lit(1)), 6).as("avg_events"))
+      .orderBy("decibucket")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -388,6 +388,19 @@ object Oracles {
         |  round(CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
         |    / count(*), 6) AS plain_avg
         |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // Σ c·ln c folds in list order (list(... ORDER BY type) — the pqTopK
+    // ordered-fold pairing); sums of counts cast off DuckDB's HUGEINT
+    "q94_user_entropy" ->
+      """WITH ut AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |    GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    list_sum(list(c * ln(c) ORDER BY event_type)) AS slnc
+        |  FROM ut GROUP BY 1),
+        |h AS (SELECT n, CAST(floor((ln(n) - slnc / n) * 10) AS BIGINT)
+        |    AS decibucket FROM u)
+        |SELECT decibucket, count(*) AS users,
+        |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_events
+        |FROM h GROUP BY 1 ORDER BY decibucket""".stripMargin,
     // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, hence the +1
     "q93_seasonality" ->
       """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,

@@ -636,6 +636,12 @@ class PlanAuditSpec extends SparkSpec {
       s"window and type rollup must reuse the bucket partitioning:\n$p")
   }
 
+  test("user entropy is two rollups off the staged user buckets: no join, no window") {
+    val p = plans("q94_user_entropy")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
+    assert(p.contains("graft_ev_user"), s"q94 must read the staged user table:\n$p")
+  }
+
   test("seasonality joins nothing; the share window runs on the cell aggregate") {
     val p = plans("q93_seasonality")
     assert(!p.contains("Join"), p)
