@@ -55,11 +55,16 @@ object CoreQueries {
       .limit(100)
       .selectExpr("event_id", "timestamp_seconds(unix_millis(ts) div 1000) AS sec")
 
-  /** Q04 — filter with conjunctive predicates, pushed to the parquet scan. */
+  /** Q04 — filter with conjunctive predicates, pushed to the parquet scan.
+    * The order is total ON THE OUTPUT (tie rows are identical rows): the
+    * synthetic lineitem does NOT make (orderkey, linenumber) unique, so
+    * sorting on the projected-away linenumber left visible-row ties the
+    * engines ordered differently (found by the r9 sf1 sweep).
+    */
   def q04(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_quantity")
       .select("l_orderkey", "l_quantity")
 
   /** Q05 — hash aggregate with partial+final (map-side combine).
@@ -342,7 +347,10 @@ object CoreQueries {
       .saltedInnerJoin(hotOrders, Tables.customer(s, dir), col("k"), col("c_custkey"))
       .groupBy("c_custkey")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("s"))
+        // monetary TOTAL → scale 2: the hot key's sum reaches 1.9e11 at
+        // sf1, far past round(x,6)'s 1e9 stability limit — flagged by the
+        // r9 magnitude lint on its first sf1 run
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("s"))
       .orderBy(desc("n"), asc("c_custkey"))
       .limit(10)
   }
@@ -452,7 +460,9 @@ object CoreQueries {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_discount")),
         "metric", "v")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
+      // v joins the sort so the order is total on the output — (orderkey,
+      // linenumber) is NOT unique in the synthetic lineitem (r9 sf1 sweep)
+      .orderBy("l_orderkey", "l_linenumber", "metric", "v")
 
   /** Q37 — explicit GROUPING SETS (the general form behind q11's rollup and
     * q21's cube): per-returnflag totals, per-linestatus totals, and the

@@ -49,7 +49,7 @@ object Oracles {
     "q03_intdiv_ts" ->
       "SELECT event_id, make_timestamp((epoch_ms(ts)//1000)*1000000) AS sec FROM events ORDER BY event_id LIMIT 100",
     "q04_filter" ->
-      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R' ORDER BY l_orderkey, l_quantity",
     "q05_agg" ->
       "SELECT l_returnflag, l_linestatus, round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),6) AS sq, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*),6) AS ap, count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q06_distinct" ->
@@ -120,7 +120,7 @@ object Oracles {
         | GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin.replaceAll("\n", ""),
     "q30_skew_join" ->
       """SELECT c_custkey, count(*) AS n,
-        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS s
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS s
         | FROM (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE o_custkey END AS k,
         |              o_totalprice FROM orders) o
         | JOIN customer ON o.k = c_custkey
@@ -165,7 +165,7 @@ object Oracles {
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS v FROM lineitem
         | UNION ALL
         | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
-        | ORDER BY l_orderkey, l_linenumber, metric""".stripMargin.replaceAll("\n", ""),
+        | ORDER BY l_orderkey, l_linenumber, metric, v""".stripMargin.replaceAll("\n", ""),
     "q37_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS c,
         | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS s,
