@@ -141,7 +141,7 @@ object CoreQueries {
   /** Q12 — ranking + offset window functions. */
   def q12(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(s, dir)
+    EventsBackbone.byUser(s, dir)
       .select(
         col("event_id"),
         col("user_id"),
@@ -154,7 +154,7 @@ object CoreQueries {
   def q13(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(-2, Window.currentRow)
-    Tables.events(s, dir)
+    EventsBackbone.byUser(s, dir)
       .select(
         col("event_id"),
         round(sum("value").over(w), 6).as("mv"))
@@ -548,7 +548,7 @@ object CoreQueries {
     * logical scan, the shape that survives a 100 TB event log.
     */
   def q42(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val ev = EventsBackbone.byUser(s, dir)
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts").as("t_view"))
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
@@ -572,9 +572,12 @@ object CoreQueries {
     * never buffer more than an hour of one user's events.
     */
   def q43(s: SparkSession, dir: String): DataFrame = {
+    // the RANGE frame needs the numeric `us` as its order key, so only the
+    // exchange elides off the user buckets (the sort on the derived column
+    // stays — rangeBetween cannot ride the raw-ts storage order)
     val w = Window.partitionBy("user_id").orderBy(col("us"))
       .rangeBetween(-3600L * 1000000L, 0)
-    Tables.events(s, dir)
+    EventsBackbone.byUser(s, dir)
       .withColumn("us", unix_micros(col("ts")))
       .select(col("event_id"),
         count(lit(1)).over(w).as("cnt_1h"),
@@ -805,7 +808,7 @@ object CoreQueries {
     * per user) and the join stays an equi-join on the natural key.
     */
   def q50(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val ev = EventsBackbone.byUser(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
     val first = ev.groupBy("user_id").agg(min("d").as("cohort"))
     ev.join(first, "user_id")
@@ -854,7 +857,7 @@ object CoreQueries {
     * window is bounded by the calendar, never the corpus.
     */
   def q53(s: SparkSession, dir: String): DataFrame = {
-    val first = Tables.events(s, dir)
+    val first = EventsBackbone.byUser(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy("user_id").agg(min("d").as("day"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("day")
@@ -1249,7 +1252,7 @@ object CoreQueries {
     * boundaries, so the per-user rollup is order-deterministic.
     */
   def q68(s: SparkSession, dir: String): DataFrame = {
-    val iv = Tables.events(s, dir)
+    val iv = EventsBackbone.byUser(s, dir)
       .filter(col("event_type") === "view")
       .withColumn("us", unix_micros(col("ts")))
       .select(col("user_id"), col("us").as("st"),
@@ -2037,6 +2040,41 @@ object CoreQueries {
       .agg(count(lit(1)).as("users"),
         round(sum("n").cast("double") / count(lit(1)), 6).as("avg_events"))
       .orderBy("decibucket")
+  }
+
+  /** Q95 — sessions-per-user by acquisition cohort: how intensely each
+    * monthly cohort uses the product, as (users, total/avg/max sessions)
+    * per first-seen month. The showcase for CO-PARTITIONED derived facts:
+    * session counts (q51's gap construction reduced per user) and cohorts
+    * (first-event month per user) BOTH derive from the staged user
+    * buckets, so the window, both user rollups AND the fact-fact join on
+    * user_id plan with ZERO hash exchanges — the only shuffle in the
+    * whole query is the final months-sized cohort rollup (plan-pinned).
+    * At 100 TB this is the payoff of bucketing the event log once: every
+    * per-user derivation joins every other one for free, forever.
+    */
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    val ev = EventsBackbone.byUser(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val sess = ev.select(col("user_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull ||
+          (col("ts").cast("long") - col("prev").cast("long")) > sessionGapSec, 1L)
+          .otherwise(0L))
+      .groupBy("user_id").agg(sum("brk").as("sessions"))
+    val cohort = ev.groupBy("user_id")
+      .agg(trunc(to_date(min("ts")), "month").as("cohort"))
+    // the merge hint keeps the tiny test-scale cohort frame on the
+    // co-partitioned sort-merge path the staging exists for (q31's
+    // precedent) — at real user counts neither side broadcasts anyway
+    sess.hint("merge").join(cohort, "user_id")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("users"),
+        sum("sessions").as("total_sessions"),
+        round(sum("sessions").cast("double") / count(lit(1)), 6).as("avg_sessions"),
+        max("sessions").as("max_sessions"))
+      .orderBy("cohort")
   }
 
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`

@@ -388,6 +388,22 @@ object Oracles {
         |  round(CAST(sum(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
         |    / count(*), 6) AS plain_avg
         |FROM d GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // same gap construction as q51/q89's oracles, reduced per user
+    "q95_session_cohort" ->
+      s"""WITH b AS (SELECT user_id, ts,
+         |    CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > ${CoreQueries.sessionGapSec}
+         |         THEN 1 ELSE 0 END AS brk FROM
+         |  (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         |   FROM events) t),
+         |s AS (SELECT user_id, CAST(sum(brk) AS BIGINT) AS sessions FROM b GROUP BY 1),
+         |c AS (SELECT user_id, date_trunc('month', CAST(min(ts) AS DATE)) AS cohort
+         |  FROM events GROUP BY 1)
+         |SELECT cohort, count(*) AS users,
+         |  CAST(sum(sessions) AS BIGINT) AS total_sessions,
+         |  round(CAST(sum(sessions) AS DOUBLE) / count(*), 6) AS avg_sessions,
+         |  max(sessions) AS max_sessions
+         |FROM s JOIN c USING (user_id)
+         |GROUP BY cohort ORDER BY cohort""".stripMargin,
     // Σ c·ln c folds in list order (list(... ORDER BY type) — the pqTopK
     // ordered-fold pairing); sums of counts cast off DuckDB's HUGEINT
     "q94_user_entropy" ->

@@ -636,6 +636,18 @@ class PlanAuditSpec extends SparkSpec {
       s"window and type rollup must reuse the bucket partitioning:\n$p")
   }
 
+  test("session-cohort join is fully co-partitioned: one hash exchange total") {
+    // window + two user rollups + the fact-fact join all ride the bucket
+    // partitioning; only the months-sized cohort rollup may hash-exchange
+    val p = plans("q95_session_cohort")
+    assert(p.contains("graft_ev_user"), s"q95 must read the staged user table:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"q95 must shuffle only the cohort rollup ($hashEx):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the user-keyed join must be co-partitioned, not a broadcast that would " +
+        s"break at 100 TB user counts:\n$p")
+  }
+
   test("user entropy is two rollups off the staged user buckets: no join, no window") {
     val p = plans("q94_user_entropy")
     assert(!p.contains("Join") && !p.contains("windowspecdefinition"), p)
