@@ -83,14 +83,41 @@ object Bucketing {
     * bucket. In-bucket sort order holds per file (each appended file is
     * sorted), which is what Spark's bucketed-scan contract requires.
     */
-  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def appendBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                     sortCols: Seq[String] = Seq.empty): Unit = {
     require(table.matches("[A-Za-z0-9_]+"),
       s"appendBucketed needs a simple [A-Za-z0-9_]+ table name, got $table")
+    // sortCols must MATCH the existing table's spec (Spark refuses a
+    // mismatched append); tables staged by writeBucketedSorted pass their
+    // extended sort, key-sorted tables keep the default
+    val sort = if (sortCols.nonEmpty) sortCols else Seq(key)
     df.write.mode("append")
       .format("parquet")
       .bucketBy(buckets, key)
-      .sortBy(key)
+      .sortBy(sort.head, sort.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Restore the single-file-per-bucket SORTED contract on an
+    * append-maintained bucketed table — the compaction half of the staged
+    * events lifecycle: ingest [[appendBucketed]]s batches (each append adds
+    * a file per touched bucket, which voids the scan's reported sort
+    * order), and a periodic compaction rewrites the table through
+    * [[writeBucketedSorted]] so downstream windows go back to planning
+    * with no exchange AND no sort. The current contents are pinned with an
+    * eager localCheckpoint before the drop — reading lazily from the same
+    * location being overwritten would race the delete.
+    *
+    * At 100 TB this is the nightly table-service job every
+    * sorted-clustered event log runs (the same role LSM compaction or
+    * clustering-key maintenance plays elsewhere); per-bucket it is one
+    * read + one sort + one write, embarrassingly parallel across buckets.
+    */
+  def compactSorted(spark: SparkSession, table: String, key: String,
+                    sortCols: Seq[String], buckets: Int): Unit = {
+    val pinned = read(spark, table).localCheckpoint(true)
+    writeBucketedSorted(pinned, table, key, sortCols, buckets)
+    pinned.unpersist(blocking = false)
   }
 
   /** Replace a small NON-bucketed catalog table (metadata/stats sidecars for
