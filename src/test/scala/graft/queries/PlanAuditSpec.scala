@@ -636,6 +636,21 @@ class PlanAuditSpec extends SparkSpec {
       s"window and type rollup must reuse the bucket partitioning:\n$p")
   }
 
+  test("r9-wired events queries never re-shuffle on user_id off the user buckets") {
+    // q12/q13: window directly on the bucketed scan (ordering satisfied);
+    // q42: all three funnel-stage rollups + joins ride the user key;
+    // q50/q53: first-touch min and the cohort join back, same key (their
+    // (cohort, week)/day rollups legitimately exchange on OTHER keys).
+    // The staging's contract is precisely: no exchange keyed on user_id.
+    Seq("q12_window_rank", "q13_window_frame", "q42_funnel",
+      "q50_retention", "q53_growth").foreach { n =>
+      val p = plans(n)
+      assert(p.contains("graft_ev_user"), s"$n must read the staged user table:\n$p")
+      assert("Exchange hashpartitioning\\(user_id#".r.findFirstIn(p).isEmpty,
+        s"$n re-shuffled events on user_id — the exchange staging exists to avoid:\n$p")
+    }
+  }
+
   test("session-cohort join is fully co-partitioned: one hash exchange total") {
     // window + two user rollups + the fact-fact join all ride the bucket
     // partitioning; only the months-sized cohort rollup may hash-exchange
