@@ -352,6 +352,59 @@ object StreamOps {
         round(col("p")(0), 6).as("p50"), round(col("p")(1), 6).as("p90"),
         round(col("p")(2), 6).as("p99"))
 
+  case class TwapIn(event_type: String, event_id: Long, ts: Timestamp, value: Double)
+  case class TwapOut(event_type: String, n: Long, total_us: Long, twap: Double)
+
+  /** Streaming twin of batch `q92_twap`: per event type, keyed state holds
+    * the step-function cursor — (last us, last value, exact decimal
+    * Σ value·duration, Σ duration, n) — and each arriving event CLOSES the
+    * previous value's holding interval and emits the updated running TWAP.
+    * State is one fixed record per type; the weighted sum accumulates as
+    * java BigDecimal (exact, order-fixed by the sequential cursor), so a
+    * single-batch replay's LAST emission per type equals batch q92's
+    * (n, total_us, twap) exactly — the differential the spec pins. The
+    * division happens only at emission (double of exact operands, the q92
+    * convention).
+    */
+  def twapStream(events: DataFrame): Dataset[TwapOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .as[TwapIn]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[(Long, Double, java.math.BigDecimal, Long, Long), TwapOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state: GroupState[(Long, Double, java.math.BigDecimal, Long, Long)]) =>
+          var (lastUs, lastV, num, den, n) = state.getOption
+            .getOrElse((Long.MinValue, 0.0, java.math.BigDecimal.ZERO, 0L, 0L))
+          val out = Seq.newBuilder[TwapOut]
+          rows.toSeq
+            .sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id))
+            .foreach { e =>
+              val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+              if (lastUs != Long.MinValue) {
+                val dur = us - lastUs
+                // value quantized at scale 6 HALF_UP = Spark's
+                // double→DECIMAL(18,6) cast in batch q92; × integer micros
+                // stays exact
+                num = num.add(java.math.BigDecimal.valueOf(lastV)
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .multiply(java.math.BigDecimal.valueOf(dur)))
+                den += dur
+                n += 1
+                out += TwapOut(key, n, den,
+                  r6(num.doubleValue() / den.toDouble))
+              }
+              lastUs = us; lastV = e.value
+            }
+          state.update((lastUs, lastV, num, den, n))
+          out.result().iterator
+      }
+  }
+
   case class SessIn(user_id: Long, ts: Timestamp)
   case class Session(user_id: Long, session: Long, events: Long,
                      start_ts: Timestamp, end_ts: Timestamp)

@@ -358,6 +358,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming TWAP's last emission per type equals batch q92 on a replayed log") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, max, struct}
+    import spark.implicits._
+    val src = MemoryStream[StreamOps.TwapIn](spark)
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_type", $"event_id", $"ts", $"value")
+      .as[StreamOps.TwapIn].collect().toSeq
+    src.addData(rows)
+    val q = StreamOps.twapStream(src.toDF())
+      .writeStream.format("memory").queryName("twap_stream")
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      // the cursor's final emission per type carries the full-stream
+      // (n, total_us, twap) — exactly batch q92's row for that type
+      val streamed = spark.table("twap_stream")
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("total_us"), col("twap"))).as("f"))
+        .select(col("event_type"), col("f.n"), col("f.total_us"), col("f.twap"))
+        .orderBy("event_type")
+        .collect().toSeq
+      val batch = graft.queries.CoreQueries.q92(spark, sf0001)
+        .select("event_type", "n", "total_us", "twap")
+        .collect().toSeq
+      assert(batch.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrichment joins a dim without join state") {
     import spark.implicits._
     val src = new MemoryFlowSource(spark)
