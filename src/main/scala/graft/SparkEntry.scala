@@ -224,10 +224,17 @@ object SparkEntry {
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check.
+    *
+    * The similarity oracles render data-scaled code widths, keyed by the
+    * TARGET DIR (`Verify` passes the dir it just ran the queries against);
+    * the no-arg form renders the floor widths — what any driver-scale
+    * corpus resolves to.
     */
-  def oracleSql: Map[String, String] =
+  def oracleSqlFor(dir: String): Map[String, String] =
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++ StatQueries.oracle ++
-      DedupQueries.oracle ++ SimilarityQueries.oracle ++ MultimodalQueries.oracle ++
+      DedupQueries.oracle ++ SimilarityQueries.oracle(dir) ++ MultimodalQueries.oracle ++
       CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle ++
       RetrievalQueries.oracle ++ GraphQueries.oracle ++ LinkQueries.oracle
+
+  def oracleSql: Map[String, String] = oracleSqlFor("")
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Banded (two-level) time-ordered windows: the q74/q87 banded-prefix-sum
+  * idiom applied to WINDOW functions, so a per-key ordered walk no longer
+  * serializes on the key's cardinality.
+  *
+  * The problem this solves (the r9 verdict's one named scale-killer): a
+  * `Window.partitionBy(key).orderBy(time)` over a LOW-cardinality key — e.g.
+  * the 5-value `event_type` — plans as |key| tasks that each walk their whole
+  * partition sequentially. Correct, exchange-light, and a cluster-utilization
+  * disaster: at 100 TB that is 5 tasks for the whole table no matter how many
+  * executors exist.
+  *
+  * The fix: partition the walk by `(key, time-bucket)` — parallelism becomes
+  * |key| × |buckets| — and make each bucket's frames EXACT by carrying in the
+  * rows a frame can reach across its bucket's left edge:
+  *
+  *  1. every row gets its position within its `(key, bucket)` (one window
+  *     pass, parallel over all buckets);
+  *  2. a TINY per-(key, bucket) count table (|keys|·|buckets| rows — bounded
+  *     by the calendar, never the corpus) gets per-key cumulative counts, so
+  *     `g = cum_before(bucket) + pos` is each row's GLOBAL per-key ordinal —
+  *     computed with no global sort anywhere;
+  *  3. a trailing ROWS frame of depth n entering bucket b' can only reach the
+  *     n ordinals `cum_before(b') − n + 1 … cum_before(b')`, so the carry
+  *     rows are fetched by a plain EQUI-join on `(key, g)` against the
+  *     bucket table exploded ×n — every step a hash join or a
+  *     partial-aggregable rollup, nothing quadratic, empty/sparse buckets
+  *     handled exactly (a carry row hops as many buckets as the ordinal
+  *     arithmetic says it must);
+  *  4. the frame window then runs partitioned by `(key, bucket)` over
+  *     main ∪ carry rows — carry rows order BEFORE the bucket's own rows
+  *     automatically (their timestamps precede the bucket's left edge) and
+  *     are dropped from the output after serving as frame context.
+  *
+  * Cost shape: two shuffles of the fact table (both `(key, bucket)`-keyed,
+  * full cluster width) + one tiny rollup + one broadcast-sized join, versus
+  * the flat window's single |key|-task stage. At any real scale the wall
+  * clock is the banded plan's by orders of magnitude; results are
+  * bit-identical (the parity + sparse-bucket specs pin this).
+  */
+object BandedWindow {
+
+  /** Default band width: one day. Sizes (key × day) task grain; at 100 TB
+    * with years of data this yields thousands of parallel window tasks per
+    * key instead of one.
+    */
+  val defaultBucketSeconds: Long = 86400L
+
+  private def bkt(ts: String, bucketSeconds: Long): Column =
+    expr(s"unix_micros($ts) div ${bucketSeconds * 1000000L}")
+
+  /** `df` extended with `aggs` evaluated over the trailing ROWS frame
+    * `(-n, -1)` of the TOTAL per-`key` `(ts, id)` order — exactly
+    * `Window.partitionBy(key).orderBy(ts, id).rowsBetween(-n, -1)` — but
+    * computed with `(key, bucket)` parallelism. Output columns: the input
+    * columns plus one per `aggs` entry; row set and values identical to the
+    * flat window's.
+    */
+  def trailingRows(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      id: String,
+      n: Int,
+      aggs: Seq[(String, WindowSpec => Column)],
+      bucketSeconds: Long = defaultBucketSeconds): DataFrame = {
+    require(n >= 1, s"frame depth must be positive, got $n")
+    val inCols = df.columns.toSeq
+    val b = df.withColumn("_bkt", bkt(ts, bucketSeconds))
+
+    // (2) tiny bucket table: rows per (key, bucket), cumulative rows BEFORE
+    // each bucket — the only per-key-sequential walk, over a calendar-sized
+    // aggregate, never the corpus
+    val wCum = Window.partitionBy(key).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumB = b.groupBy(col(key), col("_bkt")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_cumb", coalesce(sum("_bn").over(wCum), lit(0L)))
+
+    // (1) per-bucket position → (via the tiny table) global per-key ordinal
+    val wPos = Window.partitionBy(key, "_bkt").orderBy(col(ts), col(id))
+    val withG = b
+      .withColumn("_pos", row_number().over(wPos))
+      .join(cumB.select(col(key), col("_bkt"), col("_cumb")), Seq(key, "_bkt"))
+      .withColumn("_g", col("_cumb") + col("_pos"))
+
+    // (3) each non-empty bucket b' needs the n ordinals just before it;
+    // fetch them by equi-join on (key, g) — a row lands in every bucket
+    // whose frames can reach it, however many near-empty bands lie between
+    val targets = cumB
+      .select(col(key), col("_bkt").as("_tbkt"),
+        explode(sequence(col("_cumb") - (n - 1), col("_cumb"))).as("_gneed"))
+      .filter(col("_gneed") >= 1)
+    val carry = withG
+      .join(targets, withG(key) === targets(key) && col("_g") === col("_gneed"))
+      .select((inCols.map(withG(_)) :+ targets("_tbkt").as("_bkt") :+
+        lit(true).as("_carry")): _*)
+
+    // (4) frame window inside (key, bucket); carry rows precede the bucket's
+    // own rows in (ts, id) order by construction (earlier bucket ⇒ earlier ts)
+    val main = b.withColumn("_carry", lit(false))
+    val all = main.unionByName(carry)
+    val wFrame = Window.partitionBy(key, "_bkt").orderBy(col(ts), col(id))
+      .rowsBetween(-n, -1)
+    val withAggs = aggs.foldLeft(all) { case (d, (name, f)) =>
+      d.withColumn(name, f(wFrame))
+    }
+    withAggs.filter(!col("_carry"))
+      .select((inCols ++ aggs.map(_._1)).map(col): _*)
+  }
+
+  /** `df` extended with `name` = the NEXT row's `valueCol` in the total
+    * per-`key` `(ts, id)` order — exactly
+    * `lead(valueCol, 1) over (partition by key order by ts, id)` — banded:
+    * `lead` runs inside each `(key, bucket)`; each bucket's last row takes
+    * the FIRST value of the key's next non-empty bucket from the tiny
+    * bucket-level table (a lead over the calendar-sized aggregate, joined
+    * back). Null for the key's last row, like the flat form.
+    */
+  def leadValue(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      id: String,
+      valueCol: String,
+      name: String,
+      bucketSeconds: Long = defaultBucketSeconds): DataFrame = {
+    val inCols = df.columns.toSeq
+    val b = df.withColumn("_bkt", bkt(ts, bucketSeconds))
+    val wIn = Window.partitionBy(key, "_bkt").orderBy(col(ts), col(id))
+    // first value of each (key, bucket) by (ts, id): min over an ordered
+    // struct, then the bucket-level lead per key (tiny frame)
+    val wB = Window.partitionBy(key).orderBy("_bkt")
+    val firsts = b.groupBy(col(key), col("_bkt"))
+      .agg(min(struct(col(ts), col(id), col(valueCol))).as("_f"))
+      .withColumn("_nextFirst", lead(col("_f")(valueCol), 1).over(wB))
+      .select(col(key), col("_bkt"), col("_nextFirst"))
+    b.withColumn("_lead", lead(valueCol, 1).over(wIn))
+      .join(firsts, Seq(key, "_bkt"))
+      .withColumn(name, coalesce(col("_lead"), col("_nextFirst")))
+      .select((inCols :+ name).map(col): _*)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics over edge lists — the family that complements
@@ -160,11 +160,18 @@ object Graph {
           (col("e1.dv") < col("e2.dv") ||
             (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
       .select(col("e1.v").as("x"), col("e2.v").as("y"))
-    val packable = und.agg(greatest(max("a"), max("b")).lt(lit(1L << 31)) &&
-      least(min("a"), min("b")).geq(lit(0L))).head().getBoolean(0)
+    // coalesce: an empty edge frame aggregates max/min to null, and a null
+    // boolean must fall back to the (correct either way) two-column key.
+    val packable = und.agg(coalesce(
+      greatest(max("a"), max("b")).lt(lit(1L << 31)) &&
+        least(min("a"), min("b")).geq(lit(0L)), lit(false))).head().getBoolean(0)
+    // cast BEFORE shifting: shiftleft on an IntegerType column is a Java int
+    // shift (masked to 0 for 32), which would degenerate the key to x+y.
+    def pack(x: Column, y: Column): Column =
+      shiftleft(x.cast("long"), 32).plus(y.cast("long"))
     val tri = (if (packable)
-        wedgeCands.select(shiftleft(col("x"), 32).plus(col("y")).as("xy"))
-          .join(o.select(shiftleft(col("u"), 32).plus(col("v")).as("xy")),
+        wedgeCands.select(pack(col("x"), col("y")).as("xy"))
+          .join(o.select(pack(col("u"), col("v")).as("xy")),
             Seq("xy"), "left_semi")
       else
         wedgeCands.join(o.select(col("u").as("x"), col("v").as("y")),

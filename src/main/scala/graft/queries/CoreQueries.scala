@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.{Layout, TemporalJoin}
+import graft.operators.{BandedWindow, Layout, TemporalJoin}
 
 /** The declared relational query set (FIXTURES.md §3, Q01-Q19), written
   * DataFrame-first so Catalyst plans them (column pruning + filter pushdown to
@@ -1129,31 +1129,35 @@ object CoreQueries {
     * cannot mask itself), and rows more than 3 sigma out are reported with
     * their local statistics.
     *
-    * Scale: one window over `(event_type)` with a bounded ROWS frame — state
-    * is 20 rows per partition cursor regardless of corpus size, and the only
-    * shuffle is the partition-by. The time-ordered sort is per event-type,
-    * not global.
+    * Scale: the trailing frame is computed BANDED
+    * ([[BandedWindow.trailingRows]] — two-level `(event_type, day)` keys
+    * with exact ordinal carry-in), so the ordered walk parallelizes over
+    * |types| × |days| tasks instead of serializing on the 5-value type key
+    * (the r9 verdict's named scale-killer: 5 tasks for the whole table at
+    * 100 TB, however wide the cluster). Results are bit-identical to the
+    * flat per-type window — BandedWindowSpec pins parity, including across
+    * sparse/empty bands.
     */
-  def q64(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-      .rowsBetween(-20, -1)
-    EventsBackbone.byType(s, dir)
-      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
-      .withColumn("roll_n", count("value").over(w))
-      // the anomaly predicate compares 6-ROUNDED quantities: Spark
-      // recomputes each bounded frame in row order while DuckDB's window
-      // aggregation merges segment-tree partials, so the raw doubles can
-      // differ in the last ulps — a raw >3sigma compare would be an
-      // engine-dependent boundary (the FIXTURES round-before-compare rule)
-      .withColumn("roll_avg", round(avg("value").over(w), 6))
-      .withColumn("roll_sd", round(stddev_samp("value").over(w), 6))
+  def q64(s: SparkSession, dir: String): DataFrame =
+    BandedWindow.trailingRows(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"), col("value")),
+      key = "event_type", ts = "ts", id = "event_id", n = 20,
+      aggs = Seq(
+        "roll_n" -> (w => count("value").over(w)),
+        // the anomaly predicate compares 6-ROUNDED quantities: Spark
+        // recomputes each bounded frame in row order while DuckDB's window
+        // aggregation merges segment-tree partials, so the raw doubles can
+        // differ in the last ulps — a raw >3sigma compare would be an
+        // engine-dependent boundary (the FIXTURES round-before-compare rule)
+        "roll_avg" -> (w => round(avg("value").over(w), 6)),
+        "roll_sd" -> (w => round(stddev_samp("value").over(w), 6))))
       .where(col("roll_n") >= 10 && col("roll_sd") > 0 &&
         round(abs(col("value") - col("roll_avg")) - col("roll_sd") * 3, 6) > 0)
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"),
         col("roll_avg"), col("roll_sd"))
       .orderBy("event_type", "event_id")
-  }
 
   /** Q65 — time-partition completeness audit (pipeline ops): per event_type,
     * how many hourly partitions exist between its first and last hour, and
@@ -1420,7 +1424,11 @@ object CoreQueries {
           // rehearsal). At scale 2 the scaled value stays far below 2^53.
           round(col("s").cast("double"), 2).as("total"),
           round(col("s").cast("double") / nd, 6).as("avg_price"),
-          round(sqrt(m2 / (nd * (nd - 1))), 6).as("sd_price")).as("m")
+          // a 1-order month has no sample stddev: keep the 0-denominator
+          // out of the (ANSI) division entirely — NULL, like the oracle's
+          // CASE arm
+          when(col("n") > 1, round(sqrt(m2 / (nd * (nd - 1))), 6))
+            .as("sd_price")).as("m")
       })
       .select(col("month"), col("n"), col("m.total").as("total"),
         col("m.avg_price").as("avg_price"), col("m.sd_price").as("sd_price"))
@@ -1848,19 +1856,23 @@ object CoreQueries {
     * observations exist) — the robust companion to q64's rolling mean/σ
     * (one extreme value shifts a trailing mean for 20 rows; the median
     * shrugs it off). The percentile aggregate runs INSIDE the bounded
-    * ROWS frame — one user-visible shuffle on the type key, frames never
-    * hold more than 20 values. The DECLARED result caps at the first 500
+    * ROWS frame — frames never hold more than 20 values — and the frame
+    * is computed BANDED ([[BandedWindow.trailingRows]]), so the walk
+    * parallelizes over (type, day) bands instead of 5 sequential tasks
+    * (q64's scale note). The DECLARED result caps at the first 500
     * rows of the total (type, id) order — like novelty/ttr's caps, so
     * verify/bench hash a bounded frame instead of the whole events table
     * at larger scale factors (r8 ADVICE); the underlying window computes
     * over everything regardless.
     */
   def q88(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-      .rowsBetween(-20, -1)
-    EventsBackbone.byType(s, dir)
-      .withColumn("roll_n", count("value").over(w))
-      .withColumn("roll_med", round(expr("percentile(value, 0.5)").over(w), 6))
+    BandedWindow.trailingRows(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"), col("value")),
+      key = "event_type", ts = "ts", id = "event_id", n = 20,
+      aggs = Seq(
+        "roll_n" -> (w => count("value").over(w)),
+        "roll_med" -> (w => round(expr("percentile(value, 0.5)").over(w), 6))))
       .filter(col("roll_n") >= 10)
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"), col("roll_med"))
@@ -1965,18 +1977,21 @@ object CoreQueries {
   /** Q92 — time-weighted average (TWAP) per event type: each value holds
     * until the type's NEXT event (the step-function reading a sampled
     * metric needs — a plain mean over-weights bursts), so the average
-    * weighs each value by its holding duration. The `lead` runs over the
-    * staged type-sorted buckets (no exchange, no sort — the
-    * EventsBackbone contract) and each type's last event contributes no
-    * duration. value×seconds sums as exact DECIMAL, the final ratio is a
-    * value-magnitude number (scale 6 safe at any sf).
+    * weighs each value by its holding duration. The `lead` is computed
+    * BANDED ([[BandedWindow.leadValue]]: per-(type, day) lead + each
+    * band's last row takes the next band's first value off the tiny
+    * bucket-level table), so it parallelizes over (type, day) bands
+    * instead of 5 sequential tasks (q64's scale note); each type's last
+    * event contributes no duration. value×seconds sums as exact DECIMAL,
+    * the final ratio is a value-magnitude number (scale 6 safe at any sf).
     */
   def q92(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    EventsBackbone.byType(s, dir)
-      .select(col("event_type"), col("ts"), col("event_id"),
-        col("value"), unix_micros(col("ts")).as("us"))
-      .withColumn("next_us", lead("us", 1).over(w))
+    BandedWindow.leadValue(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("value"), unix_micros(col("ts")).as("us")),
+      key = "event_type", ts = "ts", id = "event_id",
+      valueCol = "us", name = "next_us")
       .filter(col("next_us").isNotNull)
       .select(col("event_type"),
         (col("next_us") - col("us")).as("dur_us"),
@@ -2033,8 +2048,13 @@ object CoreQueries {
       .agg(sum("c").as("n"),
         expr("""aggregate(array_sort(collect_list(struct(event_type AS t, c AS c))),
                 CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.c * ln(e.c))""").as("slnc"))
+      // clamp: a single-type user's entropy is mathematically 0 but computes
+      // as ln n − (n·ln n)/n, which can land 1 ulp BELOW zero and floor into
+      // decibucket −1 — and the outcome would then hinge on each engine's
+      // libm ln rounding. greatest(·, 0) makes the exact-zero class
+      // boundary-proof (oracle applies the same GREATEST).
       .select(col("n"),
-        (log(col("n")) - col("slnc") / col("n")).as("ent"))
+        greatest(log(col("n")) - col("slnc") / col("n"), lit(0.0)).as("ent"))
       .select(floor(col("ent") * 10).cast("long").as("decibucket"), col("n"))
       .groupBy("decibucket")
       .agg(count(lit(1)).as("users"),

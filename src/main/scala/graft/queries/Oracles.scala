@@ -412,7 +412,7 @@ object Oracles {
         |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
         |    list_sum(list(c * ln(c) ORDER BY event_type)) AS slnc
         |  FROM ut GROUP BY 1),
-        |h AS (SELECT n, CAST(floor((ln(n) - slnc / n) * 10) AS BIGINT)
+        |h AS (SELECT n, CAST(floor(GREATEST(ln(n) - slnc / n, 0) * 10) AS BIGINT)
         |    AS decibucket FROM u)
         |SELECT decibucket, count(*) AS users,
         |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_events
@@ -784,8 +784,9 @@ object Oracles {
         |SELECT month, CAST(n AS BIGINT) AS n,
         |  round(CAST(s AS DOUBLE), 2) AS total,
         |  round(CAST(s AS DOUBLE) / n, 6) AS avg_price,
-        |  round(sqrt(CAST(CAST(n AS DECIMAL(20,0)) * ss - s * s AS DOUBLE)
-        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) AS sd_price
+        |  CASE WHEN n > 1 THEN
+        |    round(sqrt(CAST(CAST(n AS DECIMAL(20,0)) * ss - s * s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 6) END AS sd_price
         |FROM st ORDER BY month""".stripMargin,
     // the predicate compares 6-rounded stats (see the Spark-side comment:
     // segment-tree vs recompute window partials differ in last ulps)

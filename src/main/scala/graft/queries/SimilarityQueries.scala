@@ -36,14 +36,22 @@ object SimilarityQueries {
   private final class AdaptiveWidth(floor: Int) {
     private val resolved =
       scala.collection.concurrent.TrieMap[(SparkSession, String), Int]()
-    @volatile private var last: Int = floor
+    // Width depends only on the corpus (row count of `dir`), so the oracle
+    // lookup is keyed by dir ALONE — a JVM verifying two dirs of different
+    // scale (or concurrent suites) renders each dir's oracle at ITS width,
+    // not at whichever dir resolved last (the r9 volatile-slot defect).
+    private val byDir = scala.collection.concurrent.TrieMap[String, Int]()
     def apply(s: SparkSession, dir: String): Int = {
       val p = resolved.getOrElseUpdate((s, dir),
         Similarity.planesFor(embCount(s, dir), floor))
-      last = p
+      byDir(dir) = p
       p
     }
-    def forOracle: Int = last
+    /** Width the oracle for `dir` renders with: the resolution recorded by
+      * a query run against that dir, else the floor (what every
+      * driver-scale corpus resolves to anyway).
+      */
+    def forOracle(dir: String): Int = byDir.getOrElse(dir, floor)
   }
 
   /** Code Hamming radius for the LSH top-k: 3 of 16 planes disagreeing
@@ -578,13 +586,14 @@ object SimilarityQueries {
        |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
   }
 
-  /** A `def`, not a `val`: the two LSH oracles render at the ADAPTIVE code
-    * width their queries resolved ([[AdaptiveWidth.forOracle]]), and
-    * `Verify` dumps `oracle_sql.json` AFTER running the queries — so the
-    * dumped SQL always carries the width the parquet results were computed
-    * with, at any scale factor.
+  /** A `def` OF THE TARGET DIR, not a `val`: the two LSH oracles render at
+    * the ADAPTIVE code width their queries resolved FOR THAT DIR
+    * ([[AdaptiveWidth.forOracle]]), and `Verify` dumps `oracle_sql.json`
+    * AFTER running the queries — so the dumped SQL always carries the width
+    * the parquet results were computed with, at any scale factor, even when
+    * one JVM verifies several dirs of different scale.
     */
-  def oracle: Map[String, String] = Map(
+  def oracle(dir: String): Map[String, String] = Map(
     "sim_maxsim" ->
       s"""WITH v AS (SELECT vec_id // $maxSimGroup AS doc, vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE doc = 0),
@@ -696,7 +705,7 @@ object SimilarityQueries {
     "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
     "sim_lsh_staged" ->
-      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle)} AS lsh_code FROM embeddings),
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)
          |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
          |FROM coded, q
@@ -710,7 +719,7 @@ object SimilarityQueries {
          |ORDER BY rp_cos DESC, p.vec_id LIMIT 10""".stripMargin,
     "sim_ivf_topk" -> ivfProbeSql,
     "sim_batch_topk" ->
-      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchWidth.forOracle)} AS lsh_code FROM embeddings),
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT * FROM coded WHERE vec_id < 3),
          |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
          |  round(${SqlGen.cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[BandedWindow]] must equal the flat per-key window BIT-FOR-BIT — it is a
+  * parallelism rewrite, not an approximation — including across sparse and
+  * empty bands, where a frame entering a band must reach back through however
+  * many near-empty bands it takes to fill n rows (the carry-ordinal
+  * arithmetic this operator exists for).
+  */
+class BandedWindowSpec extends SparkSpec {
+
+  /** A spiky synthetic stream: 3 keys, bursts separated by multi-band gaps,
+    * several bands with fewer than n rows — the distribution that breaks any
+    * "carry the previous band's tail" shortcut.
+    */
+  private lazy val spiky: DataFrame = {
+    spark.range(3000).selectExpr(
+      "id AS event_id",
+      // key 0: dense; key 1: bursty with day-scale gaps; key 2: very sparse
+      "concat('k', cast(id % 3 AS string)) AS event_type",
+      """timestamp_micros(CASE
+         |  WHEN id % 3 = 0 THEN 1700000000000000 + (id div 3) * 900000000
+         |  WHEN id % 3 = 1 THEN 1700000000000000 +
+         |    ((id div 300) * 5 * 86400000000) + (id % 300) * 7000000
+         |  ELSE 1700000000000000 + (id div 3) * 40000000000
+         |END)""".stripMargin + " AS ts",
+      "cast(pmod(id * 37 + 11, 101) AS DOUBLE) / 7 AS value")
+      .repartition(7) // scramble physical order: banding must not depend on it
+  }
+
+  private def flatTrailing(df: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-n, -1)
+    df.withColumn("roll_n", count("value").over(w))
+      .withColumn("roll_avg", round(avg("value").over(w), 6))
+      .withColumn("roll_med", round(expr("percentile(value, 0.5)").over(w), 6))
+  }
+
+  private def bandedTrailing(df: DataFrame, n: Int, bucketSeconds: Long): DataFrame =
+    BandedWindow.trailingRows(df, "event_type", "ts", "event_id", n,
+      Seq(
+        "roll_n" -> (w => count("value").over(w)),
+        "roll_avg" -> (w => round(avg("value").over(w), 6)),
+        "roll_med" -> (w => round(expr("percentile(value, 0.5)").over(w), 6))),
+      bucketSeconds)
+
+  private def sorted(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.orderBy("event_type", "event_id").collect().toSeq
+
+  test("banded trailing frame equals the flat window on the spiky stream (day bands)") {
+    assert(sorted(bandedTrailing(spiky, 20, 86400L)) == sorted(flatTrailing(spiky, 20)))
+  }
+
+  test("parity holds with bands far narrower than the frame (every band sparse)") {
+    // 1-hour bands: most bands hold fewer than n rows, so nearly every frame
+    // crosses several band edges and many hop empty bands entirely
+    assert(sorted(bandedTrailing(spiky, 20, 3600L)) == sorted(flatTrailing(spiky, 20)))
+    // and a frame deeper than any band's row count
+    assert(sorted(bandedTrailing(spiky, 50, 3600L)) == sorted(flatTrailing(spiky, 50)))
+  }
+
+  test("banded lead equals the flat lead, including across empty bands") {
+    val flat = spiky.withColumn("nxt",
+      lead("value", 1).over(Window.partitionBy("event_type").orderBy("ts", "event_id")))
+    for (width <- Seq(86400L, 3600L)) {
+      val banded = BandedWindow.leadValue(spiky, "event_type", "ts", "event_id",
+        "value", "nxt", width)
+      assert(sorted(banded) == sorted(flat), s"lead mismatch at band width $width")
+    }
+  }
+
+  test("the banded plan partitions window work by (key, band), not key alone") {
+    val plan = bandedTrailing(spiky, 20, 86400L).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"expected a (key, band) exchange in:\n$plan")
+    assert(raw"hashpartitioning\(event_type#\d+, _bkt#\d+".r.findFirstIn(plan).isDefined,
+      s"window exchange must cluster by (event_type, _bkt):\n$plan")
+    // the stream genuinely spreads across many bands — this is the
+    // parallelism the flat window's 3 tasks could never use
+    val bands = spiky.select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000")).distinct().count()
+    assert(bands > 30, s"fixture should span many (key, band) cells, got $bands")
+  }
+}

@@ -50,16 +50,21 @@ class AdaptiveWidthSpec extends SparkSpec {
     assert(staged.nonEmpty && staged == unstaged)
     // the dumped oracle renders the SAME width the query resolved — this is
     // what Verify writes to oracle_sql.json after running the suite
-    val sql = SimilarityQueries.oracle("sim_lsh_staged")
+    val sql = SimilarityQueries.oracle(bigDir)("sim_lsh_staged")
     assert(sql.contains(Similarity.lshCodeSql("embedding", planes)),
       s"oracle must render at the resolved $planes-plane width:\n$sql")
   }
 
-  test("back at driver scale the pair resolves (and renders) the floor again") {
+  test("oracle width is keyed per dir: a floor-scale dir renders the floor even after a wider dir resolved") {
     val staged = SimilarityQueries.lshStagedTopK(spark, sf0001).collect().toSeq
     assert(staged.nonEmpty)
-    val sql = SimilarityQueries.oracle("sim_lsh_staged")
+    val sql = SimilarityQueries.oracle(sf0001)("sim_lsh_staged")
     assert(sql.contains(Similarity.lshCodeSql("embedding", 8)),
-      s"oracle must render back at the 8-plane floor:\n$sql")
+      s"oracle must render the 8-plane floor for the floor-regime dir:\n$sql")
+    // and the wide dir's render is NOT clobbered by the sf0001 run (the r9
+    // last-write-wins defect this round fixed)
+    val wide = SimilarityQueries.oracle(bigDir)("sim_lsh_staged")
+    assert(wide.contains(Similarity.lshCodeSql("embedding", 9)),
+      s"the wider dir must keep its 9-plane render:\n$wide")
   }
 }
