@@ -34,6 +34,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BackboneRegistry {
 
   private val entries = mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
+  // staged-TABLE-NAME resolutions (the catalog owns the data; this caches
+  // only which names a (session, dir) staged) — same lifecycle as `entries`
+  private val names = mutable.LinkedHashMap.empty[(SparkSession, String), Seq[String]]
+  // small derived scalars (corpus counts, resolved code widths) — cheap
+  // values, but a bare session-keyed map would still pin the stopped
+  // session's whole object graph for the JVM lifetime
+  private val scalars = mutable.LinkedHashMap.empty[(SparkSession, String), Any]
   private val hooked = mutable.HashSet.empty[SparkSession]
 
   /** The cached frame for (s, key), building (and caching) it exactly once.
@@ -43,6 +50,33 @@ object BackboneRegistry {
   def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized {
       entries.getOrElseUpdate((s, key), { hook(s); build })
+    }
+
+  /** The cached staged-table-name resolution for (s, key): reused while
+    * `live` holds for the cached names (callers pass a catalog-existence
+    * probe, so a fresh in-memory catalog re-stages rather than trusting a
+    * stale entry), rebuilt otherwise, evicted with the session like the
+    * frame entries. This retires the per-file `TrieMap[(SparkSession,
+    * String), names]` pattern (r9 "what's wrong" #1), whose entries
+    * strongly referenced stopped sessions for the JVM lifetime.
+    */
+  def namesOrBuild(s: SparkSession, key: String)(live: Seq[String] => Boolean)(
+      build: => Seq[String]): Seq[String] =
+    synchronized {
+      names.get((s, key)).filter(live).getOrElse {
+        hook(s)
+        val v = build
+        names((s, key)) = v
+        v
+      }
+    }
+
+  /** The cached derived scalar for (s, key) — counts, resolved widths —
+    * computed once per key, evicted with the session.
+    */
+  def scalarOrBuild[T](s: SparkSession, key: String)(build: => T): T =
+    synchronized {
+      scalars.getOrElseUpdate((s, key), { hook(s); build }).asInstanceOf[T]
     }
 
   /** Register the context-end eviction hook for `s`, once per session. */
@@ -64,6 +98,8 @@ object BackboneRegistry {
       scala.util.Try(entries(k).unpersist(blocking = false))
       entries.remove(k)
     }
+    names.keys.filter(_._1 eq s).toVector.foreach(names.remove)
+    scalars.keys.filter(_._1 eq s).toVector.foreach(scalars.remove)
     hooked.remove(s)
   }
 
@@ -77,10 +113,17 @@ object BackboneRegistry {
       scala.util.Try(entries(k).unpersist(blocking = false))
       entries.remove(k)
     }
+    names.keys.filter(k => (k._1 eq s) && k._2.startsWith(prefix)).toVector
+      .foreach(names.remove)
   }
 
-  /** Number of live entries for `s` (test observability). */
+  /** Number of live frame entries for `s` (test observability). */
   def size(s: SparkSession): Int = synchronized {
     entries.keys.count(_._1 eq s)
+  }
+
+  /** Number of live staged-name entries for `s` (test observability). */
+  def namesSize(s: SparkSession): Int = synchronized {
+    names.keys.count(_._1 eq s)
   }
 }

@@ -25,12 +25,9 @@ object BucketedQueries {
     * in-memory catalog — a dir-only hit would hand it table names only a
     * dead catalog ever created.
     */
-  private val staged =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
-
   private def stagedTables(s: SparkSession, dir: String): (String, String) = {
-    def live(t: (String, String)) = s.catalog.tableExists(t._1) && s.catalog.tableExists(t._2)
-    staged.get((s, dir)).filter(live).getOrElse {
+    val ts = BackboneRegistry.namesOrBuild(s, s"bucketed_li_ord:$dir")(
+      _.forall(s.catalog.tableExists)) {
       // tag includes a hash of the FULL dir (String.hashCode is spec-stable
       // across JVMs) so two dirs sharing a basename can't clobber each
       // other's staging tables.
@@ -49,9 +46,9 @@ object BucketedQueries {
           Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
           ord, "o_orderkey", buckets)
       }
-      staged((s, dir)) = (li, ord)
-      (li, ord)
+      Seq(li, ord)
     }
+    (ts(0), ts(1))
   }
 
   /** Q31 — revenue per order over the bucketed staging tables. Both the

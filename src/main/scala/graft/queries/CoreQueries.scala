@@ -832,8 +832,20 @@ object CoreQueries {
     * pass. Both windows partition by `user_id` — per-user shuffle
     * partitions, no global sort; at 100 TB a hot user costs one sorted
     * partition of their OWN events only.
+    *
+    * The DECLARED result caps at the first 500 rows of the total
+    * (user_id, session) order (the q88 r8-ADVICE precedent applied to its
+    * sibling): one session row per user-session is unbounded in the
+    * corpus, and verify/bench should hash a bounded frame, not collect
+    * 9.5M rows at the 100× probe (r9 "what's wrong" #3). Downstream
+    * aggregations ([[q89]], [[q95]]'s construction) use the UNCAPPED
+    * [[sessionize]].
     */
-  def q51(s: SparkSession, dir: String): DataFrame = {
+  def q51(s: SparkSession, dir: String): DataFrame =
+    sessionize(s, dir).orderBy("user_id", "session").limit(500)
+
+  /** The uncapped per-session frame behind [[q51]] (and [[q89]]). */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
     EventsBackbone.byUser(s, dir).select(col("user_id"), col("ts"))
       .withColumn("prev", lag("ts", 1).over(w))
@@ -845,7 +857,6 @@ object CoreQueries {
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy("user_id", "session")
       .agg(count(lit(1)).as("events"), min("ts").as("start_ts"), max("ts").as("end_ts"))
-      .orderBy("user_id", "session")
   }
 
   /** Q53 — growth accounting: per day, how many users touched the product
@@ -1887,7 +1898,7 @@ object CoreQueries {
     * window shape as q51.
     */
   def q89(s: SparkSession, dir: String): DataFrame =
-    q51(s, dir)
+    sessionize(s, dir)
       .select(to_date(col("start_ts")).as("day"), col("events"))
       .groupBy("day")
       .agg(count(lit(1)).as("sessions"),

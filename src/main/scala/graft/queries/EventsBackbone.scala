@@ -45,17 +45,14 @@ object EventsBackbone {
   private def enabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_EVENTS_BACKBONE", "true").toBoolean
 
-  /** Session-validated staged-table names, keyed like BucketedQueries'
-    * cache (a second session in one JVM has a fresh in-memory catalog, so
-    * a dir-only hit would hand it names only a dead catalog created).
+  /** Session-validated staged-table names, held by [[BackboneRegistry]]
+    * (session-evicted, r10) and re-validated against the catalog — a second
+    * session in one JVM has a fresh in-memory catalog, so a dir-only hit
+    * would hand it names only a dead catalog created.
     */
-  private val staged =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
-
   private def stagedTables(s: SparkSession, dir: String): (String, String) = {
-    def live(t: (String, String)) =
-      s.catalog.tableExists(t._1) && s.catalog.tableExists(t._2)
-    staged.get((s, dir)).filter(live).getOrElse {
+    val ts = BackboneRegistry.namesOrBuild(s, s"events_sorted:$dir")(
+      _.forall(s.catalog.tableExists)) {
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val byU = s"graft_ev_user_b${buckets}_$tag"
@@ -69,9 +66,9 @@ object EventsBackbone {
         Bucketing.writeBucketedSorted(ev, byT, "event_type",
           Seq("event_type", "ts", "event_id"), buckets)
       }
-      staged((s, dir)) = (byU, byT)
-      (byU, byT)
+      Seq(byU, byT)
     }
+    (ts(0), ts(1))
   }
 
   /** Events clustered on `user_id`, sorted (user_id, ts, event_id): the

@@ -318,7 +318,7 @@ object Oracles {
          |          THEN 1 ELSE 0 END AS brk FROM
          |   (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
          |    FROM events) t0) t1) t2
-         |GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+         |GROUP BY user_id, session ORDER BY user_id, session LIMIT 500""".stripMargin,
     "q89_bounce" ->
       s"""WITH se AS (SELECT user_id, session, count(*) AS events, min(ts) AS start_ts FROM
          | (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -117,11 +117,9 @@ object RetrievalQueries {
     * re-validated against the catalog — same cache discipline as the staged
     * ANN tables.
     */
-  private val stagedLex =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
-
   private def lexTable(s: SparkSession, dir: String): String =
-    stagedLex.get((s, dir)).filter(s.catalog.tableExists).getOrElse {
+    BackboneRegistry.namesOrBuild(s, s"lexidx:$dir")(
+      _.forall(s.catalog.tableExists)) {
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val t = s"graft_lexidx_$tag"
@@ -129,9 +127,8 @@ object RetrievalQueries {
       graft.operators.Staging.ensure(s, fp, Seq(t, s"${t}_stats")) {
         graft.operators.TextIndex.stageIndex(Tables.documents(s, dir), t, lexBuckets)
       }
-      stagedLex((s, dir)) = t
-      t
-    }
+      Seq(t)
+    }.head
 
   /** BM25 top-10 for [[lexTerms]] served from the staged inverted index
     * (C29's serving move applied to text): the postings scan reads only the

@@ -15,9 +15,10 @@ object SimilarityQueries {
     * but an eager `count()` job on every query construction is waste — the
     * declared queries share one count per session and testdata dir.
     */
-  private val counts = scala.collection.concurrent.TrieMap[(SparkSession, String), Long]()
   private[queries] def embCount(s: SparkSession, dir: String): Long =
-    counts.getOrElseUpdate((s, dir), Tables.embeddings(s, dir).count())
+    BackboneRegistry.scalarOrBuild(s, s"embCount:$dir") {
+      Tables.embeddings(s, dir).count()
+    }
 
   /** ADAPTIVE code width for a query family whose DuckDB oracle must be
     * rendered at the SAME width the Spark plan used: [[apply]] resolves
@@ -34,16 +35,15 @@ object SimilarityQueries {
     * the floor — the width every driver-scale corpus resolves to anyway.
     */
   private final class AdaptiveWidth(floor: Int) {
-    private val resolved =
-      scala.collection.concurrent.TrieMap[(SparkSession, String), Int]()
     // Width depends only on the corpus (row count of `dir`), so the oracle
     // lookup is keyed by dir ALONE — a JVM verifying two dirs of different
     // scale (or concurrent suites) renders each dir's oracle at ITS width,
     // not at whichever dir resolved last (the r9 volatile-slot defect).
     private val byDir = scala.collection.concurrent.TrieMap[String, Int]()
     def apply(s: SparkSession, dir: String): Int = {
-      val p = resolved.getOrElseUpdate((s, dir),
-        Similarity.planesFor(embCount(s, dir), floor))
+      val p = BackboneRegistry.scalarOrBuild(s, s"planes$floor:$dir") {
+        Similarity.planesFor(embCount(s, dir), floor)
+      }
       byDir(dir) = p
       p
     }
@@ -336,17 +336,15 @@ object SimilarityQueries {
 
   /** The staged ANN tables (LSH-coded + IVF lists), built once per
     * (session, dir) — the serving-path amortization: staging pays the
-    * shuffle, every probe after it is bucket-pruned. Keyed on the session
-    * too (not dir alone), and re-validated against the catalog, so a fresh
-    * in-memory catalog in the same JVM re-stages instead of trusting a
-    * cache entry only a dead session's catalog knew about.
+    * shuffle, every probe after it is bucket-pruned. The name resolution
+    * lives in [[BackboneRegistry]] (session-evicted, r10), re-validated
+    * against the catalog so a fresh in-memory catalog in the same JVM
+    * re-stages instead of trusting a cache entry only a dead session's
+    * catalog knew about.
     */
-  private val stagedAnn =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
-
   private def annTables(s: SparkSession, dir: String): (String, String) = {
-    def live(t: (String, String)) = s.catalog.tableExists(t._1) && s.catalog.tableExists(t._2)
-    stagedAnn.get((s, dir)).filter(live).getOrElse {
+    val ts = BackboneRegistry.namesOrBuild(s, s"ann:$dir")(
+      _.forall(s.catalog.tableExists)) {
       val planes = stagedWidth(s, dir)
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
@@ -362,9 +360,9 @@ object SimilarityQueries {
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         Similarity.stageIvfBucketed(emb, cent, ivf, stagedIvfBuckets)
       }
-      stagedAnn((s, dir)) = (lsh, ivf)
-      (lsh, ivf)
+      Seq(lsh, ivf)
     }
+    (ts(0), ts(1))
   }
 
   /** Top-10 by cosine via the STAGED LSH index: the probe reads only the
@@ -393,13 +391,11 @@ object SimilarityQueries {
     * 16-row centroid table (a model artifact — bounded driver traffic).
     */
   /** The staged IVF-PQ table, cached with the same discipline as
-    * [[annTables]] (session-keyed, catalog-revalidated).
+    * [[annTables]] (registry-held, session-evicted, catalog-revalidated).
     */
-  private val stagedPq =
-    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
-
   private def pqTable(s: SparkSession, dir: String): String =
-    stagedPq.get((s, dir)).filter(s.catalog.tableExists).getOrElse {
+    BackboneRegistry.namesOrBuild(s, s"ann_pq:$dir")(
+      _.forall(s.catalog.tableExists)) {
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val t = s"graft_ann_ivfpq_$tag"
@@ -413,9 +409,8 @@ object SimilarityQueries {
         Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebook(emb), t,
           stagedIvfBuckets)
       }
-      stagedPq((s, dir)) = t
-      t
-    }
+      Seq(t)
+    }.head
 
   /** Top-10 by ADC via the STAGED IVF-PQ index: the probe reads only the 2
     * nearest lists' buckets and ranks their members from stored PQ codes —

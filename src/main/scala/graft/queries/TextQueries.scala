@@ -445,10 +445,9 @@ object TextQueries {
   val heavyCapacity = 64
 
   /** Cached corpus-vocabulary sizes for the exact-regime guard (one count
-    * job per (session, dir), shared across declare-time re-plans).
+    * job per (session, dir), shared across declare-time re-plans;
+    * registry-held so a stopped session's entry is evicted).
     */
-  private val vocabCounts =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
   /** Heavy hitters over the token stream via [[graft.expressions.FreqItemsAgg]]
     * — ONE mergeable aggregate whose buffer holds at most [[heavyCapacity]]
@@ -462,7 +461,9 @@ object TextQueries {
   def heavy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val toks = TextBackbone.unigrams(s, dir).select(col("w").as("token"))
-    val vocabN = vocabCounts.getOrElseUpdate((s, dir), toks.distinct().count())
+    val vocabN = BackboneRegistry.scalarOrBuild[Long](s, s"vocabCount:$dir") {
+      toks.distinct().count()
+    }
     require(vocabN <= heavyCapacity,
       s"corpus vocabulary $vocabN exceeds the $heavyCapacity-counter exact regime " +
         "— the exact-count oracle would silently diverge; raise heavyCapacity")

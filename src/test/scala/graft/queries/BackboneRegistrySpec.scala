@@ -77,4 +77,54 @@ class BackboneRegistrySpec extends SparkSpec {
     TextBackbone.unigrams(spark, sf0001).limit(1).count()
     assert(BackboneRegistry.size(spark) >= 1)
   }
+
+  test("staged-name resolutions cache per session, revalidate via the live probe, and evict with clearSession") {
+    val s2 = spark.newSession()
+    val built = new AtomicInteger(0)
+    def resolve(live: Boolean) =
+      BackboneRegistry.namesOrBuild(s2, "spec:names")(_ => live) {
+        built.incrementAndGet(); Seq("t1", "t2")
+      }
+    assert(resolve(live = true) == Seq("t1", "t2"))
+    assert(resolve(live = true) == Seq("t1", "t2") && built.get() == 1)
+    // a failed liveness probe (fresh catalog) rebuilds instead of trusting
+    // the cached names
+    assert(resolve(live = false) == Seq("t1", "t2") && built.get() == 2)
+    assert(BackboneRegistry.namesSize(s2) == 1)
+    // the session's entries are GONE after the (listener-invoked) clear —
+    // and the parent session's caches are untouched
+    val parentNames = BackboneRegistry.namesSize(spark)
+    val parentFrames = BackboneRegistry.size(spark)
+    BackboneRegistry.clearSession(s2)
+    assert(BackboneRegistry.namesSize(s2) == 0)
+    assert(BackboneRegistry.namesSize(spark) == parentNames)
+    assert(BackboneRegistry.size(spark) == parentFrames)
+  }
+
+  test("the staging call sites route their name caches through the registry (r9 TrieMap leak closed)") {
+    // no file in graft.queries holds a session-keyed TrieMap anymore — the
+    // registry owns every (session, dir) resolution and its eviction
+    val srcDir = new java.io.File("src/main/scala/graft/queries")
+    val offenders = srcDir.listFiles().filter(_.getName.endsWith(".scala")).filter { f =>
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      f.getName != "BackboneRegistry.scala" && txt.contains("TrieMap[(SparkSession")
+    }.map(_.getName)
+    assert(offenders.isEmpty, s"session-keyed TrieMaps outside the registry: ${offenders.toSeq}")
+    // and exercising a staged query leaves its resolution in the registry
+    val before = BackboneRegistry.namesSize(spark)
+    BucketedQueries.q31(spark, sf0001).limit(1).count()
+    assert(BackboneRegistry.namesSize(spark) >= math.max(before, 1))
+  }
+
+  test("derived scalars cache per session and evict with clearSession") {
+    val s2 = spark.newSession()
+    val built = new AtomicInteger(0)
+    def n = BackboneRegistry.scalarOrBuild(s2, "spec:scalar") {
+      built.incrementAndGet(); 42L
+    }
+    assert(n == 42L && n == 42L && built.get() == 1)
+    BackboneRegistry.clearSession(s2)
+    assert(BackboneRegistry.scalarOrBuild(s2, "spec:scalar") { 7L } == 7L)
+    BackboneRegistry.clearSession(s2)
+  }
 }

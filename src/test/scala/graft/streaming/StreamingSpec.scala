@@ -313,7 +313,8 @@ class StreamingSpec extends SparkSpec {
       // the stream emits a session when a LATER event proves the gap, so a
       // single-batch replay yields exactly q51 minus each user's final
       // (still-open) session — the production flush is an event-time timeout
-      val batch = graft.queries.CoreQueries.q51(spark, sf0001)
+      // the UNCAPPED construction (declared q51 truncates to 500 rows)
+      val batch = graft.queries.CoreQueries.sessionize(spark, sf0001)
       val closed = batch.join(
           batch.groupBy("user_id").agg(
             org.apache.spark.sql.functions.max("session").as("session")),
