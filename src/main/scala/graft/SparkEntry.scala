@@ -128,6 +128,7 @@ object SparkEntry {
     "q93_seasonality"    -> CoreQueries.q93 _,
     "q94_user_entropy"   -> CoreQueries.q94 _,
     "q95_session_cohort" -> CoreQueries.q95 _,
+    "q96_events_lifecycle" -> EventsBackbone.lifecycle _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,
     "mix_cluster_weight" -> CurationQueries.mixClusterWeight _,
     "text_ttr"           -> TextQueries.ttr _,

@@ -417,6 +417,19 @@ object Oracles {
         |SELECT decibucket, count(*) AS users,
         |  round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS avg_events
         |FROM h GROUP BY 1 ORDER BY decibucket""".stripMargin,
+    // the lifecycle readout must equal this raw-table window — a staged
+    // cycle that drops or double-appends a batch changes n_gaps/avg and
+    // fails the hash compare
+    "q96_events_lifecycle" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 6) AS avg_gap_sec
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, hence the +1
     "q93_seasonality" ->
       """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,

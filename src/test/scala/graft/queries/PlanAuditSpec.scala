@@ -407,16 +407,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plans("q55_quantile_bins").contains("Join"), plans("q55_quantile_bins"))
   }
 
-  test("scd2 and rolling-anomaly stay single-shuffle: one exchange, no join") {
-    // both are pure window/rollup pipelines keyed on one column — a Join or a
+  test("scd2 stays single-shuffle: one exchange, no join") {
+    // a pure window/rollup pipeline keyed on one column — a Join or a
     // second hashpartitioning would mean the gaps-and-islands construction
     // regressed into self-joins (quadratic at 100 TB)
-    Seq("q63_scd2", "q64_rolling_anomaly").foreach { n =>
-      val p = plans(n)
-      assert(!p.contains("Join"), s"$n plans a join:\n$p")
-      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-      assert(exchanges <= 1, s"$n has $exchanges hash exchanges:\n$p")
-    }
+    val p = plans("q63_scd2")
+    assert(!p.contains("Join"), s"q63 plans a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"q63 has $exchanges hash exchanges:\n$p")
   }
 
   test("transition matrix is window-only and snapshot diff joins exactly once") {
@@ -585,34 +583,40 @@ class PlanAuditSpec extends SparkSpec {
     assert("windowspecdefinition\\(l_partkey#".r.findFirstIn(b).isDefined, b)
   }
 
-  test("rolling median stays a bounded-frame window, no join") {
+  test("rolling median keeps its bounded frame under the banded rewrite") {
     val p = plans("q88_rolling_median")
-    assert(!p.contains("Join"), p)
     assert(p.contains("specifiedwindowframe(RowFrame, -20, -1)"),
       s"median frame must stay bounded:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("events-family windows ride the staged sorted buckets: no hash exchange left") {
+  test("sessionize rides the staged sorted user buckets: no hash exchange left") {
     // The staged events tables (EventsBackbone) are bucketed on the window
     // key and in-bucket sorted by (key, ts, event_id) with one file per
     // bucket, so the scan itself satisfies WindowExec's distribution AND
-    // ordering. The only exchange these plans may carry is the final
+    // ordering. The only exchange the plan may carry is the final
     // oracle-determinism range sort.
-    Seq("q51_sessionize", "q64_rolling_anomaly").foreach { n =>
-      val p = plans(n)
-      assert(p.contains("graft_ev_"), s"$n must read the staged events table:\n$p")
-      assert(!p.contains("Exchange hashpartitioning"),
-        s"$n re-shuffled events the staging exists to avoid:\n$p")
-    }
+    val p = plans("q51_sessionize")
+    assert(p.contains("graft_ev_"), s"q51 must read the staged events table:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q51 re-shuffled events the staging exists to avoid:\n$p")
   }
 
-  test("q88 is fully exchange-free and sort-free off the staged type buckets") {
-    // scan → bounded-frame window → filter → TakeOrdered: nothing moves
-    val p = plans("q88_rolling_median")
-    assert(p.contains("graft_ev_type"), s"q88 must read the staged type table:\n$p")
-    assert(!p.contains("Exchange"), s"q88 must plan no exchange at all:\n$p")
-    assert(!p.contains("Sort ["), s"q88 must plan no sort at all:\n$p")
-    assert(p.contains("TakeOrderedAndProject"), p)
+  test("type-keyed windows are BANDED: (event_type, band) parallelism, not 5 serial tasks") {
+    // r9's named scale-killer: a window partitioned by the 5-value
+    // event_type serializes the whole table into 5 tasks. The banded
+    // rewrite (BandedWindow) must (a) cluster window work by the two-level
+    // (type, _bkt) key and (b) NOT read the type-bucketed backbone —
+    // HashPartitioning(type) satisfies ClusteredDistribution(type, _bkt),
+    // so riding the backbone would silently collapse back to 5 tasks.
+    Seq("q64_rolling_anomaly", "q88_rolling_median", "q92_twap").foreach { n =>
+      val p = plans(n)
+      assert(raw"hashpartitioning\(event_type#\d+, _bkt#\d+".r.findFirstIn(p).isDefined,
+        s"$n must partition window work by (event_type, _bkt):\n$p")
+      assert(!p.contains("graft_ev_type"),
+        s"$n must scan raw events — the type-bucketed backbone would " +
+          s"satisfy the two-level clustering and serialize the walk:\n$p")
+    }
   }
 
   test("RFM never plans a global ntile: cut points broadcast, scores are stateless") {
@@ -629,11 +633,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
-  test("TWAP's lead window rides the staged type buckets exchange-free") {
-    val p = plans("q92_twap")
-    assert(p.contains("graft_ev_type"), s"q92 must read the staged type table:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"window and type rollup must reuse the bucket partitioning:\n$p")
+  test("q96 lifecycle: append degrades the sorted contract, compact restores it") {
+    // the r9 "demo staging vs durable event log" gap: the full declared
+    // cycle must show stage (no local sort) → append (the window regains a
+    // LOCAL sort while bucketing still elides the exchange) → compact
+    // (local sort gone again). The final ORDER BY's global range sort is
+    // present in all three plans; `], false, 0` is the local-sort marker.
+    val t = EventsBackbone.lifecycleStageBase(spark, sf0001)
+    def plan = EventsBackbone.lifecycleReadout(spark, t)
+      .queryExecution.executedPlan.toString
+    def localSorts(p: String) = "\\], false, 0".r.findAllIn(p).size
+    val staged = plan
+    assert(localSorts(staged) == 0, s"staged scan must satisfy the window order:\n$staged")
+    assert(!staged.contains("Exchange hashpartitioning"), staged)
+    EventsBackbone.lifecycleAppendBatch(spark, sf0001)
+    val degraded = plan
+    assert(localSorts(degraded) > 0,
+      s"a second file per bucket must void the reported ordering:\n$degraded")
+    assert(!degraded.contains("Exchange hashpartitioning"),
+      s"bucketing must keep eliding the exchange even degraded:\n$degraded")
+    EventsBackbone.lifecycleCompact(spark, sf0001)
+    val restored = plan
+    assert(localSorts(restored) == 0, s"compaction must restore sort elision:\n$restored")
+    assert(!restored.contains("Exchange hashpartitioning"), restored)
+    // and the cycled table still answers with all 5 types present
+    assert(EventsBackbone.lifecycleReadout(spark, t).count() == 5)
   }
 
   test("r9-wired events queries never re-shuffle on user_id off the user buckets") {
