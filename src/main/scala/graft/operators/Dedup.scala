@@ -187,13 +187,29 @@ object Dedup {
     * unpositioned form needed anyway: same shuffle, strictly fewer
     * surviving candidates for the expensive Jaccard verify join.
     */
-  def prefixFilterCandidates(shm: DataFrame, tn: Int = 7, td: Int = 10): DataFrame = {
-    require(tn > 0 && td >= tn, s"threshold $tn/$td must sit in (0, 1]")
+  def prefixFilterCandidates(shm: DataFrame, tn: Int = 7, td: Int = 10): DataFrame =
+    prefixFilterCandidatesFromRanked(rankShingles(shm), tn, td)
+
+  /** The THRESHOLD-INDEPENDENT half of the prefix filter: each doc's
+    * shingles annotated with global document frequency, rarest-first
+    * position, and set size. Split out so a backbone can stage it once per
+    * corpus (`DedupBackbone.rankedShingles`) — the df rollup and the
+    * per-doc ranking window are the two shingle-frame shuffles the r9
+    * verdict flagged as re-derived per run; any tn/td prefix filter is a
+    * stateless cut over this frame afterwards.
+    */
+  def rankShingles(shm: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val ranked = shm
+    shm
       .join(shm.groupBy("m").agg(count(lit(1)).as("df")), "m")
       .withColumn("pos", row_number().over(byDoc.orderBy(col("df").asc, col("m").asc)))
       .withColumn("nsh", count(lit(1)).over(byDoc))
+      .select(col("doc_id"), col("m"), col("pos"), col("nsh"))
+  }
+
+  /** Candidate generation from a prebuilt [[rankShingles]] frame. */
+  def prefixFilterCandidatesFromRanked(ranked: DataFrame, tn: Int = 7, td: Int = 10): DataFrame = {
+    require(tn > 0 && td >= tn, s"threshold $tn/$td must sit in (0, 1]")
     val prefix = ranked
       .filter(col("pos") <= col("nsh") - expr(s"(nsh * $tn + ${td - 1}) div $td") + 1)
       .select(col("doc_id"), col("m"), col("nsh"), col("pos"))

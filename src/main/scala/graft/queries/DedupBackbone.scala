@@ -67,6 +67,18 @@ object DedupBackbone {
       Dedup.candidatePairs(Dedup.bands(signatures(s, dir)))
     }
 
+  /** Rarest-first RANKED shingles ([[Dedup.rankShingles]]): per doc, each
+    * shingle's global-df position and the doc's set size — the
+    * threshold-independent half of the exact prefix-filter join, staged so
+    * the df rollup and the ranking window are paid once per corpus (r10
+    * lever 3) instead of inside every `prefixFilterCandidates` run; the
+    * tn/td prefix cut and the pair join read this tier directly (twice,
+    * as both join sides — the checkpoint also stops that double
+    * recompute).
+    */
+  def rankedShingles(s: SparkSession, dir: String): DataFrame =
+    tier(s, dir, "rankedsh") { Dedup.rankShingles(shingles(s, dir)) }
+
   /** Jaccard-verified candidate pairs at [[jaccardThreshold]], WITH the
     * unrounded score — score consumers round it, pair consumers project it
     * away, incremental consumers filter it by the id cutoff (verification

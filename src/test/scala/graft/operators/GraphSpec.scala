@@ -75,9 +75,8 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(3) == 0L && r.getLong(2) == 3L) // wedges C(3,2) at the hub
   }
 
-  test("triangleStats: ids past 31 bits take the unpacked closing key, same census") {
-    // the packed x·2^32+y key only engages when every id fits 31 bits; a
-    // graph with wider ids must fall back to the (x, y) pair — K3 shifted
+  test("triangleStats: ids past 31 bits count identically (no key-width hazard)") {
+    // the adjacency-intersection closure keys on raw node ids — K3 shifted
     // into 33-bit id space still counts exactly one triangle
     val base = 1L << 32
     val e = Seq((base, base + 1), (base, base + 2), (base + 1, base + 2))
@@ -85,6 +84,17 @@ class GraphSpec extends SparkSpec {
     val r = Graph.triangleStats(e).collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4))
       == ((3L, 3L, 1L, 1.0)))
+  }
+
+  test("triangleStats: INT-typed ids and an empty frame are safe (r9 ADVICE class)") {
+    // int32 ids were the latent hazard of the retired packed-key closure
+    // (Java int shift no-op); the adjacency closure must count them exactly
+    val ints = Seq((1, 2), (1, 3), (2, 3)).toDF("a", "b")
+    assert(Graph.triangleStats(ints).collect().head.getLong(3) == 1L)
+    // an empty edge frame reports a zero census instead of throwing
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val r = Graph.triangleStats(empty).collect().head
+    assert(r.getLong(0) == 0L && r.getLong(3) == 0L)
   }
 
   test("commonNeighbors: oversized groups drop; remaining pairs score exactly") {

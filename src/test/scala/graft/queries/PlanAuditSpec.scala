@@ -473,9 +473,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"state merge must not join:\n$p")
   }
 
-  test("triangle census closes wedges with a LEFT SEMI equi-join") {
+  test("triangle census closes edges over adjacency arrays: no wedge rows in any exchange") {
     val p = plans("graph_triangles")
-    assert(p.contains("LeftSemi"), s"closing join must be left semi:\n$p")
+    assert(p.contains("array_intersect"),
+      s"closure must intersect adjacency arrays in-project:\n$p")
+    assert(!p.contains("LeftSemi"),
+      s"the wedge-materializing semi-join shape is retired:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
