@@ -282,6 +282,49 @@ object Dedup {
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jac"))
       .filter(col("jac") >= threshold)
 
+  /** Per-doc shingle ARRAYS — the verify-side access structure: one row per
+    * doc carrying its distinct shingle hashes and set size. Stageable
+    * (`DedupBackbone.shingleArrays`) so the exact scorers below shuffle ONE
+    * array row per candidate side instead of one row per (pair, shingle) —
+    * at sf1 that is ~6M rows with array payloads versus the ~300M-row
+    * pair×shingle expansion the equi-join verify paid (the r10 profile's
+    * dominant stage). Same intersection counts, same scores.
+    */
+  def shingleArrays(shm: DataFrame): DataFrame =
+    shm.groupBy("doc_id")
+      .agg(collect_list("m").as("ms"), count(lit(1)).as("nsh"))
+
+  private def intersectionFromArrays(arrays: DataFrame, cands: DataFrame): DataFrame =
+    cands
+      .join(arrays.select(col("doc_id").as("d1"), col("ms").as("ms1"),
+        col("nsh").as("n1")), "d1")
+      .join(arrays.select(col("doc_id").as("d2"), col("ms").as("ms2"),
+        col("nsh").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("ms1"), col("ms2"))).cast("long").as("inter"),
+        col("n1"), col("n2"))
+
+  /** Exact Jaccard over candidates from a prebuilt [[shingleArrays]] frame —
+    * arithmetic identical to [[jaccardOnCandidatesFromShingles]] (the
+    * parity spec pins it), intersection evaluated in-project.
+    */
+  def jaccardOnCandidatesFromArrays(arrays: DataFrame, cands: DataFrame,
+                                    threshold: Double): DataFrame =
+    intersectionFromArrays(arrays, cands)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+
+  /** Exact containment over candidates from [[shingleArrays]] — the array
+    * twin of [[containmentOnCandidatesFromShingles]].
+    */
+  def containmentOnCandidatesFromArrays(arrays: DataFrame, cands: DataFrame,
+                                        threshold: Double): DataFrame =
+    intersectionFromArrays(arrays, cands)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / least(col("n1"), col("n2"))).as("cont"))
+      .filter(col("cont") >= threshold)
+
   /** Shared verify-tier staging for the set-overlap scorers: per-candidate
     * shingle intersection counts plus both docs' set sizes —
     * (d1, d2, inter, n1, n2). The candidate/shingle contract lives HERE so

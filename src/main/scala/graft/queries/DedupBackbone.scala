@@ -79,6 +79,14 @@ object DedupBackbone {
   def rankedShingles(s: SparkSession, dir: String): DataFrame =
     tier(s, dir, "rankedsh") { Dedup.rankShingles(shingles(s, dir)) }
 
+  /** Per-doc shingle arrays ([[Dedup.shingleArrays]]) — the verify-side
+    * access structure every exact scorer (Jaccard, containment) joins
+    * instead of re-expanding the (pair, shingle) stream per candidate
+    * (r10: the profiled 27s-of-39s stage of `dedup_setsim` at sf1).
+    */
+  def shingleArrays(s: SparkSession, dir: String): DataFrame =
+    tier(s, dir, "sharr") { Dedup.shingleArrays(shingles(s, dir)) }
+
   /** Jaccard-verified candidate pairs at [[jaccardThreshold]], WITH the
     * unrounded score — score consumers round it, pair consumers project it
     * away, incremental consumers filter it by the id cutoff (verification
@@ -86,8 +94,8 @@ object DedupBackbone {
     */
   def verifiedJac(s: SparkSession, dir: String): DataFrame =
     tier(s, dir, "ver") {
-      Dedup.jaccardOnCandidatesFromShingles(
-        shingles(s, dir), lshCandidates(s, dir), jaccardThreshold)
+      Dedup.jaccardOnCandidatesFromArrays(
+        shingleArrays(s, dir), lshCandidates(s, dir), jaccardThreshold)
     }
 
   /** Connected components (doc_id → min reachable doc_id) of the verified

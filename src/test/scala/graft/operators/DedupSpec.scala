@@ -241,6 +241,26 @@ class DedupSpec extends SparkSpec {
     assert(nPf < nAll / 4, s"prefix filter kept $nPf of $nAll pairs — not filtering")
   }
 
+  test("array verify equals the shingle-join verify bit-for-bit (Jaccard and containment)") {
+    // the staged-array scorers are a SHUFFLE-SHAPE rewrite of the
+    // (pair, shingle) equi-join verify, not an approximation: identical
+    // intersection counts, identical division, on the full all-pairs frame
+    val sh = Dedup.shingleHashes(docs).distinct().localCheckpoint(true)
+    val arrays = Dedup.shingleArrays(sh).localCheckpoint(true)
+    val allCands = sh.select(col("doc_id").as("d1"))
+      .join(sh.select(col("doc_id").as("d2")), col("d1") < col("d2")).distinct()
+      .localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame, score: String) =
+      df.select(col("d1"), col("d2"), round(col(score), 6))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jacJoin = canon(Dedup.jaccardOnCandidatesFromShingles(sh, allCands, 0.7), "jac")
+    val jacArr = canon(Dedup.jaccardOnCandidatesFromArrays(arrays, allCands, 0.7), "jac")
+    assert(jacJoin.nonEmpty && jacArr == jacJoin)
+    val contJoin = canon(Dedup.containmentOnCandidatesFromShingles(sh, allCands, 0.8), "cont")
+    val contArr = canon(Dedup.containmentOnCandidatesFromArrays(arrays, allCands, 0.8), "cont")
+    assert(contJoin.nonEmpty && contArr == contJoin)
+  }
+
   test("prefix filtering finds a pair at EXACTLY the 0.7 threshold (integer prefix arithmetic)") {
     import spark.implicits._
     // A: a1..a19 -> 17 shingles; B: a1..a16,b1..b3 -> 14 shared + 3 own.
