@@ -195,6 +195,7 @@ object SparkEntry {
     "sim_dim_profile"    -> SimilarityQueries.dimProfile _,
     "sim_centroid_assign" -> SimilarityQueries.centroidAssign _,
     "sim_batch_topk"     -> SimilarityQueries.batchTopK _,
+    "sim_batch_staged"   -> SimilarityQueries.batchStagedTopK _,
     "sim_recall"         -> SimilarityQueries.recallLsh _,
     "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,
     "sim_lsh_multi"      -> SimilarityQueries.lshMultiTopK _,

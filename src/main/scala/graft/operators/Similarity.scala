@@ -474,6 +474,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Probe a [[stageLshBucketed]] table for a BATCH of query vectors — the
+    * many-queries serving shape (r9 verdict lever 7): where
+    * [[lshBatchTopK]] codes and scans the whole corpus per call, this
+    * opens ONLY the buckets of the batch's probe codes. All queries'
+    * Hamming-≤1 probe codes collapse into one literal IN-list (bucket
+    * pruning — `SelectedBucketsCount`, plan-audited); the bounded query
+    * batch broadcasts onto the pruned scan, each (query, candidate) pair
+    * re-checks its own Hamming ball, and exact cosine ranks per query.
+    * Probe I/O ∝ probed buckets × batch, never the corpus.
+    */
+  def probeStagedLshBatch(spark: SparkSession, table: String,
+                          queries: Seq[(Long, Array[Float], Long)],
+                          planes: Int = lshPlanes, k: Int = 5,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val allProbes = queries
+      .flatMap { case (_, _, c) => c +: (0 until planes).map(b => c ^ (1L << b)) }
+      .distinct
+    val qdf = queries.toDF("query_id", "qv", "qcode")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    Bucketing.read(spark, table)
+      .filter(col("lsh_code").isin(allProbes: _*))
+      .join(broadcast(qdf),
+        expr("bit_count(lsh_code ^ qcode) <= 1") && col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        round(VectorOps.cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rn"))
+  }
+
   /** Stage IVF inverted lists as a bucketed catalog table keyed by the
     * assigned centroid id — the IVF twin of [[stageLshBucketed]]. Assignment
     * is the same broadcast-centroids + `max_by` argmax as [[ivfTopK]] (the

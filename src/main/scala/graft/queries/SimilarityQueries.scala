@@ -313,6 +313,27 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Batch ANN served from the STAGED LSH index
+    * ([[Similarity.probeStagedLshBatch]]): the same top-5-per-query surface
+    * as [[batchTopK]], but the corpus side reads ONLY the buckets the
+    * batch's Hamming-≤1 probe codes hash to — the many-queries serving
+    * shape (`sim_batch_topk` is the batch-scoring shape). The 3 query rows
+    * are fetched as bounded values (query parameters, not a corpus scan)
+    * and coded at the width the index was staged with.
+    */
+  def batchStagedTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val planes = stagedWidth(s, dir)
+    val (lshT, _) = annTables(s, dir)
+    val q = Similarity.withLshCode(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 3), "embedding", planes)
+      .select(col("vec_id"), col("embedding"), col("lsh_code")).collect()
+    Similarity.probeStagedLshBatch(s, lshT,
+        q.map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2))).toSeq,
+        planes, k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   /** Code-width FLOOR for the STAGED serving path: 8 planes = 256 code
     * values keeps Hamming-1 candidate pools dense enough to fill k at
     * testdata scale. Past `64·2^8` vectors the width scales as
@@ -713,6 +734,19 @@ object SimilarityQueries {
          |FROM proj p, q
          |ORDER BY rp_cos DESC, p.vec_id LIMIT 10""".stripMargin,
     "sim_ivf_topk" -> ivfProbeSql,
+    // the staged twin ranks the same Hamming-≤1 candidate set — identical
+    // SQL at the STAGED index's width (the two floors coincide, but each
+    // renders from its own resolution)
+    "sim_batch_staged" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
+         |q AS (SELECT * FROM coded WHERE vec_id < 3),
+         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  round(${SqlGen.cosSql("q.embedding", "c.embedding")}, 6) AS cos_sim
+         |  FROM q JOIN coded c ON bit_count(xor(q.lsh_code, c.lsh_code)) <= 1 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, cand_id, cos_sim, CAST(rn AS INTEGER) AS rn FROM
+         | (SELECT query_id, cand_id, cos_sim,
+         |   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn FROM cand) t
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "sim_batch_topk" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT * FROM coded WHERE vec_id < 3),

@@ -89,7 +89,10 @@ class PlanAuditSpec extends SparkSpec {
     // 16 LSH buckets; 2 probe lists at most 2 of 8 IVF buckets).
     // the lexical index is the same move for text: a 3-term literal probe
     // reads at most 3 of the postings table's 8 term buckets
+    // sim_batch_staged: 3 queries × 9 probe codes = ≤27 literals over 16
+    // buckets — the bound is "strictly fewer than all" (sel < total below)
     Seq("sim_lsh_staged" -> 9, "sim_ivf_staged" -> 2, "sim_ivfpq_staged" -> 2,
+        "sim_batch_staged" -> (SimilarityQueries.stagedLshBuckets - 1),
         "search_lexical_staged" -> RetrievalQueries.lexTerms.length).foreach { case (n, maxSel) =>
       val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plans(n))
       assert(m.isDefined, s"$n probe scan is not bucket-pruned:\n${plans(n)}")
