@@ -1148,6 +1148,12 @@ object CoreQueries {
     * 100 TB, however wide the cluster). Results are bit-identical to the
     * flat per-type window — BandedWindowSpec pins parity, including across
     * sparse/empty bands.
+    *
+    * The DECLARED result caps at the first 500 rows of the total
+    * (type, id) order — an anomaly REPORT is legitimately
+    * corpus-proportional (99,982 rows at the 10M-event probe), but
+    * verify/bench should hash a bounded frame (the q51/q88 precedent);
+    * the window computes over everything regardless.
     */
   def q64(s: SparkSession, dir: String): DataFrame =
     BandedWindow.trailingRows(
@@ -1169,6 +1175,7 @@ object CoreQueries {
         round(col("value"), 6).as("value"),
         col("roll_avg"), col("roll_sd"))
       .orderBy("event_type", "event_id")
+      .limit(500)
 
   /** Q65 — time-partition completeness audit (pipeline ops): per event_type,
     * how many hourly partitions exist between its first and last hour, and

@@ -814,7 +814,7 @@ object Oracles {
         |FROM t
         |WHERE roll_n >= 10 AND roll_sd > 0
         |  AND round(abs(value - roll_avg) - roll_sd*3, 6) > 0
-        |ORDER BY event_type, event_id""".stripMargin,
+        |ORDER BY event_type, event_id LIMIT 500""".stripMargin,
     "q65_gap_audit" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events)
         |SELECT event_type, min(h) AS first_hour, max(h) AS last_hour,
