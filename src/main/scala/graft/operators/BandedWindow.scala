@@ -48,6 +48,12 @@ object BandedWindow {
   /** Default band width: one day. Sizes (key × day) task grain; at 100 TB
     * with years of data this yields thousands of parallel window tasks per
     * key instead of one.
+    *
+    * Preconditions shared by both entry points: `ts` must be non-null
+    * (a null timestamp has no band; the flat window would order it first,
+    * the banded one would strand it in a null band) and `(ts, id)` must be
+    * a total order per key — the same requirement the flat window already
+    * has for deterministic frames, made load-bearing here.
     */
   val defaultBucketSeconds: Long = 86400L
 
