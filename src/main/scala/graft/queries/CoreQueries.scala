@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.{BandedWindow, Layout, TemporalJoin}
+import graft.operators.{BandedWindow, FrameQuantile, Layout, TemporalJoin}
 
 /** The declared relational query set (FIXTURES.md §3, Q01-Q19), written
   * DataFrame-first so Catalyst plans them (column pruning + filter pushdown to
@@ -1873,9 +1873,13 @@ object CoreQueries {
     * the 20 PRECEDING values alongside each event (emitted once 10
     * observations exist) — the robust companion to q64's rolling mean/σ
     * (one extreme value shifts a trailing mean for 20 rows; the median
-    * shrugs it off). The percentile aggregate runs INSIDE the bounded
-    * ROWS frame — frames never hold more than 20 values — and the frame
-    * is computed BANDED ([[BandedWindow.trailingRows]]), so the walk
+    * shrugs it off). The frame — never more than 20 values — is carried
+    * as ONE sorted array per row ([[FrameQuantile.sortedFrame]]) and the
+    * median selected in the project with percentile's exact interpolation
+    * arithmetic ([[FrameQuantile.medianOfSorted]], bit-parity spec-pinned)
+    * — the generic percentile aggregate rebuilt a boxed counts-map per
+    * output row, which dominated the walk (SCALE_r10). The frame is
+    * computed BANDED ([[BandedWindow.trailingRows]]), so the walk
     * parallelizes over (type, day) bands instead of 5 sequential tasks
     * (q64's scale note). The DECLARED result caps at the first 500
     * rows of the total (type, id) order — like novelty/ttr's caps, so
@@ -1889,11 +1893,11 @@ object CoreQueries {
         .select(col("event_type"), col("event_id"), col("ts"), col("value")),
       key = "event_type", ts = "ts", id = "event_id", n = 20,
       aggs = Seq(
-        "roll_n" -> (w => count("value").over(w)),
-        "roll_med" -> (w => round(expr("percentile(value, 0.5)").over(w), 6))))
-      .filter(col("roll_n") >= 10)
+        "_frame" -> FrameQuantile.sortedFrame(col("value"))))
+      .filter(size(col("_frame")) >= 10)
       .select(col("event_type"), col("event_id"),
-        round(col("value"), 6).as("value"), col("roll_med"))
+        round(col("value"), 6).as("value"),
+        round(FrameQuantile.medianOfSorted(col("_frame")), 6).as("roll_med"))
       .orderBy("event_type", "event_id")
       .limit(500)
   }
