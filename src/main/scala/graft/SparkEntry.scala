@@ -129,6 +129,11 @@ object SparkEntry {
     "q94_user_entropy"   -> CoreQueries.q94 _,
     "q95_session_cohort" -> CoreQueries.q95 _,
     "q96_events_lifecycle" -> EventsBackbone.lifecycle _,
+    "q97_compact_delta"  -> EventsBackbone.compactDeltaLifecycle _,
+    "q98_skyline"        -> CoreQueries.q98 _,
+    "q99_gini"           -> CoreQueries.q99 _,
+    "q100_benford"       -> CoreQueries.q100 _,
+    "text_rake"          -> TextQueries.rake _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,
     "mix_cluster_weight" -> CurationQueries.mixClusterWeight _,
     "text_ttr"           -> TextQueries.ttr _,

@@ -119,6 +119,52 @@ object BandedWindow {
       .select((inCols ++ aggs.map(_._1)).map(col): _*)
   }
 
+  /** `df` extended with `name` = each row's GLOBAL 1-based ordinal (dense
+    * row_number) in the total per-`key` `(orderCol, id)` order — exactly
+    * `row_number() over (partition by key order by orderCol, id)` — but
+    * computed with `(key, band)` parallelism: the same two-level
+    * construction [[trailingRows]] uses internally (per-band row_number +
+    * a band-count cumulative on the tiny band table), generalized to ANY
+    * ordering column via a caller-supplied banding expression.
+    *
+    * `band` must be monotone NON-DECREASING in `orderCol` (a strictly
+    * higher band must mean strictly higher orderCol — e.g. value div
+    * bandWidth over a non-negative value): per-band ordering + cumulative
+    * band offsets then compose to the exact global rank. Rank windows over
+    * a VALUE order (Gini/Lorenz prefix ranks, distributed selection) hit
+    * the same |key|-task serialization the time-ordered family did; this
+    * is the same cure.
+    */
+  def ordinal(
+      df: DataFrame,
+      key: String,
+      orderCol: String,
+      id: String,
+      band: Column,
+      name: String): DataFrame = {
+    val inCols = df.columns.toSeq
+    val b = df.withColumn("_bkt", band)
+    // ONE exchange on (key, band) feeds both the per-band rank and the
+    // band sizes (a full-frame count over the same partitioning — no
+    // second pass over the source, unlike a separate groupBy branch);
+    // the per-(key, band) representative rows then carry the sizes into
+    // the tiny cumulative table, which joins back as a broadcast.
+    val wPos = Window.partitionBy(key, "_bkt").orderBy(col(orderCol), col(id))
+    val wBkt = Window.partitionBy(key, "_bkt")
+    val posed = b
+      .withColumn("_pos", row_number().over(wPos))
+      .withColumn("_bn", count(lit(1)).over(wBkt))
+    val wCum = Window.partitionBy(key).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumB = posed.filter(col("_pos") === 1)
+      .select(col(key), col("_bkt"), col("_bn"))
+      .withColumn("_cumb", coalesce(sum("_bn").over(wCum), lit(0L)))
+      .select(col(key), col("_bkt"), col("_cumb"))
+    posed.join(broadcast(cumB), Seq(key, "_bkt"))
+      .withColumn(name, col("_cumb") + col("_pos"))
+      .select((inCols :+ name).map(col): _*)
+  }
+
   /** `df` extended with `name` = the NEXT row's `valueCol` in the total
     * per-`key` `(ts, id)` order — exactly
     * `lead(valueCol, 1) over (partition by key order by ts, id)` — banded:

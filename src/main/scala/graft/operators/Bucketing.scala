@@ -141,4 +141,84 @@ object Bucketing {
   }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Bucket-id parse from a bucketed data file name (the `_NNNNN` tag
+    * Spark's writer appends before the codec extensions, e.g.
+    * `part-00000-<uuid>_00003.c000.snappy.parquet` → 3) — the same
+    * name-shape the bucketed scan itself uses to assign files to buckets.
+    */
+  private val bucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  private[operators] def bucketIdOf(fileName: String): Option[Int] =
+    fileName match {
+      case bucketedFileName(id) => Some(id.toInt)
+      case _ => None
+    }
+
+  /** Managed location of a staged table (warehouse/lowercase(name) — the
+    * same resolution [[dropWithOrphanSweep]] relies on).
+    */
+  private def tableLocation(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+
+  /** INCREMENTAL compaction: restore the one-sorted-file-per-bucket
+    * contract by rewriting ONLY the buckets that [[appendBucketed]]
+    * actually touched (≥ 2 files), leaving every single-file bucket's
+    * file byte-untouched on disk.
+    *
+    * Why it exists: [[compactSorted]] rewrites the WHOLE table per cycle,
+    * so the nightly table-service cost is ∝ the table even when the day's
+    * ingest touched a handful of buckets. Time-clustered or source-
+    * clustered ingest touches few buckets; this makes the service job
+    * ∝ appended data, which is the difference between a 100 TB table
+    * paying a 100 TB rewrite every night and paying for what arrived.
+    *
+    * Mechanics (the same file-swap every lakehouse compactor performs,
+    * minus the manifest a transaction log would add): the multi-file
+    * buckets' rows are re-staged through a TEMP bucketed-sorted table with
+    * the same (key, buckets) spec — partition id == bucket id, so each
+    * compacted file carries its correct `_NNNNN` bucket tag and in-file
+    * sort — then the new files MOVE into the table directory before the
+    * superseded files are deleted and the scan cache refreshed. Move-in
+    * before delete means a concurrent reader sees duplicates briefly
+    * rather than losing rows; like [[compactSorted]]'s drop-and-rewrite
+    * window, run it as the maintenance job it models. Returns the set of
+    * bucket ids rewritten (empty = table already compact, nothing
+    * touched).
+    */
+  def compactDelta(spark: SparkSession, table: String, key: String,
+                   sortCols: Seq[String], buckets: Int): Set[Int] = {
+    require(sortCols.nonEmpty, "compactDelta needs the table's sort columns")
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(loc).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val byBucket = dataFiles.groupBy(f => bucketIdOf(f.getPath.getName))
+    require(!byBucket.contains(None),
+      s"$table holds files without a bucket tag — not a bucketed table")
+    val delta = byBucket.collect { case (Some(b), fs2) if fs2.size >= 2 => b -> fs2 }
+    if (delta.isEmpty) return Set.empty
+
+    // Re-stage ONLY the delta buckets' rows through a temp table with the
+    // identical bucket spec: reading by explicit file paths sidesteps the
+    // catalog (no lock on the live table), and the bucketed write re-tags
+    // each rewritten bucket's single file correctly by construction.
+    val paths = delta.values.flatten.map(_.getPath.toString).toSeq
+    val tmp = table + "_cdelta"
+    writeBucketedSorted(spark.read.parquet(paths: _*), tmp, key, sortCols, buckets)
+    val tmpLoc = tableLocation(spark, tmp)
+    val newFiles = fs.listStatus(tmpLoc).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    // install new files first, then drop the superseded ones
+    newFiles.foreach { f =>
+      require(fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(loc, f.getPath.getName)),
+        s"compactDelta: failed to move ${f.getPath} into $loc")
+    }
+    delta.values.flatten.foreach(f => fs.delete(f.getPath, false))
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
+    spark.catalog.refreshTable(table)
+    delta.keySet.toSet
+  }
 }

@@ -2119,6 +2119,137 @@ object CoreQueries {
       .orderBy("cohort")
   }
 
+  /** Band width (cents) for [[q98]]'s distributed prefix max. */
+  val skylineBandCents = 6553600L
+
+  /** Q98 — SKYLINE (Pareto-frontier) of parts: every part no other part
+    * beats on BOTH price (lower better) and size (higher better) — the
+    * classic multi-criteria dominance operator. Never the textbook
+    * all-pairs NOT EXISTS: for 2 dimensions the skyline is exactly the
+    * strict prefix-max frontier — group to one `(price, max size)` row per
+    * distinct price, then a part is on the frontier iff its size exceeds
+    * the max size over all strictly cheaper prices. That prefix max runs
+    * BANDED (per-band window + a carry over the tiny band table — the q74
+    * two-level prefix idiom), so no global single-partition window exists
+    * at any scale; members are recovered by an equi-join back to `part`.
+    * Same-price dominance falls out of the per-price grouping (only
+    * max-size rows at a price can survive, exact ties all kept). Declared
+    * output caps at 500 frontier rows of the total (price, partkey) order.
+    */
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    val px = Tables.part(s, dir)
+      .groupBy(col("p_retailprice").as("x"))
+      .agg(max("p_size").as("my"))
+      .withColumn("band", expr(s"CAST(x * 100 AS BIGINT) div $skylineBandCents"))
+    // tiny band table: best size seen in any STRICTLY earlier band
+    val carry = px.groupBy("band").agg(max("my").as("bmax"))
+      .withColumn("carry", max("bmax").over(
+        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)))
+      .select("band", "carry")
+    val wLoc = Window.partitionBy("band").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = px.join(broadcast(carry), "band")
+      .withColumn("pmax", greatest(
+        coalesce(col("carry"), lit(-1)),
+        coalesce(max("my").over(wLoc), lit(-1))))
+      .filter(col("my") > col("pmax"))
+      .select(col("x"), col("my"))
+    Tables.part(s, dir)
+      .join(frontier, col("p_retailprice") === col("x") &&
+        col("p_size") === col("my"))
+      .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"),
+        col("p_size").as("size"))
+      .orderBy("price", "p_partkey")
+      .limit(500)
+  }
+
+  /** Band width (cents of customer lifetime revenue) for [[q99]]'s banded
+    * rank — sized so a nation's customers spread over hundreds of bands.
+    */
+  val giniBandCents = 2000000L
+
+  /** Q99 — GINI concentration of revenue per nation: how unequally a
+    * nation's revenue distributes over its customers (0 = uniform,
+    * →1 = one whale), via G = (2·Σᵢ i·vᵢ − (n+1)·Σᵢ vᵢ) / (n·Σᵢ vᵢ) over
+    * each nation's customers ranked ascending by lifetime revenue. The
+    * rank is the scale hazard — `row_number() over (partition by nation)`
+    * serializes on 25 nations forever — so it comes from
+    * [[BandedWindow.ordinal]]: (nation, revenue-band) parallel
+    * row_numbers + band-count offsets compose the exact global rank, and
+    * everything after is one partial-aggregable rollup. All sums exact
+    * DECIMAL; the one double division happens at output.
+    */
+  def q99(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    val ranked = BandedWindow.ordinal(cust, "c_nationkey", "v", "o_custkey",
+      expr(s"CAST(v * 100 AS BIGINT) div $giniBandCents"), "i")
+    ranked.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("customers"),
+        sum("v").as("S"),
+        sum(col("v") * col("i")).as("S1"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("customers"),
+        round(col("S").cast("double"), 2).as("revenue"),
+        // the exact DECIMAL sums drop to double only HERE, in a fixed
+        // expression shape both engines evaluate with identical IEEE ops
+        // (DECIMAL×BIGINT precision-cap rules differ between engines;
+        // double arithmetic on exact inputs does not)
+        round((lit(2.0) * col("S1").cast("double") -
+          (col("customers") + 1).cast("double") * col("S").cast("double")) /
+          (col("customers").cast("double") * col("S").cast("double")), 6)
+          .as("gini"))
+      .orderBy("nation")
+  }
+
+  /** Benford expected first-digit shares log10(1 + 1/d), d = 1..9, as
+    * 12-digit literals — literal so BOTH engines parse the identical
+    * double instead of each trusting its own libm log10.
+    */
+  val benfordP: Seq[Double] = Seq(
+    0.301029995664, 0.176091259056, 0.124938736608, 0.096910013008,
+    0.079181246048, 0.066946789631, 0.057991946978, 0.051152522447,
+    0.045757490561)
+
+  /** Q100 — Benford first-digit audit of order totals: observed share of
+    * each leading digit vs Benford's law, with each digit's χ²
+    * contribution and the total χ² statistic — the classic
+    * fabricated-numbers screen, and a pure one-scan partial aggregate (9
+    * groups) at any scale. The leading digit comes from the DECIMAL's
+    * string head (no log10 on the data path — engine libm stays out
+    * entirely); χ² accumulates per-digit contributions as scale-9
+    * DECIMALs so the 9-way sum is order-independent in both engines.
+    */
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(s, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val wAll = Window.orderBy("digit")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // NB: the grand total must NOT be named "N" — Spark and DuckDB both
+    // resolve identifiers case-insensitively, so "N" silently merges with
+    // the per-digit "n"
+    d.withColumn("total", sum("n").over(wAll))
+      .withColumn("p", element_at(array(benfordP.map(lit): _*), col("digit")))
+      .withColumn("dev", col("n") - col("total") * col("p"))
+      .withColumn("contrib",
+        (col("dev") * col("dev") / (col("total") * col("p"))))
+      .withColumn("c9", round(col("contrib"), 9).cast("decimal(28,9)"))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("share"),
+        round(col("p"), 6).as("expected"),
+        round(col("contrib"), 6).as("chi2_part"),
+        round(sum("c9").over(wAll).cast("double"), 6).as("chi2"))
+      .orderBy("digit")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

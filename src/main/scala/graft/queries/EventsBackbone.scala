@@ -187,4 +187,43 @@ object EventsBackbone {
     lifecycleCompact(s, dir)
     lifecycleReadout(s, t)
   }
+
+  /** The delta-compaction lifecycle's own staging table (distinct from
+    * [[lifecycleTable]] so q96 and q97 can run in one session without
+    * clobbering each other's cycle mid-flight).
+    */
+  def deltaTable(dir: String): String =
+    "graft_ev_ld_b" + buckets + "_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** `q97_compact_delta` — the INCREMENTAL table-service variant of the
+    * q96 cycle, exercising [[Bucketing.compactDelta]]: stage the
+    * pre-cutoff base sorted across all type buckets, append a late batch
+    * from a SINGLE source (`purchase` events — the time/source-clustered
+    * ingest shape where full-table compaction is pure waste), then
+    * delta-compact. Exactly ONE bucket (purchase's) is rewritten — the
+    * flow requires it, so a compactor that silently widened to a full
+    * rewrite, or skipped the dirty bucket, fails loudly — and the other
+    * buckets' files are left byte-identical on disk (spec-pinned along
+    * with the degraded→restored plan shape). The readout is the q96 gap
+    * profile over the staged content, which DuckDB recomputes from the
+    * RAW events table restricted to (pre-cutoff ∪ purchase): a dropped or
+    * doubled batch, or any row lost in the file swap, breaks the hash.
+    */
+  def compactDeltaLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = deltaTable(dir)
+    Bucketing.writeBucketedSorted(
+      lifecycleCols(s, dir).filter(unix_micros(col("ts")) < lifecycleCutoffUs),
+      t, "event_type", lifecycleSort, buckets)
+    Bucketing.appendBucketed(
+      lifecycleCols(s, dir)
+        .filter(unix_micros(col("ts")) >= lifecycleCutoffUs &&
+          col("event_type") === "purchase"),
+      t, "event_type", buckets, lifecycleSort)
+    val rewritten = Bucketing.compactDelta(s, t, "event_type", lifecycleSort, buckets)
+    require(rewritten.size == 1,
+      s"single-source batch must rewrite exactly its one bucket, got $rewritten")
+    lifecycleReadout(s, t)
+  }
 }

@@ -430,6 +430,85 @@ object Oracles {
         |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 6) AS avg_gap_sec
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the delta-compaction cycle stages (pre-cutoff ∪ purchase): the same
+    // raw-table recomputation as q96, restricted to the staged content —
+    // a row lost or doubled in the bucket file swap breaks the hash
+    "q97_compact_delta" ->
+      """WITH g AS (SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events
+        |  WHERE epoch_us(ts) < 1705881600000000 OR event_type = 'purchase')
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 6) AS avg_gap_sec
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // 2-D skyline via the strict prefix-max frontier (the banded Spark
+    // construction and this flat window name the same rows)
+    "q98_skyline" ->
+      """WITH perx AS (SELECT p_retailprice AS x, max(p_size) AS my
+        |  FROM part GROUP BY 1),
+        |pm AS (SELECT x, my, max(my) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM perx),
+        |sk AS (SELECT x, my FROM pm WHERE pmax IS NULL OR my > pmax)
+        |SELECT p_partkey, round(p_retailprice, 2) AS price, p_size AS size
+        |FROM part JOIN sk ON p_retailprice = sk.x AND p_size = sk.my
+        |ORDER BY price, p_partkey LIMIT 500""".stripMargin,
+    // exact DECIMAL sums; the one double division mirrors the Spark
+    // expression shape exactly (see q99's scaladoc)
+    "q99_gini" ->
+      """WITH cv AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT c_nationkey, v, row_number() OVER
+        |    (PARTITION BY c_nationkey ORDER BY v, o_custkey) AS i
+        |  FROM cv JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT c_nationkey, count(*) AS customers, sum(v) AS S,
+        |    sum(v * i) AS S1 FROM rk GROUP BY 1)
+        |SELECT n_name AS nation, customers, round(CAST(S AS DOUBLE), 2) AS revenue,
+        |  round((2.0 * CAST(S1 AS DOUBLE)
+        |      - CAST(customers + 1 AS DOUBLE) * CAST(S AS DOUBLE))
+        |    / (CAST(customers AS DOUBLE) * CAST(S AS DOUBLE)), 6) AS gini
+        |FROM g JOIN nation ON c_nationkey = n_nationkey ORDER BY nation""".stripMargin,
+    // Benford shares are 12-digit literals CAST to double on both engines
+    // (identical parsed bits); χ² sums scale-9 decimals, order-free
+    "q100_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT digit, n, sum(n) OVER () AS total,
+        |    CAST(CASE digit WHEN 1 THEN 0.301029995664 WHEN 2 THEN 0.176091259056
+        |      WHEN 3 THEN 0.124938736608 WHEN 4 THEN 0.096910013008
+        |      WHEN 5 THEN 0.079181246048 WHEN 6 THEN 0.066946789631
+        |      WHEN 7 THEN 0.057991946978 WHEN 8 THEN 0.051152522447
+        |      WHEN 9 THEN 0.045757490561 END AS DOUBLE) AS p FROM d),
+        |c AS (SELECT digit, n, total, p,
+        |    (n - total * p) * (n - total * p) / (total * p) AS contrib FROM j)
+        |SELECT digit, n, round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  round(p, 6) AS expected, round(contrib, 6) AS chi2_part,
+        |  round(CAST(sum(CAST(round(contrib, 9) AS DECIMAL(28,9))) OVER ()
+        |    AS DOUBLE), 6) AS chi2
+        |FROM c ORDER BY digit""".stripMargin,
+    // RAKE: phrase runs by (pos − row_number) islands; micro-unit integer
+    // word scores keep every accumulation order-independent
+    "text_rake" ->
+      """WITH raw AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |    unnest(generate_series(0, len(ts) - 1)) AS pos FROM raw),
+        |cand AS (SELECT doc_id, w, pos, pos - row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM tok WHERE w <> '' AND w NOT IN ('the','a','of','and','is')),
+        |wl AS (SELECT *, count(*) OVER (PARTITION BY doc_id, grp) AS plen
+        |  FROM cand),
+        |ws AS (SELECT w, (sum(plen) * 1000000) // count(*) AS score_u
+        |  FROM wl GROUP BY w),
+        |ph AS (SELECT doc_id, grp, string_agg(wl.w, ' ' ORDER BY pos) AS phrase,
+        |    sum(ws.score_u) AS pscore_u
+        |  FROM wl JOIN ws USING (w) GROUP BY doc_id, grp)
+        |SELECT phrase, count(*) AS occurrences,
+        |  round(max(pscore_u) / 1000000.0, 6) AS score
+        |FROM ph GROUP BY phrase ORDER BY score DESC, phrase LIMIT 25""".stripMargin,
     // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6, hence the +1
     "q93_seasonality" ->
       """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,

@@ -552,6 +552,52 @@ object TextQueries {
       .orderBy("doc_id")
       .limit(200)
 
+  /** RAKE keyword extraction over the corpus (Rapid Automatic Keyword
+    * Extraction): candidate phrases are maximal runs of consecutive
+    * non-stopword tokens, each word scores degree/frequency over ALL
+    * candidate phrases (degree = Σ length of the phrases its occurrences
+    * sit in), and a phrase scores the sum of its words' scores — the
+    * classic unsupervised keyword ranker. Top 25 distinct phrases by
+    * (score, phrase).
+    *
+    * Engine-exactness: word scores are computed in MICRO-units with
+    * integer floor division (`deg·10⁶ div freq`), so phrase scores are
+    * integer sums — order-independent, no float accumulation anywhere
+    * until the final fixed-shape division. Scale shape: one posexplode
+    * scan, per-doc windows (doc-cardinality parallelism), then plain
+    * partial-aggregable rollups and equi-joins on the word key; the only
+    * data-sized shuffles carry (doc, word) tuples.
+    */
+  def rake(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = stopwords("en")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "" && !col("w").isInCollection(stop))
+    // maximal consecutive runs: pos − per-doc row_number is constant
+    // within a run (empty tokens and stopwords both break runs)
+    val cand = toks.withColumn("grp",
+      col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    val withLen = cand.withColumn("plen",
+      count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+    val wordScore = withLen.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("score_u", expr("(deg * 1000000) div freq"))
+    withLen.join(wordScore.select("w", "score_u"), "w")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+          " ").as("phrase"),
+        sum("score_u").as("pscore_u"))
+      .groupBy("phrase")
+      .agg(count(lit(1)).as("occurrences"), max("pscore_u").as("su"))
+      .select(col("phrase"), col("occurrences"),
+        round(col("su") / lit(1000000.0), 6).as("score"))
+      .orderBy(desc("score"), asc("phrase"))
+      .limit(25)
+  }
+
   /** Oracle mirror of [[bm25Scores]], split as (WITH-chain, final SELECT) so
     * [[RetrievalQueries]]'s hybrid oracle can wrap the SELECT as one more CTE
     * — one source for both renderings, the two cannot drift.

@@ -86,4 +86,23 @@ class BandedWindowSpec extends SparkSpec {
       expr("unix_micros(ts) div 86400000000")).distinct().count()
     assert(bands > 30, s"fixture should span many (key, band) cells, got $bands")
   }
+
+  test("ordinal equals the flat per-key row_number over a VALUE order") {
+    // rank by value (not time) — the Gini/selection use; bands from the
+    // value itself, including a width so narrow most bands are sparse
+    val flat = spiky.withColumn("i", row_number().over(
+      Window.partitionBy("event_type").orderBy("value", "event_id")))
+    for (width <- Seq(1.0, 0.01)) {
+      val banded = BandedWindow.ordinal(spiky, "event_type", "value",
+        "event_id", expr(s"CAST(value / $width AS BIGINT)"), "i")
+      assert(sorted(banded) == sorted(flat), s"ordinal mismatch at width $width")
+    }
+  }
+
+  test("ordinal partitions its rank work by (key, band), not key alone") {
+    val plan = BandedWindow.ordinal(spiky, "event_type", "value", "event_id",
+      expr("CAST(value AS BIGINT)"), "i").queryExecution.executedPlan.toString
+    assert(raw"hashpartitioning\(event_type#\d+, _bkt#\d+".r.findFirstIn(plan).isDefined,
+      s"rank exchange must cluster by (event_type, _bkt):\n$plan")
+  }
 }

@@ -129,4 +129,37 @@ class TextQueriesSpec extends SparkSpec {
     val totalKept = rows.map(_.getLong(7)).sum
     assert(totalKept > 0 && totalKept < totalDocs)
   }
+
+  test("rake == a sequential reimplementation of degree/frequency scoring") {
+    val stop = graft.functions.TextFunctions.stopwords("en").toSet
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // phrases: maximal runs of consecutive non-empty non-stopword tokens
+    // over RAW split positions (double spaces break runs, like the query)
+    val phrases = docs.flatMap { case (_, text) =>
+      val toks = text.toLowerCase.split(" ", -1).zipWithIndex
+        .filter { case (w, _) => w.nonEmpty && !stop(w) }
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      toks.zipWithIndex.foreach { case ((w, pos), k) =>
+        if (k == 0 || toks(k - 1)._2 != pos - 1) runs += Vector(w)
+        else runs(runs.size - 1) = runs.last :+ w
+      }
+      runs.toSeq
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val deg = phrases.flatMap(p => p.map(_ -> p.size.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val scoreU = freq.keys.map(w => w -> deg(w) * 1000000L / freq(w)).toMap
+    val want = phrases.map(p => p.mkString(" ") -> p.map(scoreU).sum)
+      .groupBy(_._1).map { case (ph, occ) => (ph, occ.size.toLong, occ.head._2) }
+      .toSeq
+      .sortBy { case (ph, _, su) => (-su, ph) }.take(25)
+      .map { case (ph, n, su) => (ph, n,
+        BigDecimal(su / 1000000.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) }
+    val got = TextQueries.rake(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
 }
