@@ -57,8 +57,21 @@ object BandedWindow {
     */
   val defaultBucketSeconds: Long = 86400L
 
+  /** `c` with a loud null guard: a null band value would STRAND its row in
+    * a null band (the flat window orders nulls first; the banded plan would
+    * silently drop the row from every frame), so misuse must throw instead
+    * of diverging. One codegen'd null check per row — the branch never
+    * evaluates `raise_error` on valid data.
+    */
+  private def checkedBand(c: Column, what: String): Column =
+    when(c.isNull, raise_error(lit(
+      s"BandedWindow: null $what has no band — the flat window orders " +
+        "nulls first, the banded one would silently strand the row; " +
+        "filter or default the column before banding"))).otherwise(c)
+
   private def bkt(ts: String, bucketSeconds: Long): Column =
-    expr(s"unix_micros($ts) div ${bucketSeconds * 1000000L}")
+    checkedBand(expr(s"unix_micros($ts) div ${bucketSeconds * 1000000L}"),
+      s"timestamp `$ts`")
 
   /** `df` extended with `aggs` evaluated over the trailing ROWS frame
     * `(-n, -1)` of the TOTAL per-`key` `(ts, id)` order — exactly
@@ -143,7 +156,7 @@ object BandedWindow {
       band: Column,
       name: String): DataFrame = {
     val inCols = df.columns.toSeq
-    val b = df.withColumn("_bkt", band)
+    val b = df.withColumn("_bkt", checkedBand(band, s"band of `$orderCol`"))
     // ONE exchange on (key, band) feeds both the per-band rank and the
     // band sizes (a full-frame count over the same partitioning — no
     // second pass over the source, unlike a separate groupBy branch);
@@ -154,11 +167,29 @@ object BandedWindow {
     val posed = b
       .withColumn("_pos", row_number().over(wPos))
       .withColumn("_bn", count(lit(1)).over(wBkt))
+      .withColumn("_bmx", max(orderCol).over(wBkt))
     val wCum = Window.partitionBy(key).orderBy("_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // Monotonicity is load-bearing (a non-monotone band would SILENTLY
+    // corrupt every global rank), so it is verified, not trusted: each
+    // band's min/max orderCol ride the representative rows into the tiny
+    // table, where a strictly-increasing check across adjacent bands costs
+    // one lag over the calendar-sized aggregate. Strict (`<`, not `<=`):
+    // an orderCol value shared by two bands would rank the bands' rows by
+    // band where the flat window ranks the tie by `id`.
+    val wLag = Window.partitionBy(key).orderBy("_bkt")
     val cumB = posed.filter(col("_pos") === 1)
-      .select(col(key), col("_bkt"), col("_bn"))
-      .withColumn("_cumb", coalesce(sum("_bn").over(wCum), lit(0L)))
+      .select(col(key), col("_bkt"), col("_bn"),
+        col(orderCol).as("_bmn"), col("_bmx"))
+      .withColumn("_pmx", lag("_bmx", 1).over(wLag))
+      .withColumn("_cumb",
+        when(col("_pmx").isNotNull && col("_pmx") >= col("_bmn"),
+          raise_error(lit("BandedWindow.ordinal: band expression is not " +
+            "strictly monotone in the order column — adjacent bands " +
+            "overlap in value, which would silently corrupt the global " +
+            "ranks; widen the bands or band on the order column itself"))
+            .cast("long"))
+          .otherwise(coalesce(sum("_bn").over(wCum), lit(0L))))
       .select(col(key), col("_bkt"), col("_cumb"))
     posed.join(broadcast(cumB), Seq(key, "_bkt"))
       .withColumn(name, col("_cumb") + col("_pos"))

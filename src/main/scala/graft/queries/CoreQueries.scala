@@ -1134,6 +1134,44 @@ object CoreQueries {
       .orderBy("o_custkey", "version")
   }
 
+  /** The shared banded rolling-stats scaffold q64 and q88 both read: ONE
+    * [[BandedWindow.trailingRows]] pass over events computes every
+    * trailing-20 statistic either query needs (count, 6-rounded mean/σ,
+    * and the sorted frame array the median selects from), cached per
+    * (session, dir) via [[BackboneRegistry]] like the text/dedup backbones.
+    *
+    * Why shared: the two queries band the SAME table over the SAME
+    * `(event_type, day)` keys with the SAME depth-20 frame — running the
+    * scaffold twice paid the banded construction's two full-width shuffles
+    * twice for byte-identical exchange work (r10 verdict item 5). Adding a
+    * window aggregate to an existing WindowExec is free at plan level
+    * (same partitioning, same sort, one shared frame walk), so the combined
+    * cost is one scaffold plus two cheap projections. At 100 TB this is a
+    * staged derived table: the trailing-stat family fans out of one
+    * materialization instead of re-walking the event log per metric.
+    * `SPARK_GRAFT_ROLL_BACKBONE=false` disables the cache (parity A/B) —
+    * results are bit-identical in both regimes.
+    */
+  private[queries] def rollingScaffold(s: SparkSession, dir: String): DataFrame = {
+    def plan = BandedWindow.trailingRows(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"), col("value")),
+      key = "event_type", ts = "ts", id = "event_id", n = 20,
+      aggs = Seq(
+        "roll_n" -> (w => count("value").over(w)),
+        // the anomaly predicate compares 6-ROUNDED quantities: Spark
+        // recomputes each bounded frame in row order while DuckDB's window
+        // aggregation merges segment-tree partials, so the raw doubles can
+        // differ in the last ulps — a raw >3sigma compare would be an
+        // engine-dependent boundary (the FIXTURES round-before-compare rule)
+        "roll_avg" -> (w => round(avg("value").over(w), 6)),
+        "roll_sd" -> (w => round(stddev_samp("value").over(w), 6)),
+        "_frame" -> FrameQuantile.sortedFrame(col("value"))))
+    if (!sys.env.getOrElse("SPARK_GRAFT_ROLL_BACKBONE", "true").toBoolean) plan
+    else BackboneRegistry.getOrBuild(s, s"roll:stats:$dir")(
+      plan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
   /** Q64 — rolling-window anomaly detection over the event stream: per
     * event_type ordered by time, each value is scored against the mean and
     * stddev of its 20 PRECEDING observations (self excluded, so an anomaly
@@ -1147,7 +1185,8 @@ object CoreQueries {
     * (the r9 verdict's named scale-killer: 5 tasks for the whole table at
     * 100 TB, however wide the cluster). Results are bit-identical to the
     * flat per-type window — BandedWindowSpec pins parity, including across
-    * sparse/empty bands.
+    * sparse/empty bands. The frame statistics come from the SHARED
+    * [[rollingScaffold]] (one banded pass serves q64 and q88).
     *
     * The DECLARED result caps at the first 500 rows of the total
     * (type, id) order — an anomaly REPORT is legitimately
@@ -1156,19 +1195,7 @@ object CoreQueries {
     * the window computes over everything regardless.
     */
   def q64(s: SparkSession, dir: String): DataFrame =
-    BandedWindow.trailingRows(
-      Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), col("ts"), col("value")),
-      key = "event_type", ts = "ts", id = "event_id", n = 20,
-      aggs = Seq(
-        "roll_n" -> (w => count("value").over(w)),
-        // the anomaly predicate compares 6-ROUNDED quantities: Spark
-        // recomputes each bounded frame in row order while DuckDB's window
-        // aggregation merges segment-tree partials, so the raw doubles can
-        // differ in the last ulps — a raw >3sigma compare would be an
-        // engine-dependent boundary (the FIXTURES round-before-compare rule)
-        "roll_avg" -> (w => round(avg("value").over(w), 6)),
-        "roll_sd" -> (w => round(stddev_samp("value").over(w), 6))))
+    rollingScaffold(s, dir)
       .where(col("roll_n") >= 10 && col("roll_sd") > 0 &&
         round(abs(col("value") - col("roll_avg")) - col("roll_sd") * 3, 6) > 0)
       .select(col("event_type"), col("event_id"),
@@ -1878,22 +1905,19 @@ object CoreQueries {
     * median selected in the project with percentile's exact interpolation
     * arithmetic ([[FrameQuantile.medianOfSorted]], bit-parity spec-pinned)
     * — the generic percentile aggregate rebuilt a boxed counts-map per
-    * output row, which dominated the walk (SCALE_r10). The frame is
-    * computed BANDED ([[BandedWindow.trailingRows]]), so the walk
+    * output row, which dominated the walk (SCALE_r10). The frame comes
+    * from the SHARED banded [[rollingScaffold]] (one
+    * [[BandedWindow.trailingRows]] pass serves q64 and q88), so the walk
     * parallelizes over (type, day) bands instead of 5 sequential tasks
-    * (q64's scale note). The DECLARED result caps at the first 500
+    * (q64's scale note) and the banded construction's shuffles are paid
+    * once for the pair. The DECLARED result caps at the first 500
     * rows of the total (type, id) order — like novelty/ttr's caps, so
     * verify/bench hash a bounded frame instead of the whole events table
     * at larger scale factors (r8 ADVICE); the underlying window computes
     * over everything regardless.
     */
   def q88(s: SparkSession, dir: String): DataFrame = {
-    BandedWindow.trailingRows(
-      Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), col("ts"), col("value")),
-      key = "event_type", ts = "ts", id = "event_id", n = 20,
-      aggs = Seq(
-        "_frame" -> FrameQuantile.sortedFrame(col("value"))))
+    rollingScaffold(s, dir)
       .filter(size(col("_frame")) >= 10)
       .select(col("event_type"), col("event_id"),
         round(col("value"), 6).as("value"),

@@ -334,6 +334,46 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Recall depth for the batch serving arm = the depth it serves (top-5
+    * per query), so the measurement grades exactly what a caller gets.
+    */
+  val batchRecallK = 5
+
+  /** Recall@[[batchRecallK]] of the STAGED batch-ANN arm
+    * ([[batchStagedTopK]]) per query — the C53 "measure, don't guess" row
+    * the r10 verdict flagged as missing: the batch serving path shipped
+    * with an audited plan but no measured recall, which makes its
+    * Hamming-≤1 ball a config guess. The exact arm is one bounded
+    * TakeOrdered top-k per batch query (self EXCLUDED, matching the batch
+    * arms' `query ≠ candidate` contract — the single-query recall rows
+    * include self on both sides, so the readings differ by construction,
+    * not by defect); a LEFT join from the exact arm keeps a query visible
+    * even at recall 0. At 100 TB the cost is the exact calibration scans —
+    * the same price every recall row already pays, ×batch size.
+    */
+  def recallBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val approx = batchStagedTopK(s, dir)
+      .select(col("query_id"), col("cand_id").as("vec_id"), lit(1).as("hit"))
+    val exact = (0L until 3L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(batchRecallK)
+        .select(lit(qid).as("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), lit(batchRecallK).as("k"), col("hits"),
+        round(col("hits") / lit(batchRecallK.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Code-width FLOOR for the STAGED serving path: 8 planes = 256 code
     * values keeps Hamming-1 candidate pools dense enough to fill k at
     * testdata scale. Past `64·2^8` vectors the width scales as
@@ -747,6 +787,25 @@ object SimilarityQueries {
          | (SELECT query_id, cand_id, cos_sim,
          |   row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn FROM cand) t
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // recall of the staged batch arm: exact and approx arms both rank by
+    // round-6 cosine with vec_id tie-break and both EXCLUDE self (the batch
+    // arms' query<>candidate contract); LEFT join keeps recall-0 queries
+    "sim_recall_batch" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id < 3),
+         |ex AS (SELECT query_id, vec_id FROM
+         |  (SELECT q.query_id, e.vec_id,
+         |     row_number() OVER (PARTITION BY q.query_id ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+         |   FROM embeddings e, q WHERE e.vec_id <> q.query_id) t WHERE rn <= $batchRecallK),
+         |ap AS (SELECT query_id, vec_id FROM
+         |  (SELECT q.query_id, c.vec_id,
+         |     row_number() OVER (PARTITION BY q.query_id ORDER BY round(${SqlGen.cosSql("c.embedding", "q.qe")}, 6) DESC, c.vec_id) AS rn
+         |   FROM q JOIN coded c ON bit_count(xor(q.qcode, c.lsh_code)) <= 1 AND c.vec_id <> q.query_id) t
+         |  WHERE rn <= $batchRecallK)
+         |SELECT ex.query_id, $batchRecallK AS k, count(ap.vec_id) AS hits,
+         |  round(count(ap.vec_id)/$batchRecallK.0, 6) AS recall
+         |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+         |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin,
     "sim_batch_topk" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", batchWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT * FROM coded WHERE vec_id < 3),

@@ -105,4 +105,44 @@ class BandedWindowSpec extends SparkSpec {
     assert(raw"hashpartitioning\(event_type#\d+, _bkt#\d+".r.findFirstIn(plan).isDefined,
       s"rank exchange must cluster by (event_type, _bkt):\n$plan")
   }
+
+  /** Every message in the failure's cause chain, concatenated — Spark wraps
+    * a task-side raise_error in SparkException layers.
+    */
+  private def chain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("a null timestamp fails loudly instead of silently stranding the row") {
+    // r10 verdict "what's wrong" #3: a null ts row has no band; the flat
+    // window would order it first, the banded one would drop it from every
+    // frame — a silent divergence. The guard must throw, naming the hazard.
+    val withNull = spiky.withColumn("ts",
+      when(col("event_id") === 7, lit(null).cast("timestamp")).otherwise(col("ts")))
+    val e = intercept[Throwable] {
+      bandedTrailing(withNull, 20, 86400L).collect()
+    }
+    assert(chain(e).contains("null"), chain(e))
+    val e2 = intercept[Throwable] {
+      BandedWindow.leadValue(withNull, "event_type", "ts", "event_id",
+        "value", "nxt").collect()
+    }
+    assert(chain(e2).contains("null"), chain(e2))
+  }
+
+  test("ordinal rejects a null band and a non-monotone band, loudly") {
+    val nullBand = intercept[Throwable] {
+      BandedWindow.ordinal(spiky, "event_type", "value", "event_id",
+        expr("CAST(NULL AS BIGINT)"), "i").collect()
+    }
+    assert(chain(nullBand).contains("null"), chain(nullBand))
+    // a band keyed off event_id is unrelated to the value order: adjacent
+    // bands overlap in value, which would silently corrupt every global
+    // rank — the guard's tiny-table min/max check must refuse
+    val nonMono = intercept[Throwable] {
+      BandedWindow.ordinal(spiky, "event_type", "value", "event_id",
+        expr("event_id % 2"), "i").collect()
+    }
+    assert(chain(nonMono).contains("monotone"), chain(nonMono))
+  }
 }

@@ -477,6 +477,32 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh <= multi && multi <= ivf, s"lsh=$lsh multi=$multi ivf=$ivf")
   }
 
+  test("batch-ANN recall: measured per query, consistent with the single-query staged arm") {
+    // r10 verdict item 6: the staged batch serving path shipped without a
+    // measured recall — a serving path without a number is a config guess.
+    // The reading on this corpus (hits 0/1/0 of 5 at sf0.001) is the SAME
+    // signal the single-query LSH arm's 0.1 gives: hyperplane codes lose
+    // these low-cosine neighbors, serve this corpus via IVF. The values are
+    // pinned so a probe-width or coding change cannot silently shift the
+    // measurement.
+    val r = graft.queries.SimilarityQueries.recallBatch(spark, sf0001)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L), r.toSeq)
+    assert(r.forall(_._2 == 5), r.toSeq)
+    assert(r.forall(x => math.abs(x._4 - x._3.toDouble / 5) < 1e-9), r.toSeq)
+    assert(r.map(_._3).toSeq == Seq(0L, 1L, 0L), s"measured reading moved: ${r.toSeq}")
+    // and the batch arm really is the single-query staged arm, batched:
+    // query 0's candidate list must equal sim_lsh_staged's top rows with
+    // the self row dropped (the batch contract excludes query==candidate)
+    val batch0 = graft.queries.SimilarityQueries.batchStagedTopK(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("query_id") === 0L)
+      .collect().map(_.getAs[Long]("cand_id")).toSeq
+    val single = graft.queries.SimilarityQueries.lshStagedTopK(spark, sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(batch0 == single.filter(_ != 0L).take(5),
+      s"batch arm diverged from the staged single-query arm: $batch0 vs $single")
+  }
+
   test("multi-table LSH: table 0 reproduces single-table codes; the union strictly widens candidates") {
     import org.apache.spark.sql.functions._
     // planeOffset 0 must be byte-identical to the original single-table code
