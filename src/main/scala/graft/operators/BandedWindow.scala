@@ -70,8 +70,14 @@ object BandedWindow {
         "filter or default the column before banding"))).otherwise(c)
 
   private def bkt(ts: String, bucketSeconds: Long): Column =
-    checkedBand(expr(s"unix_micros($ts) div ${bucketSeconds * 1000000L}"),
-      s"timestamp `$ts`")
+    // null guard on the SOURCE column's null bit, not on the derived band
+    // (isNull over the div expression would re-evaluate the whole div in
+    // the branch check — measured ~15% on the 10M-event probe)
+    when(col(ts).isNull, raise_error(lit(
+      s"BandedWindow: null `$ts` has no band — the flat window orders " +
+        "nulls first, the banded one would silently strand the row; " +
+        "filter or default the column before banding")).cast("long"))
+      .otherwise(expr(s"unix_micros($ts) div ${bucketSeconds * 1000000L}"))
 
   /** `df` extended with `aggs` evaluated over the trailing ROWS frame
     * `(-n, -1)` of the TOTAL per-`key` `(ts, id)` order — exactly
