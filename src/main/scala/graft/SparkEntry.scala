@@ -167,6 +167,7 @@ object SparkEntry {
     "dedup_exact"        -> DedupQueries.exact _,
     "dedup_minhash"      -> DedupQueries.minhash _,
     "dedup_spans"        -> DedupQueries.spans _,
+    "dedup_memorize"     -> DedupQueries.memorize _,
     "dedup_minhash_est"  -> DedupQueries.minhashEstimate _,
     "dedup_jaccard"      -> DedupQueries.jaccard _,
     "dedup_setsim"       -> DedupQueries.setsim _,

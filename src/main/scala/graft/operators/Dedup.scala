@@ -439,11 +439,44 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, w: Int = 8, minDocs: Int = 2,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    shingleHashes(docs, w, idCol, textCol).distinct()
-      .groupBy("m")
+    duplicateSpansFrom(shingleHashes(docs, w, idCol, textCol).distinct(),
+      minDocs, idCol)
+
+  /** [[duplicateSpans]] over a pre-built distinct (id, m) span-hash frame —
+    * the staged-tier entry point, so the span family shares one hash frame
+    * instead of re-exploding the corpus per consumer.
+    */
+  def duplicateSpansFrom(sh: DataFrame, minDocs: Int = 2,
+                         idCol: String = "doc_id"): DataFrame =
+    sh.groupBy("m")
       .agg(count(lit(1)).as("ndocs"), min(col(idCol)).as("first_doc"))
       .filter(col("ndocs") >= minDocs)
       .select(col("m").as("span_h"), col("ndocs"), col("first_doc"))
+
+  /** Per-document verbatim-span coverage — the MEMORIZATION-risk audit run
+    * before training: for each doc, what fraction of its distinct `w`-word
+    * spans also appear in at least one OTHER document. [[duplicateSpans]]
+    * answers "which spans are shared"; this answers "which DOCUMENTS are
+    * mostly made of shared material" — the per-doc score a curation gate
+    * thresholds on (a doc whose spans are all boilerplate trains nothing
+    * and memorizes everything).
+    *
+    * Input is a distinct (id, m) span-hash frame (share the staged tier).
+    * Each span's doc-frequency comes from ONE window over the span hash —
+    * a high-cardinality partition key, full cluster width, no second scan
+    * and no (doc, doc) join anywhere; `df >= 2` means "some other doc has
+    * it" exactly because the frame is per-doc DISTINCT. The per-doc rollup
+    * partial-aggregates to one row per doc.
+    */
+  def spanCoverage(sh: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val wM = org.apache.spark.sql.expressions.Window.partitionBy("m")
+    sh.withColumn("_df", count(lit(1)).over(wM))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("spans"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("dup_spans"))
+      .withColumn("dup_frac",
+        round(col("dup_spans") / col("spans").cast("double"), 6))
+  }
 
   /** Cross-source contamination matrix: for every source pair, how many
     * distinct `w`-word spans they share — the provenance-level view of

@@ -55,6 +55,16 @@ object DedupBackbone {
       Dedup.shingleHashes(Tables.documents(s, dir)).distinct()
     }
 
+  /** Distinct (doc_id, m) `w`-word span hashes — the verbatim-run root the
+    * SPAN-level family shares (`dedup_spans`' cross-doc span census and
+    * `dedup_memorize`'s per-doc coverage read the same frame; the 3-gram
+    * [[shingles]] root serves the similarity family, spans are wider).
+    */
+  def spanHashes(s: SparkSession, dir: String, w: Int): DataFrame =
+    tier(s, dir, s"span$w") {
+      Dedup.shingleHashes(Tables.documents(s, dir), w).distinct()
+    }
+
   /** One minhash-signature row per doc (min is multiset-invariant, so the
     * distinct root gives identical signatures to the raw shingle stream).
     */

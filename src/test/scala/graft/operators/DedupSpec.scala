@@ -137,6 +137,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateSpans(corpus, w = 8, minDocs = 3).count() == 0)
   }
 
+  test("spanCoverage scores each doc by the fraction of its spans other docs contain") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight"
+    val corpus = Seq(
+      // doc 1: 2 distinct spans, 1 shared with doc 2 → 0.5
+      (1L, s"p1 p2 p3 p4 p5 p6 p7 $shared"),
+      // doc 2: IS the shared span → 1.0 (fully covered elsewhere)
+      (2L, shared),
+      // doc 3: self-repeats only — distinct frame means df stays 1 → 0.0
+      (3L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    val got = Dedup.spanCoverage(
+        Dedup.shingleHashes(corpus, 8).distinct())
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L)._3 > 0.0 && got(1L)._3 < 1.0, got(1L))
+    assert(got(1L)._2 == 1L) // exactly the shared span
+    assert(got(2L) == ((1L, 1L, 1.0)), got(2L))
+    assert(got(3L)._2 == 0L && got(3L)._3 == 0.0, got(3L))
+  }
+
   test("simhash band cap bounds a degenerate corpus the same way") {
     import spark.implicits._
     val flood = (0L until 100L).map(i => (i, "same words in every doc here")).toDF("doc_id", "text")
