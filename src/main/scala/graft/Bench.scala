@@ -61,6 +61,17 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
+  /** Is a SORTED 3-run sample contention-noisy? True when the spread across
+    * back-to-back runs of the same physical plan exceeds 3× AND the slowest
+    * run is material (>0.5 s — sub-second queries jitter multiplicatively on
+    * scheduler noise alone, and re-measuring them buys nothing). A failed
+    * run (-1 sentinel at the head) is never "noisy" — it is broken, which
+    * the queries map already records.
+    */
+  private[graft] def noisy(ts: Seq[Double]): Boolean =
+    ts.nonEmpty && ts.head >= 0 && ts.last > 0.5 &&
+      ts.last / math.max(ts.head, 1e-9) > 3.0
+
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -128,12 +139,11 @@ object Bench {
       // once and keep the quieter median — contention only ever inflates,
       // so min-of-medians cannot hide a real regression. A query still
       // >3x-spread after the retry marks the whole run suspect.
-      if (ts.head >= 0 && ts.last > 0.5 &&
-          ts.last / math.max(ts.head, 1e-9) > 3.0) {
+      if (noisy(ts)) {
         requeried += n
         val ts2 = Seq.fill(3)(once(n)).sorted
         if (ts2(1) < ts(1)) ts = ts2
-        if (ts.last / math.max(ts.head, 1e-9) > 3.0) stillNoisy += n
+        if (noisy(ts)) stillNoisy += n
       }
       n -> ts(1)
     }
