@@ -87,9 +87,14 @@ def sf_of(sf_dir):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     # 10x-rehearsal knobs: the recursive-CTE components fixpoint at sf1
-    # needs a spill directory and a generous memory ceiling (SCALE_r8)
-    if os.environ.get("GRAFT_DUCKDB_TMP"):
-        con.execute(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
+    # needs a spill directory and a generous memory ceiling (SCALE_r8).
+    # The spill dir now DEFAULTS on: the r11 sf1 sweep ran 120+ oracles on
+    # one connection with no temp_directory and the allocator eventually
+    # failed on a 1 KB block — without a spill path DuckDB aborts instead
+    # of spilling, and a long sweep accumulates until exactly that.
+    import tempfile
+    tmp = os.environ.get("GRAFT_DUCKDB_TMP") or tempfile.mkdtemp(prefix="graft_duck_")
+    con.execute(f"SET temp_directory='{tmp}'")
     if os.environ.get("GRAFT_DUCKDB_MEM"):
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEM']}'")
     cur_sf = sf_of(sf_dir)
