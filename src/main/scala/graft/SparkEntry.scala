@@ -141,6 +141,7 @@ object SparkEntry {
     "graph_degree"       -> GraphQueries.degree _,
     "graph_common"       -> GraphQueries.common _,
     "graph_triangles"    -> GraphQueries.triangles _,
+    "graph_kcore"        -> GraphQueries.kcore _,
     "link_parts"         -> LinkQueries.parts _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,

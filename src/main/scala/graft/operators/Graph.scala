@@ -182,4 +182,74 @@ object Graph {
     sym.groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
+
+  /** Data-derived k-core threshold: `max(2, floor(median(degree)))` over
+    * the normalized graph's degrees. The median is EXACT (`percentile`, which
+    * interpolates the even-count midpoint exactly like the SQL engines'
+    * `quantile_cont`) and its inputs are integers, so the interpolated value
+    * is either an integer or an integer + 0.5 — both exactly representable,
+    * so `floor` lands identically in every engine. A fixed k cannot serve a
+    * graph family whose density grows with the corpus; the median degree
+    * tracks the graph's own scale, splitting it at its typical node.
+    */
+  def coreThreshold(edges: DataFrame): Long = {
+    val und = normalizeUndirected(edges)
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val med = deg.agg(expr("percentile(dg, 0.5)")).first().getDouble(0)
+    math.max(2L, math.floor(med).toLong)
+  }
+
+  /** k-core peel trajectory: `rounds` synchronous peeling steps, each
+    * dropping every node whose CURRENT degree is below `k` and every edge
+    * touching a dropped node. Emits one row per round —
+    * `(round, k, nodes, edges)` where `nodes` counts the survivors entering
+    * the round's edge set and `edges` the undirected edges among them — so
+    * the whole trajectory (not just the fixpoint) is oracle-checkable, and a
+    * converged peel keeps producing identical rows (idempotent by
+    * definition, so a fixed round budget loses nothing).
+    *
+    * Scale shape (the same discipline as [[pagerank]]): each round is one
+    * partial-aggregable degree count plus two hash joins against the
+    * one-column survivor set — |E| rows through node-keyed exchanges, never
+    * a pair explosion — and the surviving edge set is eagerly checkpointed
+    * so round r never replays rounds 1..r−1. Driver traffic is two scalar
+    * counts per round. On 100 TB you budget the rounds (peeling converges in
+    * O(log n) synchronous steps on real graphs) exactly as PageRank budgets
+    * its iterations.
+    */
+  def kcorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = normalizeUndirected(edges)
+    var sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val survivors = sym.groupBy("src").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k)
+        .select(col("src").as("v"))
+        .localCheckpoint(true)
+      sym = sym
+        .join(survivors.select(col("v").as("src")), Seq("src"))
+        .join(survivors.select(col("v").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      out += ((r, k, survivors.count(), sym.count() / 2))
+    }
+    out.result().toDF("round", "k", "nodes", "edges")
+  }
+
+  /** Canonical undirected edge list: (min, max) per pair, self-loops and
+    * duplicates removed — the normalization [[triangleStats]] applies inline,
+    * shared by the peeling family.
+    */
+  private def normalizeUndirected(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
 }

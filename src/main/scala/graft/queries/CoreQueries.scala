@@ -2274,6 +2274,45 @@ object CoreQueries {
       .orderBy("digit")
   }
 
+  /** Q102 — CUSUM changepoint detection over the daily event-count series,
+    * per event_type: the day where the cumulative deviation from a constant
+    * rate peaks (the classic level-shift detector run over ingest volumes
+    * before trusting a drift report). The statistic is INTEGER-exact —
+    * with per-day counts x_i, prefix sums P_i and total T over n days,
+    * the deviation n·P_i − i·T is the CUSUM n·(P_i − (i/n)·T) scaled by n
+    * with the division cleared, so both engines compare identical BIGINTs
+    * and ties break on the earlier day; the one double division renders the
+    * normalized peak at output.
+    *
+    * Scale: the per-(type, day) rollup is the only corpus-sized stage —
+    * partial-aggregable, and exchange-FREE off the [[EventsBackbone.byType]]
+    * staged scan (HashPartitioning(event_type) already satisfies the
+    * grouping). Every window after it runs on the types × days aggregate
+    * (calendar-bounded rows per type), the q71/q93 daily-series shape.
+    */
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    val daily = EventsBackbone.byType(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val dev = daily
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum("x").over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", sum("x").over(wAll))
+      .withColumn("dev", col("n") * col("p") - col("i") * col("t"))
+    dev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("dev")).desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"), col("day").as("cp_day"),
+        abs(col("dev")).as("cusum_abs"),
+        round(abs(col("dev")).cast("double") /
+          (col("n").cast("double") * col("t").cast("double")), 6).as("cusum_norm"))
+      .orderBy("event_type")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -80,14 +80,51 @@ object GraphQueries {
     * TPC-H-shaped data), so edge derivation is one equi-join on the order
     * key; the census itself is degree-ordered (see the operator doc).
     */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val pairs = li.as("x")
-      .join(li.select(col("ok"), col("pk").as("pk2")).as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("pk2"))
-      .select(col("x.pk").as("a"), col("pk2").as("b"))
-    Graph.triangleStats(pairs)
+  def triangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleStats(partPairs(s, dir).select(col("a"), col("b")))
+
+  val kcoreRounds = 6
+  val kcoreMinSupport = 2
+
+  /** `graph_kcore` — k-core peel trajectory ([[Graph.kcorePeel]]) of the
+    * SUPPORT-THRESHOLDED part co-occurrence graph (parts sharing ≥ 2 distinct
+    * orders — one repeat co-purchase is signal, a single co-occurrence in a
+    * uniform basket is noise and yields a near-regular graph with no core
+    * structure to find), at the data-derived threshold
+    * ([[Graph.coreThreshold]]): 6 synchronous peeling rounds, one oracled row
+    * each — the density-core audit run before sampling a co-occurrence graph
+    * (which parts sit in the mutually-dense core vs the peelable fringe), on
+    * the same staged edge derivation the triangle census reads.
+    */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val pairs = partPairs(s, dir)
+      .filter(col("support") >= kcoreMinSupport)
+      .select(col("a"), col("b"))
+    Graph.kcorePeel(pairs, Graph.coreThreshold(pairs), kcoreRounds)
+      .orderBy("round")
+  }
+
+  /** Part co-occurrence edges (parts sharing an order) WITH their support
+    * (number of distinct co-occurring orders) — the graph under both the
+    * triangle census (all pairs) and the k-core peel (support-thresholded),
+    * staged once per (session, dir) like [[customerSupplierPairs]]. The pair
+    * explosion is per-order (bounded by order size, ≤7 in TPC-H-shaped
+    * data), so the derivation is one equi-join on the order key into a
+    * partial-aggregable pair count.
+    */
+  private def partPairs(s: SparkSession, dir: String): DataFrame = {
+    def build = {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      li.as("x")
+        .join(li.select(col("ok"), col("pk").as("pk2")).as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("pk2"))
+        .groupBy(col("x.pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("support"))
+    }
+    if (!sys.env.getOrElse("SPARK_GRAFT_GRAPH_BACKBONE", "true").toBoolean) build
+    else BackboneRegistry.getOrBuild(s, s"graph:partpairs:$dir")(
+      build.localCheckpoint(true))
   }
 
   /** Shared edge-derivation SQL: the parity-encoded symmetrized trade graph
@@ -125,7 +162,44 @@ object GraphQueries {
        |FROM r$pagerankIters ORDER BY node""".stripMargin
   }
 
+  /** The k-core oracle unrolls the fixed round budget exactly like the
+    * PageRank oracle unrolls its iterations: every round's survivor set and
+    * surviving edge set is its own CTE, and every round contributes one
+    * result row, so the trajectory — not just the fixpoint — is
+    * hash-compared. The threshold CTE mirrors [[Graph.coreThreshold]]'s
+    * exact-median arithmetic (integer inputs → the interpolated midpoint is
+    * exactly representable → `floor` is engine-exact).
+    */
+  private def kcoreOracle: String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round's edge CTE three times (degree count + both survivor probes), so
+    // default CTE inlining would expand the chain 3^rounds-fold; pinning
+    // materialization keeps the oracle linear in rounds like the engine.
+    val rounds = (1 to kcoreRounds).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src
+         |  HAVING count(*) >= (SELECT k FROM kk)),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN s$r sa ON e.src = sa.src JOIN s$r sb ON e.dst = sb.src)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to kcoreRounds).map { r =>
+      s"""SELECT $r AS round, (SELECT k FROM kk) AS k,
+         |  (SELECT count(*) FROM s$r) AS nodes,
+         |  (SELECT count(*) FROM e$r) // 2 AS edges""".stripMargin
+    }.mkString(" UNION ALL\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS (SELECT x.pk AS a, y.pk AS b
+       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $kcoreMinSupport),
+       |e0 AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und),
+       |kk AS (SELECT greatest(2, CAST(floor(median(dg)) AS BIGINT)) AS k
+       |  FROM (SELECT count(*) AS dg FROM e0 GROUP BY src)),
+       |$rounds
+       |SELECT * FROM ($rows) ORDER BY round""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "graph_kcore" -> kcoreOracle,
     "graph_common" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS g, l_suppkey AS i
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -97,6 +97,57 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(0) == 0L && r.getLong(3) == 0L)
   }
 
+  test("kcorePeel: a K4 core survives while its pendant peels in round 1") {
+    // K4 on 1–4 plus pendant 5 hanging off 4; k=2. Round 1 drops node 5
+    // (degree 1) and its edge; the K4 (all degrees ≥ 3) is the fixpoint,
+    // so rounds 2–3 must repeat the round-1 row exactly (idempotence).
+    val e = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      :+ ((4L, 5L))).toDF("a", "b")
+    val t = Graph.kcorePeel(e, k = 2L, rounds = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(t.toSeq == Seq((1, 2L, 4L, 6L), (2, 2L, 4L, 6L), (3, 2L, 4L, 6L)))
+  }
+
+  test("kcorePeel: a path cascades to empty, and stays empty") {
+    // 1-2-3-4 at k=2: round 1 keeps the interior {2,3} (1 edge); round 2
+    // finds both below k and empties the graph; round 3 reports the empty
+    // fixpoint rather than throwing.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val t = Graph.kcorePeel(e, k = 2L, rounds = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(t.toSeq == Seq((1, 2L, 1L), (2, 0L, 0L), (3, 0L, 0L)))
+  }
+
+  test("kcorePeel: mixed-direction duplicates normalize before peeling") {
+    // the same triangle fed as (a,b), (b,a) and a duplicate must peel as
+    // 3 nodes / 3 edges at k=2 — normalization is the operator's job
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("a", "b")
+    val t = Graph.kcorePeel(e, k = 2L, rounds = 2).orderBy("round").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(t.toSeq == Seq((3L, 3L), (3L, 3L)))
+  }
+
+  test("coreThreshold: the exact median degree, floored, at least 2") {
+    // K4 + pendant: degrees 3,3,3,4,1 → median 3 → k = 3
+    val sparse = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      :+ ((4L, 5L))).toDF("a", "b")
+    assert(Graph.coreThreshold(sparse) == 3L)
+    // K9: every degree 8 → k = 8 (the threshold tracks density)
+    val nine = (1L to 9L).flatMap(i => ((i + 1) to 9L).map(j => (i, j))).toDF("a", "b")
+    assert(Graph.coreThreshold(nine) == 8L)
+    // even count with an interpolated midpoint: degrees 1,1,2,2 over a path
+    // 1-2-3-4 → median 1.5 → floor 1 → clamped to the floor of 2
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(Graph.coreThreshold(path) == 2L)
+  }
+
+  test("kcorePeel: bounds are enforced loudly") {
+    val e = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] { Graph.kcorePeel(e, k = 0L, rounds = 1) }
+    intercept[IllegalArgumentException] { Graph.kcorePeel(e, k = 2L, rounds = 0) }
+    intercept[IllegalArgumentException] { Graph.kcorePeel(e, k = 2L, rounds = 21) }
+  }
+
   test("commonNeighbors: oversized groups drop; remaining pairs score exactly") {
     // group "hot" (3 items, cap 2) must vanish; group "ok" pairs normally
     val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 20L))
