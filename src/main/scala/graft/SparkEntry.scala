@@ -133,6 +133,8 @@ object SparkEntry {
     "q98_skyline"        -> CoreQueries.q98 _,
     "q99_gini"           -> CoreQueries.q99 _,
     "q100_benford"       -> CoreQueries.q100 _,
+    "q101_zonemap"       -> CoreQueries.q101 _,
+    "q102_cusum"         -> CoreQueries.q102 _,
     "text_rake"          -> TextQueries.rake _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,
     "mix_cluster_weight" -> CurationQueries.mixClusterWeight _,

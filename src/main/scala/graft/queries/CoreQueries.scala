@@ -2274,6 +2274,50 @@ object CoreQueries {
       .orderBy("digit")
   }
 
+  /** Q101 query window: [2024-01-10, 2024-01-16) as epoch micros — six days
+    * mid-fixture, crossing zone boundaries on both ends.
+    */
+  val q101LoUs: Long = 1704844800000000L
+  val q101HiUs: Long = 1705363200000000L
+
+  /** The zone width the oracle renders — one definition site with the
+    * staged layout's ([[EventsBackbone.zoneMicros]]).
+    */
+  def zoneMicrosOracle: Long = EventsBackbone.zoneMicros
+
+  /** Q101 — zone-map data skipping: a time-range aggregate served from the
+    * time-clustered events copy ([[EventsBackbone.byZone]]) by consulting a
+    * per-zone min/max STATS table first — only zones whose [min, max] ts
+    * envelope overlaps the query window are read (bucket-pruned IN-list,
+    * `SelectedBucketsCount`-audited in the plan spec), with the residual ts
+    * predicate applied inside the surviving zones. The declared row carries
+    * the pruning audit (zones_total vs zones_scanned) next to the answer,
+    * so the oracle checks the skipping DECISION as well as the result.
+    *
+    * Scale: the stats table is one row per zone (calendar / zone-width —
+    * bounded like [[graft.operators.Quantiles]]' per-partition counts, the
+    * documented-bounded collect class), and the data scan touches only
+    * overlapping zones' files. At 100 TB this is the difference between a
+    * 6-day question reading 6 days and reading 30 — the file-skipping
+    * every warehouse's zone maps / min-max indexes exist to provide.
+    */
+  def q101(s: SparkSession, dir: String): DataFrame = {
+    val z = EventsBackbone.byZone(s, dir)
+    val stats = z.groupBy("zone")
+      .agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+      .collect()
+    val quals = stats.filter(r => r.getLong(1) < q101HiUs && r.getLong(2) >= q101LoUs)
+      .map(_.getLong(0)).sorted
+    z.filter(col("zone").isin(quals: _*) &&
+        unix_micros(col("ts")) >= q101LoUs && unix_micros(col("ts")) < q101HiUs)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("value").cast("decimal(28,6)")).cast("double"), 6).as("sum_value"))
+      .select(
+        lit(stats.length.toLong).as("zones_total"),
+        lit(quals.length.toLong).as("zones_scanned"),
+        col("n_rows"), col("sum_value"))
+  }
+
   /** Q102 — CUSUM changepoint detection over the daily event-count series,
     * per event_type: the day where the cumulative deviation from a constant
     * rate peaks (the classic level-shift detector run over ingest volumes

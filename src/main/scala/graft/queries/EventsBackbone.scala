@@ -88,6 +88,45 @@ object EventsBackbone {
     if (!enabled) Tables.events(s, dir)
     else Bucketing.read(s, stagedTables(s, dir)._2)
 
+  /** Zone width for the time-clustered copy: 3 days of micros. Time-range
+    * queries prune whole zones via the zone-map stats before touching a
+    * row; at 100 TB the width is the zone-map granularity/pruning-power
+    * trade (finer zones prune tighter, cost more stats rows).
+    */
+  val zoneMicros: Long = 3L * 86400L * 1000000L
+
+  /** Events clustered on `zone` = `unix_micros(ts) div zoneMicros` — the
+    * time-skipping layout: a time-range query resolves qualifying zones
+    * from the tiny per-zone min/max stats table and probes them as a
+    * bucket-pruned IN-list (the C29/C66 serving-index idiom pointed at
+    * TIME), so the scan reads only the overlapping zones' files. Disabled
+    * backbone falls back to the raw scan with the zone column derived
+    * inline — same rows, no pruning (the A/B contract every backbone
+    * keeps).
+    */
+  def byZone(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def zoned(df: DataFrame): DataFrame =
+      df.withColumn("zone", expr(s"unix_micros(ts) div $zoneMicros"))
+    if (!enabled) zoned(Tables.events(s, dir))
+    else {
+      val t = BackboneRegistry.namesOrBuild(s, s"events_zoned:$dir")(
+        _.forall(s.catalog.tableExists)) {
+        val tag = dir.split('/').last.replace('.', '_') +
+          "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+        val name = s"graft_ev_zone_b${buckets}_$tag"
+        Staging.ensure(s,
+          Staging.fingerprint(s, dir, s"events_zoned:b$buckets:zw$zoneMicros:v1"),
+          Seq(name)) {
+          Bucketing.writeBucketedSorted(zoned(Tables.events(s, dir)), name,
+            "zone", Seq("zone", "ts", "event_id"), buckets)
+        }
+        Seq(name)
+      }
+      Bucketing.read(s, t.head)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Durable lifecycle (q96): stage → append → degraded → compact → restored
   // ---------------------------------------------------------------------

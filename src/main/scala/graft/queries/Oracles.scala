@@ -489,6 +489,42 @@ object Oracles {
         |  round(CAST(sum(CAST(round(contrib, 9) AS DECIMAL(28,9))) OVER ()
         |    AS DOUBLE), 6) AS chi2
         |FROM c ORDER BY digit""".stripMargin,
+    // zone-map audit: zones from the same micros div, overlap test on the
+    // per-zone min/max envelope, residual range agg with exact decimal sum
+    "q101_zonemap" ->
+      s"""WITH z AS (SELECT epoch_us(ts) // ${CoreQueries.zoneMicrosOracle} AS zone,
+        |    epoch_us(ts) AS us, value FROM events),
+        |st AS (SELECT zone, min(us) AS mn, max(us) AS mx FROM z GROUP BY zone),
+        |pr AS (SELECT count(*) AS zones_scanned FROM st
+        |  WHERE mn < ${CoreQueries.q101HiUs} AND mx >= ${CoreQueries.q101LoUs}),
+        |a AS (SELECT count(*) AS n_rows,
+        |    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+        |  FROM z WHERE us >= ${CoreQueries.q101LoUs} AND us < ${CoreQueries.q101HiUs})
+        |SELECT (SELECT count(*) FROM st) AS zones_total,
+        |  (SELECT zones_scanned FROM pr) AS zones_scanned, n_rows, sum_value
+        |FROM a""".stripMargin,
+    // CUSUM deviation n·P_i − i·T is INTEGER (the division-cleared form of
+    // the classic statistic), so the argmax compares identical BIGINTs in
+    // both engines; the one double division renders the normalized peak
+    "q102_cusum" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (SELECT event_type, day,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    sum(x) OVER (PARTITION BY event_type ORDER BY day) AS p,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type) AS t
+        |  FROM daily),
+        |dev AS (SELECT event_type, day, n, t,
+        |    CAST(n AS BIGINT) * CAST(p AS BIGINT)
+        |      - CAST(i AS BIGINT) * CAST(t AS BIGINT) AS dev FROM sc),
+        |best AS (SELECT *, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY abs(dev) DESC, day) AS rn FROM dev)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS cp_day,
+        |  abs(dev) AS cusum_abs,
+        |  round(CAST(abs(dev) AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS cusum_norm
+        |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // RAKE: phrase runs by (pos − row_number) islands; micro-unit integer
     // word scores keep every accumulation order-independent
     "text_rake" ->

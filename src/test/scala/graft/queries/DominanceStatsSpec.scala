@@ -12,6 +12,32 @@ import graft.{SparkSpec, Tables}
   */
 class DominanceStatsSpec extends SparkSpec {
 
+  test("q102 CUSUM changepoint == the textbook argmax on the real events") {
+    // brute-force per type: daily counts in day order, dev_i = n·P_i − i·T,
+    // peak |dev| with the earlier day winning ties
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2.toString).map(r => (r._2, r._3))
+      val n = xs.length.toLong
+      val total = xs.map(_._2).sum
+      var p = 0L
+      val devs = xs.zipWithIndex.map { case ((d, x), i0) =>
+        p += x; (d, math.abs(n * p - (i0 + 1).toLong * total))
+      }
+      val (cpDay, peak) = devs.maxBy { case (d, a) => (a, -d.getTime) }
+      (t, n, cpDay, peak,
+        BigDecimal(peak.toDouble / (n.toDouble * total.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = CoreQueries.q102(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDate(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == want)
+  }
+
   test("q98 skyline == all-pairs dominance on the real part table") {
     val pts = Tables.part(spark, sf0001)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))

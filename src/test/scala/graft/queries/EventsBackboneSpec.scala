@@ -39,6 +39,28 @@ class EventsBackboneSpec extends SparkSpec {
     }
   }
 
+  test("zone-clustered events equal the raw table, zones derive from ts") {
+    val z = EventsBackbone.byZone(spark, sf0001)
+    assert(canon(z) == canon(Tables.events(spark, sf0001)))
+    // the staged zone column must equal its defining expression row-for-row
+    assert(z.filter(col("zone") =!=
+      expr(s"unix_micros(ts) div ${EventsBackbone.zoneMicros}")).count() == 0)
+  }
+
+  test("q101 zone-pruned answer equals the raw full-scan answer, and prunes") {
+    val r = CoreQueries.q101(spark, sf0001).collect().head
+    val (zonesTotal, zonesScanned) = (r.getLong(0), r.getLong(1))
+    assert(zonesScanned < zonesTotal,
+      s"zone map pruned nothing: $zonesScanned of $zonesTotal")
+    val raw = Tables.events(spark, sf0001)
+      .filter(unix_micros(col("ts")) >= CoreQueries.q101LoUs &&
+        unix_micros(col("ts")) < CoreQueries.q101HiUs)
+      .agg(count(lit(1)), round(sum(col("value").cast("decimal(28,6)"))
+        .cast("double"), 6))
+      .collect().head
+    assert((r.getLong(2), r.getDouble(3)) == ((raw.getLong(0), raw.getDouble(1))))
+  }
+
   test("in-bucket rows really are sorted by (user_id, ts, event_id)") {
     // read ONE bucket file directly and check monotonicity — the physical
     // guarantee the window relies on, independent of Spark's planner

@@ -101,6 +101,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("zone-map range query prunes the time-clustered scan to its zones") {
+    // the 6-day window overlaps 3 of the fixture's 3-day zones, so the
+    // bucket-pruned probe must read at most 3 of the 8 zone buckets
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plans("q101_zonemap"))
+    assert(m.isDefined, s"zone probe scan is not bucket-pruned:\n${plans("q101_zonemap")}")
+    val (sel, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(sel <= 3 && sel < total, s"zone probe read $sel of $total buckets")
+  }
+
   test("funnel stages are thin aggregates, not a window over the event history") {
     // the scale shape: three filtered groupBy(min)s joined on user_id. A
     // window over each user's full event sequence would buffer the history
