@@ -218,6 +218,7 @@ object SparkEntry {
     "curate_corpus"      -> CurationQueries.curate _,
     "curate_docs"        -> CurationQueries.curatedDocs _,
     "curate_budget"      -> CurationQueries.curateBudget _,
+    "curate_classifier"  -> CurationQueries.classifier _,
     "mix_sample"         -> CurationQueries.mixSample _,
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,

@@ -433,10 +433,173 @@ object CurationQueries {
       .partitionBy("source")
       .parquet(path)
 
+  // -------------------------------------------------------------------
+  // curate_classifier — distributed logistic-regression gate distillation
+  // -------------------------------------------------------------------
+
+  val clfLr = 4.0
+  val clfIters = 6
+
+  /** Feature/label frame for the classifier: y = the C57 Gopher gate's
+    * verdict (same thresholds as `text_gopher`), x = four cheap surface
+    * signals — saturating stopword evidence `least(sw, 4)/4` (the gate's
+    * binding constraint, made separable by saturation where the raw ratio
+    * is not), mean word length /10, punctuation ratio, duplicate-3-gram
+    * fraction. Cached per (session, dir): training re-scans it 2× per
+    * iteration.
+    */
+  private def clfFeatures(s: SparkSession, dir: String): DataFrame = {
+    def build = {
+      val d = Tables.documents(s, dir)
+        .select(col("text"), wsTokens(col("text")).as("W"))
+        .select(
+          tokenCountOf(col("W")).as("t"),
+          meanWordLenOf(col("text"), col("W")).as("m"),
+          punctRatio(col("text")).as("p"),
+          stopwordHitsOf(col("W"), "en").as("sw"),
+          dupNgramFracOf(col("W")).as("r"))
+      val pass = col("t") >= TextQueries.gMinToks && col("t") <= TextQueries.gMaxToks &&
+        col("m") >= TextQueries.gMinMwl && col("m") <= TextQueries.gMaxMwl &&
+        col("p") <= TextQueries.gMaxPunct && col("sw") >= TextQueries.gMinStops &&
+        col("r") <= TextQueries.gMaxRep
+      d.select(
+        when(pass, lit(1.0)).otherwise(lit(0.0)).as("y"),
+        (least(col("sw").cast("double"), lit(4.0)) / lit(4.0)).as("x1"),
+        (col("m") / lit(10.0)).as("x2"),
+        col("p").as("x3"),
+        col("r").as("x4"))
+    }
+    BackboneRegistry.getOrBuild(s, s"clf:features:$dir")(
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** `curate_classifier` — train the cheap linear twin of the rule gate ON
+    * the cluster: class-balanced batch gradient descent for logistic
+    * regression (6 iterations, lr 4), distilling the conjunctive Gopher
+    * gate into one dot product — the model-based quality filter every
+    * large-scale pipeline ends up wanting, with the training loop itself
+    * distributed (each iteration = one partial-aggregable gradient scan +
+    * one accuracy scan over the cached feature frame; driver traffic is 5
+    * weights per round).
+    *
+    * Engine-exact arithmetic, so the whole TRAJECTORY oracles: per-row
+    * work (rational sigmoid `0.5 + z/(2(1+|z|))`, class weight, feature
+    * product) is pure IEEE double — bit-identical in any engine — and the
+    * only order-sensitive step, the gradient SUM, rounds each contribution
+    * at scale 9 and sums DECIMAL(38,9) exactly (the q100 χ² discipline).
+    * Gradient-sum magnitudes stay within the exact decimal→double window
+    * (|contrib| ≤ ~1.3 ⇒ unscaled ≤ ~2·10⁹·N — exact up to ~4×10⁶ docs per
+    * 2⁵³; shard the gradient agg past that). Weight updates are scalar
+    * IEEE ops. Accuracy compares sign(z) to y — no rounding at all.
+    */
+  def classifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val f = clfFeatures(s, dir)
+    val head = f.agg(count(lit(1)).as("n"),
+      count(when(col("y") === 1.0, 1)).as("pos")).first()
+    val (n, pos) = (head.getLong(0), head.getLong(1))
+    require(pos > 0 && pos < n,
+      s"classifier needs both classes, got $pos positives of $n")
+    val cwPos = n.toDouble / (2.0 * pos)
+    val cwNeg = n.toDouble / (2.0 * (n - pos))
+    val xs = Seq("x1", "x2", "x3", "x4")
+    val w = Array.fill(5)(0.0)
+    def z = xs.zipWithIndex.foldLeft(lit(w(0)): org.apache.spark.sql.Column) {
+      case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
+    }
+    val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double, Long, Long)]
+    for (k <- 1 to clfIters) {
+      val zc = z
+      val p = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
+      val base = when(col("y") === 1.0, lit(cwPos)).otherwise(lit(cwNeg)) *
+        (p - col("y"))
+      val gRow = f.agg(
+        sum(round(base, 9).cast("decimal(38,9)")).as("g0"),
+        xs.map(c => sum(round(base * col(c), 9).cast("decimal(38,9)")).as(s"g_$c")): _*)
+        .first()
+      for (j <- 0 to 4)
+        w(j) = w(j) - clfLr * gRow.getDecimal(j).doubleValue() / n
+      val correct = f.agg(count(when((z > 0) === (col("y") === 1.0), 1)))
+        .first().getLong(0)
+      out += ((k, w(0), w(1), w(2), w(3), w(4), correct, n))
+    }
+    out.result()
+      .toDF("iter", "wb", "ws", "wm", "wp", "wr", "correct", "total")
+      .select(col("iter"),
+        round(col("wb"), 6).as("w_bias"), round(col("ws"), 6).as("w_stop"),
+        round(col("wm"), 6).as("w_mwl"), round(col("wp"), 6).as("w_punct"),
+        round(col("wr"), 6).as("w_rep"), col("correct"), col("total"))
+      .orderBy("iter")
+  }
+
+  /** The classifier oracle unrolls the training loop like the PageRank and
+    * EWMA oracles unroll theirs: per iteration one MATERIALIZED gradient
+    * CTE (exact DECIMAL(38,9) sums of the identical scale-9-rounded
+    * contributions), one scalar weight-update CTE (same IEEE expression
+    * tree), one accuracy CTE — and one result row, so every step of the
+    * descent is hash-compared.
+    */
+  private def classifierOracle: String = {
+    val hits = {
+      val set = graft.functions.TextFunctions.stopwords("en")
+        .map(x => s"'$x'").mkString(", ")
+      s"len(list_filter(W, t -> t IN ($set)))"
+    }
+    val mwl = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END)"
+    val g3 = "list_transform(range(1, len(W)-1), i -> W[i]||' '||W[i+1]||' '||W[i+2])"
+    val rep = s"(CASE WHEN len(W) < 3 THEN 0.0 ELSE 1.0 - len(list_distinct($g3))*1.0/(len(W)-2) END)"
+    val punct = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
+    import TextQueries._
+    val gate = s"t >= $gMinToks AND t <= $gMaxToks AND m >= $gMinMwl AND m <= $gMaxMwl" +
+      s" AND p <= $gMaxPunct AND sw >= $gMinStops AND r <= $gMaxRep"
+    val zExpr = "wb + ws*x1 + wm*x2 + wp*x3 + wr*x4"
+    val iters = (1 to clfIters).map { k =>
+      s"""g$k AS MATERIALIZED (SELECT
+         |    sum(CAST(round(base, 9) AS DECIMAL(38,9))) AS g0,
+         |    sum(CAST(round(base * x1, 9) AS DECIMAL(38,9))) AS gx1,
+         |    sum(CAST(round(base * x2, 9) AS DECIMAL(38,9))) AS gx2,
+         |    sum(CAST(round(base * x3, 9) AS DECIMAL(38,9))) AS gx3,
+         |    sum(CAST(round(base * x4, 9) AS DECIMAL(38,9))) AS gx4
+         |  FROM (SELECT x1, x2, x3, x4,
+         |      (CASE WHEN y = 1.0 THEN cp ELSE cn END)
+         |        * ((0.5 + z/(2.0*(1.0+abs(z)))) - y) AS base
+         |    FROM (SELECT f.*, cp, cn, $zExpr AS z
+         |          FROM f CROSS JOIN w${k - 1} CROSS JOIN cw) zf) bf),
+         |w$k AS (SELECT wb - $clfLr * CAST(g0 AS DOUBLE) / (SELECT n FROM nn) AS wb,
+         |    ws - $clfLr * CAST(gx1 AS DOUBLE) / (SELECT n FROM nn) AS ws,
+         |    wm - $clfLr * CAST(gx2 AS DOUBLE) / (SELECT n FROM nn) AS wm,
+         |    wp - $clfLr * CAST(gx3 AS DOUBLE) / (SELECT n FROM nn) AS wp,
+         |    wr - $clfLr * CAST(gx4 AS DOUBLE) / (SELECT n FROM nn) AS wr
+         |  FROM w${k - 1} CROSS JOIN g$k),
+         |a$k AS (SELECT count(CASE WHEN (z > 0) = (y = 1.0) THEN 1 END) AS correct
+         |  FROM (SELECT f.y, $zExpr AS z FROM f CROSS JOIN w$k) t)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to clfIters).map { k =>
+      s"""SELECT $k AS iter, round(wb, 6) AS w_bias, round(ws, 6) AS w_stop,
+         |  round(wm, 6) AS w_mwl, round(wp, 6) AS w_punct, round(wr, 6) AS w_rep,
+         |  (SELECT correct FROM a$k) AS correct, (SELECT n FROM nn) AS total
+         |FROM w$k""".stripMargin
+    }.mkString(" UNION ALL\n")
+    s"""WITH b AS (SELECT text, string_split(text,' ') AS W FROM documents),
+       |d AS (SELECT len(W) AS t, $mwl AS m, $punct AS p, $hits AS sw, $rep AS r FROM b),
+       |f AS MATERIALIZED (SELECT
+       |    CAST(CASE WHEN $gate THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+       |    least(CAST(sw AS DOUBLE), 4.0)/4.0 AS x1, m/10.0 AS x2,
+       |    p AS x3, r AS x4 FROM d),
+       |nn AS (SELECT count(*) AS n,
+       |    count(CASE WHEN y = 1.0 THEN 1 END) AS pos FROM f),
+       |cw AS (SELECT CAST(n AS DOUBLE)/(2.0*CAST(pos AS DOUBLE)) AS cp,
+       |    CAST(n AS DOUBLE)/(2.0*CAST(n - pos AS DOUBLE)) AS cn FROM nn),
+       |w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wm, 0.0 AS wp, 0.0 AS wr),
+       |$iters
+       |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     val toksSql = SqlGen.toksSql
     val qualSql = SqlGen.qualitySql
     Map(
+      "curate_classifier" -> classifierOracle,
       "curate_corpus" ->
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
            |SELECT source, count(*) AS kept,
