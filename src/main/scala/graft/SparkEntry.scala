@@ -135,6 +135,7 @@ object SparkEntry {
     "q100_benford"       -> CoreQueries.q100 _,
     "q101_zonemap"       -> CoreQueries.q101 _,
     "q102_cusum"         -> CoreQueries.q102 _,
+    "q103_theilsen"      -> CoreQueries.q103 _,
     "text_rake"          -> TextQueries.rake _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,
     "mix_cluster_weight" -> CurationQueries.mixClusterWeight _,

@@ -2357,6 +2357,39 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Q103 — Theil-Sen robust trend per nation: the median of all pairwise
+    * slopes of the monthly revenue series — the 29%-breakdown trend
+    * estimate an OLS fit (C79) loses to one bad month. The pair explosion
+    * is months²-per-nation on the ALREADY-AGGREGATED monthly table
+    * (calendar-bounded rows — the q71/q93 daily-series argument), so the
+    * only corpus-sized stage is the partial-aggregable monthly rollup;
+    * slope numerators subtract EXACT decimals before one cast to double
+    * (unscaled diffs sit far inside 2⁵³, so the cast is exact and each
+    * slope is bit-identical in both engines), and the median renders at
+    * scale 2 (monetary-magnitude rule — scale-6 would cross the engine
+    * stability limit on sf-proportional slopes).
+    */
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+    val slopes = monthly.as("a")
+      .join(monthly.as("b"),
+        col("a.nation") === col("b.nation") && col("a.x") < col("b.x"))
+      .select(col("a.nation").as("nation"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    slopes.groupBy("nation")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)"), 2).as("ts_slope"))
+      .join(monthly.groupBy("nation").agg(count(lit(1)).as("n_months")), Seq("nation"))
+      .select(col("nation"), col("n_months"), col("n_pairs"), col("ts_slope"))
+      .orderBy("nation")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

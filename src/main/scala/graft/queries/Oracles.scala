@@ -489,6 +489,23 @@ object Oracles {
         |  round(CAST(sum(CAST(round(contrib, 9) AS DECIMAL(28,9))) OVER ()
         |    AS DOUBLE), 6) AS chi2
         |FROM c ORDER BY digit""".stripMargin,
+    // Theil-Sen: slope numerators subtract exact decimals before one exact
+    // cast; the median's interpolation ulp is absorbed by the scale-2 round
+    "q103_theilsen" ->
+      """WITH m AS (SELECT n_name AS nation,
+        |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.nation,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM m a JOIN m b ON a.nation = b.nation AND a.x < b.x),
+        |mm AS (SELECT nation, count(*) AS n_months FROM m GROUP BY 1)
+        |SELECT p.nation AS nation, n_months, count(*) AS n_pairs,
+        |  round(median(slope), 2) AS ts_slope
+        |FROM p JOIN mm ON p.nation = mm.nation
+        |GROUP BY 1, 2 ORDER BY p.nation""".stripMargin,
     // zone-map audit: zones from the same micros div, overlap test on the
     // per-zone min/max envelope, residual range agg with exact decimal sum
     "q101_zonemap" ->

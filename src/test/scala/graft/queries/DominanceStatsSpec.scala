@@ -38,6 +38,29 @@ class DominanceStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q103 Theil-Sen == the brute-force pairwise-slope median per nation") {
+    val monthly = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDecimal(2)))
+    val want = monthly.groupBy(_._1).map { case (nation, pts) =>
+      val slopes = (for {
+        a <- pts; b <- pts if a._2 < b._2
+      } yield (b._3.subtract(a._3)).doubleValue() / (b._2 - a._2)).sorted
+      val m = slopes.length
+      val med = if (m % 2 == 1) slopes(m / 2)
+        else (slopes(m / 2 - 1) + (slopes(m / 2) - slopes(m / 2 - 1)) * 0.5)
+      (nation, pts.length.toLong, m.toLong,
+        BigDecimal(med).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = CoreQueries.q103(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
   test("q98 skyline == all-pairs dominance on the real part table") {
     val pts = Tables.part(spark, sf0001)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
