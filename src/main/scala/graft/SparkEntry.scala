@@ -212,6 +212,7 @@ object SparkEntry {
     "sim_lsh_multi"      -> SimilarityQueries.lshMultiTopK _,
     "sim_recall_multi"   -> SimilarityQueries.recallMulti _,
     "search_hybrid"      -> RetrievalQueries.hybrid _,
+    "search_mmr"         -> RetrievalQueries.mmr _,
     "search_lexical_staged" -> RetrievalQueries.lexicalStaged _,
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,

@@ -78,7 +78,99 @@ object RetrievalQueries {
       .limit(10)
   }
 
+  /** MMR trade-off weight (relevance vs redundancy) and sizes. */
+  val mmrLambda = 0.7
+  val mmrPool = 10
+  val mmrTake = 5
+
+  /** `search_mmr` — maximal-marginal-relevance rerank of the dense arm: from
+    * the top-[[mmrPool]] cosine candidates, greedily take [[mmrTake]] by
+    * `λ·rel − (1−λ)·max_{s∈S} sim(c, s)` — the diversity rerank that stops a
+    * result page (or a RAG context window) being five copies of the same
+    * near-duplicate. The corpus-sized work is the TakeOrdered candidate arm
+    * (q19 serving shape) and ONE broadcast pool×pool similarity pass
+    * (BroadcastNestedLoopJoin over [[mmrPool]]² rounded cosines); the greedy
+    * itself runs over those ≤ pool·(pool−1) SCORE rows — bounded driver
+    * data, no embedding math outside the engine (all cosines come rounded
+    * from the same codegen'd expression the oracle mirrors; the driver only
+    * compares and multiplies round-6 doubles, with HALF_UP rounding
+    * matching both engines' `round(x, 6)`).
+    */
+  def mmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val cand = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+          .as("rel"))
+      .orderBy(desc("rel"), asc("vec_id"))
+      .limit(mmrPool)
+      .localCheckpoint(true)
+    val rels = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+    val sims = cand.as("a")
+      .crossJoin(broadcast(cand.select(col("vec_id").as("j"),
+        col("embedding").as("ej"))))
+      .filter(col("vec_id") =!= col("j"))
+      .select(col("vec_id").as("i"), col("j"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("ej")), 6)
+          .as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Seq.newBuilder[(Int, Long, Double, Double)]
+    var selected = Vector.empty[Long]
+    for (k <- 1 to math.min(mmrTake, rels.length)) {
+      val scored = rels.filterNot(c => selected.contains(c._1)).map { case (id, rel) =>
+        val score = if (selected.isEmpty) rel
+          else r6(mmrLambda * rel -
+            (1.0 - mmrLambda) * selected.map(sId => sims((id, sId))).max)
+        (id, rel, score)
+      }
+      val (id, rel, score) = scored.maxBy { case (id, _, sc) => (sc, -id) }
+      selected :+= id
+      out += ((k, id, rel, score))
+    }
+    out.result().toDF("rank", "vec_id", "rel", "score").orderBy("rank")
+  }
+
+  /** The MMR oracle unrolls the greedy like the PageRank/classifier oracles
+    * unroll their loops: the pool and its pairwise round-6 similarity matrix
+    * are MATERIALIZED once, then each pick is one argmax CTE over the
+    * not-yet-selected candidates — every rank is hash-compared, so a
+    * different pick at any step fails loudly.
+    */
+  private def mmrOracle: String = {
+    val lam = mmrLambda
+    val oneMinus = 1.0 - mmrLambda
+    val steps = (2 to mmrTake).map { k =>
+      val sel = (1 until k).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""s$k AS (SELECT c.vec_id, c.rel,
+         |    round($lam * c.rel - $oneMinus * (SELECT max(sim) FROM sim
+         |      WHERE sim.i = c.vec_id AND sim.j IN ($sel)), 6) AS score
+         |  FROM cand c WHERE c.vec_id NOT IN ($sel)
+         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to mmrTake).map(k =>
+      s"SELECT $k AS rank, vec_id, rel, score FROM s$k").mkString(" UNION ALL ")
+    s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS MATERIALIZED (SELECT vec_id, embedding,
+       |    round(${SqlGen.cosSql("embedding", "qe")}, 6) AS rel
+       |  FROM embeddings, qv WHERE vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT $mmrPool),
+       |sim AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+       |    round(${SqlGen.cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS (SELECT vec_id, rel, rel AS score FROM cand
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "search_mmr" -> mmrOracle,
     "search_hybrid" ->
       s"""${TextQueries.bm25WithChain},
         |bm AS (${TextQueries.bm25SelectSql}),

@@ -38,6 +38,33 @@ class RetrievalSpec extends SparkSpec {
       }
   }
 
+  test("MMR defers a near-duplicate that naive top-k would take") {
+    import spark.implicits._
+    // 64-d fixture where relevance and redundancy decouple: the query is
+    // axis 0; every candidate carries axis-0 mass (relevance) plus its own
+    // side axis. Candidates 1 and 2 share a side axis (near-twins,
+    // sim ≈ .9999); 3 and 4 sit on fresh side axes (sim to 1 ≈ .49).
+    // Naive rel order is 1 > 2 > 3 > 4; MMR must defer the twin to last.
+    def vec(lead: Float, side: Float, sideAxis: Int): Seq[Float] =
+      (0 until 64).map(d =>
+        if (d == 0) lead else if (d == sideAxis) side else 0.0f)
+    val rows = Seq(
+      (0L, vec(1.0f, 0.0f, 1), 0),
+      (1L, vec(1.0f, 1.0f, 1), 0),   // rel .7071
+      (2L, vec(1.0f, 1.02f, 1), 0),  // rel .7001, sim(1,2) ≈ .9999
+      (3L, vec(0.95f, 1.0f, 2), 0),  // rel .6886, sim(3,1) ≈ .487
+      (4L, vec(0.93f, 1.0f, 3), 0))  // rel .6741
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmr").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = RetrievalQueries.mmr(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // rank 1 is the raw argmax; the diverse moderates beat the near-twin
+    // (twin score .7·.70 − .3·.9999 ≈ .19 vs 3's .7·.69 − .3·.49 ≈ .34),
+    // which is exactly what a rel-only top-k gets wrong
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 4L), (4, 2L)), got.toSeq.toString)
+  }
+
   test("merge upsert: row counts balance (base − replaced + updates), statuses complete") {
     val orders = graft.Tables.orders(spark, sf0001)
     val base = orders.count()
