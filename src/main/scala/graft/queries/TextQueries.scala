@@ -622,6 +622,108 @@ object TextQueries {
       |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
       |GROUP BY tf.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // text_bpe — distributed BPE merge training
+  // -------------------------------------------------------------------
+
+  val bpeMerges = 8
+
+  /** `text_bpe` — train byte-pair-encoding merges ON the cluster: the
+    * classic Sennrich algorithm over the corpus's weighted word table,
+    * emitting one oracled row per merge (rank, left, right, merged symbol,
+    * weighted pair count). Tokenizer training is the one preprocessing step
+    * every LLM pipeline runs exactly once over ALL data — this is its
+    * distributed form.
+    *
+    * Representation is the engine-portable trick that makes the whole loop
+    * relational: each word's symbol sequence is ONE string with double-space
+    * separators and double-space padding, so applying merge (a, b) is the
+    * plain left-to-right `replace(state, ' a  b ', ' ab ')` — the single
+    * space each side borrows from the double separator both guards symbol
+    * boundaries (symbols contain no spaces) AND leaves a space behind for
+    * the neighboring pair, so consecutive occurrences merge exactly like
+    * BPE's greedy scan, identically in any engine with left-to-right
+    * non-overlapping replace semantics.
+    *
+    * Scale shape: the corpus-sized stage is the word-count rollup (one
+    * partial-aggregable scan); every round then works the DISTINCT-WORD
+    * table (vocab-sized, millions of rows at 100 TB — cluster work, but
+    * corpus-independent): explode adjacent symbol pairs → weighted count →
+    * one TakeOrdered-1 argmax scalar to the driver → literal replace, state
+    * eagerly checkpointed per round (the PageRank round discipline).
+    */
+  def bpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var st = wc.withColumn("st",
+      expr("'  ' || array_join(transform(sequence(1, length(word)), " +
+        "i -> substr(word, i, 1)), '  ') || '  '"))
+      .select(col("cnt"), col("st"))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (m <- 1 to bpeMerges) {
+      val best = st
+        .withColumn("sym", expr("filter(split(st, '  '), x -> x != '')"))
+        .where(size(col("sym")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), " +
+            "i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        st = st.select(col("cnt"),
+          replace(col("st"), lit(s" $l  $r "), lit(s" $l$r ")).as("st"))
+          .localCheckpoint(true)
+        out += ((m, l, r, l + r, c))
+      }
+    }
+    out.result().toDF("merge_no", "left", "right", "merged", "pair_count")
+      .orderBy("merge_no")
+  }
+
+  /** The BPE oracle unrolls the merge loop (PageRank discipline): one
+    * MATERIALIZED state CTE and one argmax CTE per round, each round's
+    * result row hash-compared — a different winning pair at any round
+    * fails loudly. Pair extraction zips two parallel unnests (the
+    * text_rake idiom); state update is the same boundary-guarded replace.
+    */
+  private def bpeOracle: String = {
+    val rounds = (1 to bpeMerges).map { m =>
+      s"""p$m AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt,
+         |      unnest(list_transform(range(1, len(sym)), i -> sym[i])) AS l,
+         |      unnest(list_transform(range(1, len(sym)), i -> sym[i+1])) AS r
+         |    FROM (SELECT cnt,
+         |        list_filter(string_split(st, '  '), x -> x <> '') AS sym
+         |      FROM w${m - 1}) t) pp
+         |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+         |w$m AS MATERIALIZED (SELECT cnt,
+         |    replace(st, ' ' || (SELECT l FROM p$m) || '  ' || (SELECT r FROM p$m) || ' ',
+         |      ' ' || (SELECT l FROM p$m) || (SELECT r FROM p$m) || ' ') AS st
+         |  FROM w${m - 1})""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to bpeMerges).map { m =>
+      s"""SELECT $m AS merge_no, l AS "left", r AS "right",
+         |  l || r AS merged, c AS pair_count FROM p$m""".stripMargin
+    }.mkString(" UNION ALL\n")
+    s"""WITH wc AS (SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) tw
+       |  WHERE word <> '' GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT cnt,
+       |    '  ' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, i, 1)), '  ') || '  ' AS st
+       |  FROM wc),
+       |$rounds
+       |SELECT * FROM ($rows) ORDER BY merge_no""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     val punctSql =
       "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
@@ -630,6 +732,7 @@ object TextQueries {
     val qualSql =
       s"least($toksSql/100.0, 1.0)*0.4 + (1.0 - $punctSql)*0.3 + least($swrSql*5.0, 1.0)*0.3"
     Map(
+      "text_bpe" -> bpeOracle,
       "text_redact" -> {
         import graft.functions.TextFunctions.{emailRe, ipRe, phoneRe, digitRunRe}
         s"""SELECT event_id,

@@ -10,6 +10,27 @@ import graft.SparkSpec
   */
 class TextQueriesSpec extends SparkSpec {
 
+  test("BPE merges follow the textbook greedy on a hand-checked corpus") {
+    import spark.implicits._
+    // one doc: words aaaa ×2, abab ×1. Hand trace:
+    //   m1: (a,a) ×3 in each aaaa → 6; merging 'aaaa' gives 'aa aa' (the
+    //       left-to-right non-overlap — standard BPE greedy)
+    //   m2: tie (a,b)=2 vs (aa,aa)=2 breaks on left symbol: 'a' < 'aa'
+    //   m3: (aa,aa)=2 → aaaa      m4: (ab,ab)=1 → abab
+    //   m5..8: no pairs remain — rounds emit nothing instead of throwing
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((0L, "aaaa aaaa abab", "en", "src0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextQueries.bpe(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 2L),
+      (3, "aa", "aa", "aaaa", 2L),
+      (4, "ab", "ab", "abab", 1L)))
+  }
+
   test("token ids: decoding through the vocab reproduces the in-vocab token stream") {
     val vocabMap = TextQueries.vocab(spark, sf0001)
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
