@@ -532,6 +532,78 @@ object CurationQueries {
       .orderBy("iter")
   }
 
+  val kCenterK = 8
+
+  /** `mix_kcenter` — greedy k-center (farthest-point) coreset selection
+    * over the embedding corpus: seed with vec 0, then 7 rounds each taking
+    * the point whose NEAREST selected neighbor is farthest (argmin of the
+    * max round-6 cosine to the selected set) — the diversity-sampling move
+    * for training-data selection (a 2-approximation of the k-center
+    * optimum), picking the spanning skeleton where random sampling
+    * oversamples dense clusters.
+    *
+    * Unlike the pool-bounded MMR greedy, every round here is a FULL-corpus
+    * distributed argmin: the ≤ k selected rows broadcast onto the corpus
+    * scan (the C142 bounded-query-batch shape), one partial-aggregable
+    * max-cosine per candidate, one TakeOrdered-1 scalar to the driver.
+    * Work per round ∝ corpus × |selected|; rounds are budgeted like
+    * PageRank iterations.
+    */
+  def kcenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val seed = emb.filter(col("vec_id") === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).head
+    var selected = Vector(seed)
+    val out = Seq.newBuilder[(Int, Long, Option[Double])]
+    out += ((1, seed._1, None))
+    for (k <- 2 to kCenterK) {
+      val selDf = selected.toDF("sid", "sv")
+      val win = emb
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .crossJoin(broadcast(selDf))
+        .groupBy(col("vec_id"))
+        .agg(max(round(graft.functions.VectorOps.cosine(col("embedding"), col("sv")), 6))
+          .as("mc"))
+        .orderBy(asc("mc"), asc("vec_id"))
+        .limit(1).collect().head
+      val (id, mc) = (win.getLong(0), win.getDouble(1))
+      val v = emb.filter(col("vec_id") === id)
+        .collect().map(_.getSeq[Float](1)).head
+      selected :+= ((id, v))
+      out += ((k, id, Some(mc)))
+    }
+    out.result().toDF("rank", "vec_id", "max_cos").orderBy("rank")
+  }
+
+  /** k-center oracle: the selected set accumulates through one MATERIALIZED
+    * CTE per round; each round cross-joins the corpus with it, aggregates
+    * the max round-6 cosine per candidate, and takes the argmin — every
+    * pick hash-compared like the MMR and classifier trajectories.
+    */
+  private def kcenterOracle: String = {
+    def selUnion(k: Int) =
+      (1 until k).map(j => s"SELECT vec_id, embedding FROM s$j").mkString(" UNION ALL ")
+    def idUnion(k: Int) =
+      (1 until k).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    val rounds = (2 to kCenterK).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT e.vec_id, e.embedding, m.mc FROM (
+         |    SELECT e.vec_id, max(round(${SqlGen.cosSql("e.embedding", "s.embedding")}, 6)) AS mc
+         |    FROM e, (${selUnion(k)}) s
+         |    WHERE e.vec_id NOT IN (${idUnion(k)})
+         |    GROUP BY e.vec_id) m JOIN e ON e.vec_id = m.vec_id
+         |  ORDER BY m.mc, e.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (s"SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS max_cos FROM s1" +:
+      (2 to kCenterK).map(k => s"SELECT $k AS rank, vec_id, mc AS max_cos FROM s$k"))
+      .mkString(" UNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |s1 AS MATERIALIZED (SELECT vec_id, embedding FROM e WHERE vec_id = 0),
+       |$rounds
+       |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
+  }
+
   /** The classifier oracle unrolls the training loop like the PageRank and
     * EWMA oracles unroll theirs: per iteration one MATERIALIZED gradient
     * CTE (exact DECIMAL(38,9) sums of the identical scale-9-rounded
@@ -600,6 +672,7 @@ object CurationQueries {
     val qualSql = SqlGen.qualitySql
     Map(
       "curate_classifier" -> classifierOracle,
+      "mix_kcenter" -> kcenterOracle,
       "curate_corpus" ->
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
            |SELECT source, count(*) AS kept,

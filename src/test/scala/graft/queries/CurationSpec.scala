@@ -98,4 +98,17 @@ class CurationSpec extends SparkSpec {
     // be the dominant positive coordinate at every iteration after warmup
     assert(t.drop(1).forall(_._2 > 0))
   }
+
+  test("mix_kcenter: farthest-point invariants — distinct picks, shrinking coverage radius") {
+    val t = CurationQueries.kcenter(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(t.length == CurationQueries.kCenterK)
+    assert(t.head == ((1, 0L, None)))                  // the seed
+    assert(t.map(_._2).distinct.length == t.length)    // no re-picks
+    // greedy k-center guarantee: each pick's nearest-selected similarity is
+    // non-decreasing (the covering radius can only shrink as the set grows)
+    val ms = t.flatMap(_._3)
+    assert(ms.length == t.length - 1)
+    assert(ms.zip(ms.tail).forall { case (a, b) => a <= b }, ms.toSeq.toString)
+  }
 }
