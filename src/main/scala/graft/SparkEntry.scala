@@ -146,6 +146,7 @@ object SparkEntry {
     "graph_common"       -> GraphQueries.common _,
     "graph_triangles"    -> GraphQueries.triangles _,
     "graph_kcore"        -> GraphQueries.kcore _,
+    "graph_lpa"          -> GraphQueries.lpa _,
     "link_parts"         -> LinkQueries.parts _,
     // --- training-data pipeline extensions ---
     "text_langid"        -> TextQueries.langid _,

@@ -243,6 +243,42 @@ object Graph {
     out.result().toDF("round", "k", "nodes", "edges")
   }
 
+  /** Synchronous label propagation: `rounds` steps of "adopt the most
+    * frequent label among your neighbors" with the DETERMINISTIC tie rule
+    * (highest count, then smallest label) that makes the whole run — not
+    * just a fixpoint — oracle-comparable. Labels start as node ids; returns
+    * (node, lbl) after the fixed budget. Community detection as pure
+    * relational rounds: each step is one |E|-row equi-join + two
+    * partial-aggregable groupBys (label frequencies per node, then the
+    * struct-min argmax — `min(struct(-count, label))`, a total order, so no
+    * engine's hash order can influence the pick), labels eagerly
+    * checkpointed per round (the PageRank discipline). Sync LPA can
+    * oscillate on bipartite-ish structures — the fixed budget reports
+    * whatever round R says, identically everywhere, rather than gating a
+    * 1000-executor job on a convergence probe.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
+    val und = normalizeUndirected(edges)
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Canonical undirected edge list: (min, max) per pair, self-loops and
     * duplicates removed — the normalization [[triangleStats]] applies inline,
     * shared by the peeling family.

@@ -104,6 +104,25 @@ object GraphQueries {
       .orderBy("round")
   }
 
+  val lpaRounds = 5
+
+  /** `graph_lpa` — label-propagation communities of the support-≥2 part
+    * co-occurrence graph ([[Graph.labelPropagation]], same staged edges as
+    * the k-core peel): 5 synchronous rounds, reported as the community-size
+    * histogram — the cluster-structure audit (is this graph a few giant
+    * communities or dust?) run before sampling or sharding by community.
+    */
+  def lpa(s: SparkSession, dir: String): DataFrame = {
+    val pairs = partPairs(s, dir)
+      .filter(col("support") >= kcoreMinSupport)
+      .select(col("a"), col("b"))
+    Graph.labelPropagation(pairs, lpaRounds)
+      .groupBy("lbl").agg(count(lit(1)).as("size"))
+      .groupBy(col("size").as("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+      .orderBy("community_size")
+  }
+
   /** Part co-occurrence edges (parts sharing an order) WITH their support
     * (number of distinct co-occurring orders) — the graph under both the
     * triangle census (all pairs) and the k-core peel (support-thresholded),
@@ -198,8 +217,37 @@ object GraphQueries {
        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
   }
 
+  /** LPA oracle: unrolled rounds (MATERIALIZED — each round's labels feed
+    * one join), the argmax rendered as the equivalent
+    * `row_number() OVER (ORDER BY count DESC, label)` — same total order as
+    * the engine's struct-min, so every round's full label assignment (and
+    * therefore the final histogram) is engine-exact.
+    */
+  private def lpaOracle: String = {
+    val rounds = (1 to lpaRounds).map { r =>
+      s"""r$r AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT e.dst AS node, l.lbl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY e.dst
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM e0 e JOIN r${r - 1} l ON l.node = e.src
+         |  GROUP BY e.dst, l.lbl) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS (SELECT x.pk AS a, y.pk AS b
+       |  FROM lp x JOIN lp y ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $kcoreMinSupport),
+       |e0 AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und),
+       |r0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e0),
+       |$rounds
+       |SELECT size AS community_size, count(*) AS n_communities FROM (
+       |  SELECT lbl, count(*) AS size FROM r$lpaRounds GROUP BY lbl) g
+       |GROUP BY size ORDER BY size""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "graph_kcore" -> kcoreOracle,
+    "graph_lpa" -> lpaOracle,
     "graph_common" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS g, l_suppkey AS i
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

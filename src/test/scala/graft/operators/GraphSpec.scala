@@ -141,6 +141,23 @@ class GraphSpec extends SparkSpec {
     assert(Graph.coreThreshold(path) == 2L)
   }
 
+  test("labelPropagation: bridged triangles settle into their two communities") {
+    // K3 {1,2,3} — bridge (3,4) — K3 {4,5,6}. Hand-traced sync LPA with the
+    // (count desc, label asc) tie rule converges by round 4 to labels
+    // {1,1,1} and {3,3,3}: two communities of size 3.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("a", "b")
+    val lbl = Graph.labelPropagation(e, rounds = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: a clique reaches full consensus on its min id") {
+    val e = (1L to 4L).flatMap(i => ((i + 1) to 4L).map(j => (i, j))).toDF("a", "b")
+    val lbl = Graph.labelPropagation(e, rounds = 4).collect().map(_.getLong(1))
+    assert(lbl.toSet == Set(1L))
+  }
+
   test("kcorePeel: bounds are enforced loudly") {
     val e = Seq((1L, 2L)).toDF("a", "b")
     intercept[IllegalArgumentException] { Graph.kcorePeel(e, k = 0L, rounds = 1) }
