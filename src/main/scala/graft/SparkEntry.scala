@@ -232,6 +232,7 @@ object SparkEntry {
     "mix_dsir"           -> CurationQueries.mixDsir _,
     "mix_reservoir"      -> CurationQueries.mixReservoir _,
     "mix_kcenter"        -> CurationQueries.kcenter _,
+    "mix_group_split"    -> CurationQueries.groupSplit _,
     "mix_epochs"         -> CurationQueries.mixEpochs _,
     "curate_drift"       -> CurationQueries.drift _,
     "pipeline_dump"      -> CurationQueries.pipelineDump _,

@@ -532,6 +532,45 @@ object CurationQueries {
       .orderBy("iter")
   }
 
+  /** Eval share of the group split, percent. */
+  val groupSplitTestPct = 10
+
+  /** `mix_group_split` — LEAKAGE-FREE train/test split: the split key is
+    * the near-dup CLUSTER (the C15 verified components), not the document,
+    * so a near-duplicate can never straddle the boundary and contaminate
+    * eval. Singletons key on their own id. The declared row carries the
+    * audit that justifies the operator: `group_cross_pairs` (verified
+    * near-dup pairs split apart — structurally 0 here) next to
+    * `naive_cross_pairs` (what the doc-hash split WOULD have leaked — the
+    * bug this prevents).
+    *
+    * Scale: rides the staged components + verified-pairs tiers (no chain
+    * rebuild); the split itself is one stateless hash on the group id
+    * (mix_split's salted-md5 idiom — engine-reproducible, stable as the
+    * corpus grows); audits are two partial-aggregable pair scans.
+    */
+  def groupSplit(s: SparkSession, dir: String): DataFrame = {
+    def side(c: org.apache.spark.sql.Column) =
+      when(conv(substring(md5(concat(c.cast("string"), lit("#gsplit"))), 1, 15), 16, 10)
+        .cast("long") % 100 < groupSplitTestPct, lit("test")).otherwise(lit("train"))
+    val gid = Tables.documents(s, dir).select(col("doc_id"))
+      .join(DedupBackbone.components(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("gid"))
+    val sided = gid.select(col("doc_id"), col("gid"), side(col("gid")).as("split"))
+      .localCheckpoint(true)
+    val pairs = DedupBackbone.verifiedJac(s, dir).select("d1", "d2")
+    val naiveCross = pairs.filter(side(col("d1")) =!= side(col("d2"))).count()
+    val groupCross = pairs
+      .join(sided.select(col("doc_id").as("d1"), col("split").as("s1")), Seq("d1"))
+      .join(sided.select(col("doc_id").as("d2"), col("split").as("s2")), Seq("d2"))
+      .filter(col("s1") =!= col("s2")).count()
+    sided.groupBy("split")
+      .agg(count(lit(1)).as("docs"), countDistinct("gid").as("clusters"))
+      .withColumn("naive_cross_pairs", lit(naiveCross))
+      .withColumn("group_cross_pairs", lit(groupCross))
+      .orderBy("split")
+  }
+
   val kCenterK = 8
 
   /** `mix_kcenter` — greedy k-center (farthest-point) coreset selection

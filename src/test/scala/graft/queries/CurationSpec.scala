@@ -111,4 +111,16 @@ class CurationSpec extends SparkSpec {
     assert(ms.length == t.length - 1)
     assert(ms.zip(ms.tail).forall { case (a, b) => a <= b }, ms.toSeq.toString)
   }
+
+  test("mix_group_split: clusters never straddle the boundary; the naive split would leak") {
+    val t = CurationQueries.groupSplit(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(t.map(_._1).toSeq == Seq("test", "train"))
+    // every doc lands exactly once
+    assert(t.map(_._2).sum == graft.Tables.documents(spark, sf0001).count())
+    // the operator's reason to exist: zero verified pairs split apart,
+    // while the doc-hash baseline would have contaminated eval
+    assert(t.forall(_._5 == 0L))
+    assert(t.head._4 > 0L, "fixture has no cross-side near-dup pairs to audit")
+  }
 }
