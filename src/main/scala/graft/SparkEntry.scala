@@ -136,6 +136,7 @@ object SparkEntry {
     "q101_zonemap"       -> CoreQueries.q101 _,
     "q102_cusum"         -> CoreQueries.q102 _,
     "q103_theilsen"      -> CoreQueries.q103 _,
+    "q104_expectations"  -> CoreQueries.q104 _,
     "text_rake"          -> TextQueries.rake _,
     "text_bpe"           -> TextQueries.bpe _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,

@@ -2357,6 +2357,46 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Q104's expectation suite: (rule_id, column, lo, hi) numeric range
+    * rules over lineitem — RULES AS DATA, the single definition both the
+    * engine and the oracle render from. Two rules are deliberately tighter
+    * than the data (discount ≤ 0.05, tax ≤ 0.06) so the suite demonstrably
+    * reports violations, not just green checkmarks.
+    */
+  val q104Rules: Seq[(Int, String, Double, Double)] = Seq(
+    (1, "l_quantity", 1.0, 50.0),
+    (2, "l_discount", 0.0, 0.05),
+    (3, "l_tax", 0.0, 0.06),
+    (4, "l_extendedprice", 0.0, 1.0e8))
+
+  /** Q104 — declarative data-quality expectations: a RULES TABLE (not
+    * code) evaluated against the fact table in ONE unpivot scan — the
+    * column values join the broadcast rules on column name and each rule
+    * partial-aggregates its own violation/null counts, so adding a rule
+    * changes a row of config, never the plan shape. This is the
+    * expectations-suite pattern (assert ranges/null budgets at scan speed)
+    * that gates an ingest before anything downstream trusts it; q49/q85
+    * profile and audit fixed aspects — this one executes an arbitrary
+    * rule set in a single pass.
+    */
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rules = q104Rules.toDF("rule_id", "col_name", "lo", "hi")
+    Tables.lineitem(s, dir)
+      .unpivot(Array.empty, q104Rules.map(r => col(r._2)).toArray, "col_name", "value")
+      .join(broadcast(rules), Seq("col_name"))
+      .groupBy(col("rule_id"), col("col_name"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("nulls"),
+        count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
+          .as("violations"))
+      .select(col("rule_id"), col("col_name"), col("lo"), col("hi"),
+        col("n_rows"), col("nulls"), col("violations"),
+        (col("violations") === 0 && col("nulls") === 0).as("pass"))
+      .orderBy("rule_id")
+  }
+
   /** Q103 — Theil-Sen robust trend per nation: the median of all pairwise
     * slopes of the monthly revenue series — the 29%-breakdown trend
     * estimate an OLS fit (C79) loses to one bad month. The pair explosion

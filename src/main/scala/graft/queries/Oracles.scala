@@ -489,6 +489,20 @@ object Oracles {
         |  round(CAST(sum(CAST(round(contrib, 9) AS DECIMAL(28,9))) OVER ()
         |    AS DOUBLE), 6) AS chi2
         |FROM c ORDER BY digit""".stripMargin,
+    // expectations render from the SAME rules list the engine evaluates —
+    // one UNION ALL branch per rule, counts exact
+    "q104_expectations" -> {
+      val branches = CoreQueries.q104Rules.map { case (id, c, lo, hi) =>
+        s"""SELECT $id AS rule_id, '$c' AS col_name,
+           |  CAST($lo AS DOUBLE) AS lo, CAST($hi AS DOUBLE) AS hi,
+           |  count(*) AS n_rows, count(CASE WHEN $c IS NULL THEN 1 END) AS nulls,
+           |  count(CASE WHEN $c < $lo OR $c > $hi THEN 1 END) AS violations
+           |FROM lineitem""".stripMargin
+      }.mkString(" UNION ALL\n")
+      s"""SELECT rule_id, col_name, lo, hi, n_rows, nulls, violations,
+         |  (violations = 0 AND nulls = 0) AS pass
+         |FROM ($branches) ORDER BY rule_id""".stripMargin
+    },
     // Theil-Sen: slope numerators subtract exact decimals before one exact
     // cast; the median's interpolation ulp is absorbed by the scale-2 round
     "q103_theilsen" ->

@@ -751,4 +751,13 @@ class PlanAuditSpec extends SparkSpec {
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
     }
   }
+
+  test("q104 expectations evaluate the whole rule suite in one unpivot scan") {
+    // rules are data: the plan must show exactly one lineitem scan feeding
+    // the rule join (adding a rule must never add a scan)
+    val p = plans("q104_expectations")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 fact scan, saw $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // rules ride a broadcast
+  }
 }
