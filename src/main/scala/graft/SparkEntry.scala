@@ -137,6 +137,7 @@ object SparkEntry {
     "q102_cusum"         -> CoreQueries.q102 _,
     "q103_theilsen"      -> CoreQueries.q103 _,
     "q104_expectations"  -> CoreQueries.q104 _,
+    "q105_zone_append"   -> CoreQueries.q105 _,
     "text_rake"          -> TextQueries.rake _,
     "text_bpe"           -> TextQueries.bpe _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,

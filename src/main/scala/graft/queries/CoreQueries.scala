@@ -2318,6 +2318,41 @@ object CoreQueries {
         col("n_rows"), col("sum_value"))
   }
 
+  /** Q105 query window: [2024-01-20, 2024-01-26) — six days CROSSING the
+    * lifecycle ingest cutoff (2024-01-22), so the answer needs rows from
+    * both the staged base and the appended batch.
+    */
+  val q105LoUs: Long = 1705708800000000L
+  val q105HiUs: Long = 1706227200000000L
+
+  /** Q105 — zone-map data skipping UNDER INGEST: the q101 stats-driven
+    * pruned range query served from the zone lifecycle table
+    * ([[EventsBackbone.zoneLifecycle]] — pre-cutoff base staged, post-cutoff
+    * batch APPENDED, only the batch shuffled) over a window that crosses
+    * the cutoff. Bucket pruning survives appends (a zone's new file lands
+    * in the same bucket), so the skipping keeps working on a live ingest;
+    * the oracle recomputes from the raw full table, so a dropped or
+    * double-applied batch fails the hash, and the stats table is REBUILT
+    * from the appended table (a stale zone map would miss the batch's
+    * envelope extensions).
+    */
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    val z = EventsBackbone.zoneLifecycle(s, dir)
+    val stats = z.groupBy("zone")
+      .agg(min(unix_micros(col("ts"))).as("mn"), max(unix_micros(col("ts"))).as("mx"))
+      .collect()
+    val quals = stats.filter(r => r.getLong(1) < q105HiUs && r.getLong(2) >= q105LoUs)
+      .map(_.getLong(0)).sorted
+    z.filter(col("zone").isin(quals: _*) &&
+        unix_micros(col("ts")) >= q105LoUs && unix_micros(col("ts")) < q105HiUs)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("value").cast("decimal(28,6)")).cast("double"), 6).as("sum_value"))
+      .select(
+        lit(stats.length.toLong).as("zones_total"),
+        lit(quals.length.toLong).as("zones_scanned"),
+        col("n_rows"), col("sum_value"))
+  }
+
   /** Q102 — CUSUM changepoint detection over the daily event-count series,
     * per event_type: the day where the cumulative deviation from a constant
     * rate peaks (the classic level-shift detector run over ingest volumes

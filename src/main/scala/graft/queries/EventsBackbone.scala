@@ -127,6 +127,36 @@ object EventsBackbone {
     }
   }
 
+  /** The zone lifecycle table for `dir` (rewritten per flow run, like
+    * [[lifecycleTable]] — the rewrite is the point).
+    */
+  def zoneLifecycleTable(dir: String): String =
+    "graft_ev_zlc_b" + buckets + "_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** The ingest half of the zone-map story (q105): stage the pre-cutoff
+    * events zone-clustered, APPEND the post-cutoff batch (only the batch
+    * shuffles — each touched zone bucket gains a second file; bucket
+    * pruning, unlike sort reporting, SURVIVES appends, which is exactly
+    * why a zone map keeps working on a live ingest), and return the
+    * appended table's scan. The q105 range query then prunes across the
+    * cutoff and must equal the raw full-table answer — a dropped or
+    * double-applied batch fails the hash.
+    */
+  def zoneLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = zoneLifecycleTable(dir)
+    val zoned = Tables.events(s, dir)
+      .withColumn("zone", expr(s"unix_micros(ts) div $zoneMicros"))
+      .select(col("zone"), col("ts"), col("event_id"), col("value"))
+    val sort = Seq("zone", "ts", "event_id")
+    Bucketing.writeBucketedSorted(
+      zoned.filter(unix_micros(col("ts")) < lifecycleCutoffUs), t, "zone", sort, buckets)
+    Bucketing.appendBucketed(
+      zoned.filter(unix_micros(col("ts")) >= lifecycleCutoffUs), t, "zone", buckets, sort)
+    Bucketing.read(s, t)
+  }
+
   // ---------------------------------------------------------------------
   // Durable lifecycle (q96): stage → append → degraded → compact → restored
   // ---------------------------------------------------------------------

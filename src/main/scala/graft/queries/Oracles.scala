@@ -534,6 +534,20 @@ object Oracles {
         |SELECT (SELECT count(*) FROM st) AS zones_total,
         |  (SELECT zones_scanned FROM pr) AS zones_scanned, n_rows, sum_value
         |FROM a""".stripMargin,
+    // same audit as q101, over the cutoff-crossing window; the oracle reads
+    // the raw table — equality proves the append is complete and unduplicated
+    "q105_zone_append" ->
+      s"""WITH z AS (SELECT epoch_us(ts) // ${CoreQueries.zoneMicrosOracle} AS zone,
+        |    epoch_us(ts) AS us, value FROM events),
+        |st AS (SELECT zone, min(us) AS mn, max(us) AS mx FROM z GROUP BY zone),
+        |pr AS (SELECT count(*) AS zones_scanned FROM st
+        |  WHERE mn < ${CoreQueries.q105HiUs} AND mx >= ${CoreQueries.q105LoUs}),
+        |a AS (SELECT count(*) AS n_rows,
+        |    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS sum_value
+        |  FROM z WHERE us >= ${CoreQueries.q105LoUs} AND us < ${CoreQueries.q105HiUs})
+        |SELECT (SELECT count(*) FROM st) AS zones_total,
+        |  (SELECT zones_scanned FROM pr) AS zones_scanned, n_rows, sum_value
+        |FROM a""".stripMargin,
     // CUSUM deviation n·P_i − i·T is INTEGER (the division-cleared form of
     // the classic statistic), so the argmax compares identical BIGINTs in
     // both engines; the one double division renders the normalized peak

@@ -28,8 +28,12 @@ class EventsBackboneSpec extends SparkSpec {
     // on disk rather than trusting the writer
     EventsBackbone.byUser(spark, sf0001).count() // force staging
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    // graft_ev_zlc_* is the q105 zone-INGEST table: it ends the flow in the
+    // append-degraded state on purpose (bucket pruning survives, sort
+    // reporting doesn't), so the sorted single-file contract excludes it
     val dirs = new java.io.File(warehouse.stripPrefix("file:")).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("graft_ev_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_ev_")
+        && !f.getName.startsWith("graft_ev_zlc_"))
     assert(dirs.nonEmpty)
     dirs.foreach { d =>
       val parts = d.listFiles().filter(_.getName.startsWith("part-"))
@@ -59,6 +63,25 @@ class EventsBackboneSpec extends SparkSpec {
         .cast("double"), 6))
       .collect().head
     assert((r.getLong(2), r.getDouble(3)) == ((raw.getLong(0), raw.getDouble(1))))
+  }
+
+  test("q105: zone pruning survives the append, and the batch is visible") {
+    val r = CoreQueries.q105(spark, sf0001).collect().head
+    assert(r.getLong(1) < r.getLong(0),
+      s"appended zone map pruned nothing: ${r.getLong(1)} of ${r.getLong(0)}")
+    // the window crosses the ingest cutoff: rows past it can only come from
+    // the appended batch, so a dropped append under-counts vs the raw scan
+    val raw = Tables.events(spark, sf0001)
+      .filter(unix_micros(col("ts")) >= CoreQueries.q105LoUs &&
+        unix_micros(col("ts")) < CoreQueries.q105HiUs)
+    val postCutoff = raw
+      .filter(unix_micros(col("ts")) >= EventsBackbone.lifecycleCutoffUs).count()
+    assert(postCutoff > 0, "fixture has no post-cutoff rows in the window")
+    assert(r.getLong(2) == raw.count())
+    // and the pruned read still bucket-prunes on the appended table
+    val plan = CoreQueries.q105(spark, sf0001).queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt, plan)
   }
 
   test("in-bucket rows really are sorted by (user_id, ts, event_id)") {
