@@ -225,6 +225,7 @@ object SparkEntry {
     "curate_docs"        -> CurationQueries.curatedDocs _,
     "curate_budget"      -> CurationQueries.curateBudget _,
     "curate_classifier"  -> CurationQueries.classifier _,
+    "curate_eval"        -> CurationQueries.evalGate _,
     "mix_sample"         -> CurationQueries.mixSample _,
     "mix_split"          -> CurationQueries.mixSplit _,
     "mix_weighted"       -> CurationQueries.mixWeighted _,

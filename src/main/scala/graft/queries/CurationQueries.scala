@@ -451,8 +451,8 @@ object CurationQueries {
   private def clfFeatures(s: SparkSession, dir: String): DataFrame = {
     def build = {
       val d = Tables.documents(s, dir)
-        .select(col("text"), wsTokens(col("text")).as("W"))
-        .select(
+        .select(col("doc_id"), col("text"), wsTokens(col("text")).as("W"))
+        .select(col("doc_id"),
           tokenCountOf(col("W")).as("t"),
           meanWordLenOf(col("text"), col("W")).as("m"),
           punctRatio(col("text")).as("p"),
@@ -467,7 +467,10 @@ object CurationQueries {
         (least(col("sw").cast("double"), lit(4.0)) / lit(4.0)).as("x1"),
         (col("m") / lit(10.0)).as("x2"),
         col("p").as("x3"),
-        col("r").as("x4"))
+        col("r").as("x4"),
+        // held-out eval rides the corpus' standard deterministic split
+        // (curate_eval); training maths never read this column
+        Sampling.splitColumn(testPct = splitTestPct, valPct = splitValPct).as("split"))
     }
     BackboneRegistry.getOrBuild(s, s"clf:features:$dir")(
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -492,9 +495,22 @@ object CurationQueries {
     * 2⁵³; shard the gradient agg past that). Weight updates are scalar
     * IEEE ops. Accuracy compares sign(z) to y — no rounding at all.
     */
-  def classifier(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val f = clfFeatures(s, dir)
+  /** The z column for driver-held weights — left-associated exactly like
+    * the oracle's `wb + ws*x1 + wm*x2 + wp*x3 + wr*x4`.
+    */
+  private def zOf(w: Array[Double]): org.apache.spark.sql.Column =
+    Seq("x1", "x2", "x3", "x4").zipWithIndex
+      .foldLeft(lit(w(0)): org.apache.spark.sql.Column) {
+        case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
+      }
+
+  /** The shared descent: [[clfIters]] class-balanced GD steps over `f`,
+    * returning the per-iteration trajectory and the final weights —
+    * `classifier` declares the trajectory, `evalGate` applies the weights
+    * to the held-out slice.
+    */
+  private def descend(f: DataFrame):
+      (Seq[(Int, Double, Double, Double, Double, Double, Long, Long)], Array[Double]) = {
     val head = f.agg(count(lit(1)).as("n"),
       count(when(col("y") === 1.0, 1)).as("pos")).first()
     val (n, pos) = (head.getLong(0), head.getLong(1))
@@ -504,12 +520,9 @@ object CurationQueries {
     val cwNeg = n.toDouble / (2.0 * (n - pos))
     val xs = Seq("x1", "x2", "x3", "x4")
     val w = Array.fill(5)(0.0)
-    def z = xs.zipWithIndex.foldLeft(lit(w(0)): org.apache.spark.sql.Column) {
-      case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
-    }
     val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double, Long, Long)]
     for (k <- 1 to clfIters) {
-      val zc = z
+      val zc = zOf(w)
       val p = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
       val base = when(col("y") === 1.0, lit(cwPos)).otherwise(lit(cwNeg)) *
         (p - col("y"))
@@ -519,11 +532,17 @@ object CurationQueries {
         .first()
       for (j <- 0 to 4)
         w(j) = w(j) - clfLr * gRow.getDecimal(j).doubleValue() / n
-      val correct = f.agg(count(when((z > 0) === (col("y") === 1.0), 1)))
+      val correct = f.agg(count(when((zOf(w) > 0) === (col("y") === 1.0), 1)))
         .first().getLong(0)
       out += ((k, w(0), w(1), w(2), w(3), w(4), correct, n))
     }
-    out.result()
+    (out.result(), w)
+  }
+
+  def classifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (trajectory, _) = descend(clfFeatures(s, dir))
+    trajectory
       .toDF("iter", "wb", "ws", "wm", "wp", "wr", "correct", "total")
       .select(col("iter"),
         round(col("wb"), 6).as("w_bias"), round(col("ws"), 6).as("w_stop"),
@@ -643,14 +662,33 @@ object CurationQueries {
        |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
   }
 
+  /** `curate_eval` — the evaluation discipline around the trained gate: fit
+    * the same descent on the TRAIN slice of the corpus' standard
+    * deterministic split only, then report the held-out confusion matrix on
+    * the TEST slice — the never-seen-in-training accuracy a gate model is
+    * actually judged by (training accuracy flatters; C153 reports it, this
+    * measures generalization). Same engine-exact arithmetic, so the
+    * held-out cells hash-compare; one extra pass over the cached features.
+    */
+  def evalGate(s: SparkSession, dir: String): DataFrame = {
+    val f = clfFeatures(s, dir)
+    val (_, w) = descend(f.filter(col("split") =!= "test"))
+    f.filter(col("split") === "test")
+      .select(col("y").as("label"),
+        when(zOf(w) > 0, lit(1.0)).otherwise(lit(0.0)).as("predicted"))
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+  }
+
   /** The classifier oracle unrolls the training loop like the PageRank and
     * EWMA oracles unroll theirs: per iteration one MATERIALIZED gradient
     * CTE (exact DECIMAL(38,9) sums of the identical scale-9-rounded
     * contributions), one scalar weight-update CTE (same IEEE expression
     * tree), one accuracy CTE — and one result row, so every step of the
-    * descent is hash-compared.
+    * descent is hash-compared. The chain is shared with the eval oracle,
+    * which trains on `ft` (the non-test slice) and reads the test slice.
     */
-  private def classifierOracle: String = {
+  private def classifierChain(trainWhere: String): String = {
     val hits = {
       val set = graft.functions.TextFunctions.stopwords("en")
         .map(x => s"'$x'").mkString(", ")
@@ -674,8 +712,8 @@ object CurationQueries {
          |  FROM (SELECT x1, x2, x3, x4,
          |      (CASE WHEN y = 1.0 THEN cp ELSE cn END)
          |        * ((0.5 + z/(2.0*(1.0+abs(z)))) - y) AS base
-         |    FROM (SELECT f.*, cp, cn, $zExpr AS z
-         |          FROM f CROSS JOIN w${k - 1} CROSS JOIN cw) zf) bf),
+         |    FROM (SELECT ft.*, cp, cn, $zExpr AS z
+         |          FROM ft CROSS JOIN w${k - 1} CROSS JOIN cw) zf) bf),
          |w$k AS (SELECT wb - $clfLr * CAST(g0 AS DOUBLE) / (SELECT n FROM nn) AS wb,
          |    ws - $clfLr * CAST(gx1 AS DOUBLE) / (SELECT n FROM nn) AS ws,
          |    wm - $clfLr * CAST(gx2 AS DOUBLE) / (SELECT n FROM nn) AS wm,
@@ -683,34 +721,53 @@ object CurationQueries {
          |    wr - $clfLr * CAST(gx4 AS DOUBLE) / (SELECT n FROM nn) AS wr
          |  FROM w${k - 1} CROSS JOIN g$k),
          |a$k AS (SELECT count(CASE WHEN (z > 0) = (y = 1.0) THEN 1 END) AS correct
-         |  FROM (SELECT f.y, $zExpr AS z FROM f CROSS JOIN w$k) t)""".stripMargin
+         |  FROM (SELECT ft.y, $zExpr AS z FROM ft CROSS JOIN w$k) t)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to clfIters).map { k =>
+    s"""WITH b AS (SELECT doc_id, text, string_split(text,' ') AS W FROM documents),
+       |d AS (SELECT doc_id, len(W) AS t, $mwl AS m, $punct AS p, $hits AS sw, $rep AS r FROM b),
+       |f AS MATERIALIZED (SELECT
+       |    CAST(CASE WHEN $gate THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+       |    least(CAST(sw AS DOUBLE), 4.0)/4.0 AS x1, m/10.0 AS x2,
+       |    p AS x3, r AS x4,
+       |    (CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100 < $splitTestPct THEN 'test'
+       |      WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100 < ${splitTestPct + splitValPct} THEN 'val'
+       |      ELSE 'train' END) AS split FROM d),
+       |ft AS MATERIALIZED (SELECT * FROM f WHERE $trainWhere),
+       |nn AS (SELECT count(*) AS n,
+       |    count(CASE WHEN y = 1.0 THEN 1 END) AS pos FROM ft),
+       |cw AS (SELECT CAST(n AS DOUBLE)/(2.0*CAST(pos AS DOUBLE)) AS cp,
+       |    CAST(n AS DOUBLE)/(2.0*CAST(n - pos AS DOUBLE)) AS cn FROM nn),
+       |w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wm, 0.0 AS wp, 0.0 AS wr),
+       |$iters""".stripMargin
+  }
+
+  private def classifierRows: String =
+    (1 to clfIters).map { k =>
       s"""SELECT $k AS iter, round(wb, 6) AS w_bias, round(ws, 6) AS w_stop,
          |  round(wm, 6) AS w_mwl, round(wp, 6) AS w_punct, round(wr, 6) AS w_rep,
          |  (SELECT correct FROM a$k) AS correct, (SELECT n FROM nn) AS total
          |FROM w$k""".stripMargin
     }.mkString(" UNION ALL\n")
-    s"""WITH b AS (SELECT text, string_split(text,' ') AS W FROM documents),
-       |d AS (SELECT len(W) AS t, $mwl AS m, $punct AS p, $hits AS sw, $rep AS r FROM b),
-       |f AS MATERIALIZED (SELECT
-       |    CAST(CASE WHEN $gate THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
-       |    least(CAST(sw AS DOUBLE), 4.0)/4.0 AS x1, m/10.0 AS x2,
-       |    p AS x3, r AS x4 FROM d),
-       |nn AS (SELECT count(*) AS n,
-       |    count(CASE WHEN y = 1.0 THEN 1 END) AS pos FROM f),
-       |cw AS (SELECT CAST(n AS DOUBLE)/(2.0*CAST(pos AS DOUBLE)) AS cp,
-       |    CAST(n AS DOUBLE)/(2.0*CAST(n - pos AS DOUBLE)) AS cn FROM nn),
-       |w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wm, 0.0 AS wp, 0.0 AS wr),
-       |$iters
-       |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
-  }
+
+  private def classifierOracle: String =
+    s"""${classifierChain("1 = 1")}
+       |SELECT * FROM (${classifierRows}) ORDER BY iter""".stripMargin
+
+  private def evalOracle: String =
+    s"""${classifierChain("split <> 'test'")}
+       |SELECT y AS label,
+       |  CAST(CASE WHEN z > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS predicted,
+       |  count(*) AS n
+       |FROM (SELECT f.y, wb + ws*x1 + wm*x2 + wp*x3 + wr*x4 AS z
+       |      FROM f CROSS JOIN w$clfIters WHERE f.split = 'test') t
+       |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
 
   val oracle: Map[String, String] = {
     val toksSql = SqlGen.toksSql
     val qualSql = SqlGen.qualitySql
     Map(
       "curate_classifier" -> classifierOracle,
+      "curate_eval" -> evalOracle,
       "mix_kcenter" -> kcenterOracle,
       "curate_corpus" ->
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))

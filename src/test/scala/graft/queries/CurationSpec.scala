@@ -123,4 +123,17 @@ class CurationSpec extends SparkSpec {
     assert(t.forall(_._5 == 0L))
     assert(t.head._4 > 0L, "fixture has no cross-side near-dup pairs to audit")
   }
+
+  test("curate_eval: the gate distiller generalizes to the held-out slice") {
+    val cells = CurationQueries.evalGate(spark, sf0001).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val total = cells.values.sum
+    // the test slice really is the deterministic 2% (and nonempty)
+    assert(total > 0 && total < graft.Tables.documents(spark, sf0001).count() / 10)
+    // held-out accuracy: every off-diagonal cell is small relative to the
+    // diagonal (the gate is separable through the saturating feature, so on
+    // this fixture the confusion is in fact perfectly diagonal)
+    val wrong = cells.getOrElse((0.0, 1.0), 0L) + cells.getOrElse((1.0, 0.0), 0L)
+    assert(wrong == 0L, s"held-out errors: $cells")
+  }
 }
