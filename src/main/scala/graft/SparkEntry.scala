@@ -196,6 +196,7 @@ object SparkEntry {
     "dedup_overlap"      -> DedupQueries.overlap _,
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_lsh_staged"     -> SimilarityQueries.lshStagedTopK _,
+    "sim_filter_topk"    -> SimilarityQueries.filteredTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
     "sim_ivf_staged"     -> SimilarityQueries.ivfStagedTopK _,
     "sim_ivf_trained"    -> SimilarityQueries.ivfTrainedTopK _,

@@ -437,9 +437,12 @@ object Similarity {
     */
   def stageLshBucketed(emb: DataFrame, table: String, planes: Int = lshPlanes,
                        buckets: Int = 16, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit =
+                       vecCol: String = "embedding",
+                       payloadCols: Seq[String] = Nil): Unit =
     Bucketing.writeBucketed(
-      withLshCode(emb, vecCol, planes).select(col(idCol), col(vecCol), col("lsh_code")),
+      withLshCode(emb, vecCol, planes)
+        .select((Seq(col(idCol), col(vecCol)) ++ payloadCols.map(col)
+          :+ col("lsh_code")): _*),
       table, "lsh_code", buckets)
 
   /** Append a new batch into a [[stageLshBucketed]] index — the ingest path
@@ -468,6 +471,41 @@ object Similarity {
     val probes = qcode +: (0 until planes).map(b => qcode ^ (1L << b))
     Bucketing.read(spark, table)
       .filter(col("lsh_code").isin(probes: _*))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
+  /** FILTERED probe of a payload-carrying [[stageLshBucketed]] table:
+    * predicate + vector search in one lookup — "nearest neighbors AMONG
+    * rows satisfying P", the serving shape every production vector store
+    * ends up needing (per-tenant, per-language, per-label search). The
+    * filter column lives IN the index rows, so the predicate applies
+    * inside the bucket-pruned scan (pre-filtering — a post-filter over an
+    * unfiltered top-k silently starves selective predicates). The probe
+    * ball WIDENS to Hamming ≤ `ham` (default 2 vs the unfiltered probe's
+    * 1) — the standard filtered-search compensation: the predicate removes
+    * a fixed fraction of every bucket, so the ball must grow to keep the
+    * surviving candidate count; the IN-list is still O(planes²) literal
+    * codes, bucket-pruned, corpus-independent.
+    */
+  def probeStagedLshFiltered(spark: SparkSession, table: String,
+                             queryVec: Array[Float], qcode: Long,
+                             pred: org.apache.spark.sql.Column,
+                             planes: Int = lshPlanes, k: Int = 10,
+                             ham: Int = 2,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(ham >= 1 && ham <= 2, s"probe ball must be 1 or 2, got $ham")
+    val one = (0 until planes).map(b => qcode ^ (1L << b))
+    val two = if (ham < 2) Seq.empty else for {
+      i <- 0 until planes; j <- (i + 1) until planes
+    } yield qcode ^ (1L << i) ^ (1L << j)
+    val probes = (qcode +: one) ++ two
+    Bucketing.read(spark, table)
+      .filter(col("lsh_code").isin(probes: _*))
+      .filter(pred)
       .select(col(idCol),
         round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))

@@ -426,6 +426,47 @@ object SimilarityQueries {
     (ts(0), ts(1))
   }
 
+  /** The filtered-search predicate label. */
+  val filterLabel = 3
+
+  /** The payload-carrying LSH index for filtered search — a separate staged
+    * artifact so the plain index's schema contract (and its append/streaming
+    * maintenance twins) stays untouched; in production the payload column
+    * would live in the ONE index, this isolates the experiment.
+    */
+  private def annFilteredTable(s: SparkSession, dir: String): String =
+    BackboneRegistry.namesOrBuild(s, s"annf:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val planes = stagedWidth(s, dir)
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_ann_lshf_p${planes}_$tag"
+      val fp = Staging.fingerprint(s, dir,
+        s"ann_lsh_filtered:p$planes:lb$stagedLshBuckets:pl_label:v1")
+      Staging.ensure(s, fp, Seq(t)) {
+        Similarity.stageLshBucketed(Tables.embeddings(s, dir), t, planes,
+          stagedLshBuckets, payloadCols = Seq("label"))
+      }
+      Seq(t)
+    }.head
+
+  /** `sim_filter_topk` — filtered vector search off the staged index:
+    * top-10 among `label = 3` candidates only
+    * ([[Similarity.probeStagedLshFiltered]] — predicate applies INSIDE the
+    * bucket-pruned probe, not as a post-filter over an unfiltered top-k
+    * that would starve selective predicates).
+    */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val planes = stagedWidth(s, dir)
+    import org.apache.spark.sql.functions.col
+    val q = Similarity.withLshCode(
+        Tables.embeddings(s, dir).filter(col("vec_id") === 0), "embedding", planes)
+      .select(col("embedding"), col("lsh_code")).head()
+    Similarity.probeStagedLshFiltered(s, annFilteredTable(s, dir),
+      q.getSeq[Float](0).toArray, q.getLong(1),
+      col("label") === filterLabel && col("vec_id") =!= 0, planes, k = 10)
+  }
+
   /** Top-10 by cosine via the STAGED LSH index: the probe reads only the
     * planes+1 Hamming-≤1 probe-code buckets of the staged table (bucket
     * pruning, plan-audited as `SelectedBucketsCount < total`) — the
@@ -766,6 +807,16 @@ object SimilarityQueries {
          |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
          |FROM coded, q
          |WHERE bit_count(xor(lsh_code, qcode)) <= 1
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // filtered search: the same Hamming-≤1 candidate set INTERSECTED with
+    // the predicate — mirrors the pre-filtering probe, not a post-filter
+    "sim_filter_topk" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, label, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
+         |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)
+         |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
+         |FROM coded, q
+         |WHERE bit_count(xor(lsh_code, qcode)) <= 2
+         |  AND label = $filterLabel AND vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "sim_rp_topk" ->
       s"""WITH proj AS (SELECT vec_id, ${Similarity.randomProjectionSql("embedding")} AS rp FROM embeddings),

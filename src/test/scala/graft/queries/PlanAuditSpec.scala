@@ -101,6 +101,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN probe still bucket-prunes with the widened ball") {
+    // Hamming ≤2 at width p is 1 + p + C(p,2) literal codes; over 16 buckets
+    // the scan must still read strictly fewer buckets than exist
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plans("sim_filter_topk"))
+    assert(m.isDefined, s"filtered probe not bucket-pruned:\n${plans("sim_filter_topk")}")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.group(0))
+    // and the label predicate is applied in the scan, not after the top-k
+    assert(plans("sim_filter_topk").contains("label"), plans("sim_filter_topk"))
+  }
+
   test("zone-map range query prunes the time-clustered scan to its zones") {
     // the 6-day window overlaps 3 of the fixture's 3-day zones, so the
     // bucket-pruned probe must read at most 3 of the 8 zone buckets
