@@ -222,6 +222,7 @@ object SparkEntry {
     "mm_meta"            -> MultimodalQueries.meta _,
     "mm_features"        -> MultimodalQueries.features _,
     "mm_frames"          -> MultimodalQueries.frames _,
+    "mm_dedup"           -> MultimodalQueries.dedup _,
     "curate_corpus"      -> CurationQueries.curate _,
     "curate_docs"        -> CurationQueries.curatedDocs _,
     "curate_budget"      -> CurationQueries.curateBudget _,

@@ -54,7 +54,35 @@ object MultimodalQueries {
         col("frame_checksum"))
       .orderBy("doc_id", "frame_idx")
 
+  /** `mm_dedup` — content-hash payload dedup audit: the universal first
+    * pass of a multimodal pipeline ("how many uploads are byte-identical;
+    * how many bytes does keeping one of each save"). Rides the decode
+    * layer's checksum (so a real pipeline dedups on the DECODED canonical
+    * bytes, surviving container-level noise a raw-byte hash would miss),
+    * then two partial-aggregable rollups to ONE audit row — payload count,
+    * distinct payloads, duplicate groups, and the byte savings of keeping
+    * one representative per group (the number a storage owner acts on).
+    */
+  def dedup(s: SparkSession, dir: String): DataFrame =
+    Media.decodeMeta(records(s, dir), FakeDecoder)
+      .groupBy("checksum")
+      .agg(count(lit(1)).as("n_copies"), sum("n_bytes").as("b"),
+        max("n_bytes").as("b1"))
+      .agg(sum("n_copies").as("payloads"),
+        count(lit(1)).as("distinct_payloads"),
+        count(when(col("n_copies") >= 2, 1)).as("dup_groups"),
+        sum(col("b") - col("b1")).as("reclaimable_bytes"))
+
   val oracle: Map[String, String] = Map(
+    "mm_dedup" ->
+      """WITH g AS (SELECT md5(text) AS checksum, count(*) AS n_copies,
+        |  sum(octet_length(encode(text))) AS b,
+        |  max(octet_length(encode(text))) AS b1 FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n_copies) AS BIGINT) AS payloads,
+        |  count(*) AS distinct_payloads,
+        |  count(CASE WHEN n_copies >= 2 THEN 1 END) AS dup_groups,
+        |  CAST(sum(b - b1) AS BIGINT) AS reclaimable_bytes
+        |FROM g""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS checksum, ('0x'||substr(md5(text),1,2))::INT AS width,

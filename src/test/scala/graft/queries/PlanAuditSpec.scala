@@ -756,7 +756,7 @@ class PlanAuditSpec extends SparkSpec {
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
-      "q91_conversion_lag", "q101_zonemap", "q105_zone_append")
+      "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
