@@ -214,6 +214,7 @@ object SparkEntry {
     "sim_recall"         -> SimilarityQueries.recallLsh _,
     "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,
     "sim_recall_batch"   -> SimilarityQueries.recallBatch _,
+    "sim_recall_filter"  -> SimilarityQueries.recallFilter _,
     "sim_lsh_multi"      -> SimilarityQueries.lshMultiTopK _,
     "sim_recall_multi"   -> SimilarityQueries.recallMulti _,
     "search_hybrid"      -> RetrievalQueries.hybrid _,

@@ -467,6 +467,31 @@ object SimilarityQueries {
       col("label") === filterLabel && col("vec_id") =!= 0, planes, k = 10)
   }
 
+  /** `sim_recall_filter` — recall@10 of the FILTERED arm against the exact
+    * brute-force top-10 AMONG the predicate's population (the real filtered-
+    * search metric: ground truth is filtered too — comparing against the
+    * unfiltered truth would punish the predicate, not the index). The C53
+    * harness closing the C163 loop: the ham≤2 widening is a measured
+    * configuration, not a guess.
+    */
+  def recallFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = emb.filter(col("label") === filterLabel && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(recallK)
+      .select("vec_id")
+    exact.join(filteredTopK(s, dir).select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(recallK).as("k"), col("hits"),
+        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+  }
+
   /** Top-10 by cosine via the STAGED LSH index: the probe reads only the
     * planes+1 Hamming-≤1 probe-code buckets of the staged table (bucket
     * pruning, plan-audited as `SelectedBucketsCount < total`) — the
@@ -808,6 +833,22 @@ object SimilarityQueries {
          |FROM coded, q
          |WHERE bit_count(xor(lsh_code, qcode)) <= 1
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // filtered recall: both arms restricted to the predicate population;
+    // the approx arm mirrors the ham≤2 pre-filtering probe
+    "sim_recall_filter" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, label, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
+         |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0),
+         |ex AS (SELECT vec_id FROM
+         |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+         |   FROM embeddings, q WHERE label = $filterLabel AND vec_id <> 0) t
+         |  WHERE rn <= $recallK),
+         |ap AS (SELECT vec_id FROM
+         |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+         |   FROM coded, q WHERE bit_count(xor(lsh_code, qcode)) <= 2
+         |     AND label = $filterLabel AND vec_id <> 0) t
+         |  WHERE rn <= $recallK)
+         |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin,
     // filtered search: the same Hamming-≤1 candidate set INTERSECTED with
     // the predicate — mirrors the pre-filtering probe, not a post-filter
     "sim_filter_topk" ->

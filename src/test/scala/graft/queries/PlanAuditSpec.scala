@@ -755,6 +755,7 @@ class PlanAuditSpec extends SparkSpec {
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
+      "sim_recall_filter",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
       "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
