@@ -242,6 +242,29 @@ object StreamOps {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("events"), sum("value").as("value"))
 
+  /** Streaming twin of q104's declarative expectations: the same
+    * rules-as-data idea evaluated per event-time window over the live
+    * stream — the DQ monitor that pages an operator the hour an ingest
+    * window starts violating its contracts, instead of a nightly batch
+    * gate finding out tomorrow. Rules arrive as a broadcast STATIC frame
+    * `(rule_id, event_type, lo, hi)` joined onto the stream
+    * (stream-static join — re-read per micro-batch, so a config change
+    * applies live), and per-(window, rule) violation/null counts are an
+    * ordinary windowed aggregation: partial-aggregable, a few counters of
+    * state per open (window, rule), nothing row-proportional.
+    */
+  def expectationsStream(events: DataFrame, rules: DataFrame,
+                         window_ : String = "6 hours"): DataFrame =
+    events.join(broadcast(rules), Seq("event_type"))
+      .groupBy(window(col("ts"), window_), col("rule_id"), col("event_type"),
+        col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("value").isNull, 1)).as("nulls"),
+        count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
+          .as("violations"))
+      .select(col("window.start").as("w"), col("rule_id"), col("event_type"),
+        col("n_rows"), col("nulls"), col("violations"))
+
   /** Streaming heavy hitters per event-time window: the mergeable
     * Misra-Gries sketch ([[graft.expressions.FreqItemsAgg]]) running as
     * the aggregate of a streaming `groupBy(window(...))` — per-window

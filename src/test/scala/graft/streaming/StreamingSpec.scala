@@ -203,6 +203,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming expectations monitor equals the batch rule evaluation on replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // per-type value-range rules, one deliberately tight so violations flow
+    val rules = Seq((1, "click", 0.0, 1.0e9), (2, "view", 0.0, 5.0))
+      .toDF("rule_id", "event_type", "lo", "hi")
+    val src = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    src.addData(Tables.events(spark, sf0001)
+      .select($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq)
+    val q = StreamOps.expectationsStream(
+        src.toDF().toDF("ts", "event_type", "value"), rules)
+      .writeStream.format("memory").queryName("exp_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM exp_stream ORDER BY w, rule_id").collect().toSeq
+      val batch = Tables.events(spark, sf0001)
+        .join(broadcast(rules), Seq("event_type"))
+        .groupBy(window($"ts", "6 hours"), $"rule_id", $"event_type", $"lo", $"hi")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when($"value".isNull, 1)).as("nulls"),
+          count(when($"value" < $"lo" || $"value" > $"hi", 1)).as("violations"))
+        .select($"window.start".as("w"), $"rule_id", $"event_type",
+          $"n_rows", $"nulls", $"violations")
+        .orderBy("w", "rule_id").collect().toSeq
+      assert(batch.nonEmpty)
+      assert(streamed == batch)
+      // the tight rule really fires somewhere in the replay
+      assert(streamed.exists(r => r.getInt(1) == 2 && r.getLong(5) > 0))
+    } finally q.stop()
+  }
+
   test("streaming heavy-hitter sketch windows equal exact batch counts on replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
