@@ -138,6 +138,7 @@ object SparkEntry {
     "q103_theilsen"      -> CoreQueries.q103 _,
     "q104_expectations"  -> CoreQueries.q104 _,
     "q105_zone_append"   -> CoreQueries.q105 _,
+    "q106_forecast"      -> CoreQueries.q106 _,
     "text_rake"          -> TextQueries.rake _,
     "text_bpe"           -> TextQueries.bpe _,
     "dedup_cluster_sizes" -> DedupQueries.clusterSizes _,

@@ -2465,6 +2465,41 @@ object CoreQueries {
       .orderBy("nation")
   }
 
+  /** Q106 — seasonal-naive forecast backtest: forecast each day's event
+    * count per type as the count 7 OBSERVED days earlier (the weekly-naive
+    * baseline every capacity forecast must beat before it earns a model),
+    * scored over every day with a predecessor — per type, the scored-day
+    * count, total/mean absolute error, and MAPE. Absolute errors are
+    * integers (exact BIGINT sum); the per-day percentage errors are the
+    * one float step, rounded at scale 9 into an exact DECIMAL sum before
+    * the single output division (the q100/classifier discipline).
+    *
+    * Scale: the q102 shape — one exchange-free rollup off the
+    * [[EventsBackbone.byType]] staged scan, then a row-lag window on the
+    * calendar-bounded daily aggregate. Row-lag (7 observed days), not a
+    * calendar join: on a gapped series the q65 gap audit is the guard;
+    * the backtest semantics stay deterministic either way.
+    */
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    val daily = EventsBackbone.byType(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("f", lag("x", 7).over(w))
+      .filter(col("f").isNotNull)
+      .withColumn("abs_err", abs(col("x") - col("f")))
+      .withColumn("ape9",
+        round(col("abs_err").cast("double") / col("x").cast("double"), 9)
+          .cast("decimal(38,9)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum("abs_err").as("abs_err_total"),
+        round(sum("abs_err").cast("double") / count(lit(1)), 6).as("mae"),
+        round(sum("ape9").cast("double") / count(lit(1)), 6).as("mape"))
+      .orderBy("event_type")
+  }
+
   /** Q19 — cosine similarity top-k of every embedding vs `vec_id = 0`
     * (C12). The single query vector is broadcast; similarity is a Catalyst
     * higher-order-function expression (no UDF), so the scan is pruned to

@@ -489,6 +489,23 @@ object Oracles {
         |  round(CAST(sum(CAST(round(contrib, 9) AS DECIMAL(28,9))) OVER ()
         |    AS DOUBLE), 6) AS chi2
         |FROM c ORDER BY digit""".stripMargin,
+    // seasonal-naive backtest: integer absolute errors sum exactly; the
+    // percentage errors round at scale 9 into an exact decimal sum
+    "q106_forecast" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, x,
+        |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM daily),
+        |e AS (SELECT event_type, abs(x - f) AS abs_err,
+        |    CAST(round(CAST(abs(x - f) AS DOUBLE) / CAST(x AS DOUBLE), 9)
+        |      AS DECIMAL(38,9)) AS ape9
+        |  FROM l WHERE f IS NOT NULL)
+        |SELECT event_type, count(*) AS n_scored,
+        |  CAST(sum(abs_err) AS BIGINT) AS abs_err_total,
+        |  round(CAST(sum(abs_err) AS DOUBLE) / count(*), 6) AS mae,
+        |  round(CAST(sum(ape9) AS DOUBLE) / count(*), 6) AS mape
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // expectations render from the SAME rules list the engine evaluates —
     // one UNION ALL branch per rule, counts exact
     "q104_expectations" -> {
