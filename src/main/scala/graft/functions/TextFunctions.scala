@@ -183,4 +183,12 @@ object TextFunctions {
       .otherwise(lit(1.0) -
         size(array_distinct(ngramsOf(w, n))).cast("double") / total.cast("double"))
   }
+
+  /** Distinct word-n-gram count as an exact integer (0 for docs shorter than
+    * `n` words) — the numerator of [[dupNgramFracOf]] kept in the integer
+    * domain, for consumers (the classifier's engine-exact feature chain)
+    * that must never round a double.
+    */
+  def distinctNgramCountOf(w: Column, n: Int = 3): Column =
+    size(array_distinct(ngramsOf(w, n))).cast("long")
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -437,37 +437,68 @@ object CurationQueries {
   // curate_classifier — distributed logistic-regression gate distillation
   // -------------------------------------------------------------------
 
-  val clfLr = 4.0
+  val clfLr = 4L
   val clfIters = 6
 
-  /** Feature/label frame for the classifier: y = the C57 Gopher gate's
-    * verdict (same thresholds as `text_gopher`), x = four cheap surface
-    * signals — saturating stopword evidence `least(sw, 4)/4` (the gate's
-    * binding constraint, made separable by saturation where the raw ratio
-    * is not), mean word length /10, punctuation ratio, duplicate-3-gram
-    * fraction. Cached per (session, dir): training re-scans it 2× per
-    * iteration.
+  /** Scale constants for the integer descent: features and probabilities
+    * are carried at scale 9 (units of 1e-9), weights at scale 6.
     */
-  private def clfFeatures(s: SparkSession, dir: String): DataFrame = {
+  private val E9 = 1000000000L
+  private val E15 = 1000000000000000L
+  private val E18 = 1000000000000000000L
+
+  /** Half-up integer division for NON-NEGATIVE `a` and positive `b`:
+    * `(2a + b) div (2b)`. Works on longs or DECIMAL(38,0) columns (Spark's
+    * `div` is IntegralDivide → LongType); truncation-toward-zero equals
+    * floor on non-negative operands in every engine, so the result is
+    * engine-exact by construction.
+    */
+  private def divHalfUp(a: Column, b: Column): Column =
+    call_function("div", a * 2 + b, b * 2)
+
+  /** Feature/label frame for the classifier: y = the C57 Gopher gate's
+    * verdict (same thresholds as `text_gopher`, re-expressed as EXACT
+    * integer comparisons — `m >= 3 ⟺ S >= 3t` etc., so no division ever
+    * happens), x = four cheap surface signals quantized to scale-9 integers
+    * at the source: saturating stopword evidence `least(sw,4)/4` (exact
+    * quarters), mean word length /10, punctuation ratio, duplicate-3-gram
+    * fraction (each a half-up integer division of exact counts). Every
+    * downstream consumer sees only longs — the whole descent is integer
+    * arithmetic, bit-identical in any engine BY CONSTRUCTION (the r11
+    * driver red row falsified the previous "IEEE doubles agree everywhere"
+    * assumption; this is the PageRank/C83 micro-unit idiom instead).
+    * Cached per (session, dir): training re-scans it 2× per iteration.
+    */
+  private[queries] def clfFeatures(s: SparkSession, dir: String): DataFrame = {
     def build = {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), wsTokens(col("text")).as("W"))
         .select(col("doc_id"),
+          length(col("text")).cast("long").as("L"),
           tokenCountOf(col("W")).as("t"),
-          meanWordLenOf(col("text"), col("W")).as("m"),
-          punctRatio(col("text")).as("p"),
+          aggregate(col("W"), lit(0L), (a, x) => a + length(x)).as("S"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long").as("pc"),
           stopwordHitsOf(col("W"), "en").as("sw"),
-          dupNgramFracOf(col("W")).as("r"))
+          distinctNgramCountOf(col("W")).as("d3"))
+      val tot3 = col("t") - 2
+      // integer-exact gate: t∈[10,300]; 3 ≤ S/t ≤ 10 (with m≡0 when the doc
+      // is empty); punct/L ≤ 1/5; sw ≥ 2; (tot3-d3)/tot3 ≤ 1/2
       val pass = col("t") >= TextQueries.gMinToks && col("t") <= TextQueries.gMaxToks &&
-        col("m") >= TextQueries.gMinMwl && col("m") <= TextQueries.gMaxMwl &&
-        col("p") <= TextQueries.gMaxPunct && col("sw") >= TextQueries.gMinStops &&
-        col("r") <= TextQueries.gMaxRep
+        (col("L") > 0 && col("S") >= col("t") * 3) &&
+        (col("L") === 0 || col("S") <= col("t") * 10) &&
+        (col("L") === 0 || col("pc") * 5 <= col("L")) &&
+        col("sw") >= TextQueries.gMinStops &&
+        (tot3 <= 0 || (tot3 - col("d3")) * 2 <= tot3)
       d.select(
-        when(pass, lit(1.0)).otherwise(lit(0.0)).as("y"),
-        (least(col("sw").cast("double"), lit(4.0)) / lit(4.0)).as("x1"),
-        (col("m") / lit(10.0)).as("x2"),
-        col("p").as("x3"),
-        col("r").as("x4"),
+        when(pass, lit(1L)).otherwise(lit(0L)).as("y"),
+        (least(col("sw"), lit(4L)) * 250000000L).as("x1"),
+        when(col("L") === 0, lit(0L))
+          .otherwise(divHalfUp(col("S") * 100000000L, col("t"))).as("x2"),
+        when(col("L") === 0, lit(0L))
+          .otherwise(divHalfUp(col("pc") * E9, col("L"))).as("x3"),
+        when(col("t") < 3, lit(0L))
+          .otherwise(divHalfUp((tot3 - col("d3")) * E9, tot3)).as("x4"),
         // held-out eval rides the corpus' standard deterministic split
         // (curate_eval); training maths never read this column
         Sampling.splitColumn(testPct = splitTestPct, valPct = splitValPct).as("split"))
@@ -485,59 +516,98 @@ object CurationQueries {
     * one accuracy scan over the cached feature frame; driver traffic is 5
     * weights per round).
     *
-    * Engine-exact arithmetic, so the whole TRAJECTORY oracles: per-row
-    * work (rational sigmoid `0.5 + z/(2(1+|z|))`, class weight, feature
-    * product) is pure IEEE double — bit-identical in any engine — and the
-    * only order-sensitive step, the gradient SUM, rounds each contribution
-    * at scale 9 and sums DECIMAL(38,9) exactly (the q100 χ² discipline).
-    * Gradient-sum magnitudes stay within the exact decimal→double window
-    * (|contrib| ≤ ~1.3 ⇒ unscaled ≤ ~2·10⁹·N — exact up to ~4×10⁶ docs per
-    * 2⁵³; shard the gradient agg past that). Weight updates are scalar
-    * IEEE ops. Accuracy compares sign(z) to y — no rounding at all.
+    * ENGINE-EXACT BY CONSTRUCTION (r12): every quantity in the descent is
+    * a scaled integer — features at scale 9, weights at scale 6, the
+    * rational sigmoid `p = 0.5 + z/(2(1+|z|))` evaluated as one half-up
+    * integer division (through a 128-bit DECIMAL(38,0)/HUGEINT carrier
+    * where the product exceeds 2⁶³), gradient contributions rounded
+    * half-away at scale 9 via sign·divHalfUp, gradient SUMS exact integer
+    * sums (order-free), and the weight update computed in BigInt on the
+    * driver with the same half-away rule the oracle's CTE applies. There
+    * is NO floating-point operation anywhere between the raw counts and
+    * the final display cast, so any engine with exact 128-bit integer
+    * arithmetic reproduces the trajectory bit-for-bit — the r11 driver
+    * red row proved cross-engine IEEE-double agreement is NOT a safe
+    * assumption (`round(double, 9)` / FMA differences), so no double
+    * survives in this chain. The one display step, `w6 → w6/1e6` as a
+    * DOUBLE, is a single IEEE division of two exactly-representable
+    * operands — correctly rounded, deterministic everywhere.
+    *
+    * Magnitude budget (spec-asserted): |x9| ≤ 5e9 (mwl/10 < 5), |w6| ≤ 1e8
+    * ⇒ |z15| ≤ 5·1e8·5e9+1e17 < 9.2e18 (long); sigmoid numerator ≤ 5e26
+    * and per-feature gradient product ≤ ~1e30 (128-bit); per-row g9 ≤ 5e12
+    * and its sum over ≤1e6 rows ≤ 5e18 — summed as DECIMAL(38,0) anyway.
     */
-  /** The z column for driver-held weights — left-associated exactly like
-    * the oracle's `wb + ws*x1 + wm*x2 + wp*x3 + wr*x4`.
+  /** z at scale 15 for driver-held scale-6 weights: `wb6·1e9 + Σ wj6·xj9`.
+    * Pure long arithmetic — exact, hence association-free.
     */
-  private def zOf(w: Array[Double]): org.apache.spark.sql.Column =
+  private def z15Of(w: Array[Long]): Column =
     Seq("x1", "x2", "x3", "x4").zipWithIndex
-      .foldLeft(lit(w(0)): org.apache.spark.sql.Column) {
+      .foldLeft(lit(w(0)) * E9: Column) {
         case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
       }
 
-  /** The shared descent: [[clfIters]] class-balanced GD steps over `f`,
-    * returning the per-iteration trajectory and the final weights —
-    * `classifier` declares the trajectory, `evalGate` applies the weights
-    * to the held-out slice.
+  /** BigInt half-up division for the driver-side weight update (a ≥ 0,
+    * b > 0) — the same rule [[divHalfUp]] applies column-side.
+    */
+  private def bigDivHalfUp(a: BigInt, b: BigInt): BigInt = (a * 2 + b) / (b * 2)
+
+  /** The shared descent: [[clfIters]] class-balanced GD steps over `f`
+    * (integer feature frame), returning the per-iteration trajectory
+    * (scale-6 weights) and the final weights — `classifier` declares the
+    * trajectory, `evalGate` applies the weights to the held-out slice.
     */
   private def descend(f: DataFrame):
-      (Seq[(Int, Double, Double, Double, Double, Double, Long, Long)], Array[Double]) = {
+      (Seq[(Int, Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
+    val dec = "decimal(38,0)"
     val head = f.agg(count(lit(1)).as("n"),
-      count(when(col("y") === 1.0, 1)).as("pos")).first()
+      count(when(col("y") === 1L, 1)).as("pos")).first()
     val (n, pos) = (head.getLong(0), head.getLong(1))
     require(pos > 0 && pos < n,
       s"classifier needs both classes, got $pos positives of $n")
-    val cwPos = n.toDouble / (2.0 * pos)
-    val cwNeg = n.toDouble / (2.0 * (n - pos))
+    // class weights n/(2·pos), n/(2·neg) at scale 9
+    val cwPos = bigDivHalfUp(BigInt(n) * E9, BigInt(2) * pos).toLong
+    val cwNeg = bigDivHalfUp(BigInt(n) * E9, BigInt(2) * (n - pos)).toLong
     val xs = Seq("x1", "x2", "x3", "x4")
-    val w = Array.fill(5)(0.0)
-    val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double, Long, Long)]
+    val w = Array.fill(5)(0L)
+    val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long, Long)]
     for (k <- 1 to clfIters) {
-      val zc = zOf(w)
-      val p = lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
-      val base = when(col("y") === 1.0, lit(cwPos)).otherwise(lit(cwNeg)) *
-        (p - col("y"))
+      val z = z15Of(w)
+      val az = abs(z)
+      val sgz = when(z < 0, lit(-1L)).otherwise(lit(1L))
+      // p9 = 5e8 + sign(z)·round(|z15|·1e9 / (2(1e15+|z15|))) — the
+      // numerator needs 128 bits, hence the DECIMAL(38,0) carrier
+      val num = az.cast(dec) * E9
+      val den = (az * 2 + 2 * E15).cast(dec)
+      val p9 = lit(500000000L) + sgz * divHalfUp(num, den)
+      val pd = p9 - col("y") * E9
+      val sgd = when(pd < 0, lit(-1L)).otherwise(lit(1L))
+      val cw = when(col("y") === 1L, lit(cwPos)).otherwise(lit(cwNeg))
+      val a0 = cw.cast(dec) * abs(pd)
+      val g0 = sgd * divHalfUp(a0, lit(E9).cast(dec))
+      val gj = xs.map { c =>
+        sgd * divHalfUp(a0 * col(c).cast(dec), lit(E18).cast(dec))
+      }
       val gRow = f.agg(
-        sum(round(base, 9).cast("decimal(38,9)")).as("g0"),
-        xs.map(c => sum(round(base * col(c), 9).cast("decimal(38,9)")).as(s"g_$c")): _*)
+        sum(g0.cast(dec)).as("g0"),
+        gj.zip(xs).map { case (g, c) => sum(g.cast(dec)).as(s"g_$c") }: _*)
         .first()
-      for (j <- 0 to 4)
-        w(j) = w(j) - clfLr * gRow.getDecimal(j).doubleValue() / n
-      val correct = f.agg(count(when((zOf(w) > 0) === (col("y") === 1.0), 1)))
+      for (j <- 0 to 4) {
+        val g = BigInt(gRow.getDecimal(j).toBigInteger)
+        val d6 = g.signum * bigDivHalfUp(g.abs * clfLr, BigInt(n) * 1000)
+        w(j) = (BigInt(w(j)) - d6).toLong
+      }
+      val correct = f.agg(count(when((z15Of(w) > 0) === (col("y") === 1L), 1)))
         .first().getLong(0)
       out += ((k, w(0), w(1), w(2), w(3), w(4), correct, n))
     }
     (out.result(), w)
   }
+
+  /** Scale-6 long weight → display double: both operands of the division
+    * are exactly representable, so the single IEEE op is engine-exact.
+    */
+  private def w6ToDouble(c: Column): Column = c.cast("double") / lit(1000000.0)
 
   def classifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -545,9 +615,9 @@ object CurationQueries {
     trajectory
       .toDF("iter", "wb", "ws", "wm", "wp", "wr", "correct", "total")
       .select(col("iter"),
-        round(col("wb"), 6).as("w_bias"), round(col("ws"), 6).as("w_stop"),
-        round(col("wm"), 6).as("w_mwl"), round(col("wp"), 6).as("w_punct"),
-        round(col("wr"), 6).as("w_rep"), col("correct"), col("total"))
+        w6ToDouble(col("wb")).as("w_bias"), w6ToDouble(col("ws")).as("w_stop"),
+        w6ToDouble(col("wm")).as("w_mwl"), w6ToDouble(col("wp")).as("w_punct"),
+        w6ToDouble(col("wr")).as("w_rep"), col("correct"), col("total"))
       .orderBy("iter")
   }
 
@@ -674,19 +744,22 @@ object CurationQueries {
     val f = clfFeatures(s, dir)
     val (_, w) = descend(f.filter(col("split") =!= "test"))
     f.filter(col("split") === "test")
-      .select(col("y").as("label"),
-        when(zOf(w) > 0, lit(1.0)).otherwise(lit(0.0)).as("predicted"))
+      .select(when(col("y") === 1L, lit(1.0)).otherwise(lit(0.0)).as("label"),
+        when(z15Of(w) > 0, lit(1.0)).otherwise(lit(0.0)).as("predicted"))
       .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
       .orderBy("label", "predicted")
   }
 
   /** The classifier oracle unrolls the training loop like the PageRank and
     * EWMA oracles unroll theirs: per iteration one MATERIALIZED gradient
-    * CTE (exact DECIMAL(38,9) sums of the identical scale-9-rounded
-    * contributions), one scalar weight-update CTE (same IEEE expression
-    * tree), one accuracy CTE — and one result row, so every step of the
-    * descent is hash-compared. The chain is shared with the eval oracle,
-    * which trains on `ft` (the non-test slice) and reads the test slice.
+    * CTE, one scalar weight-update CTE, one accuracy CTE — and one result
+    * row, so every step of the descent is hash-compared. All arithmetic is
+    * scaled-integer (BIGINT with HUGEINT carriers where a product exceeds
+    * 2⁶³ — DuckDB's 128-bit twin of the Spark side's DECIMAL(38,0)), and
+    * the half-up divisions `(2a+b)//(2b)` run on non-negative operands
+    * only, where truncation ≡ floor in every engine. The chain is shared
+    * with the eval oracle, which trains on `ft` (the non-test slice) and
+    * reads the test slice.
     */
   private def classifierChain(trainWhere: String): String = {
     val hits = {
@@ -694,57 +767,72 @@ object CurationQueries {
         .map(x => s"'$x'").mkString(", ")
       s"len(list_filter(W, t -> t IN ($set)))"
     }
-    val mwl = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(W, x -> length(x))) AS DOUBLE)/len(W) END)"
     val g3 = "list_transform(range(1, len(W)-1), i -> W[i]||' '||W[i+1]||' '||W[i+2])"
-    val rep = s"(CASE WHEN len(W) < 3 THEN 0.0 ELSE 1.0 - len(list_distinct($g3))*1.0/(len(W)-2) END)"
-    val punct = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
     import TextQueries._
-    val gate = s"t >= $gMinToks AND t <= $gMaxToks AND m >= $gMinMwl AND m <= $gMaxMwl" +
-      s" AND p <= $gMaxPunct AND sw >= $gMinStops AND r <= $gMaxRep"
-    val zExpr = "wb + ws*x1 + wm*x2 + wp*x3 + wr*x4"
+    // integer-exact gate over exact counts: m ≥ 3 ⟺ S ≥ 3t (L>0), m ≤ 10 ⟺
+    // S ≤ 10t, p ≤ 1/5 ⟺ 5·pc ≤ L, r ≤ 1/2 ⟺ 2(tot3−d3) ≤ tot3
+    val gate = s"t >= $gMinToks AND t <= $gMaxToks AND (L > 0 AND S >= 3*t)" +
+      " AND (L = 0 OR S <= 10*t) AND (L = 0 OR pc*5 <= L)" +
+      s" AND sw >= $gMinStops AND (t < 3 OR (t-2-d3)*2 <= t-2)"
+    val z15 = "wb*1000000000 + ws*x1 + wm*x2 + wp*x3 + wr*x4"
+    val nV = "(SELECT n FROM nn)"
     val iters = (1 to clfIters).map { k =>
       s"""g$k AS MATERIALIZED (SELECT
-         |    sum(CAST(round(base, 9) AS DECIMAL(38,9))) AS g0,
-         |    sum(CAST(round(base * x1, 9) AS DECIMAL(38,9))) AS gx1,
-         |    sum(CAST(round(base * x2, 9) AS DECIMAL(38,9))) AS gx2,
-         |    sum(CAST(round(base * x3, 9) AS DECIMAL(38,9))) AS gx3,
-         |    sum(CAST(round(base * x4, 9) AS DECIMAL(38,9))) AS gx4
+         |    sum(sgd * ((a0*2 + 1000000000) // 2000000000)) AS g0,
+         |    sum(sgd * ((a0*x1*2 + 1000000000000000000) // 2000000000000000000)) AS gx1,
+         |    sum(sgd * ((a0*x2*2 + 1000000000000000000) // 2000000000000000000)) AS gx2,
+         |    sum(sgd * ((a0*x3*2 + 1000000000000000000) // 2000000000000000000)) AS gx3,
+         |    sum(sgd * ((a0*x4*2 + 1000000000000000000) // 2000000000000000000)) AS gx4
          |  FROM (SELECT x1, x2, x3, x4,
-         |      (CASE WHEN y = 1.0 THEN cp ELSE cn END)
-         |        * ((0.5 + z/(2.0*(1.0+abs(z)))) - y) AS base
-         |    FROM (SELECT ft.*, cp, cn, $zExpr AS z
-         |          FROM ft CROSS JOIN w${k - 1} CROSS JOIN cw) zf) bf),
-         |w$k AS (SELECT wb - $clfLr * CAST(g0 AS DOUBLE) / (SELECT n FROM nn) AS wb,
-         |    ws - $clfLr * CAST(gx1 AS DOUBLE) / (SELECT n FROM nn) AS ws,
-         |    wm - $clfLr * CAST(gx2 AS DOUBLE) / (SELECT n FROM nn) AS wm,
-         |    wp - $clfLr * CAST(gx3 AS DOUBLE) / (SELECT n FROM nn) AS wp,
-         |    wr - $clfLr * CAST(gx4 AS DOUBLE) / (SELECT n FROM nn) AS wr
+         |      CASE WHEN pd < 0 THEN -1 ELSE 1 END AS sgd,
+         |      CAST(CASE WHEN y = 1 THEN cp ELSE cn END AS HUGEINT) * abs(pd) AS a0
+         |    FROM (SELECT zf.*,
+         |        500000000 + (CASE WHEN z < 0 THEN -1 ELSE 1 END) *
+         |          CAST((CAST(abs(z) AS HUGEINT)*1000000000*2 + (abs(z)*2 + 2000000000000000))
+         |            // (CAST(abs(z)*2 + 2000000000000000 AS HUGEINT)*2) AS BIGINT)
+         |          - y*1000000000 AS pd
+         |      FROM (SELECT ft.*, cp, cn, $z15 AS z
+         |            FROM ft CROSS JOIN w${k - 1} CROSS JOIN cw) zf) pf) bf),
+         |w$k AS (SELECT
+         |    wb - (CASE WHEN g0 < 0 THEN -1 ELSE 1 END) * CAST((abs(g0)*$clfLr*2 + 1000*$nV) // (2000*$nV) AS BIGINT) AS wb,
+         |    ws - (CASE WHEN gx1 < 0 THEN -1 ELSE 1 END) * CAST((abs(gx1)*$clfLr*2 + 1000*$nV) // (2000*$nV) AS BIGINT) AS ws,
+         |    wm - (CASE WHEN gx2 < 0 THEN -1 ELSE 1 END) * CAST((abs(gx2)*$clfLr*2 + 1000*$nV) // (2000*$nV) AS BIGINT) AS wm,
+         |    wp - (CASE WHEN gx3 < 0 THEN -1 ELSE 1 END) * CAST((abs(gx3)*$clfLr*2 + 1000*$nV) // (2000*$nV) AS BIGINT) AS wp,
+         |    wr - (CASE WHEN gx4 < 0 THEN -1 ELSE 1 END) * CAST((abs(gx4)*$clfLr*2 + 1000*$nV) // (2000*$nV) AS BIGINT) AS wr
          |  FROM w${k - 1} CROSS JOIN g$k),
-         |a$k AS (SELECT count(CASE WHEN (z > 0) = (y = 1.0) THEN 1 END) AS correct
-         |  FROM (SELECT ft.y, $zExpr AS z FROM ft CROSS JOIN w$k) t)""".stripMargin
+         |a$k AS (SELECT count(CASE WHEN (z > 0) = (y = 1) THEN 1 END) AS correct
+         |  FROM (SELECT ft.y, $z15 AS z FROM ft CROSS JOIN w$k) t)""".stripMargin
     }.mkString(",\n")
     s"""WITH b AS (SELECT doc_id, text, string_split(text,' ') AS W FROM documents),
-       |d AS (SELECT doc_id, len(W) AS t, $mwl AS m, $punct AS p, $hits AS sw, $rep AS r FROM b),
+       |d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L, len(W) AS t,
+       |    CAST(list_sum(list_transform(W, x -> length(x))) AS BIGINT) AS S,
+       |    CAST(length(text) - length(regexp_replace(text,'[.,;:!?]','','g')) AS BIGINT) AS pc,
+       |    $hits AS sw, len(list_distinct($g3)) AS d3 FROM b),
        |f AS MATERIALIZED (SELECT
-       |    CAST(CASE WHEN $gate THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
-       |    least(CAST(sw AS DOUBLE), 4.0)/4.0 AS x1, m/10.0 AS x2,
-       |    p AS x3, r AS x4,
+       |    CAST(CASE WHEN $gate THEN 1 ELSE 0 END AS BIGINT) AS y,
+       |    CAST(least(sw, 4)*250000000 AS BIGINT) AS x1,
+       |    CAST(CASE WHEN L = 0 THEN 0 ELSE (S*100000000*2 + t) // (t*2) END AS BIGINT) AS x2,
+       |    CAST(CASE WHEN L = 0 THEN 0 ELSE (pc*1000000000*2 + L) // (L*2) END AS BIGINT) AS x3,
+       |    CAST(CASE WHEN t < 3 THEN 0 ELSE ((t-2-d3)*1000000000*2 + (t-2)) // ((t-2)*2) END AS BIGINT) AS x4,
        |    (CASE WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100 < $splitTestPct THEN 'test'
        |      WHEN ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100 < ${splitTestPct + splitValPct} THEN 'val'
        |      ELSE 'train' END) AS split FROM d),
        |ft AS MATERIALIZED (SELECT * FROM f WHERE $trainWhere),
        |nn AS (SELECT count(*) AS n,
-       |    count(CASE WHEN y = 1.0 THEN 1 END) AS pos FROM ft),
-       |cw AS (SELECT CAST(n AS DOUBLE)/(2.0*CAST(pos AS DOUBLE)) AS cp,
-       |    CAST(n AS DOUBLE)/(2.0*CAST(n - pos AS DOUBLE)) AS cn FROM nn),
-       |w0 AS (SELECT 0.0 AS wb, 0.0 AS ws, 0.0 AS wm, 0.0 AS wp, 0.0 AS wr),
+       |    count(CASE WHEN y = 1 THEN 1 END) AS pos FROM ft),
+       |cw AS (SELECT CAST((n*1000000000*2 + 2*pos) // (4*pos) AS BIGINT) AS cp,
+       |    CAST((n*1000000000*2 + 2*(n-pos)) // (4*(n-pos)) AS BIGINT) AS cn FROM nn),
+       |w0 AS (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS ws,
+       |    CAST(0 AS BIGINT) AS wm, CAST(0 AS BIGINT) AS wp, CAST(0 AS BIGINT) AS wr),
        |$iters""".stripMargin
   }
 
   private def classifierRows: String =
     (1 to clfIters).map { k =>
-      s"""SELECT $k AS iter, round(wb, 6) AS w_bias, round(ws, 6) AS w_stop,
-         |  round(wm, 6) AS w_mwl, round(wp, 6) AS w_punct, round(wr, 6) AS w_rep,
+      s"""SELECT $k AS iter,
+         |  CAST(wb AS DOUBLE)/1000000.0 AS w_bias, CAST(ws AS DOUBLE)/1000000.0 AS w_stop,
+         |  CAST(wm AS DOUBLE)/1000000.0 AS w_mwl, CAST(wp AS DOUBLE)/1000000.0 AS w_punct,
+         |  CAST(wr AS DOUBLE)/1000000.0 AS w_rep,
          |  (SELECT correct FROM a$k) AS correct, (SELECT n FROM nn) AS total
          |FROM w$k""".stripMargin
     }.mkString(" UNION ALL\n")
@@ -755,10 +843,10 @@ object CurationQueries {
 
   private def evalOracle: String =
     s"""${classifierChain("split <> 'test'")}
-       |SELECT y AS label,
+       |SELECT CAST(y AS DOUBLE) AS label,
        |  CAST(CASE WHEN z > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS predicted,
        |  count(*) AS n
-       |FROM (SELECT f.y, wb + ws*x1 + wm*x2 + wp*x3 + wr*x4 AS z
+       |FROM (SELECT f.y, wb*1000000000 + ws*x1 + wm*x2 + wp*x3 + wr*x4 AS z
        |      FROM f CROSS JOIN w$clfIters WHERE f.split = 'test') t
        |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
 

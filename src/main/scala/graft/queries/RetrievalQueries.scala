@@ -92,9 +92,9 @@ object RetrievalQueries {
     * (BroadcastNestedLoopJoin over [[mmrPool]]² rounded cosines); the greedy
     * itself runs over those ≤ pool·(pool−1) SCORE rows — bounded driver
     * data, no embedding math outside the engine (all cosines come rounded
-    * from the same codegen'd expression the oracle mirrors; the driver only
-    * compares and multiplies round-6 doubles, with HALF_UP rounding
-    * matching both engines' `round(x, 6)`).
+    * from the same codegen'd expression the oracle mirrors; the driver then
+    * compares only scale-6/scale-7 INTEGERS — see the greedy below — so the
+    * trajectory is engine-exact past the one measured rounding step).
     */
   def mmr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -108,8 +108,16 @@ object RetrievalQueries {
       .orderBy(desc("rel"), asc("vec_id"))
       .limit(mmrPool)
       .localCheckpoint(true)
+    // The greedy compares INTEGERS: a round-6 cosine is a multiple of 1e-6,
+    // so rel/sim recover their scale-6 integer forms R/S exactly, and the
+    // MMR score is carried at scale 7 as `7R − 3S` (λ = 0.7) — exact, so no
+    // engine can disagree on a pick. The previous `round(0.7·rel −
+    // 0.3·maxsim, 6)` was an EXACT scale-6 half-tie whenever 7R−3S ≡ ±5
+    // (mod 10) (~20% of scores), which no cross-engine double rounding
+    // survives reliably — the C153 failure class. Display is one IEEE
+    // division of exact operands (score7/1e7), deterministic everywhere.
     val rels = cand.select(col("vec_id"), col("rel")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq.sortBy(_._1)
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6)).toSeq.sortBy(_._1)
     val sims = cand.as("a")
       .crossJoin(broadcast(cand.select(col("vec_id").as("j"),
         col("embedding").as("ej"))))
@@ -117,21 +125,18 @@ object RetrievalQueries {
       .select(col("vec_id").as("i"), col("j"),
         round(graft.functions.VectorOps.cosine(col("embedding"), col("ej")), 6)
           .as("sim"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> math.round(r.getDouble(2) * 1e6)).toMap
     val out = Seq.newBuilder[(Int, Long, Double, Double)]
     var selected = Vector.empty[Long]
     for (k <- 1 to math.min(mmrTake, rels.length)) {
-      val scored = rels.filterNot(c => selected.contains(c._1)).map { case (id, rel) =>
-        val score = if (selected.isEmpty) rel
-          else r6(mmrLambda * rel -
-            (1.0 - mmrLambda) * selected.map(sId => sims((id, sId))).max)
-        (id, rel, score)
+      val scored = rels.filterNot(c => selected.contains(c._1)).map { case (id, r6) =>
+        val score7 = if (selected.isEmpty) 10L * r6
+          else 7L * r6 - 3L * selected.map(sId => sims((id, sId))).max
+        (id, r6, score7)
       }
-      val (id, rel, score) = scored.maxBy { case (id, _, sc) => (sc, -id) }
+      val (id, r6, score7) = scored.maxBy { case (id, _, sc) => (sc, -id) }
       selected :+= id
-      out += ((k, id, rel, score))
+      out += ((k, id, r6.toDouble / 1e6, score7.toDouble / 1e7))
     }
     out.result().toDF("rank", "vec_id", "rel", "score").orderBy("rank")
   }
@@ -143,27 +148,32 @@ object RetrievalQueries {
     * different pick at any step fails loudly.
     */
   private def mmrOracle: String = {
-    val lam = mmrLambda
-    val oneMinus = 1.0 - mmrLambda
+    // Integer greedy (λ = 0.7 ⇒ score7 = 7R − 3S over scale-6 integer
+    // cosines): every compared quantity is a BIGINT, so the picks cannot
+    // diverge across engines; only the raw-cosine round-6 step carries a
+    // (spec-measured) tie margin. Display: score7/1e7 — one IEEE division
+    // of exact operands.
     val steps = (2 to mmrTake).map { k =>
       val sel = (1 until k).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
       s"""s$k AS (SELECT c.vec_id, c.rel,
-         |    round($lam * c.rel - $oneMinus * (SELECT max(sim) FROM sim
-         |      WHERE sim.i = c.vec_id AND sim.j IN ($sel)), 6) AS score
+         |    7*c.r6i - 3*(SELECT max(s.s6i) FROM sim s
+         |      WHERE s.i = c.vec_id AND s.j IN ($sel)) AS score7
          |  FROM cand c WHERE c.vec_id NOT IN ($sel)
-         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+         |  ORDER BY score7 DESC, c.vec_id LIMIT 1)""".stripMargin
     }.mkString(",\n")
     val rows = (1 to mmrTake).map(k =>
-      s"SELECT $k AS rank, vec_id, rel, score FROM s$k").mkString(" UNION ALL ")
+      s"SELECT $k AS rank, vec_id, rel, CAST(score7 AS DOUBLE)/10000000.0 AS score FROM s$k")
+      .mkString(" UNION ALL ")
     s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |cand AS MATERIALIZED (SELECT vec_id, embedding,
-       |    round(${SqlGen.cosSql("embedding", "qe")}, 6) AS rel
+       |    round(${SqlGen.cosSql("embedding", "qe")}, 6) AS rel,
+       |    CAST(round(round(${SqlGen.cosSql("embedding", "qe")}, 6)*1000000) AS BIGINT) AS r6i
        |  FROM embeddings, qv WHERE vec_id <> 0
        |  ORDER BY rel DESC, vec_id LIMIT $mmrPool),
        |sim AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
-       |    round(${SqlGen.cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |    CAST(round(round(${SqlGen.cosSql("a.embedding", "b.embedding")}, 6)*1000000) AS BIGINT) AS s6i
        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
-       |s1 AS (SELECT vec_id, rel, rel AS score FROM cand
+       |s1 AS (SELECT vec_id, rel, 10*r6i AS score7 FROM cand
        |  ORDER BY rel DESC, vec_id LIMIT 1),
        |$steps
        |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
