@@ -198,6 +198,7 @@ object SparkEntry {
     "sim_lsh_topk"       -> SimilarityQueries.lshTopK _,
     "sim_lsh_staged"     -> SimilarityQueries.lshStagedTopK _,
     "sim_filter_topk"    -> SimilarityQueries.filteredTopK _,
+    "sim_filter_ivf"     -> SimilarityQueries.filteredIvfTopK _,
     "sim_ivf_topk"       -> SimilarityQueries.ivfTopK _,
     "sim_ivf_staged"     -> SimilarityQueries.ivfStagedTopK _,
     "sim_ivf_trained"    -> SimilarityQueries.ivfTrainedTopK _,
@@ -216,6 +217,7 @@ object SparkEntry {
     "sim_recall_ivf"     -> SimilarityQueries.recallIvf _,
     "sim_recall_batch"   -> SimilarityQueries.recallBatch _,
     "sim_recall_filter"  -> SimilarityQueries.recallFilter _,
+    "sim_recall_filter_ivf" -> SimilarityQueries.recallFilterIvf _,
     "sim_lsh_multi"      -> SimilarityQueries.lshMultiTopK _,
     "sim_recall_multi"   -> SimilarityQueries.recallMulti _,
     "search_hybrid"      -> RetrievalQueries.hybrid _,

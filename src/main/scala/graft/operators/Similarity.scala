@@ -489,6 +489,15 @@ object Similarity {
     * a fixed fraction of every bucket, so the ball must grow to keep the
     * surviving candidate count; the IN-list is still O(planes²) literal
     * codes, bucket-pruned, corpus-independent.
+    *
+    * MEASURED LIMIT (r11, `sim_recall_filter`): recall 0.3 at sf0.01 and
+    * 0.0 at sf1 — the fixed ham ≤ 2 ball does NOT keep up with corpus
+    * growth under a selective predicate, because the adaptive code width
+    * grows with the corpus and the predicate's survivors inside the probed
+    * buckets thin out. For production filtered serving use
+    * [[probeStagedIvfFiltered]] (the arm whose unfiltered recall measures
+    * 1.0); this probe remains the right shape only when the predicate is
+    * mild or the corpus small.
     */
   def probeStagedLshFiltered(spark: SparkSession, table: String,
                              queryVec: Array[Float], qcode: Long,
@@ -555,15 +564,18 @@ object Similarity {
     */
   def stageIvfBucketed(emb: DataFrame, cent: DataFrame, table: String,
                        buckets: Int = 8, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       payloadCols: Seq[String] = Nil): Unit = {
     val assigned = emb.crossJoin(broadcast(cent))
-      .select(col(idCol), col(vecCol), col("cid"),
-        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .select((Seq(col(idCol), col(vecCol)) ++ payloadCols.map(col) ++
+        Seq(col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))): _*)
       .groupBy(idCol)
       .agg(first(col(vecCol)).as(vecCol),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+        (payloadCols.map(c => first(col(c)).as(c)) :+
+          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid")): _*)
     Bucketing.writeBucketed(
-      assigned.select(col(idCol), col(vecCol), col("cid")), table, "cid", buckets)
+      assigned.select((Seq(col(idCol), col(vecCol)) ++ payloadCols.map(col)
+        :+ col("cid")): _*), table, "cid", buckets)
   }
 
   /** Append a new batch into a [[stageIvfBucketed]] index — the IVF
@@ -595,6 +607,31 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     Bucketing.read(spark, table)
       .filter(col("cid").isin(probeCids: _*))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+
+  /** FILTERED probe of a payload-carrying [[stageIvfBucketed]] table —
+    * the predicate-under-search shape on the IVF arm. The r11 measurements
+    * settled which arm can serve it: the LSH filtered probe measured recall
+    * 0.0 at sf1 (the Hamming ball prunes by code, and the predicate's
+    * survivors in the probed buckets vanish as the corpus grows) while the
+    * unfiltered IVF arm measured 1.0 — inverted lists degrade gracefully
+    * because a list's members stay the query's geometric neighborhood at
+    * any corpus size. Compensation for the predicate: WIDEN `nprobe`
+    * (callers pass ~2× the unfiltered probe count) rather than the code
+    * ball — more lists, each still bucket-pruned I/O, predicate applied
+    * in-scan (pre-filter, never a starved post-filter).
+    */
+  def probeStagedIvfFiltered(spark: SparkSession, table: String,
+                             queryVec: Array[Float], probeCids: Seq[Long],
+                             pred: org.apache.spark.sql.Column, k: Int = 10,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame =
+    Bucketing.read(spark, table)
+      .filter(col("cid").isin(probeCids: _*))
+      .filter(pred)
       .select(col(idCol),
         round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))

@@ -467,12 +467,15 @@ object SimilarityQueries {
       col("label") === filterLabel && col("vec_id") =!= 0, planes, k = 10)
   }
 
-  /** `sim_recall_filter` — recall@10 of the FILTERED arm against the exact
-    * brute-force top-10 AMONG the predicate's population (the real filtered-
-    * search metric: ground truth is filtered too — comparing against the
-    * unfiltered truth would punish the predicate, not the index). The C53
-    * harness closing the C163 loop: the ham≤2 widening is a measured
-    * configuration, not a guess.
+  /** `sim_recall_filter` — recall@10 of the FILTERED LSH arm against the
+    * exact brute-force top-10 AMONG the predicate's population (the real
+    * filtered-search metric: ground truth is filtered too — comparing
+    * against the unfiltered truth would punish the predicate, not the
+    * index). The C53 harness closing the C163 loop — and what it MEASURED
+    * (0.3 at sf0.01, 0.0 at sf1) is why the serving recommendation moved
+    * to the IVF arm: see [[recallFilterIvf]]/`sim_recall_filter_ivf`,
+    * which measures the arm that holds up. This row stays as the recorded
+    * negative result.
     */
   def recallFilter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -487,6 +490,81 @@ object SimilarityQueries {
       .limit(recallK)
       .select("vec_id")
     exact.join(filteredTopK(s, dir).select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(recallK).as("k"), col("hits"),
+        round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+  }
+
+  /** Lists probed by the FILTERED IVF arm: 2× the unfiltered probe's 2 —
+    * the filtered-search compensation lives in `nprobe` (more inverted
+    * lists, each still bucket-pruned), not in a code-ball radius.
+    */
+  val filterNprobe = 4
+
+  /** The payload-carrying IVF index for filtered search (r12) — the arm the
+    * r11 recall measurements said to build: LSH-filtered measured 0.0 at
+    * sf1 while unfiltered IVF measured 1.0, so the label column is staged
+    * INTO the inverted-list rows here and the predicate applies inside the
+    * pruned probe scan.
+    */
+  private def annFilteredIvfTable(s: SparkSession, dir: String): String =
+    BackboneRegistry.namesOrBuild(s, s"annfivf:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_ann_ivff_$tag"
+      val fp = Staging.fingerprint(s, dir,
+        s"ann_ivf_filtered:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:pl_label:v1")
+      Staging.ensure(s, fp, Seq(t)) {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        Similarity.stageIvfBucketed(emb, cent, t, stagedIvfBuckets,
+          payloadCols = Seq("label"))
+      }
+      Seq(t)
+    }.head
+
+  /** `sim_filter_ivf` — filtered vector search on the IVF arm: top-10 among
+    * `label = 3` via [[Similarity.probeStagedIvfFiltered]] over
+    * [[filterNprobe]] inverted lists (predicate in-scan, probe widened 2→4
+    * as the filtered compensation). Probe-list selection runs over the
+    * bounded centroid artifact, exactly like `sim_ivf_staged`.
+    */
+  def filteredIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = annFilteredIvfTable(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(filterNprobe).collect().map(_.getLong(0)).toSeq
+    Similarity.probeStagedIvfFiltered(s, t, qe, probeCids,
+      col("label") === filterLabel && col("vec_id") =!= 0, k = 10)
+  }
+
+  /** `sim_recall_filter_ivf` — recall@10 of the filtered IVF arm against
+    * the exact predicate-scoped truth: the C165 harness pointed at the arm
+    * the r11 numbers said can actually serve this corpus. The spec gates
+    * it at ≥ the LSH filtered arm's measured recall.
+    */
+  def recallFilterIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = emb.filter(col("label") === filterLabel && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(recallK)
+      .select("vec_id")
+    exact.join(filteredIvfTopK(s, dir).select("vec_id"), "vec_id")
       .agg(count(lit(1)).as("hits"))
       .select(lit(recallK).as("k"), col("hits"),
         round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
@@ -846,6 +924,42 @@ object SimilarityQueries {
          |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
          |   FROM coded, q WHERE bit_count(xor(lsh_code, qcode)) <= 2
          |     AND label = $filterLabel AND vec_id <> 0) t
+         |  WHERE rn <= $recallK)
+         |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
+         |FROM ex JOIN ap USING (vec_id)""".stripMargin,
+    // filtered IVF arm: same assignment + probe-list CTEs as sim_ivf_staged
+    // but nprobe widened to filterNprobe and the predicate applied in the
+    // probed-list scan (pre-filtering, like the Spark side)
+    "sim_filter_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+         |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+         |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+         |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qprobe AS (SELECT cid FROM
+         |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+         |   FROM cent c, q) t WHERE rn <= $filterNprobe)
+         |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+         |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
+         |WHERE e.label = $filterLabel AND e.vec_id <> 0
+         |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+    "sim_recall_filter_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+         |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+         |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+         |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qprobe AS (SELECT cid FROM
+         |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+         |   FROM cent c, q) t WHERE rn <= $filterNprobe),
+         |ex AS (SELECT vec_id FROM
+         |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+         |   FROM embeddings, q WHERE label = $filterLabel AND vec_id <> 0) t
+         |  WHERE rn <= $recallK),
+         |ap AS (SELECT vec_id FROM
+         |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+         |   FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
+         |   WHERE e.label = $filterLabel AND e.vec_id <> 0) t
          |  WHERE rn <= $recallK)
          |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
          |FROM ex JOIN ap USING (vec_id)""".stripMargin,

@@ -477,6 +477,27 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh <= multi && multi <= ivf, s"lsh=$lsh multi=$multi ivf=$ivf")
   }
 
+  test("filtered ANN: the IVF arm serves the predicate at least as well as the LSH arm") {
+    import org.apache.spark.sql.functions.col
+    // r11 verdict item 2: the LSH filtered arm measured recall 0.0 at sf1
+    // while unfiltered IVF measured 1.0 — the filtered probe now exists on
+    // the IVF arm and must dominate the LSH arm wherever both run
+    // (measured: 0.5 vs 0.3 at sf0.01, 1.0 vs 0.0 at sf1 — SCALE_r12.md)
+    val lshF = graft.queries.SimilarityQueries.recallFilter(spark, sf0001).head()
+    val ivfF = graft.queries.SimilarityQueries.recallFilterIvf(spark, sf0001).head()
+    info(s"filtered recall sf0.001: ivf ${ivfF.getDouble(2)} vs lsh ${lshF.getDouble(2)}")
+    assert(ivfF.getLong(1) >= lshF.getLong(1),
+      s"ivf filtered hits ${ivfF.getLong(1)} < lsh filtered ${lshF.getLong(1)}")
+    // pre-filtering contract: every served row satisfies the predicate
+    val ids = graft.queries.SimilarityQueries.filteredIvfTopK(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val pop = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("label") === graft.queries.SimilarityQueries.filterLabel)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.subsetOf(pop),
+      s"filtered probe leaked non-predicate rows: ${ids -- pop}")
+  }
+
   test("batch-ANN recall: measured per query, consistent with the single-query staged arm") {
     // r10 verdict item 6: the staged batch serving path shipped without a
     // measured recall — a serving path without a number is a config guess.

@@ -110,6 +110,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.group(0))
     // and the label predicate is applied in the scan, not after the top-k
     assert(plans("sim_filter_topk").contains("label"), plans("sim_filter_topk"))
+    // the IVF arm (r12 — the arm whose filtered recall holds at sf1): 4
+    // probe lists over 8 cid buckets, predicate in the pruned scan
+    val mi = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plans("sim_filter_ivf"))
+    assert(mi.isDefined, s"filtered IVF probe not bucket-pruned:\n${plans("sim_filter_ivf")}")
+    val (isel, itot) = (mi.get.group(1).toInt, mi.get.group(2).toInt)
+    assert(isel <= SimilarityQueries.filterNprobe && isel < itot,
+      s"filtered IVF probe read $isel of $itot buckets")
+    assert(plans("sim_filter_ivf").contains("label"), plans("sim_filter_ivf"))
   }
 
   test("zone-map range query prunes the time-clustered scan to its zones") {
@@ -755,7 +764,7 @@ class PlanAuditSpec extends SparkSpec {
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
-      "sim_recall_filter",
+      "sim_recall_filter", "sim_recall_filter_ivf",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
       "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
