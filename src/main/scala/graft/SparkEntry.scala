@@ -247,7 +247,13 @@ object SparkEntry {
     "pipeline_dump"      -> CurationQueries.pipelineDump _,
     "pipeline_tokens"    -> CurationQueries.pipelineTokens _,
     "pack_shards"        -> CurationQueries.packShards _,
-    "pack_seqs"          -> CurationQueries.packSeqs _
+    "pack_seqs"          -> CurationQueries.packSeqs _,
+    "stream_sessions"    -> StreamGateQueries.sessions _,
+    "stream_twap"        -> StreamGateQueries.twap _,
+    "stream_wau"         -> StreamGateQueries.wau _,
+    "stream_anomaly"     -> StreamGateQueries.anomaly _,
+    "stream_heavy"       -> StreamGateQueries.heavy _,
+    "stream_expectations" -> StreamGateQueries.expectations _
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
@@ -262,7 +268,8 @@ object SparkEntry {
     Oracles.core ++ PipelineQueries.oracle ++ TextQueries.oracle ++ StatQueries.oracle ++
       DedupQueries.oracle ++ SimilarityQueries.oracle(dir) ++ MultimodalQueries.oracle ++
       CurationQueries.oracle ++ BucketedQueries.oracle ++ SqlSurfaceQueries.oracle ++
-      RetrievalQueries.oracle ++ GraphQueries.oracle ++ LinkQueries.oracle
+      RetrievalQueries.oracle ++ GraphQueries.oracle ++ LinkQueries.oracle ++
+      StreamGateQueries.oracle
 
   def oracleSql: Map[String, String] = oracleSqlFor("")
 }

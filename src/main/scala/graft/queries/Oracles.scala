@@ -214,7 +214,7 @@ object Oracles {
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        | ORDER BY event_id""".stripMargin.replaceAll("\n", ""),
+        | ORDER BY cnt_1h DESC, event_id LIMIT 500""".stripMargin.replaceAll("\n", ""),
     "q44_stats" ->
       """WITH a AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS nd, count(*) AS n,
         |  sum(CAST(l_quantity AS DECIMAL(28,6))) AS sx,

@@ -764,7 +764,9 @@ class PlanAuditSpec extends SparkSpec {
     // explicit ORDER BY everywhere except single-aggregate-row outputs.
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
-      "sim_recall_filter", "sim_recall_filter_ivf",
+      "sim_recall_filter", "sim_recall_filter_ivf", "stream_sessions",
+      "stream_twap", "stream_wau", "stream_anomaly", "stream_heavy",
+      "stream_expectations",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
       "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
