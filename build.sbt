@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev-loop escape hatch for run-scoped spark confs (e.g. a shuffle codec
+  // for the scale rehearsals on the sandbox's small disk); space-separated
+  // -D... flags
+  sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -75,6 +75,15 @@ object Bucketing {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Drop a staged table (and sweep its managed location) so an append-built
+    * arm can restart from genuinely empty state — the reset the streaming
+    * index-maintenance GATE queries need before replaying their appends
+    * (a stale file surviving a bare `DROP TABLE` would make the replayed
+    * index differ from the batch restage by exactly that file's rows).
+    */
+  def dropStaged(spark: SparkSession, table: String): Unit =
+    dropWithOrphanSweep(spark, table)
+
   /** Append a batch into an EXISTING bucketed table with the same (key,
     * buckets) spec — the incremental-maintenance path: each append shuffles
     * only the batch into its buckets (new files tagged with their bucket

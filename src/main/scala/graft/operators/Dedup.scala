@@ -219,7 +219,17 @@ object Dedup {
       col("nsh").as("n2"), col("pos").as("p2"))
     a.join(b, "m")
       .filter(col("d1") < col("d2") &&
-        col("n1") * tn <= col("n2") * td && col("n2") * tn <= col("n1") * td)
+        col("n1") * tn <= col("n2") * td && col("n2") * tn <= col("n1") * td &&
+        // the positional bound applied PER MATCH, before the pair groupBy:
+        // a pair survives the post-group filter iff its MAX per-match bound
+        // reaches α, and dropping rows that individually miss α never
+        // changes that max's pass/fail — so this is lossless for the
+        // candidate set while it shrinks the grouped exchange (at a
+        // replica-heavy corpus the join output is dominated by deep-prefix
+        // matches of genuinely-duplicated docs, and the ones past the
+        // α-reachable positions carry no information the group needs)
+        (lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))) * (tn + td) >=
+          (col("n1") + col("n2")) * tn)
       .groupBy("d1", "d2")
       // n1/n2 are constant per (d1, d2) group; max is just the
       // deterministic way to carry them through the aggregate

@@ -2488,6 +2488,32 @@ object CoreQueries {
     * calendar join: on a gapped series the q65 gap audit is the guard;
     * the backtest semantics stay deterministic either way.
     */
+  /** `q107_dpp` — dynamic partition pruning through the star layout: the
+    * day-partitioned events fact ([[EventsBackbone.dayPartitioned]]) joined
+    * to its calendar dimension filtered to weekends. The weekend day-set is
+    * a RUNTIME value (it lives in the dim table, invisible to the fact's
+    * static predicates), so Catalyst plants a DynamicPruningExpression in
+    * the fact scan's PartitionFilters and reuses the dim's broadcast to
+    * materialize it — only the qualifying `day=…` directories are ever
+    * listed or read. The plan spec pins `dynamicpruning` in the scan; at
+    * 100 TB this is the difference between scanning a full event lake and
+    * the 2/7ths the query actually needs. Aggregates are exact integers
+    * (count, distinct users, id envelope), so the row is engine-exact.
+    */
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    val (factPath, dimPath) = EventsBackbone.dayPartitioned(s, dir)
+    val fact = s.read.parquet(factPath)
+    val weekend = s.read.parquet(dimPath)
+      .filter(col("dow") === 1 || col("dow") === 7) // Spark: 1=Sun, 7=Sat
+    fact.join(broadcast(weekend), Seq("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("users"),
+        min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
   def q106(s: SparkSession, dir: String): DataFrame = {
     val daily = EventsBackbone.byType(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

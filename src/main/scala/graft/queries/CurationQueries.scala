@@ -609,9 +609,19 @@ object CurationQueries {
     */
   private def w6ToDouble(c: Column): Column = c.cast("double") / lit(1000000.0)
 
+  /** The full-corpus descent, computed once per (session, dir) — shared by
+    * `curate_classifier` (declares the trajectory) and `curate_calibration`
+    * (scores with the final weights), so the gate suite costs one training
+    * run, not one per consumer.
+    */
+  private def descendFull(s: SparkSession, dir: String)
+      : (Seq[(Int, Long, Long, Long, Long, Long, Long, Long)], Array[Long]) =
+    BackboneRegistry.scalarOrBuild(s, s"clf:descend:$dir")(
+      descend(clfFeatures(s, dir)))
+
   def classifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (trajectory, _) = descend(clfFeatures(s, dir))
+    val (trajectory, _) = descendFull(s, dir)
     trajectory
       .toDF("iter", "wb", "ws", "wm", "wp", "wr", "correct", "total")
       .select(col("iter"),
@@ -619,6 +629,44 @@ object CurationQueries {
         w6ToDouble(col("wm")).as("w_mwl"), w6ToDouble(col("wp")).as("w_punct"),
         w6ToDouble(col("wr")).as("w_rep"), col("correct"), col("total"))
       .orderBy("iter")
+  }
+
+  /** `curate_calibration` — reliability diagram of the trained gate (C153's
+    * final weights): every document scored with the SAME engine-exact
+    * rational sigmoid the descent used (p at scale 9, one half-up 128-bit
+    * division), binned into probability deciles, and each bin reports its
+    * size, positive count, mean predicted probability, and empirical
+    * positive rate — the mean_p-vs-emp_rate gap IS the calibration error a
+    * model-based quality filter must publish before its scores are used as
+    * sampling weights (DSIR-style pipelines consume the probability, not
+    * the argmax, so an over-confident gate silently distorts the mixture).
+    *
+    * Engine-exact end to end: bin = p9 div 1e8 (floor on non-negatives),
+    * bin means as half-up integer divisions at scale 9, display as single
+    * IEEE divisions of exactly-representable operands. One
+    * partial-aggregable pass over the cached feature frame; the descent
+    * itself is shared via [[descendFull]].
+    */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val (_, w) = descendFull(s, dir)
+    val dec = "decimal(38,0)"
+    val z = z15Of(w)
+    val az = abs(z)
+    val sgz = when(z < 0, lit(-1L)).otherwise(lit(1L))
+    val p9 = lit(500000000L) +
+      sgz * divHalfUp(az.cast(dec) * E9, (az * 2 + 2 * E15).cast(dec))
+    clfFeatures(s, dir)
+      .select(col("y"), p9.cast("long").as("p9"))
+      .select(least(call_function("div", col("p9"), lit(100000000L)), lit(9L))
+        .as("bin"), col("y"), col("p9"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("positives"),
+        sum("p9").as("sp9"))
+      .select(col("bin"), col("n"), col("positives"),
+        (divHalfUp(col("sp9"), col("n")).cast("double") / lit(1e9)).as("mean_p"),
+        (divHalfUp(col("positives") * E9, col("n")).cast("double") / lit(1e9))
+          .as("emp_rate"))
+      .orderBy("bin")
   }
 
   /** Eval share of the group split, percent. */
@@ -841,6 +889,25 @@ object CurationQueries {
     s"""${classifierChain("1 = 1")}
        |SELECT * FROM (${classifierRows}) ORDER BY iter""".stripMargin
 
+  /** The calibration oracle rides the full-corpus chain (ft = f) and scores
+    * every row with w6's rational sigmoid — the identical HUGEINT half-up
+    * division the g-CTEs use — then folds the decile bins with the same
+    * half-up scale-9 means as the Spark side.
+    */
+  private def calibrationOracle: String =
+    s"""${classifierChain("1 = 1")},
+       |sc AS (SELECT y,
+       |    500000000 + (CASE WHEN z < 0 THEN -1 ELSE 1 END) *
+       |      CAST((CAST(abs(z) AS HUGEINT)*1000000000*2 + (abs(z)*2 + 2000000000000000))
+       |        // (CAST(abs(z)*2 + 2000000000000000 AS HUGEINT)*2) AS BIGINT) AS p9
+       |  FROM (SELECT ft.y, wb*1000000000 + ws*x1 + wm*x2 + wp*x3 + wr*x4 AS z
+       |        FROM ft CROSS JOIN w$clfIters) t)
+       |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS positives,
+       |  CAST((sum(p9)*2 + count(*)) // (count(*)*2) AS DOUBLE)/1000000000.0 AS mean_p,
+       |  CAST((sum(y)*1000000000*2 + count(*)) // (count(*)*2) AS DOUBLE)/1000000000.0 AS emp_rate
+       |FROM (SELECT least(p9 // 100000000, 9) AS bin, y, p9 FROM sc) b
+       |GROUP BY bin ORDER BY bin""".stripMargin
+
   private def evalOracle: String =
     s"""${classifierChain("split <> 'test'")}
        |SELECT CAST(y AS DOUBLE) AS label,
@@ -856,6 +923,7 @@ object CurationQueries {
     Map(
       "curate_classifier" -> classifierOracle,
       "curate_eval" -> evalOracle,
+      "curate_calibration" -> calibrationOracle,
       "mix_kcenter" -> kcenterOracle,
       "curate_corpus" ->
         s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))

@@ -127,6 +127,41 @@ object EventsBackbone {
     }
   }
 
+  /** Day-PARTITIONED staged copy of events plus its calendar dimension —
+    * the star-schema layout the dynamic-partition-pruning query (`q107_dpp`)
+    * reads. Hive-style `day=…/` directories: partition values never touch
+    * the row files, and a filter on the JOINED calendar dim prunes whole
+    * directories AT RUNTIME (DynamicPartitionPruning: the broadcast's
+    * result, not a static literal, decides which partitions are scanned —
+    * the pruning a static predicate can't express because the weekend set
+    * lives in the dimension, not the fact). At 100 TB date-partitioning is
+    * the outermost layout every event lake ships, and DPP is what makes
+    * `JOIN calendar ON day WHERE is_weekend` read 2/7ths of it instead of
+    * all of it. Returns (factPath, dimPath).
+    */
+  def dayPartitioned(s: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.functions._
+    val tag = dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+    val paths = BackboneRegistry.namesOrBuild(s, s"events_daypart:$dir")(
+      _.forall(p => new java.io.File(p, "_SUCCESS").exists)) {
+      val base = System.getProperty("java.io.tmpdir")
+      val factPath = new java.io.File(base, s"graft_ev_daypart_$tag").getAbsolutePath
+      val dimPath = new java.io.File(base, s"graft_ev_calendar_$tag").getAbsolutePath
+      val fact = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      fact.write.mode("overwrite").partitionBy("day").parquet(factPath)
+      // the calendar dim: one row per day with its attributes — written as
+      // its own table (a dim filter that Catalyst could constant-fold into
+      // the fact would test static pruning, not DPP)
+      fact.select(col("day")).distinct()
+        .withColumn("dow", dayofweek(col("day")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(dimPath)
+      Seq(factPath, dimPath)
+    }
+    (paths.head, paths(1))
+  }
+
   /** The zone lifecycle table for `dir` (rewritten per flow run, like
     * [[lifecycleTable]] — the rewrite is the point).
     */

@@ -489,6 +489,14 @@ object Oracles {
         |  round(CAST(sum(CAST(round(contrib, 9) AS DECIMAL(28,9))) OVER ()
         |    AS DOUBLE), 6) AS chi2
         |FROM c ORDER BY digit""".stripMargin,
+    // DPP star join: the weekend set is recomputed from the calendar
+    // (DuckDB dayofweek: 0=Sun..6=Sat vs Spark's 1=Sun..7=Sat); exact
+    // integer aggregates
+    "q107_dpp" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // seasonal-naive backtest: integer absolute errors sum exactly; the
     // percentage errors round at scale 9 into an exact decimal sum
     "q106_forecast" ->

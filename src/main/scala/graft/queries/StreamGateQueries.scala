@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.{Bucketing, Similarity, TextIndex}
 import graft.streaming.StreamOps
 
 /** Driver-gate coverage for the streaming twins (r11 verdict item 6).
@@ -33,24 +34,27 @@ object StreamGateQueries {
 
   val replayBatches = 3
 
-  /** Stage (once per session+dir) the replay file set: the events projection
-    * range-partitioned by ts into [[replayBatches]] files. Equal timestamps
-    * land in one file (range partitioner), so ascending-file arrival
-    * preserves every twin's (ts, event_id) ordering contract across batch
-    * cuts.
+  /** Per-dir suffix for staged paths and catalog table names. */
+  private def dirTag(dir: String): String =
+    dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** Stage (once per session+dir) a generic replay file set: `build`'s rows
+    * range-partitioned by `orderCols` into [[replayBatches]] files with
+    * modified times forced into ascending range order. Equal order keys land
+    * in one file (range partitioner), so ascending-file arrival preserves an
+    * operator's ordering contract across batch cuts.
     */
-  private def replayPath(s: SparkSession, dir: String): String =
-    BackboneRegistry.namesOrBuild(s, s"streamgate:$dir")(
+  private def stagedReplay(s: SparkSession, dir: String, name: String)(
+      build: => DataFrame, rangeCols: Seq[String], sortCols: Seq[String]): String =
+    BackboneRegistry.namesOrBuild(s, s"streamgate:$name:$dir")(
       _.forall(p => new java.io.File(p, "_SUCCESS").exists)) {
-      val tag = dir.split('/').last.replace('.', '_') +
-        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val out = new java.io.File(
-        System.getProperty("java.io.tmpdir"), s"graft_replay_$tag").getAbsolutePath
-      Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts"), col("value"))
-        .repartitionByRange(replayBatches, col("ts"))
-        .sortWithinPartitions("ts", "event_id")
+        System.getProperty("java.io.tmpdir"),
+        s"graft_replay_${name}_${dirTag(dir)}").getAbsolutePath
+      build
+        .repartitionByRange(replayBatches, rangeCols.map(col): _*)
+        .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
         .write.mode("overwrite").parquet(out)
       val files = new java.io.File(out).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -60,15 +64,31 @@ object StreamGateQueries {
       Seq(out)
     }.head
 
+  /** The events replay set (the projection every events-shaped twin reads). */
+  private def replayPath(s: SparkSession, dir: String): String =
+    stagedReplay(s, dir, "events")(
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value")),
+      Seq("ts"), Seq("ts", "event_id"))
+
+  /** Read a staged replay back as a [[replayBatches]]-micro-batch stream. */
+  private def replaySource(s: SparkSession, path: String): DataFrame = {
+    val schema = s.read.parquet(path).schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(path)
+  }
+
   /** Run `op` over the staged replay as a [[replayBatches]]-micro-batch
     * stream into a memory sink; returns the sink table as a DataFrame.
     */
   private def replay(s: SparkSession, dir: String)(
+      op: DataFrame => DataFrame): DataFrame =
+    replayPathOp(s, replayPath(s, dir))(op)
+
+  /** [[replay]] over an arbitrary staged replay path. */
+  private def replayPathOp(s: SparkSession, path: String)(
       op: DataFrame => DataFrame): DataFrame = {
-    val path = replayPath(s, dir)
-    val schema = s.read.parquet(path).schema
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(path)
+    val src = replaySource(s, path)
     val name = s"sg_${java.lang.Long.toUnsignedString(System.nanoTime, 36)}"
     val q = op(src).writeStream.format("memory").queryName(name)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
@@ -82,10 +102,7 @@ object StreamGateQueries {
   /** Same, for complete-mode aggregations. */
   private def replayComplete(s: SparkSession, dir: String)(
       op: DataFrame => DataFrame): DataFrame = {
-    val path = replayPath(s, dir)
-    val schema = s.read.parquet(path).schema
-    val src = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(path)
+    val src = replaySource(s, replayPath(s, dir))
     val name = s"sg_${java.lang.Long.toUnsignedString(System.nanoTime, 36)}"
     val q = op(src).writeStream.format("memory").queryName(name)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
@@ -220,6 +237,172 @@ object StreamGateQueries {
       .toDF("rule_windows", "violations", "diffs")
   }
 
+  /** `stream_dedup` — C10's `dropDuplicatesWithinWatermark` under the driver
+    * gate, in the horizon-wide-watermark configuration where its semantics
+    * are exactly batch DISTINCT (delay longer than the log's span ⇒ key
+    * state never expires ⇒ kept set = first-seen per key = the distinct key
+    * set): replayed in [[replayBatches]] batches so the dedup state must
+    * carry across batch cuts, then diffed against batch distinct. The flows
+    * twin ([[StreamOps.dedupWithinWatermark]]) runs the same operator with a
+    * real 10-minute horizon where expiry is the point — expiry-dependent
+    * kept sets are batch-cut-dependent by design, so the gate pins the
+    * configuration with a batch-equivalent answer.
+    */
+  def dedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamed = replay(s, dir)(df =>
+      df.select(col("user_id"), col("event_type"),
+          date_trunc("DAY", col("ts")).as("day"), col("ts"))
+        .withWatermark("ts", "36500 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .select("user_id", "event_type", "day"))
+    val batch = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    Seq((batch.count(), diffCount(streamed, batch)))
+      .toDF("keys", "diffs")
+  }
+
+  /** `stream_distinct` — C128 under the driver gate: the per-window HLL
+    * user sketch. HLL register maxima are order- and merge-structure-
+    * independent, so the streamed complete-mode result must equal the same
+    * aggregation run in batch BIT-EXACTLY, not approximately — the diff is
+    * over the estimates themselves. Surface: window count and the exact
+    * distinct-user count, both DuckDB-recomputable (the estimate itself is
+    * engine-specific, which is why it rides `diffs`, not the oracle).
+    */
+  def distinctSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamed = replayComplete(s, dir)(df =>
+      StreamOps.distinctUsersStream(df.select(col("ts"), col("user_id"))))
+    val batch = StreamOps.distinctUsersStream(
+      Tables.events(s, dir).select(col("ts"), col("user_id")))
+    val exact = Tables.events(s, dir).select("user_id").distinct().count()
+    Seq((batch.count(), exact, diffCount(streamed, batch)))
+      .toDF("windows", "exact_users", "diffs")
+  }
+
+  /** `stream_percentiles` — C134 under the driver gate, in the sketch's
+    * EXACT regime: `approx_percentile`'s Greenwald–Khanna summary performs
+    * no compression while a group's count stays under the accuracy
+    * parameter (every sample retained ⇒ exact quantiles ⇒ order- and
+    * batching-independent), so with accuracy raised to 200k against 6-hour
+    * windows of at most a few thousand events the streamed result must
+    * equal the batch twin exactly. At 100 TB one would accept ε-rank error
+    * instead; the gate pins the regime where stream ≡ batch is an identity,
+    * same honesty as [[dedup]]'s horizon-wide watermark.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val acc = 200000
+    val streamed = replayComplete(s, dir)(df =>
+      StreamOps.valuePercentilesStream(df, accuracy = acc))
+    val batch = StreamOps.valuePercentilesStream(
+      Tables.events(s, dir), accuracy = acc)
+    Seq((batch.count(), diffCount(streamed, batch)))
+      .toDF("windows", "diffs")
+  }
+
+  /** `stream_quality` — the C166-adjacent stateless curation gate
+    * ([[StreamOps.qualityGate]]) under the driver gate: documents replay in
+    * [[replayBatches]] batches through the gopher-threshold filter (every
+    * signal a codegen'd scan expression, NO state store), per-source kept
+    * counts diffed against the batch gate; the oracle recomputes the kept
+    * surface from the text_gopher oracle's own SQL — one source of truth
+    * for the thresholds across batch query, stream filter, and oracle.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = docsReplayPath(s, dir)
+    val streamed = replayPathOp(s, path)(df => StreamOps.qualityGate(df))
+      .groupBy("source").agg(count(lit(1)).as("kept"))
+    val batch = StreamOps.qualityGate(Tables.documents(s, dir))
+      .groupBy("source").agg(count(lit(1)).as("kept"))
+    val kept = batch.agg(coalesce(sum("kept"), lit(0L))).first().getLong(0)
+    Seq((batch.count(), kept, diffCount(streamed, batch)))
+      .toDF("sources_kept", "kept", "diffs")
+  }
+
+  /** The documents replay set (doc_id-ordered). */
+  private def docsReplayPath(s: SparkSession, dir: String): String =
+    stagedReplay(s, dir, "docs")(
+      Tables.documents(s, dir).select("doc_id", "source", "text"),
+      Seq("doc_id"), Seq("doc_id"))
+
+  /** `stream_index_ann` — C29's streaming ANN-index maintenance under the
+    * driver gate: the embeddings corpus replays in [[replayBatches]]
+    * batches through [[StreamOps.maintainLshIndex]] (foreachBatch →
+    * bucketed append) into a FRESH staged table, which must then equal a
+    * full batch restage — row-for-row on (vec_id, lsh_code) AND through a
+    * served probe (the spec's append-≡-restage contract, now hash-gated).
+    * The stream arm is dropped and rebuilt every call so a stale file can't
+    * masquerade as a passing diff.
+    */
+  def indexAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stagedReplay(s, dir, "emb")(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      Seq("vec_id"), Seq("vec_id"))
+    val tag = dirTag(dir)
+    val streamT = s"sg_lsh_stream_$tag"
+    Bucketing.dropStaged(s, streamT)
+    val q = StreamOps.maintainLshIndex(replaySource(s, path), streamT,
+      java.nio.file.Files.createTempDirectory("sg_ckpt").toString,
+      planes = Similarity.lshPlanes)
+    try q.processAllAvailable() finally q.stop()
+    val fullT = BackboneRegistry.namesOrBuild(s, s"sg_lsh_full:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val t = s"sg_lsh_full_$tag"
+      Similarity.stageLshBucketed(Tables.embeddings(s, dir), t)
+      Seq(t)
+    }.head
+    val rowDiff = diffCount(
+      Bucketing.read(s, streamT).select("vec_id", "lsh_code"),
+      Bucketing.read(s, fullT).select("vec_id", "lsh_code"))
+    val qr = Similarity.withLshCode(
+        Tables.embeddings(s, dir).orderBy("vec_id").limit(1), "embedding")
+      .select(col("embedding"), col("lsh_code")).head()
+    def probe(t: String) = Similarity.probeStagedLsh(s, t,
+      qr.getSeq[Float](0).toArray, qr.getLong(1))
+    val diffs = rowDiff + diffCount(probe(streamT), probe(fullT))
+    Seq((Tables.embeddings(s, dir).count(), diffs))
+      .toDF("vectors", "diffs")
+  }
+
+  /** `stream_index_lex` — C66's streaming lexical-index maintenance under
+    * the driver gate: documents replay through
+    * [[StreamOps.maintainLexicalIndex]] (per-batch postings append + one
+    * stats-ledger row per batch) into a fresh table, which must equal a
+    * full batch restage — postings row-for-row AND through a BM25 probe
+    * (whose df/avgdl come from summing the ledger, so a torn or doubled
+    * ledger row fails the probe diff even when the postings match).
+    */
+  def indexLex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = docsReplayPath(s, dir)
+    val tag = dirTag(dir)
+    val streamT = s"sg_lex_stream_$tag"
+    Bucketing.dropStaged(s, streamT)
+    Bucketing.dropStaged(s, streamT + "_stats")
+    val q = StreamOps.maintainLexicalIndex(replaySource(s, path), streamT,
+      java.nio.file.Files.createTempDirectory("sg_ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val fullT = BackboneRegistry.namesOrBuild(s, s"sg_lex_full:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val t = s"sg_lex_full_$tag"
+      TextIndex.stageIndex(Tables.documents(s, dir), t, buckets = 8)
+      Seq(t)
+    }.head
+    val postDiff = diffCount(Bucketing.read(s, streamT), Bucketing.read(s, fullT))
+    val terms = Seq("table", "row")
+    val probeDiff = diffCount(
+      TextIndex.probeIndex(s, streamT, terms, 10),
+      TextIndex.probeIndex(s, fullT, terms, 10))
+    Seq((Tables.documents(s, dir).count(), postDiff + probeDiff))
+      .toDF("docs", "diffs")
+  }
+
   /** DuckDB oracles: `diffs` is the in-engine certificate (always 0 when
     * stream ≡ batch); the surface columns are recomputed independently —
     * the q51-oracle gap construction for sessions, HAVING-≥2 types for the
@@ -251,6 +434,26 @@ object StreamGateQueries {
         |  CAST(0 AS BIGINT) AS diffs
         |FROM (SELECT epoch_us(ts)//21600000000 AS w, event_type, count(*) AS c
         |      FROM events GROUP BY 1, 2) t""".stripMargin,
+    "stream_dedup" ->
+      """SELECT count(*) AS keys, CAST(0 AS BIGINT) AS diffs
+        |FROM (SELECT DISTINCT user_id, event_type, date_trunc('day', ts)
+        |      FROM events) t""".stripMargin,
+    "stream_distinct" ->
+      """SELECT count(DISTINCT epoch_us(ts)//21600000000) AS windows,
+        |  count(DISTINCT user_id) AS exact_users, CAST(0 AS BIGINT) AS diffs
+        |FROM events""".stripMargin,
+    "stream_percentiles" ->
+      """SELECT count(DISTINCT epoch_us(ts)//21600000000) AS windows,
+        |  CAST(0 AS BIGINT) AS diffs
+        |FROM events""".stripMargin,
+    "stream_quality" ->
+      s"""SELECT count(*) AS sources_kept, CAST(sum(kept) AS BIGINT) AS kept,
+         |  CAST(0 AS BIGINT) AS diffs
+         |FROM (${TextQueries.oracle("text_gopher")}) t WHERE kept > 0""".stripMargin,
+    "stream_index_ann" ->
+      "SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs FROM embeddings",
+    "stream_index_lex" ->
+      "SELECT count(*) AS docs, CAST(0 AS BIGINT) AS diffs FROM documents",
     "stream_expectations" -> {
       val vals = gateRules
         .map { case (id, t, lo, hi) => s"($id, '$t', ${lo}::DOUBLE, ${hi}::DOUBLE)" }

@@ -99,6 +99,27 @@ class CurationSpec extends SparkSpec {
     assert(t.drop(1).forall(_._2 > 0))
   }
 
+  test("curate_calibration: bins partition the corpus, probabilities and rates stay in [0,1]") {
+    val bins = CurationQueries.calibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(bins.nonEmpty && bins.forall(b => b._1 >= 0 && b._1 <= 9))
+    // bins partition the scored corpus: sizes sum to the doc count and the
+    // positive counts sum to the gate's keep count
+    val docs = graft.Tables.documents(spark, sf0001).count()
+    assert(bins.map(_._2).sum == docs, s"bin sizes ${bins.map(_._2).sum} != $docs")
+    bins.foreach { b =>
+      assert(b._3 >= 0 && b._3 <= b._2, s"positives out of range: $b")
+      assert(b._4 >= 0.0 && b._4 <= 1.0 && b._5 >= 0.0 && b._5 <= 1.0, s"$b")
+      // mean predicted probability must sit inside its own decile
+      assert(b._4 >= b._1 / 10.0 - 1e-9 && b._4 <= (b._1 + 1) / 10.0 + 1e-9, s"$b")
+    }
+    // the trained gate separates this fixture perfectly (classifier spec),
+    // so calibration must be perfectly sharp at the extremes it populates
+    val lo = bins.filter(_._1 <= 2); val hi = bins.filter(_._1 >= 7)
+    assert(lo.forall(_._3 == 0L), s"low bins contain positives: ${lo.toSeq}")
+    assert(hi.forall(b => b._3 == b._2), s"high bins contain negatives: ${hi.toSeq}")
+  }
+
   test("mix_kcenter: farthest-point invariants — distinct picks, shrinking coverage radius") {
     val t = CurationQueries.kcenter(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))

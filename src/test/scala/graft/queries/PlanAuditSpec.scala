@@ -766,13 +766,23 @@ class PlanAuditSpec extends SparkSpec {
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
       "sim_recall_filter", "sim_recall_filter_ivf", "stream_sessions",
       "stream_twap", "stream_wau", "stream_anomaly", "stream_heavy",
-      "stream_expectations",
+      "stream_expectations", "stream_dedup", "stream_distinct",
+      "stream_percentiles", "stream_quality", "stream_index_ann",
+      "stream_index_lex",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
       "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
     }
+  }
+
+  test("q107 prunes fact partitions at runtime (dynamic partition pruning)") {
+    // the weekend day-set lives in the dim table, so only a
+    // DynamicPruningExpression in the fact scan's PartitionFilters can
+    // prune — a static filter would prove nothing
+    val p = plans("q107_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
   }
 
   test("q104 expectations evaluate the whole rule suite in one unpivot scan") {

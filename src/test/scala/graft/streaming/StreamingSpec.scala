@@ -681,10 +681,34 @@ class StreamingSpec extends SparkSpec {
     assert(anom.getLong(0) > 0L, "no anomalies — vacuous gate")
     // the staged replay is really several ts-range files in mtime order
     val dirs = new java.io.File(System.getProperty("java.io.tmpdir"))
-      .listFiles().filter(_.getName.startsWith("graft_replay_sf0_001"))
+      .listFiles().filter(_.getName.startsWith("graft_replay_events_sf0_001"))
     assert(dirs.nonEmpty, "replay stage missing")
     val parts = dirs.head.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
     assert(parts.length == graft.queries.StreamGateQueries.replayBatches, parts.toSeq.toString)
     assert(parts.map(_.lastModified).toSeq == parts.map(_.lastModified).sorted.toSeq)
+  }
+
+  test("r12 gate rows: index maintenance, dedup, sketches, and the stateless gate replay to zero diffs") {
+    import graft.queries.StreamGateQueries
+    // each row's diffs column is the in-engine stream ≡ batch certificate;
+    // the surface columns must be non-vacuous so a zero-row replay can't
+    // fake a pass
+    val ded = StreamGateQueries.dedup(spark, sf0001).head()
+    assert(ded.getLong(1) == 0L, s"dedup diverged: $ded")
+    assert(ded.getLong(0) > 0L, "no dedup keys — vacuous gate")
+    val dis = StreamGateQueries.distinctSketch(spark, sf0001).head()
+    assert(dis.getLong(2) == 0L, s"distinct sketch diverged: $dis")
+    assert(dis.getLong(0) > 0L && dis.getLong(1) > 0L, s"vacuous: $dis")
+    val pct = StreamGateQueries.percentiles(spark, sf0001).head()
+    assert(pct.getLong(1) == 0L, s"percentile sketch diverged: $pct")
+    assert(pct.getLong(0) > 0L, "no windows — vacuous gate")
+    val qual = StreamGateQueries.quality(spark, sf0001).head()
+    assert(qual.getLong(2) == 0L, s"quality gate diverged: $qual")
+    val ann = StreamGateQueries.indexAnn(spark, sf0001).head()
+    assert(ann.getLong(1) == 0L, s"ANN index maintenance diverged: $ann")
+    assert(ann.getLong(0) > 0L, "no vectors — vacuous gate")
+    val lex = StreamGateQueries.indexLex(spark, sf0001).head()
+    assert(lex.getLong(1) == 0L, s"lexical index maintenance diverged: $lex")
+    assert(lex.getLong(0) > 0L, "no docs — vacuous gate")
   }
 }

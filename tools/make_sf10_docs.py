@@ -24,9 +24,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import sys
+
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/graft_sf10dc"
-REPS = 100
+# optional argv: REPS DST — e.g. `make_sf10_docs.py 30 /tmp/graft_sf3dc`
+# generates the intermediate decade point for growth-curve fits where the
+# full 100x point exceeds the sandbox's shuffle-spill ceiling
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf10dc"
 
 SHIFTS = {
     "customer": {"c_custkey": 1_000_000},
