@@ -279,6 +279,42 @@ object Graph {
     labels
   }
 
+  /** Budgeted BFS levels from `sources` over the symmetrized graph: the
+    * frontier-expansion primitive (reachability, blast-radius, "how far is
+    * everything from the seed set") the importance/shape family lacked.
+    * Each round is one equi-join (frontier → neighbors), one distinct, and
+    * one anti-join against the visited set — all partial-aggregable /
+    * shuffle-on-key stages, round-checkpointed like [[kcorePeel]] so the
+    * lineage stays flat. Work per round ∝ |frontier ⋈ edges|; the budget is
+    * fixed (100 TB discipline: run the planned rounds and ship — a
+    * convergence probe would gate a 1000-executor job on a scalar action
+    * per round anyway, and an exhausted frontier makes the remaining rounds
+    * free). Levels are exact integers (min-hop by construction: a node
+    * enters `visited` the first round it is reachable, the anti-join keeps
+    * later sightings out), so the result is engine-exact against a
+    * recursive-CTE oracle with no arithmetic caveats.
+    */
+  def bfsLevels(pairs: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
+    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var visited = sources.select(col("node"))
+      .withColumn("level", lit(0L)).localCheckpoint(true)
+    var frontier = visited.select("node")
+    for (k <- 1 to rounds) {
+      val next = frontier.join(sym, frontier("node") === sym("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("level", lit(k.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select("node")
+    }
+    visited
+  }
+
   /** Canonical undirected edge list: (min, max) per pair, self-loops and
     * duplicates removed — the normalization [[triangleStats]] applies inline,
     * shared by the peeling family.

@@ -60,6 +60,31 @@ object GraphQueries {
     Graph.degreeProfile(tradeEdges(s, dir))
       .orderBy("degree")
 
+  val bfsRounds = 6
+
+  /** `graph_bfs` — budgeted BFS from the graph's minimum node id over the
+    * symmetrized trade graph: per level, how many nodes first become
+    * reachable and their id envelope — the blast-radius / reachability
+    * primitive (how much of the supplier network is within k hops of this
+    * account) that complements membership (components), importance
+    * (PageRank), and shape (degree/triangles). Levels are min-hop by
+    * construction on BOTH sides (frontier + anti-join here, UNION-deduped
+    * recursive CTE + min(level) in the oracle), all integers — engine-exact
+    * with no arithmetic caveats. The seed is a one-scalar action (the
+    * oracle recomputes it as the same min), session-cached.
+    */
+  def bfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = tradeEdges(s, dir)
+    val seedId = BackboneRegistry.scalarOrBuild(s, s"graph:bfsseed:$dir")(
+      edges.agg(min(least(col("src"), col("dst")))).first().getLong(0))
+    Graph.bfsLevels(edges, Seq(seedId).toDF("node"), bfsRounds)
+      .groupBy("level")
+      .agg(count(lit(1)).as("nodes"),
+        min("node").as("min_node"), max("node").as("max_node"))
+      .orderBy("level")
+  }
+
   val commonCap = 64
 
   /** `graph_common` — co-purchase similarity: supplier pairs serving the
@@ -283,6 +308,22 @@ object GraphQueries {
     "graph_degree" ->
       s"""WITH $edgeSql
          |SELECT deg AS degree, count(*) AS n_nodes
-         |FROM deg GROUP BY deg ORDER BY degree""".stripMargin
+         |FROM deg GROUP BY deg ORDER BY degree""".stripMargin,
+    // min-hop levels: the recursive UNION dedups (node, level) rows against
+    // everything generated so far, the level-bound guard terminates it, and
+    // min(level) per node collapses late sightings — the same min-hop
+    // semantics the Spark side gets from its visited anti-join
+    "graph_bfs" ->
+      s"""WITH RECURSIVE $edgeSql,
+         |seed AS (SELECT min(src) AS node FROM e),
+         |walk(node, level) AS (
+         |  SELECT node, 0 FROM seed
+         |  UNION
+         |  SELECT e.dst, w.level + 1 FROM walk w JOIN e ON e.src = w.node
+         |  WHERE w.level < $bfsRounds),
+         |lv AS (SELECT node, min(level) AS level FROM walk GROUP BY node)
+         |SELECT CAST(level AS BIGINT) AS level, count(*) AS nodes,
+         |  min(node) AS min_node, max(node) AS max_node
+         |FROM lv GROUP BY level ORDER BY level""".stripMargin
   )
 }

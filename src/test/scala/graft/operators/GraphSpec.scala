@@ -152,6 +152,21 @@ class GraphSpec extends SparkSpec {
     assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
   }
 
+  test("bfsLevels: min-hop levels on a path with a shortcut, frontier exhaustion is free") {
+    // path 1-2-3-4-5 plus shortcut (1,4): levels from {1} are
+    // 1→0, 2→1, 4→1, 3→2, 5→2 (node 3 via 2 OR 4 — both level-1 parents,
+    // still min-hop 2; node 4 must NOT be 3 despite the path route)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("src", "dst")
+    val lv = Graph.bfsLevels(e, Seq(1L).toDF("node"), rounds = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // unreachable component stays out; budget smaller than the diameter truncates
+    val e2 = e.union(Seq((10L, 11L)).toDF("src", "dst"))
+    val lv2 = Graph.bfsLevels(e2, Seq(1L).toDF("node"), rounds = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv2 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("labelPropagation: a clique reaches full consensus on its min id") {
     val e = (1L to 4L).flatMap(i => ((i + 1) to 4L).map(j => (i, j))).toDF("a", "b")
     val lbl = Graph.labelPropagation(e, rounds = 4).collect().map(_.getLong(1))
