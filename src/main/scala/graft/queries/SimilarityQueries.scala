@@ -290,6 +290,39 @@ object SimilarityQueries {
     recallOf(s, dir, Similarity.ivfTopK(Tables.embeddings(s, dir),
       queryId = 0L, k = recallK, centroidsNOpt = Some(Similarity.ivfCentroids)))
 
+  /** The nprobe sweep the curve query walks — doubling steps up to half the
+    * coarse codebook, the range an IVF deployment actually tunes over.
+    */
+  val nprobeCurve = Seq(1, 2, 4, 8)
+
+  /** `sim_nprobe_curve` — the TUNING CURVE as a declared query: recall@k of
+    * the IVF arm at each nprobe in [[nprobeCurve]], one row per setting.
+    * The single-point recall rows (C53/C169) calibrate a chosen
+    * configuration; this is how the configuration gets CHOSEN — the shape
+    * (where recall saturates vs how many lists each probe scans) is the
+    * recall/latency trade a serving team reads off before pinning nprobe.
+    * All four arms share the one exact ground-truth top-k (bounded,
+    * [[recallK]] rows) and the same assignment; each arm's cost is
+    * ∝ the lists it probes, so the whole curve costs about one unfiltered
+    * scan — the measure-don't-guess discipline at configuration-sweep
+    * granularity.
+    */
+  def recallCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val exact = Similarity
+      .bruteForceTopK(emb, queryId = 0L, k = recallK)
+      .select("vec_id").localCheckpoint(true)
+    nprobeCurve.map { np =>
+      val ap = Similarity.ivfTopK(emb, queryId = 0L, k = recallK,
+        centroidsNOpt = Some(Similarity.ivfCentroids), nprobe = np)
+      exact.join(ap.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np.toLong).as("nprobe"), lit(recallK).as("k"), col("hits"),
+          round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   /** Code-width FLOOR for the declared batch-ANN query: 8 planes keeps the
     * Hamming-≤1 ball dense enough to fill k at verify-scale corpora. The
     * width itself is data-scaled ([[Similarity.planesFor]] with this floor),
@@ -793,7 +826,37 @@ object SimilarityQueries {
     * the parquet results were computed with, at any scale factor, even when
     * one JVM verifies several dirs of different scale.
     */
+  /** The nprobe-curve oracle: the sim_recall_ivf chain with one probed arm
+    * per [[nprobeCurve]] setting, sharing the assignment and exact-truth
+    * CTEs — the SQL is generated from the SAME Seq the Spark side walks.
+    */
+  private def nprobeCurveSql: String = {
+    val arms = nprobeCurve.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, $recallK AS k, count(*) AS hits,
+         |  round(count(*)/$recallK.0, 6) AS recall
+         |FROM ex JOIN (SELECT vec_id FROM
+         |    (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+         |     FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+         |     JOIN (SELECT cid FROM
+         |       (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+         |        FROM cent c, q) t WHERE rn <= $np) p ON p.cid = a.cid, q) t
+         |  WHERE rn <= $recallK) ap USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+       |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+       |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+       |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM
+       |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+       |   FROM embeddings e, q) t WHERE rn <= $recallK)
+       |SELECT * FROM (
+       |$arms
+       |) ORDER BY nprobe""".stripMargin
+  }
+
   def oracle(dir: String): Map[String, String] = Map(
+    "sim_nprobe_curve" -> nprobeCurveSql,
     "sim_maxsim" ->
       s"""WITH v AS (SELECT vec_id // $maxSimGroup AS doc, vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE doc = 0),
