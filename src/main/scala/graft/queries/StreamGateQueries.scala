@@ -324,6 +324,42 @@ object StreamGateQueries {
       .toDF("sources_kept", "kept", "diffs")
   }
 
+  /** `stream_join` — the stream-stream JOIN (the one Structured Streaming
+    * surface still spec-only after the r12 first tranche: StreamOps'
+    * reverseFlowJoin is flows-shaped) under the driver gate: each click
+    * joined to the same user's views within the following hour, BOTH sides
+    * derived from one replayed stream (a stream self-join — two watermarked
+    * legs over the same source). An INNER time-bounded equi-join emits a
+    * pair exactly when both legs have arrived, regardless of watermark
+    * progress, so over a finite replay the emitted multiset equals the
+    * batch join identically — the identity configuration again (the
+    * watermarks + time bound exist to let a production run expire state;
+    * correctness never depends on them). Replayed in [[replayBatches]]
+    * batches so pairs whose legs arrive in DIFFERENT micro-batches must be
+    * emitted from join state, which a single-batch replay never exercises.
+    */
+  def join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pairsOf(df: DataFrame): DataFrame = {
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+      val views = df.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+      clicks.withWatermark("cts", "1 hour")
+        .join(views.withWatermark("vts", "1 hour"),
+          col("user_id") === col("v_user") &&
+            col("vts") > col("cts") &&
+            col("vts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_id"), col("view_id"))
+    }
+    val streamed = replay(s, dir)(pairsOf)
+    val batch = pairsOf(Tables.events(s, dir)
+      .select("user_id", "event_type", "ts", "event_id"))
+    Seq((batch.count(), diffCount(streamed, batch)))
+      .toDF("pairs", "diffs")
+  }
+
   /** The documents replay set (doc_id-ordered). */
   private def docsReplayPath(s: SparkSession, dir: String): String =
     stagedReplay(s, dir, "docs")(
@@ -450,6 +486,12 @@ object StreamGateQueries {
       s"""SELECT count(*) AS sources_kept, CAST(sum(kept) AS BIGINT) AS kept,
          |  CAST(0 AS BIGINT) AS diffs
          |FROM (${TextQueries.oracle("text_gopher")}) t WHERE kept > 0""".stripMargin,
+    "stream_join" ->
+      """SELECT count(*) AS pairs, CAST(0 AS BIGINT) AS diffs
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) > epoch_us(c.ts)
+        | AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
     "stream_index_ann" ->
       "SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs FROM embeddings",
     "stream_index_lex" ->

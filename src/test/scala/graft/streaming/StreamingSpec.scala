@@ -710,5 +710,8 @@ class StreamingSpec extends SparkSpec {
     val lex = StreamGateQueries.indexLex(spark, sf0001).head()
     assert(lex.getLong(1) == 0L, s"lexical index maintenance diverged: $lex")
     assert(lex.getLong(0) > 0L, "no docs — vacuous gate")
+    val jn = StreamGateQueries.join(spark, sf0001).head()
+    assert(jn.getLong(1) == 0L, s"stream-stream join diverged: $jn")
+    assert(jn.getLong(0) > 0L, "no click→view pairs — vacuous gate")
   }
 }
