@@ -2514,6 +2514,52 @@ object CoreQueries {
       .orderBy("event_type")
   }
 
+  /** Trailing window width (days, inclusive of the current day) for the
+    * rolling correlation.
+    */
+  val corrWindowDays = 7
+
+  /** `q108_moving_corr` — rolling 7-day Pearson correlation between the
+    * click and view DAILY VOLUMES: the co-movement monitor (did the two
+    * funnel legs decouple this week?) that q79's static correlation matrix
+    * can't see. Engine-exact discipline: the six windowed moments (n, Σx,
+    * Σy, Σxy, Σx², Σy²) are INTEGER sums over daily counts — exact and
+    * order-free — and the displayed correlation is a fixed dag of IEEE ops
+    * (two sqrt, one multiply, one divide) on exactly-representable integer
+    * operands, each correctly rounded by the standard, so both engines
+    * compute the identical double before the one `round(…, 6)`; |corr| ≤ 1
+    * keeps the rounding inside the scale-6 magnitude rule. The daily
+    * rollup rides the C137 byType scan (exchange-free partial counts); the
+    * windowed stage runs on the tiny aligned day frame (≤ calendar days —
+    * the q64/q106 bounded-by-construction precedent).
+    */
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    val daily = EventsBackbone.byType(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "view", 1)).as("y"))
+    val w = Window.orderBy("day").rowsBetween(-(corrWindowDays - 1), 0)
+    val n = lit(corrWindowDays.toLong)
+    val moments = daily
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("k") === n)
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    moments
+      .filter(vx > 0 && vy > 0)
+      .select(col("day"), col("sx").as("clicks"), col("sy").as("views"),
+        round(cov.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6).as("corr7"))
+      .orderBy("day")
+  }
+
   def q106(s: SparkSession, dir: String): DataFrame = {
     val daily = EventsBackbone.byType(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
