@@ -100,4 +100,46 @@ class EventsBackboneSpec extends SparkSpec {
     assert(rows == rows.sortBy(identity),
       "bucket file is not sorted by (user_id, ts, event_id)")
   }
+
+  test("q107: dynamic partition pruning MEASURED — fewer day partitions read than exist") {
+    // the plan audit pins the DynamicPruningExpression's presence; this
+    // executes the query and reads the fact scan's runtime metrics, so the
+    // claim is "directories were actually skipped", not "the plan says so"
+    import graft.queries.CoreQueries
+    val df = CoreQueries.q107(spark, sf0001)
+    val answer = df.collect()
+    assert(answer.nonEmpty, "no weekend rows — vacuous pruning test")
+    val (factPath, _) = EventsBackbone.dayPartitioned(spark, sf0001)
+    val totalDays = new java.io.File(factPath).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(totalDays > 2, s"corpus spans only $totalDays days")
+    // AQE hides scans inside query stages: collect() does not descend into
+    // QueryStageExec.plan / AdaptiveSparkPlanExec.executedPlan, so walk them
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val nested = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(allNodes)
+    }
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.partitionFilters.nonEmpty => s
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    val read = scans.head.metrics("numPartitions").value
+    assert(read > 0 && read < totalDays,
+      s"fact scan read $read of $totalDays day partitions — DPP did not prune")
+    // and the pruned answer equals the unpruned predicate pushed by hand
+    val expect = Tables.events(spark, sf0001)
+      .filter(dayofweek(to_date(col("ts"))).isin(1, 7))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("users"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type").collect()
+    assert(answer.toSeq == expect.toSeq)
+  }
 }
