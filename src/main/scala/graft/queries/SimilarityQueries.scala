@@ -290,6 +290,21 @@ object SimilarityQueries {
     recallOf(s, dir, Similarity.ivfTopK(Tables.embeddings(s, dir),
       queryId = 0L, k = recallK, centroidsNOpt = Some(Similarity.ivfCentroids)))
 
+  /** Recall@[[recallK]] of the PQ arms — the last two served paths without
+    * a measured reading (C35 ships their top-k queries; these close the
+    * C53 harness loop over EVERY arm): pure-code ADC ranking, and the
+    * composed IVF-PQ serving shape. The PQ arms rank by quantized inner
+    * product, so their recall reads the CODEBOOK's fidelity on this corpus
+    * — the number that decides m/k before anyone trusts ADC ranking.
+    */
+  def recallPq(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, Similarity.pqTopK(Tables.embeddings(s, dir),
+      queryId = 0L, k = recallK))
+
+  def recallIvfPq(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+      queryId = 0L, k = recallK, nOpt = Some(embCount(s, dir))))
+
   /** The nprobe sweep the curve query walks — doubling steps up to half the
     * coarse codebook, the range an IVF deployment actually tunes over.
     */
@@ -855,8 +870,22 @@ object SimilarityQueries {
        |) ORDER BY nprobe""".stripMargin
   }
 
+  /** Wrap an arm oracle (any statement ending `SELECT vec_id, … LIMIT k`)
+    * in the shared recall harness: exact truth ∩ arm, one row.
+    */
+  private def recallWrapSql(armSql: String): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM
+       |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+       |   FROM embeddings e, q) t WHERE rn <= $recallK)
+       |SELECT $recallK AS k, count(*) AS hits,
+       |  round(count(*)/$recallK.0, 6) AS recall
+       |FROM ex JOIN ($armSql) ap USING (vec_id)""".stripMargin
+
   def oracle(dir: String): Map[String, String] = Map(
     "sim_nprobe_curve" -> nprobeCurveSql,
+    "sim_recall_pq" -> recallWrapSql(pqSql),
+    "sim_recall_ivfpq" -> recallWrapSql(ivfPqSql),
     "sim_maxsim" ->
       s"""WITH v AS (SELECT vec_id // $maxSimGroup AS doc, vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE doc = 0),
