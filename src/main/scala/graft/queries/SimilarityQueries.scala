@@ -305,6 +305,39 @@ object SimilarityQueries {
     recallOf(s, dir, Similarity.ivfPqTopK(Tables.embeddings(s, dir),
       queryId = 0L, k = recallK, nOpt = Some(embCount(s, dir))))
 
+  /** ADC candidate pool fed to the exact re-rank — 5× the served k, the
+    * conventional re-rank budget.
+    */
+  val rerankPool = 50
+
+  /** `sim_pq_rerank` — the fix the C177 readings demand: coarse-rank by PQ
+    * codes (top-[[rerankPool]] by ADC — cheap, code-only), then EXACT
+    * cosine re-rank of just those survivors against the full vectors. This
+    * is the standard production serving shape (codes decide who gets read,
+    * full vectors decide the order), and it turns the measured 0.3
+    * ADC-only recall into [[recallPqRerank]]'s reading at the cost of
+    * [[rerankPool]] full-vector reads per query.
+    */
+  def pqRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val cands = Similarity.pqTopK(emb, queryId = 0L, k = rerankPool)
+      .select("vec_id")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.join(cands, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id")).limit(recallK)
+  }
+
+  /** Recall@[[recallK]] of the re-ranked PQ arm — the C177 counterpart
+    * reading that justifies shipping the two-stage shape.
+    */
+  def recallPqRerank(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, pqRerank(s, dir))
+
   /** The nprobe sweep the curve query walks — doubling steps up to half the
     * coarse codebook, the range an IVF deployment actually tunes over.
     */
@@ -768,7 +801,7 @@ object SimilarityQueries {
     * summed in ascending-j order (`list(ip ORDER BY j)` — the same fixed
     * fold order as the Scala side's sorted-struct aggregate).
     */
-  private def pqSql: String = {
+  private def pqSql(limit: Int = 10): String = {
     val (m, kk, sd) = (Similarity.pqM, Similarity.pqK, Similarity.pqSubDim)
     def sliceSql(v: String) = s"$v[j*$sd+1 : j*$sd+$sd]"
     def l2(a: String, b: String) =
@@ -790,7 +823,7 @@ object SimilarityQueries {
        |  (SELECT cd.vec_id, list_sum(list(l.ip ORDER BY cd.j)) AS radc
        |   FROM codes cd JOIN lut l ON l.j = cd.j AND l.k = cd.code
        |   GROUP BY cd.vec_id) t
-       |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
+       |ORDER BY adc DESC, vec_id LIMIT $limit""".stripMargin
   }
 
   /** DuckDB rendering of the composed IVF-PQ path: the `sim_ivf_topk`
@@ -882,10 +915,22 @@ object SimilarityQueries {
        |  round(count(*)/$recallK.0, 6) AS recall
        |FROM ex JOIN ($armSql) ap USING (vec_id)""".stripMargin
 
+  /** The re-ranked PQ arm's oracle: ADC pool from the parameterized pqSql,
+    * exact-cosine re-rank with the engine's (round-6 DESC, vec_id) order.
+    */
+  private def pqRerankSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id FROM (${pqSql(rerankPool)}) t)
+       |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+       |FROM embeddings e JOIN cand USING (vec_id), q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT $recallK""".stripMargin
+
   def oracle(dir: String): Map[String, String] = Map(
     "sim_nprobe_curve" -> nprobeCurveSql,
-    "sim_recall_pq" -> recallWrapSql(pqSql),
+    "sim_recall_pq" -> recallWrapSql(pqSql()),
     "sim_recall_ivfpq" -> recallWrapSql(ivfPqSql),
+    "sim_pq_rerank" -> pqRerankSql,
+    "sim_recall_pq_rerank" -> recallWrapSql(pqRerankSql),
     "sim_maxsim" ->
       s"""WITH v AS (SELECT vec_id // $maxSimGroup AS doc, vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE doc = 0),
@@ -958,7 +1003,7 @@ object SimilarityQueries {
          |  WHERE rn <= $recallK)
          |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
          |FROM ex JOIN ap USING (vec_id)""".stripMargin,
-    "sim_pq_topk" -> pqSql,
+    "sim_pq_topk" -> pqSql(),
     "sim_ivfpq_topk" -> ivfPqSql,
     "sim_ivfpq_staged" -> ivfPqSql,
     "sim_centroid_assign" -> {

@@ -765,7 +765,7 @@ class PlanAuditSpec extends SparkSpec {
     val singleRow = Set("q06_distinct", "q10_anti_join", "q16_dedup_distinct",
       "q23_approx_distinct", "sim_recall", "sim_recall_ivf", "sim_recall_multi",
       "sim_recall_filter", "sim_recall_filter_ivf", "sim_recall_pq",
-      "sim_recall_ivfpq", "stream_sessions",
+      "sim_recall_ivfpq", "sim_recall_pq_rerank", "stream_sessions",
       "stream_twap", "stream_wau", "stream_anomaly", "stream_heavy",
       "stream_expectations", "stream_dedup", "stream_distinct",
       "stream_percentiles", "stream_quality", "stream_index_ann",
