@@ -442,6 +442,51 @@ object StreamGateQueries {
       .toDF("vectors", "diffs")
   }
 
+  /** `stream_index_ivf` — the IVF maintenance arm under the driver gate,
+    * completing the index-maintenance symmetry (LSH C29 / lexical C66 /
+    * IVF): the embeddings replay appends per micro-batch into a fresh
+    * staged IVF table via [[StreamOps.maintainIvfIndex]] — every batch
+    * assigned against the SAME pinned centroid codebook — which must then
+    * equal a full batch restage row-for-row on (vec_id, cid) AND through a
+    * bucket-pruned 2-list probe.
+    */
+  def indexIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = stagedReplay(s, dir, "emb")(
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      Seq("vec_id"), Seq("vec_id"))
+    val tag = dirTag(dir)
+    val cent = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .localCheckpoint(true)
+    val streamT = s"sg_ivf_stream_$tag"
+    Bucketing.dropStaged(s, streamT)
+    val q = StreamOps.maintainIvfIndex(replaySource(s, path), cent, streamT,
+      java.nio.file.Files.createTempDirectory("sg_ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    val fullT = BackboneRegistry.namesOrBuild(s, s"sg_ivf_full:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val t = s"sg_ivf_full_$tag"
+      Similarity.stageIvfBucketed(Tables.embeddings(s, dir), cent, t)
+      Seq(t)
+    }.head
+    val rowDiff = diffCount(
+      Bucketing.read(s, streamT).select("vec_id", "cid"),
+      Bucketing.read(s, fullT).select("vec_id", "cid"))
+    val qv = Tables.embeddings(s, dir).orderBy("vec_id").limit(1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probeCids = cent
+      .select(col("cid"),
+        graft.functions.VectorOps.cosine(col("ce"), typedlit(qv)).as("c"))
+      .orderBy(desc("c"), asc("cid")).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    def probe(t: String) = Similarity.probeStagedIvf(s, t, qv, probeCids)
+    val diffs = rowDiff + diffCount(probe(streamT), probe(fullT))
+    Seq((Tables.embeddings(s, dir).count(), diffs))
+      .toDF("vectors", "diffs")
+  }
+
   /** `stream_index_lex` — C66's streaming lexical-index maintenance under
     * the driver gate: documents replay through
     * [[StreamOps.maintainLexicalIndex]] (per-batch postings append + one
@@ -530,6 +575,8 @@ object StreamGateQueries {
          | AND epoch_us(v.ts) > epoch_us(c.ts)
          | AND epoch_us(v.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
     "stream_index_ann" ->
+      "SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs FROM embeddings",
+    "stream_index_ivf" ->
       "SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs FROM embeddings",
     "stream_index_lex" ->
       "SELECT count(*) AS docs, CAST(0 AS BIGINT) AS diffs FROM documents",

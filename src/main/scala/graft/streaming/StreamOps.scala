@@ -210,6 +210,24 @@ object StreamOps {
       }
       .start()
 
+  /** Keep a staged IVF index ([[graft.operators.Similarity
+    * .stageIvfBucketed]]) fresh under streaming vector ingest — the IVF
+    * counterpart of [[maintainLshIndex]]: each micro-batch is assigned
+    * against the SAME bounded centroid codebook the index was staged with
+    * (a broadcast argmax over the batch only) and appended into its `cid`
+    * buckets, so probes over the live index stay bucket-pruned. Same
+    * effectively-once-per-epoch checkpoint contract as the other arms.
+    */
+  def maintainIvfIndex(embeddings: DataFrame, cent: DataFrame, table: String,
+                       checkpoint: String, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendStagedIvf(batch, cent, table, buckets)
+      }
+      .start()
+
   /** Keep a staged inverted LEXICAL index ([[graft.operators.TextIndex
     * .stageIndex]]) fresh under streaming document ingest — the lexical
     * twin of [[maintainLshIndex]], closing the serving-index family

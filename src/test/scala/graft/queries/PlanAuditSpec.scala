@@ -769,7 +769,7 @@ class PlanAuditSpec extends SparkSpec {
       "stream_twap", "stream_wau", "stream_anomaly", "stream_heavy",
       "stream_expectations", "stream_dedup", "stream_distinct",
       "stream_percentiles", "stream_quality", "stream_index_ann",
-      "stream_index_lex", "stream_join",
+      "stream_index_lex", "stream_index_ivf", "stream_join",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
       "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup")
     SparkEntry.oracleSql.foreach { case (name, sql) =>

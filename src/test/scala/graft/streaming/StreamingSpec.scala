@@ -713,5 +713,8 @@ class StreamingSpec extends SparkSpec {
     val jn = StreamGateQueries.join(spark, sf0001).head()
     assert(jn.getLong(1) == 0L, s"stream-stream join diverged: $jn")
     assert(jn.getLong(0) > 0L, "no click→view pairs — vacuous gate")
+    val ivf = StreamGateQueries.indexIvf(spark, sf0001).head()
+    assert(ivf.getLong(1) == 0L, s"IVF index maintenance diverged: $ivf")
+    assert(ivf.getLong(0) > 0L, "no vectors — vacuous gate")
   }
 }
