@@ -338,6 +338,41 @@ object SimilarityQueries {
   def recallPqRerank(s: SparkSession, dir: String): DataFrame =
     recallOf(s, dir, pqRerank(s, dir))
 
+  /** Pool sizes the re-rank curve walks — from no-pool-slack (k itself) to
+    * 20× the served k.
+    */
+  val rerankCurve = Seq(10, 50, 100, 200)
+
+  /** `sim_rerank_curve` — C178's diagnostic made quantitative: recall@10 of
+    * the two-stage PQ arm at each candidate-pool size in [[rerankCurve]].
+    * Where the curve saturates separates ORDER errors (fixed by any pool >
+    * k) from POOL misses (true neighbors the codebook ranks so low that
+    * only a bigger pool recovers them) — the reading that prices the
+    * full-vector-reads-per-query budget against the m/k codebook spend.
+    */
+  def rerankRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val exact = Similarity
+      .bruteForceTopK(emb, queryId = 0L, k = recallK)
+      .select("vec_id").localCheckpoint(true)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    rerankCurve.map { pool =>
+      val arm = emb
+        .join(Similarity.pqTopK(emb, queryId = 0L, k = pool).select("vec_id"),
+          "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id")).limit(recallK)
+      exact.join(arm.select("vec_id"), "vec_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(pool.toLong).as("pool"), lit(recallK).as("k"), col("hits"),
+          round(col("hits") / lit(recallK.toDouble), 6).as("recall"))
+    }.reduce(_ unionAll _).orderBy("pool")
+  }
+
   /** The nprobe sweep the curve query walks — doubling steps up to half the
     * coarse codebook, the range an IVF deployment actually tunes over.
     */
@@ -925,12 +960,36 @@ object SimilarityQueries {
        |FROM embeddings e JOIN cand USING (vec_id), q
        |ORDER BY cos_sim DESC, e.vec_id LIMIT $recallK""".stripMargin
 
+  /** The pool-curve oracle: one re-ranked arm per [[rerankCurve]] pool,
+    * each wrapped in the recall harness, UNION ALL'd — generated from the
+    * SAME Seq the Spark side walks.
+    */
+  private def rerankCurveSql: String = {
+    val arms = rerankCurve.map { pool =>
+      s"""SELECT CAST($pool AS BIGINT) AS pool, $recallK AS k, count(*) AS hits,
+         |  round(count(*)/$recallK.0, 6) AS recall
+         |FROM ex JOIN (
+         |  SELECT e.vec_id FROM embeddings e
+         |  JOIN (SELECT vec_id FROM (${pqSql(pool)}) t0) cand USING (vec_id), q
+         |  ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id
+         |  LIMIT $recallK) ap USING (vec_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM
+       |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+       |   FROM embeddings e, q) t WHERE rn <= $recallK)
+       |SELECT * FROM (
+       |$arms
+       |) ORDER BY pool""".stripMargin
+  }
+
   def oracle(dir: String): Map[String, String] = Map(
     "sim_nprobe_curve" -> nprobeCurveSql,
     "sim_recall_pq" -> recallWrapSql(pqSql()),
     "sim_recall_ivfpq" -> recallWrapSql(ivfPqSql),
     "sim_pq_rerank" -> pqRerankSql,
     "sim_recall_pq_rerank" -> recallWrapSql(pqRerankSql),
+    "sim_rerank_curve" -> rerankCurveSql,
     "sim_maxsim" ->
       s"""WITH v AS (SELECT vec_id // $maxSimGroup AS doc, vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS qid, embedding AS qe FROM v WHERE doc = 0),
