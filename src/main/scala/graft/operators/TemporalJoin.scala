@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -71,6 +71,70 @@ object TemporalJoin {
       .select(left.columns.map(col) ++
         (col("__m").getField(tsCol).as(matchedTsCol) +:
           payload.map(p => col("__m").getField(p).as(p))): _*)
+  }
+
+  /** NEAREST as-of join: for every left row, the right row minimizing
+    * |Δts| within the same `keys` group, looking BOTH directions — the
+    * nearest-quote/nearest-reading enrichment [[asofBackward]] can't
+    * express (backward-only misses a right row one tick ahead). Ties at
+    * equal distance prefer the backward match (the at-or-before row),
+    * and a right row at the exact left instant is distance 0 backward.
+    * Same union trick as [[asofBackward]], two window passes over ONE
+    * sorted union — still join-free: the backward candidate is
+    * `last(ignoreNulls)` over the trailing frame, the forward one
+    * `first(ignoreNulls)` over the leading frame, and a scalar compare of
+    * exact integer microsecond distances picks the winner. Left-outer
+    * semantics; determinism needs unique (keys, ts) per side (the events
+    * corpus has it — the q59 contract).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, payload: Seq[String],
+                  matchedTsCol: String = "asof_ts"): DataFrame = {
+    require(payload.nonEmpty, "asofNearest needs at least one payload column")
+    require(payload.forall(p => !left.columns.contains(p)),
+      s"payload columns ${payload.filter(left.columns.contains)} collide with left columns — rename on the right side")
+    val asofType = StructType((tsCol +: payload).map(n =>
+      right.schema(right.schema.fieldIndex(n)).copy(name = n)))
+    val leftU = left
+      .withColumn("__asof", lit(null).cast(asofType))
+      .withColumn("__side", lit(1))
+    val leftOnly = left.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    val rightU = leftOnly
+      .foldLeft(right.select((keys :+ tsCol).map(col) :+
+        struct((tsCol +: payload).map(col): _*).as("__asof"): _*)) {
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(left.schema.fieldIndex(c)).dataType))
+      }
+      .withColumn("__side", lit(0))
+      .select(leftU.columns.map(col): _*)
+    // right (side 0) sorts before left at equal ts: the trailing frame sees
+    // it (distance-0 backward match); the leading frame starts at the left
+    // row, so the forward candidate is strictly after
+    val ord = Seq(col(tsCol).asc, col("__side").asc)
+    val wb = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // exact integer distance: micros for timestamp columns, the value
+    // itself for integer time axes (the asofBackward fixtures' long ts)
+    val toUs: Column => Column =
+      left.schema(left.schema.fieldIndex(tsCol)).dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => unix_micros _
+        case _ => (c: Column) => c.cast("long")
+      }
+    val us = toUs(col(tsCol))
+    def mUs(m: Column) = toUs(m.getField(tsCol))
+    val picked = leftU.unionByName(rightU)
+      .withColumn("__mb", last(col("__asof"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(col("__asof"), ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+      .withColumn("__m",
+        when(col("__mf").isNull, col("__mb"))
+          .when(col("__mb").isNull, col("__mf"))
+          .when(us - mUs(col("__mb")) <= mUs(col("__mf")) - us, col("__mb"))
+          .otherwise(col("__mf")))
+    picked.select(left.columns.map(col) ++
+      (col("__m").getField(tsCol).as(matchedTsCol) +:
+        payload.map(p => col("__m").getField(p).as(p))): _*)
   }
 
   /** Inner range join: pairs (l, r) sharing `keys` with

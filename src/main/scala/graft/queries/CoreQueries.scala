@@ -1041,6 +1041,28 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** `q109_asof_nearest` — the NEAREST as-of join (C75 is backward-only):
+    * each purchase picks the same user's click minimizing |Δt| in EITHER
+    * direction, ties at equal distance preferring the at-or-before click.
+    * The nearest-reading enrichment (closest telemetry sample, closest
+    * quote) a backward-only as-of silently gets wrong whenever the nearer
+    * row is one tick ahead. Join-free ([[graft.operators.TemporalJoin
+    * .asofNearest]]: one union, one per-key sort, two window passes);
+    * delta exposed as exact signed integer microseconds.
+    */
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    TemporalJoin.asofNearest(purchases, clicks, Seq("user_id"), "ts",
+      Seq("click_value"))
+      .select(col("event_id"), col("user_id"), col("value"), col("click_value"),
+        (unix_micros(col("asof_ts")) - unix_micros(col("ts"))).as("delta_us"))
+      .orderBy("event_id")
+  }
+
   /** Window for [[q60]]: follows within 30 minutes. */
   val rangeJoinWindowSec = 1800L
 

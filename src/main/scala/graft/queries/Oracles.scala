@@ -497,6 +497,22 @@ object Oracles {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // nearest as-of: per purchase, min |delta| click with backward tie
+    // preference; quadratic per-user join here — the join-free Spark plan
+    // computes the same pairs without one (the q60 oracle convention)
+    "q109_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS cts, value AS click_value FROM events
+        |  WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, p.value, c.click_value,
+        |    epoch_us(c.cts) - epoch_us(p.ts) AS delta_us,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(epoch_us(c.cts) - epoch_us(p.ts)),
+        |        CASE WHEN epoch_us(c.cts) <= epoch_us(p.ts) THEN 0 ELSE 1 END) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id)
+        |SELECT event_id, user_id, value, click_value, delta_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // rolling Pearson over integer daily volumes: six exact integer moments,
     // then a fixed dag of correctly-rounded IEEE ops before round(.,6)
     "q108_moving_corr" ->

@@ -22,6 +22,26 @@ class TemporalJoinSpec extends SparkSpec {
     assert(got === Set((1L, 5L, "r5"), (2L, 9L, "r9"), (3L, 15L, "r15"), (4L, -1L, "-")))
   }
 
+  test("asofNearest: forward-nearer, backward-nearer, equal-distance tie, exact instant, no match") {
+    // left 10: right at 9 (d1 back) vs 12 (d2 fwd) -> backward r9
+    // left 20: right at 12 (d8 back) vs 21 (d1 fwd) -> forward r21
+    // left 30: right at 27 and 33 (d3 both) -> tie prefers backward r27
+    // left 40: right at exactly 40 -> distance-0 backward match
+    // key 2: no right rows -> NULLs
+    val left = Seq((1L, "k1", 10L, "a"), (2L, "k1", 20L, "b"),
+      (3L, "k1", 30L, "c"), (4L, "k1", 40L, "d"), (5L, "k2", 10L, "e"))
+      .toDF("id", "k", "ts", "lpay")
+    val right = Seq(("k1", 9L, "r9"), ("k1", 12L, "r12"), ("k1", 21L, "r21"),
+      ("k1", 27L, "r27"), ("k1", 33L, "r33"), ("k1", 40L, "r40"))
+      .toDF("k", "ts", "rpay")
+    val got = TemporalJoin.asofNearest(left, right, Seq("k"), "ts", Seq("rpay"))
+      .select("id", "asof_ts", "rpay").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    assert(got === Set((1L, 9L, "r9"), (2L, 21L, "r21"), (3L, 27L, "r27"),
+      (4L, 40L, "r40"), (5L, -1L, "-")))
+  }
+
   test("asofBackward: a legitimately-NULL payload field on the matched row survives (struct carrier)") {
     val left = Seq((1L, "k", 10L)).toDF("id", "k", "ts")
     val right = Seq(("k", 3L, Some("early")), ("k", 8L, None))
