@@ -1063,6 +1063,37 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** How many top days ride each type's LISTAGG report line. */
+  val listaggTopDays = 5
+
+  /** `q110_listagg` — ordered-set aggregation (the LISTAGG/STRING_AGG
+    * surface): per event type, its [[listaggTopDays]] busiest days rendered
+    * as one deterministic `day:count` CSV line — the "report cell" shape
+    * (top sellers per region, top errors per service) BI layers ask of an
+    * engine constantly. Engine-exact because the aggregation carries a
+    * TOTAL order (count DESC, day ASC) into the string: Spark sorts
+    * (-count, day) structs inside the aggregate and joins the slice;
+    * DuckDB string_aggs over the row_number-bounded top-k with the same
+    * ORDER BY. Counts and dates render identically in both engines, so
+    * the strings hash-match. Partial-aggregable daily rollup off the C137
+    * byType scan; the per-type collect is bounded by the calendar.
+    */
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    val daily = EventsBackbone.byType(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("days"),
+        slice(sort_array(collect_list(struct((-col("cnt")).as("nc"),
+          col("day"), col("cnt")))), 1, listaggTopDays).as("top"))
+      .select(col("event_type"), col("days"),
+        array_join(transform(col("top"),
+          t => concat(t.getField("day").cast("string"), lit(":"),
+            t.getField("cnt").cast("string"))), ",").as("top_days"))
+      .orderBy("event_type")
+  }
+
   /** Window for [[q60]]: follows within 30 minutes. */
   val rangeJoinWindowSec = 1800L
 

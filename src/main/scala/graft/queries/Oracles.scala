@@ -497,6 +497,19 @@ object Oracles {
         |  min(event_id) AS min_id, max(event_id) AS max_id
         |FROM events WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // LISTAGG surface: the total order (cnt DESC, day ASC) rides INTO the
+    // string, so the rendered CSV hash-matches across engines
+    "q110_listagg" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY cnt DESC, day) AS rn FROM daily)
+         |SELECT event_type,
+         |  (SELECT count(*) FROM daily d WHERE d.event_type = r.event_type) AS days,
+         |  string_agg(CAST(day AS VARCHAR) || ':' || CAST(cnt AS VARCHAR), ','
+         |    ORDER BY cnt DESC, day) AS top_days
+         |FROM r WHERE rn <= ${CoreQueries.listaggTopDays}
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // nearest as-of: per purchase, min |delta| click with backward tie
     // preference; quadratic per-user join here — the join-free Spark plan
     // computes the same pairs without one (the q60 oracle convention)
