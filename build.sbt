@@ -30,5 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // dev-loop escape hatch for run-scoped spark confs (e.g. a shuffle codec
   // for the scale rehearsals on the sandbox's small disk); space-separated
-  // -D... flags
+  // -D... flags. CONSTRAINT: values must not contain spaces — the split is
+  // naive, so `-Da=x y` becomes two bogus flags. None of the confs this
+  // hatch exists for (codecs, memory fractions, partition counts) carry
+  // spaces; use javaOptions directly for anything that does.
   sys.env.get("SPARK_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -299,17 +299,43 @@ object Dedup {
     * at sf1 that is ~6M rows with array payloads versus the ~300M-row
     * pair×shingle expansion the equi-join verify paid (the r10 profile's
     * dominant stage). Same intersection counts, same scores.
+    *
+    * Elements are stored as the RAW 16-byte md5 digests (`unhex` of the hex
+    * column `m`) — a bijection, so every intersection count and score is
+    * unchanged, while each element costs 16 bytes instead of a 32-char
+    * UTF8 string (~3× off the one array-carrying verify exchange and the
+    * staged table's footprint; at the sf10dc rehearsal that exchange is
+    * the disk high-water mark).
     */
   def shingleArrays(shm: DataFrame): DataFrame =
     shm.groupBy("doc_id")
-      .agg(collect_list("m").as("ms"), count(lit(1)).as("nsh"))
+      .agg(collect_list(unhex(col("m"))).as("ms"), count(lit(1)).as("nsh"))
 
+  /** Candidate pairs joined to both sides' arrays, shuffle-budgeted for the
+    * exchange floor an exact pairwise intersection allows (r12 verdict item
+    * 1 — the sf10dc REPS=100 rehearsal died on spill disk with arrays
+    * crossing multiple sorted exchanges):
+    *
+    *  - both array attachments are pinned to SHUFFLED-HASH joins with the
+    *    array side as build — no sort-merge, so the ~KB-array rows are never
+    *    SORTED on either side of either join (the SMJ plan spilled the probe
+    *    rows a second time through its sorter);
+    *  - when the arrays frame is a bucketed table on `doc_id`
+    *    ([[graft.queries.DedupBackbone.shingleArrays]]), its scan satisfies
+    *    both joins' distribution in place — the array side crosses NO
+    *    exchange at all;
+    *  - candidate pairs enter the d1 join as bare (d1, d2) ids (~16 B/row);
+    *    only the d2 join's probe side carries an array per pair — the one
+    *    irreducible transfer: an exact intersection must co-locate both
+    *    docs' sets once per pair, and each array crosses exactly one
+    *    unsorted exchange.
+    */
   private def intersectionFromArrays(arrays: DataFrame, cands: DataFrame): DataFrame =
     cands
       .join(arrays.select(col("doc_id").as("d1"), col("ms").as("ms1"),
-        col("nsh").as("n1")), "d1")
+        col("nsh").as("n1")).hint("SHUFFLE_HASH"), "d1")
       .join(arrays.select(col("doc_id").as("d2"), col("ms").as("ms2"),
-        col("nsh").as("n2")), "d2")
+        col("nsh").as("n2")).hint("SHUFFLE_HASH"), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("ms1"), col("ms2"))).cast("long").as("inter"),
         col("n1"), col("n2"))

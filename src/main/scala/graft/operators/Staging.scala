@@ -140,6 +140,36 @@ object Staging {
         s"LOCATION '$loc'")
   }
 
+  /** Markers for PATH-staged (non-catalog) artifacts — replay file sets,
+    * partitioned staging dirs — which reuse across JVMs keyed by directory
+    * path. The liveness probe used to be `_SUCCESS`-only (r12 ADVICE): a
+    * source corpus regenerated in place would serve STALE staged files and
+    * fail the oracle gate confusingly instead of re-staging. The marker
+    * records the source fingerprint; a mismatch rebuilds.
+    */
+  def pathMarkerMatches(path: String, fingerprint: String): Boolean = {
+    val dir = new java.io.File(path)
+    val marker = new java.io.File(dir, markerFile)
+    if (!new java.io.File(dir, "_SUCCESS").exists || !marker.exists) false
+    else {
+      val in = new java.io.FileInputStream(marker)
+      try {
+        val props = new java.util.Properties()
+        props.load(in)
+        props.getProperty("fingerprint") == fingerprint
+      } finally in.close()
+    }
+  }
+
+  /** Write the path-staged marker (call only after a successful stage). */
+  def writePathMarker(path: String, fingerprint: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("fingerprint", fingerprint)
+    val out = new java.io.FileOutputStream(new java.io.File(path, markerFile))
+    try props.store(out, s"graft staged-artifact marker for $path")
+    finally out.close()
+  }
+
   private def writeMarker(spark: SparkSession, table: String,
                           fingerprint: String): Unit = {
     val meta = spark.sessionState.catalog

@@ -2572,10 +2572,19 @@ object CoreQueries {
     */
   val corrWindowDays = 7
 
-  /** `q108_moving_corr` — rolling 7-day Pearson correlation between the
-    * click and view DAILY VOLUMES: the co-movement monitor (did the two
+  /** `q108_moving_corr` — rolling 7-OBSERVATION Pearson correlation between
+    * the click and view DAILY VOLUMES: the co-movement monitor (did the two
     * funnel legs decouple this week?) that q79's static correlation matrix
-    * can't see. Engine-exact discipline: the six windowed moments (n, Σx,
+    * can't see. SEMANTIC PRECISION (r12 ADVICE): the frame is
+    * `rowsBetween(-6, 0)` over PRESENT days — a calendar day with zero
+    * click/view events is absent from the daily rollup, so on a gapped
+    * series the window spans more than 7 calendar days; the metric is
+    * "last 7 observed days", not "last 7 calendar days". On this corpus the
+    * two readings coincide — the q65 gap-audit guard (not just q106's)
+    * certifies every day in the span is present — and a gapped deployment
+    * would join a dense calendar (q38's resample/gap-fill) before this
+    * window to get the calendar reading. Engine-exact discipline: the six
+    * windowed moments (n, Σx,
     * Σy, Σxy, Σx², Σy²) are INTEGER sums over daily counts — exact and
     * order-free — and the displayed correlation is a fixed dag of IEEE ops
     * (two sqrt, one multiply, one divide) on exactly-representable integer

@@ -143,8 +143,12 @@ object EventsBackbone {
     import org.apache.spark.sql.functions._
     val tag = dir.split('/').last.replace('.', '_') +
       "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+    // source-content fingerprint in the liveness probe (r12 ADVICE): a
+    // corpus regenerated in place re-stages instead of q107 reading stale
+    // partitions against a fresh DuckDB oracle
+    val fp = Staging.fingerprint(s, dir, "events_daypart:v1")
     val paths = BackboneRegistry.namesOrBuild(s, s"events_daypart:$dir")(
-      _.forall(p => new java.io.File(p, "_SUCCESS").exists)) {
+      _.forall(p => Staging.pathMarkerMatches(p, fp))) {
       val base = System.getProperty("java.io.tmpdir")
       val factPath = new java.io.File(base, s"graft_ev_daypart_$tag").getAbsolutePath
       val dimPath = new java.io.File(base, s"graft_ev_calendar_$tag").getAbsolutePath
@@ -157,6 +161,8 @@ object EventsBackbone {
         .withColumn("dow", dayofweek(col("day")))
         .coalesce(1)
         .write.mode("overwrite").parquet(dimPath)
+      Staging.writePathMarker(factPath, fp)
+      Staging.writePathMarker(dimPath, fp)
       Seq(factPath, dimPath)
     }
     (paths.head, paths(1))

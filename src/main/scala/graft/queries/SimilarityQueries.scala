@@ -357,14 +357,26 @@ object SimilarityQueries {
       .bruteForceTopK(emb, queryId = 0L, k = recallK)
       .select("vec_id").localCheckpoint(true)
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    // The ADC ranking is computed ONCE at the largest pool; a smaller pool's
+    // candidate set is that ranking's prefix (identical deterministic
+    // (adc DESC, vec_id) order), and the exact re-rank cosines are attached
+    // once to the pooled candidates — so the codebook derivation and the
+    // corpus encoding are paid once, not once per curve point (r12 ADVICE:
+    // the per-pool pqTopK calls re-encoded the corpus 4×).
+    val maxPool = rerankCurve.max
+    // unpartitioned window is ≤ maxPool rows by construction
+    val byAdc = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("adc"), asc("vec_id"))
+    val pooled = Similarity.pqTopK(emb, queryId = 0L, k = maxPool)
+      .withColumn("adc_rank", row_number().over(byAdc))
+      .join(emb, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc_rank"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+          .as("cos_sim"))
+      .localCheckpoint(true)
     rerankCurve.map { pool =>
-      val arm = emb
-        .join(Similarity.pqTopK(emb, queryId = 0L, k = pool).select("vec_id"),
-          "vec_id")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
-            .as("cos_sim"))
+      val arm = pooled.filter(col("adc_rank") <= pool)
         .orderBy(desc("cos_sim"), asc("vec_id")).limit(recallK)
       exact.join(arm.select("vec_id"), "vec_id")
         .agg(count(lit(1)).as("hits"))
