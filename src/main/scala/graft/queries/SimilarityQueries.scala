@@ -733,14 +733,14 @@ object SimilarityQueries {
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val t = s"graft_ann_ivfpq_$tag"
       val fp = Staging.fingerprint(s, dir,
-        s"ann_ivfpq:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:pqk${Similarity.pqK}")
+        s"ann_ivfpq:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:pqk${Similarity.pqK}:res1")
       Staging.ensure(s, fp, Seq(t)) {
         val emb = Tables.embeddings(s, dir)
         import org.apache.spark.sql.functions.col
         val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebook(emb), t,
-          stagedIvfBuckets)
+        Similarity.stageIvfPqBucketed(emb, cent,
+          Similarity.pqCodebookResidual(emb, cent), t, stagedIvfBuckets)
       }
       Seq(t)
     }.head
@@ -873,19 +873,24 @@ object SimilarityQueries {
        |ORDER BY adc DESC, vec_id LIMIT $limit""".stripMargin
   }
 
-  /** DuckDB rendering of the composed IVF-PQ path: the `sim_ivf_topk`
-    * assignment/probe CTEs pick the candidate lists, the `sim_pq_topk`
-    * code/LUT CTEs rank them (codes joined to the probed-list members —
-    * same rows as encoding candidates only).
+  /** DuckDB rendering of the composed IVF-PQ path with RESIDUAL encoding
+    * (r12 verdict item 2): the `sim_ivf_topk` assignment/probe CTEs pick
+    * the candidate lists; each vector's residual `v − ce(cid)` is sliced
+    * and coded against the residual codebook (codewords = residuals of
+    * vectors 16..31 — the centroid prefix's residuals are identically zero,
+    * so the stand-in starts past it); ranking adds the exact per-list
+    * `dot(q, ce)` coarse term to the ADC residual sum.
     */
   private def ivfPqSql: String = {
     val (m, kk, sd) = (Similarity.pqM, Similarity.pqK, Similarity.pqSubDim)
+    val cN = Similarity.ivfCentroids
+    val dims = Similarity.dims
     def sliceSql(v: String) = s"$v[j*$sd+1 : j*$sd+$sd]"
     def l2(a: String, b: String) =
       s"list_sum(list_transform(range(1, ${sd + 1}), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))))"
     def ip(a: String, b: String) =
       s"list_sum(list_transform(range(1, ${sd + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $cN),
        |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
        |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
        |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
@@ -893,24 +898,27 @@ object SimilarityQueries {
        |qprobe AS (SELECT cid FROM
        |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
        |   FROM cent c, q) t WHERE rn <= 2),
-       |cands AS (SELECT a.vec_id FROM a JOIN qprobe p ON p.cid = a.cid),
-       |cb AS (SELECT j, vec_id AS k, ${sliceSql("embedding")} AS cw
-       |       FROM embeddings, range(0, $m) t(j) WHERE vec_id < $kk),
-       |sub AS (SELECT e.vec_id, j, ${sliceSql("e.embedding")} AS sv
-       |        FROM embeddings e JOIN cands cd ON cd.vec_id = e.vec_id, range(0, $m) t(j)),
-       |codes AS (SELECT vec_id, j, k AS code FROM
-       |  (SELECT s.vec_id, s.j, c.k,
+       |rv AS (SELECT e.vec_id, a.cid,
+       |    list_transform(range(1, ${dims + 1}), i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) AS rv
+       |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN cent c ON c.cid = a.cid),
+       |cb AS (SELECT j, vec_id AS k, ${sliceSql("rv")} AS cw
+       |       FROM rv, range(0, $m) t(j) WHERE vec_id >= $cN AND vec_id < ${cN + kk}),
+       |sub AS (SELECT r.vec_id, r.cid, j, ${sliceSql("r.rv")} AS sv
+       |        FROM rv r JOIN qprobe p ON p.cid = r.cid, range(0, $m) t(j)),
+       |codes AS (SELECT vec_id, cid, j, k AS code FROM
+       |  (SELECT s.vec_id, s.cid, s.j, c.k,
        |     ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
        |       ORDER BY ${l2("s.sv", "c.cw")}, c.k) AS rn
        |   FROM sub s JOIN cb c ON c.j = s.j) t WHERE rn = 1),
        |qsub AS (SELECT j, ${sliceSql("embedding")} AS sv FROM embeddings, range(0, $m) t(j)
        |         WHERE vec_id = 0),
        |lut AS (SELECT c.j, c.k, ${ip("qs.sv", "c.cw")} AS ip
-       |        FROM qsub qs JOIN cb c ON c.j = qs.j)
-       |SELECT vec_id, round(radc, 6) AS adc FROM
-       |  (SELECT cd.vec_id, list_sum(list(l.ip ORDER BY cd.j)) AS radc
+       |        FROM qsub qs JOIN cb c ON c.j = qs.j),
+       |qce AS (SELECT c.cid, ${SqlGen.dotSql("q.qe", "c.ce", dims)} AS qce FROM cent c, q)
+       |SELECT vec_id, round(radc + qce, 6) AS adc FROM
+       |  (SELECT cd.vec_id, cd.cid, list_sum(list(l.ip ORDER BY cd.j)) AS radc
        |   FROM codes cd JOIN lut l ON l.j = cd.j AND l.k = cd.code
-       |   GROUP BY cd.vec_id) t
+       |   GROUP BY cd.vec_id, cd.cid) t JOIN qce USING (cid)
        |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
   }
 

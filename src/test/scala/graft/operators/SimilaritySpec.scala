@@ -293,7 +293,7 @@ class SimilaritySpec extends SparkSpec {
       Similarity.probeStagedIvf(spark, "graft_test_ann_ivf_tornfull", qe, Seq(0L, 1L), k = 10)
         .collect().toSeq)
 
-    val cb = Similarity.pqCodebook(emb)
+    val cb = Similarity.pqCodebookResidual(emb, cent)
     Similarity.stageIvfPqBucketed(emb.filter(col("vec_id") < 400), cent, cb,
       "graft_test_ann_ivfpq_torn", buckets = 8)
     Similarity.appendStagedIvfPq(
@@ -328,7 +328,7 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebook(emb),
+    Similarity.stageIvfPqBucketed(emb, cent, Similarity.pqCodebookResidual(emb, cent),
       "graft_test_ann_ivfpq", buckets = 8)
     val qe = emb.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
     val probeCids = cent
@@ -351,7 +351,7 @@ class SimilaritySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val cb = Similarity.pqCodebook(emb)
+    val cb = Similarity.pqCodebookResidual(emb, cent)
     Similarity.stageIvfPqBucketed(emb.filter(col("vec_id") < 400), cent, cb,
       "graft_test_ann_ivfpq_incr", buckets = 8)
     Similarity.appendStagedIvfPq(emb.filter(col("vec_id") >= 400), cent, cb,
