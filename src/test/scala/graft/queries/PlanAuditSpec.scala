@@ -91,9 +91,12 @@ class PlanAuditSpec extends SparkSpec {
     // reads at most 3 of the postings table's 8 term buckets
     // sim_batch_staged: 3 queries × 9 probe codes = ≤27 literals over 16
     // buckets — the bound is "strictly fewer than all" (sel < total below)
+    // mm_search: the cross-modal typed probe reads at most its nprobe=4
+    // inverted lists' buckets, kind predicate inside the pruned scan
     Seq("sim_lsh_staged" -> 9, "sim_ivf_staged" -> 2, "sim_ivfpq_staged" -> 2,
         "sim_batch_staged" -> (SimilarityQueries.stagedLshBuckets - 1),
-        "search_lexical_staged" -> RetrievalQueries.lexTerms.length).foreach { case (n, maxSel) =>
+        "search_lexical_staged" -> RetrievalQueries.lexTerms.length,
+        "mm_search" -> MultimodalQueries.searchNprobe).foreach { case (n, maxSel) =>
       val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plans(n))
       assert(m.isDefined, s"$n probe scan is not bucket-pruned:\n${plans(n)}")
       val (sel, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
