@@ -207,7 +207,25 @@ object Dedup {
       .select(col("doc_id"), col("m"), col("pos"), col("nsh"))
   }
 
-  /** Candidate generation from a prebuilt [[rankShingles]] frame. */
+  /** Candidate generation from a prebuilt [[rankShingles]] frame.
+    *
+    * The quadratic stage of the exact tier is the m-join's pre-group
+    * output: every qualifying pair surfaces once per shared prefix shingle
+    * (multiplicity ≈ the prefix length for near-identical docs), and ALL of
+    * it flows through the pair aggregate — at the sf10dc rehearsal this
+    * single stage's partial-aggregate spill filled the sandbox disk. The
+    * rows are therefore PACKED to two longs before the aggregate:
+    * `pk = d1·2³² | d2` and `pv = (1 + min(n1−p1, n2−p2)) · 2²⁰ | (n1+n2)`
+    * — `max(pv)` is exactly the max positional bound because the low 20
+    * bits (n1+n2) are constant within a pair group. Same pairs out,
+    * ~3× fewer bytes through the exchange, the hash map, and the spill.
+    *
+    * Id-width contract (documented, not silently assumed): doc ids must fit
+    * 32 bits unsigned and per-doc shingle counts 2²⁰ (a ~KB-scale text doc
+    * has hundreds of shingles; a corpus with ≥4B doc ids re-keys to dense
+    * ids first — the standard move at that scale, and what keeps the packed
+    * key valid at any corpus size).
+    */
   def prefixFilterCandidatesFromRanked(ranked: DataFrame, tn: Int = 7, td: Int = 10): DataFrame = {
     require(tn > 0 && td >= tn, s"threshold $tn/$td must sit in (0, 1]")
     val prefix = ranked
@@ -217,6 +235,7 @@ object Dedup {
       col("nsh").as("n1"), col("pos").as("p1"))
     val b = prefix.select(col("doc_id").as("d2"), col("m"),
       col("nsh").as("n2"), col("pos").as("p2"))
+    val bound = lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))
     a.join(b, "m")
       .filter(col("d1") < col("d2") &&
         col("n1") * tn <= col("n2") * td && col("n2") * tn <= col("n1") * td &&
@@ -228,15 +247,16 @@ object Dedup {
         // replica-heavy corpus the join output is dominated by deep-prefix
         // matches of genuinely-duplicated docs, and the ones past the
         // α-reachable positions carry no information the group needs)
-        (lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))) * (tn + td) >=
-          (col("n1") + col("n2")) * tn)
-      .groupBy("d1", "d2")
-      // n1/n2 are constant per (d1, d2) group; max is just the
-      // deterministic way to carry them through the aggregate
-      .agg(max(lit(1) + least(col("n1") - col("p1"), col("n2") - col("p2"))).as("ub"),
-        max("n1").as("n1"), max("n2").as("n2"))
-      .filter(col("ub") * (tn + td) >= col("n1").plus(col("n2")) * tn)
-      .select("d1", "d2")
+        bound * (tn + td) >= (col("n1") + col("n2")) * tn)
+      .select(
+        (shiftleft(col("d1"), 32).bitwiseOR(col("d2"))).as("pk"),
+        (shiftleft(bound, 20).bitwiseOR(col("n1") + col("n2"))).as("pv"))
+      .groupBy("pk")
+      .agg(max("pv").as("pv"))
+      .filter(shiftright(col("pv"), 20) * (tn + td) >=
+        col("pv").bitwiseAND(lit((1L << 20) - 1)) * tn)
+      .select(shiftright(col("pk"), 32).as("d1"),
+        col("pk").bitwiseAND(lit((1L << 32) - 1)).as("d2"))
   }
 
   /** ESTIMATED Jaccard for candidate pairs straight from their MinHash
