@@ -654,38 +654,110 @@ object TextQueries {
     */
   def bpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wc = Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    var st = wc.withColumn("st",
-      expr("'  ' || array_join(transform(sequence(1, length(word)), " +
-        "i -> substr(word, i, 1)), '  ') || '  '"))
-      .select(col("cnt"), col("st"))
-      .localCheckpoint(true)
-    val out = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (m <- 1 to bpeMerges) {
-      val best = st
-        .withColumn("sym", expr("filter(split(st, '  '), x -> x != '')"))
-        .where(size(col("sym")) >= 2)
-        .select(col("cnt"), explode(expr(
-          "transform(sequence(1, size(sym) - 1), " +
-            "i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"))
-          .as("pr"))
-        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(desc("c"), asc("l"), asc("r"))
-        .limit(1).collect()
-      if (best.nonEmpty) {
-        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        st = st.select(col("cnt"),
-          replace(col("st"), lit(s" $l  $r "), lit(s" $l$r ")).as("st"))
-          .localCheckpoint(true)
-        out += ((m, l, r, l + r, c))
-      }
-    }
-    out.result().toDF("merge_no", "left", "right", "merged", "pair_count")
+    trainedMerges(s, dir)
+      .toDF("merge_no", "left", "right", "merged", "pair_count")
       .orderBy("merge_no")
+  }
+
+  /** The trained merge list (rank order), once per (session, dir) — shared
+    * by the training row (`text_bpe`) and the APPLY pass
+    * (`text_bpe_apply`), so the apply chain tokenizes with exactly the
+    * merges the training row declares. Driver state is [[bpeMerges]] tiny
+    * tuples — a model artifact, not data.
+    */
+  def trainedMerges(s: SparkSession,
+                    dir: String): Seq[(Int, String, String, String, Long)] =
+    BackboneRegistry.scalarOrBuild(s, s"bpe_merges:$dir") {
+      val wc = Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      var st = wc.withColumn("st",
+        expr("'  ' || array_join(transform(sequence(1, length(word)), " +
+          "i -> substr(word, i, 1)), '  ') || '  '"))
+        .select(col("cnt"), col("st"))
+        .localCheckpoint(true)
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (m <- 1 to bpeMerges) {
+        val best = st
+          .withColumn("sym", expr("filter(split(st, '  '), x -> x != '')"))
+          .where(size(col("sym")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sym) - 1), " +
+              "i -> struct(element_at(sym, i) AS l, element_at(sym, i + 1) AS r))"))
+            .as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum("cnt").as("c"))
+          .orderBy(desc("c"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (best.nonEmpty) {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          st = st.select(col("cnt"),
+            replace(col("st"), lit(s" $l  $r "), lit(s" $l$r ")).as("st"))
+            .localCheckpoint(true)
+          out += ((m, l, r, l + r, c))
+        }
+      }
+      out.result()
+    }
+
+  /** Rows surfaced by `text_bpe_apply` (bounded declared output). */
+  val bpeApplyLimit = 200
+
+  /** `text_bpe_apply` — APPLY the trained merges to every document (r12
+    * verdict item 4: C156 trained merges but nothing consumed them — the
+    * tokenizer story ended one step early). Each doc's words become padded
+    * symbol states (the same double-space representation as training;
+    * word states concatenate with a 4-space run between words, which no
+    * ` l  r ` pattern can span, so merges never cross word boundaries),
+    * the [[bpeMerges]] trained replaces apply IN RANK ORDER as a chain of
+    * scan-local literal replaces (the merge list is a broadcast-sized model
+    * artifact — the corpus is touched once, codegen'd, no shuffle before
+    * the bounded output), and each doc declares its BPE token count plus
+    * its first 8 token ids under the deterministic vocabulary
+    * (post-merge distinct symbols, ordered — the id assignment a real
+    * tokenizer would freeze alongside the merges).
+    *
+    * The oracle re-runs training AND application end-to-end in DuckDB
+    * (the w/p CTE cascade from `text_bpe`, then the same replace chain
+    * via scalar subqueries), so a drift anywhere in train OR apply fails
+    * the row.
+    */
+  /** Per-doc BPE token sequences under the trained merges — the apply
+    * pass's core frame, exposed for the round-trip spec (tokens must
+    * re-concatenate to the doc's lowercased text minus spaces).
+    */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir).map(t => (t._2, t._3))
+    val st0 = expr(
+      "concat_ws('', transform(filter(split(lower(text), ' '), w -> w != ''), " +
+        "w -> '  ' || array_join(transform(sequence(1, length(w)), " +
+        "i -> substr(w, i, 1)), '  ') || '  '))")
+    val applied = merges.foldLeft(st0: org.apache.spark.sql.Column) {
+      case (c, (l, r)) => replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    // (the stx alias keeps the replace chain readable in the plan)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), applied.as("stx"))
+      .select(col("doc_id"),
+        expr("filter(split(stx, '  '), x -> x != '')").as("syms"))
+  }
+
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val withSyms = bpeTokens(s, dir)
+    val vocab = withSyms.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tok_id",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("sym")))
+    withSyms
+      .select(col("doc_id"), size(col("syms")).as("n_tokens"),
+        posexplode_outer(slice(col("syms"), 1, 8)))
+      .join(vocab, col("col") === col("sym"), "left")
+      .groupBy("doc_id", "n_tokens")
+      .agg(max(when(col("pos") === 0, col("tok_id"))).as("id0"),
+        (1 until 8).map(i =>
+          max(when(col("pos") === i, col("tok_id"))).as(s"id$i")): _*)
+      .orderBy("doc_id")
+      .limit(bpeApplyLimit)
   }
 
   /** The BPE oracle unrolls the merge loop (PageRank discipline): one
@@ -724,6 +796,65 @@ object TextQueries {
        |SELECT * FROM ($rows) ORDER BY merge_no""".stripMargin
   }
 
+  /** The apply-pass oracle: the `text_bpe` training cascade (w/p CTEs) to
+    * re-derive the merges, then the SAME boundary-guarded replace chain
+    * applied to every document via scalar subqueries against each round's
+    * winning pair, the post-merge vocabulary as row_number over distinct
+    * symbols, and the per-doc (count, first-8 ids) surface.
+    */
+  private def bpeApplyOracle: String = {
+    val rounds = (1 to bpeMerges).map { m =>
+      s"""p$m AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt,
+         |      unnest(list_transform(range(1, len(sym)), i -> sym[i])) AS l,
+         |      unnest(list_transform(range(1, len(sym)), i -> sym[i+1])) AS r
+         |    FROM (SELECT cnt,
+         |        list_filter(string_split(st, '  '), x -> x <> '') AS sym
+         |      FROM w${m - 1}) t) pp
+         |  GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1),
+         |w$m AS MATERIALIZED (SELECT cnt,
+         |    replace(st, ' ' || (SELECT l FROM p$m) || '  ' || (SELECT r FROM p$m) || ' ',
+         |      ' ' || (SELECT l FROM p$m) || (SELECT r FROM p$m) || ' ') AS st
+         |  FROM w${m - 1})""".stripMargin
+    }.mkString(",\n")
+    val applyRounds = (1 to bpeMerges).map { m =>
+      s"""a$m AS MATERIALIZED (SELECT doc_id,
+         |    replace(st, ' ' || (SELECT l FROM p$m) || '  ' || (SELECT r FROM p$m) || ' ',
+         |      ' ' || (SELECT l FROM p$m) || (SELECT r FROM p$m) || ' ') AS st
+         |  FROM a${m - 1})""".stripMargin
+    }.mkString(",\n")
+    val idCols = (0 until 8)
+      .map(i => s"max(CASE WHEN pos = $i THEN tok_id END) AS id$i").mkString(", ")
+    s"""WITH wc AS (SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents) tw
+       |  WHERE word <> '' GROUP BY word),
+       |w0 AS MATERIALIZED (SELECT cnt,
+       |    '  ' || array_to_string(list_transform(range(1, length(word) + 1),
+       |      i -> substr(word, i, 1)), '  ') || '  ' AS st
+       |  FROM wc),
+       |$rounds,
+       |a0 AS (SELECT doc_id, array_to_string(list_transform(
+       |    list_filter(string_split(lower(text), ' '), w -> w <> ''),
+       |    w -> '  ' || array_to_string(list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, i, 1)), '  ') || '  '), '') AS st
+       |  FROM documents),
+       |$applyRounds,
+       |syms AS (SELECT doc_id,
+       |    list_filter(string_split(st, '  '), x -> x <> '') AS syms
+       |  FROM a$bpeMerges),
+       |vocab AS (SELECT sym, row_number() OVER (ORDER BY sym) AS tok_id FROM
+       |  (SELECT DISTINCT unnest(syms) AS sym FROM syms) v),
+       |ex AS (SELECT doc_id, len(syms) AS n_tokens,
+       |    unnest(list_transform(range(1, least(len(syms), 8) + 1), i -> i - 1)) AS pos,
+       |    unnest(syms[1:least(len(syms), 8)]) AS sym
+       |  FROM syms WHERE len(syms) > 0
+       |  UNION ALL SELECT doc_id, 0 AS n_tokens, NULL AS pos, NULL AS sym
+       |  FROM syms WHERE len(syms) = 0)
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, $idCols
+       |FROM ex LEFT JOIN vocab USING (sym)
+       |GROUP BY doc_id, n_tokens ORDER BY doc_id LIMIT $bpeApplyLimit""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     val punctSql =
       "(CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text)-length(regexp_replace(text,'[.,;:!?]','','g')))*1.0/length(text) END)"
@@ -733,6 +864,7 @@ object TextQueries {
       s"least($toksSql/100.0, 1.0)*0.4 + (1.0 - $punctSql)*0.3 + least($swrSql*5.0, 1.0)*0.3"
     Map(
       "text_bpe" -> bpeOracle,
+      "text_bpe_apply" -> bpeApplyOracle,
       "text_redact" -> {
         import graft.functions.TextFunctions.{emailRe, ipRe, phoneRe, digitRunRe}
         s"""SELECT event_id,

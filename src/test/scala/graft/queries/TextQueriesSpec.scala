@@ -183,4 +183,28 @@ class TextQueriesSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == want)
   }
+
+  test("BPE apply round-trips training: tokens re-concatenate to the text, merges fire") {
+    import org.apache.spark.sql.functions._
+    // apply(train(corpus)) on the training corpus itself: every doc's token
+    // sequence must re-concatenate to its lowercased text minus spaces
+    // (merges change segmentation, never content, and never cross a word
+    // boundary thanks to the 4-space run between word states)
+    val bad = TextQueries.bpeTokens(spark, sf0001)
+      .join(graft.Tables.documents(spark, sf0001), "doc_id")
+      .select(
+        expr("array_join(syms, '')").as("joined"),
+        regexp_replace(lower(col("text")), " ", "").as("want"),
+        size(col("syms")).as("n"),
+        length(regexp_replace(lower(col("text")), " ", "")).as("chars"))
+    assert(bad.filter(col("joined") =!= col("want")).count() == 0)
+    // the trained merges actually fire: total tokens < total chars
+    val agg = bad.agg(sum("n"), sum("chars")).head()
+    assert(agg.getLong(0) < agg.getLong(1),
+      s"no merge applied: ${agg.getLong(0)} tokens vs ${agg.getLong(1)} chars")
+    // and the declared surface is consistent: n_tokens matches the token
+    // frame, first ids resolve in the vocab (non-null where pos exists)
+    val applied = TextQueries.bpeApply(spark, sf0001)
+    assert(applied.filter(col("n_tokens") > 0 && col("id0").isNull).count() == 0)
+  }
 }
