@@ -331,34 +331,57 @@ object Dedup {
     shm.groupBy("doc_id")
       .agg(collect_list(unhex(col("m"))).as("ms"), count(lit(1)).as("nsh"))
 
-  /** Candidate pairs joined to both sides' arrays, shuffle-budgeted for the
-    * exchange floor an exact pairwise intersection allows (r12 verdict item
-    * 1 — the sf10dc REPS=100 rehearsal died on spill disk with arrays
-    * crossing multiple sorted exchanges):
-    *
-    *  - both array attachments are pinned to SHUFFLED-HASH joins with the
-    *    array side as build — no sort-merge, so the ~KB-array rows are never
-    *    SORTED on either side of either join (the SMJ plan spilled the probe
-    *    rows a second time through its sorter);
-    *  - when the arrays frame is a bucketed table on `doc_id`
-    *    ([[graft.queries.DedupBackbone.shingleArrays]]), its scan satisfies
-    *    both joins' distribution in place — the array side crosses NO
-    *    exchange at all;
-    *  - candidate pairs enter the d1 join as bare (d1, d2) ids (~16 B/row);
-    *    only the d2 join's probe side carries an array per pair — the one
-    *    irreducible transfer: an exact intersection must co-locate both
-    *    docs' sets once per pair, and each array crosses exactly one
-    *    unsorted exchange.
+  /** Array-side size (in optimizer-stat bytes) up to which the exact verify
+    * BROADCASTS the per-doc array table to both join sides instead of
+    * shuffling candidates through it. The economic threshold for THIS
+    * operator sits orders of magnitude beyond Spark's generic 10 MB
+    * autoBroadcast default: the alternative is not "a modest shuffle of the
+    * build side" but CANDIDATES × ARRAY-BYTES through an exchange — at the
+    * sf10dc rehearsal 313.5M surviving candidates (12.7× the 24.75M true
+    * pairs; prefix filtering is sound, so replica-heavy corpora admit
+    * low-precision candidate sets by design) each dragging a ~KB array,
+    * i.e. hundreds of GB of shuffle for a ~1 GB array table. Broadcasting
+    * keeps the whole verify in ONE stage: bare id pairs stream through two
+    * broadcast hash joins, nothing array-shaped is ever exchanged or
+    * sorted.
     */
-  private def intersectionFromArrays(arrays: DataFrame, cands: DataFrame): DataFrame =
+  val verifyBroadcastMaxBytes: Long = 4L << 30
+
+  /** Candidate pairs joined to both sides' arrays, shuffle-budgeted for the
+    * r12 verdict item 1 ceiling (the sf10dc REPS=100 rehearsal died on
+    * spill disk with arrays crossing sorted exchanges):
+    *
+    *  - when the arrays frame's optimizer size is ≤
+    *    [[verifyBroadcastMaxBytes]] (it is a compact per-doc table — one
+    *    row per doc, raw 16-byte digests — so this holds far past this
+    *    sandbox's corpus sizes), BOTH attachments are broadcast hash joins:
+    *    only bare (d1, d2) id pairs ever cross an exchange, the exact
+    *    intersection runs in the same stage, and the answer leaves filtered
+    *    — the "only id pairs cross the wire" plan;
+    *  - past the broadcast ceiling (true 100 TB shards), the attachments
+    *    fall back to SHUFFLED-HASH joins with the array side as build — no
+    *    sort-merge, so arrays are never SORTED; with the bucketed staged
+    *    table ([[graft.queries.DedupBackbone.shingleArrays]]) the array
+    *    side crosses no exchange, and each candidate pays one array through
+    *    one unsorted exchange — the information floor of an exact pairwise
+    *    intersection when the set representations cannot be replicated.
+    */
+  private def intersectionFromArrays(arrays: DataFrame, cands: DataFrame): DataFrame = {
+    val small = scala.util.Try(
+      arrays.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(verifyBroadcastMaxBytes)).getOrElse(false)
+    def side(d: String, msOut: String, nOut: String) = {
+      val s = arrays.select(col("doc_id").as(d), col("ms").as(msOut),
+        col("nsh").as(nOut))
+      if (small) broadcast(s) else s.hint("SHUFFLE_HASH")
+    }
     cands
-      .join(arrays.select(col("doc_id").as("d1"), col("ms").as("ms1"),
-        col("nsh").as("n1")).hint("SHUFFLE_HASH"), "d1")
-      .join(arrays.select(col("doc_id").as("d2"), col("ms").as("ms2"),
-        col("nsh").as("n2")).hint("SHUFFLE_HASH"), "d2")
+      .join(side("d1", "ms1", "n1"), "d1")
+      .join(side("d2", "ms2", "n2"), "d2")
       .select(col("d1"), col("d2"),
         size(array_intersect(col("ms1"), col("ms2"))).cast("long").as("inter"),
         col("n1"), col("n2"))
+  }
 
   /** Exact Jaccard over candidates from a prebuilt [[shingleArrays]] frame —
     * arithmetic identical to [[jaccardOnCandidatesFromShingles]] (the
