@@ -83,6 +83,51 @@ object Graph {
     ranks.select(col("node"),
       round(col("u").cast("double") * lit(n) / lit(1.0e15), 6).as("rank"))
 
+  /** Personalized PageRank: identical integer micro-unit contract to
+    * [[pagerank]], but the restart mass returns to the SEED SET instead of
+    * spreading uniformly — the "importance relative to THESE nodes" reading
+    * (seed-biased crawl weighting, account-centric influence, related-item
+    * ranking) that global PageRank cannot express. `seeds` is a bounded
+    * (node) frame; `seedCount` is its size, passed by the caller so no
+    * scalar action runs here.
+    *
+    * Shape difference from the global walk: rank support GROWS outward from
+    * the seeds (round k touches only nodes within k hops), so early rounds
+    * shuffle |reached ⋈ edges| rows, not |edges| — on 100 TB a seeded walk
+    * over a localized neighborhood never pays the whole graph. The per-round
+    * union-then-sum (damped in-contributions ⊎ seed restart rows, one
+    * partial-aggregable groupBy) replaces the global formulation's
+    * "base + damped sum" projection because a seed with no reached
+    * in-neighbor must still hold its restart mass — an outer join would say
+    * the same thing with a worse plan.
+    */
+  def personalizedPagerank(pairs: DataFrame, seeds: DataFrame, seedCount: Long,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
+    require(seedCount > 0, "personalized pagerank needs a non-empty seed set")
+    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    val sym = p.union(p.select(col("dst"), col("src"))).distinct()
+    val routed = sym
+      .withColumn("deg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint(true)
+    val sd = seeds.select(col("node")).localCheckpoint(true)
+    val baseU = massUnits * (100L - dampingPct) / 100L / seedCount
+    var ranks = sd.withColumn("u", lit(massUnits / seedCount))
+    for (_ <- 1 to iters) {
+      val damped = routed
+        .join(ranks, routed("src") === ranks("node"))
+        .select(col("dst"), expr("u div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum("c").as("s"))
+        .select(col("dst").as("node"), expr(s"(s * $dampingPct) div 100").as("u0"))
+      val restart = sd.withColumn("u0", lit(baseU))
+      ranks = damped.union(restart)
+        .groupBy("node").agg(sum("u0").as("u"))
+    }
+    ranks
+  }
+
   /** Common-neighbor (co-occurrence) similarity over a bipartite edge list
     * (group, item): item pairs sharing groups, scored by the overlap
     * coefficient `common / min(deg_a, deg_b)` — co-purchase similarity,

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed spectral analytics over an embedding corpus: PCA's top
+  * component via the Gram-matrix + power-iteration decomposition — the
+  * "what direction carries this corpus's variance" audit run before
+  * whitening, dimension pruning, or anisotropy diagnosis of a vector store.
+  *
+  * Scale shape (the reason this exists instead of a library call): the
+  * corpus is touched by exactly ONE scan, reduced to d² partial-aggregable
+  * Gram cells (d = 64 → 4,096 rows, mergeable decimal sums — the same
+  * fixed-size-state shuffle story as the HLL/heavy-hitter sketches); every
+  * subsequent step is driver math on a d×d matrix, bounded by the embedding
+  * WIDTH, never the corpus. At 100 TB the Gram pass is embarrassingly
+  * map-side-combinable and nothing downstream re-reads a vector.
+  *
+  * Determinism contract (why this matches a SQL oracle bit-for-bit): each
+  * per-row product x_i·x_j is one exact double multiply (float24 × float24
+  * ≤ 53 mantissa bits), rounded to 9 decimals and summed as DECIMAL(38,9) —
+  * exact and order-free in both engines. The power iteration runs in BigInt
+  * scaled integers (vector components at scale 1e9, Gram cells at their
+  * decimal unscaled 1e9), normalizing by the max-|component| each round with
+  * truncating division — BigInt `/` and DuckDB `//` both truncate toward
+  * zero, so every round is engine-exact including negative components. The
+  * Rayleigh quotient and explained-variance ratio are single truncating
+  * divisions at scale 1e6. Floats appear only in display columns.
+  */
+object Spectral {
+
+  /** Decimal places each x_i·x_j product keeps before the exact sum. */
+  val prodScale = 9
+
+  /** Eigenvector component scale: v ∈ [−1e9, 1e9] after each round. */
+  val vecScale: Long = 1000000000L
+
+  /** Exact Gram matrix of `(id, vec)` rows as (i, j, g DECIMAL(38,9)) cells,
+    * 1-based dims, all d² cells (the full matrix keeps the driver-side and
+    * SQL matvecs join-shaped instead of triangular-cased).
+    */
+  def gram(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("id"), posexplode(col("vec")))
+      .select(col("id"), (col("pos") + 1).as("i"), col("col").cast("double").as("x"))
+    e.as("a")
+      .join(e.select(col("id"), col("i").as("j"), col("x").as("y")).as("b"), "id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("x") * col("y"), prodScale)
+        .cast(s"decimal(38,$prodScale)")).as("g"))
+  }
+
+  /** Power iteration on a collected Gram matrix (unscaled 1e9 integer
+    * cells): `rounds` matvec+normalize steps from the all-ones vector, then
+    * the Rayleigh quotient λ and explained-variance ratio λ/trace(G), both
+    * as scale-1e6 integers. Pure BigInt — no overflow at any corpus size
+    * (the SQL oracle's HUGEINT ceiling is ~1.7e38, fine to ~1e13 vectors;
+    * the engine itself has no ceiling).
+    */
+  def powerIteration(gU: Map[(Int, Int), BigInt], dims: Int, rounds: Int)
+      : (Array[BigInt], Long, Long) = {
+    require(rounds >= 1 && rounds <= 30, s"rounds must be in [1,30], got $rounds")
+    val S = BigInt(vecScale)
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dims) { i =>
+        (1 to dims).map(j => gU.getOrElse((i + 1, j), BigInt(0)) * v(j - 1)).sum
+      }
+    var v = Array.fill(dims)(S)
+    for (_ <- 1 to rounds) {
+      val w = matvec(v)
+      val m = w.map(_.abs).max
+      require(m > 0, "power iteration collapsed: zero Gram matvec")
+      v = w.map(x => x * S / m) // BigInt / truncates toward zero == DuckDB //
+    }
+    val w = matvec(v)
+    val num = (0 until dims).map(i => v(i) * w(i)).sum // = vᵀGv ≥ 0 (PSD)
+    val den = v.map(x => x * x).sum
+    val trace = (1 to dims).map(i => gU.getOrElse((i, i), BigInt(0))).sum
+    require(trace >= BigInt(1000000), "corpus too small for scale-6 ratios")
+    val lam6 = num / (den * 1000L)                 // λ at scale 1e6
+    val evr6 = num / (den * (trace / 1000000L))    // λ/trace at scale 1e6
+    (v, lam6.toLong, evr6.toLong)
+  }
+
+  /** Top principal direction of the corpus: one Gram scan + `rounds` of
+    * integer power iteration. Returns one row per dimension: (dim, v
+    * BIGINT exact scale-1e9 loading, loading DOUBLE display, eigenvalue,
+    * explained_ratio). The only driver traffic is the d² Gram cells.
+    */
+  def topComponent(vecs: DataFrame, dims: Int, rounds: Int): DataFrame = {
+    val s = vecs.sparkSession
+    val cells = gram(vecs).collect().map { r =>
+      (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).unscaledValue())
+    }.toMap
+    val (v, lam6, evr6) = powerIteration(cells, dims, rounds)
+    val lam = lam6 / 1.0e6
+    val evr = evr6 / 1.0e6
+    val rows = (1 to dims).map { i =>
+      Row(i, v(i - 1).toLong, v(i - 1).toLong / 1.0e9, lam, evr)
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("dim", IntegerType, nullable = false),
+        StructField("v", LongType, nullable = false),
+        StructField("loading", DoubleType, nullable = false),
+        StructField("eigenvalue", DoubleType, nullable = false),
+        StructField("explained_ratio", DoubleType, nullable = false))))
+  }
+}

@@ -39,6 +39,54 @@ object CurationQueries {
       .filter(langId(col("text")) === "en" && qualityScore(col("text")) >= qualityFloor)
   }
 
+  /** Tercile fractions for the perplexity bucketing — rendered into the
+    * oracle from the same doubles the engine cuts at.
+    */
+  val pplTerciles: Seq[Double] = Seq(1.0 / 3, 2.0 / 3)
+
+  /** `curate_ppl_buckets` — CCNet-style perplexity bucketing: score every
+    * document with the corpus unigram LM (the `text_lm_score` arithmetic,
+    * over ALL docs), cut the score distribution into exact terciles
+    * (distributed selection, the q55 machinery — no global window), and
+    * report each bucket's document count, token mass, score envelope, and
+    * mean — bucket 0 = head (highest log-prob / lowest perplexity),
+    * 2 = tail. This is the standard web-corpus triage (keep head, sample
+    * middle, drop-or-audit tail) that decides token budgets per quality
+    * tier before a training dump; composes with `mix_temperature` /
+    * `curate_budget` as the mixture planner's input table.
+    * Scale: token explode + two partial-aggregable groupBys + bounded
+    * selection jobs; the per-doc sorted-fold log sum is the established
+    * engine-exact LM contract.
+    */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextBackbone.unigrams(s, dir).select("doc_id", "w")
+    val wc = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = wc.agg(sum("c").cast("double").as("tot"))
+    val scored = toks.join(wc, "w").crossJoin(broadcast(tot))
+      .select(col("doc_id"), log(col("c") / col("tot")).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("toks"),
+        round(expr(
+          "aggregate(array_sort(collect_list(lp)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+          / count(lit(1)), 6).as("lm_logp"))
+      .localCheckpoint(true) // feeds both the selection jobs and the rollup
+    val cuts = graft.operators.Quantiles.exactQuantiles(
+      scored, "lm_logp", pplTerciles)
+    scored
+      .select(
+        when(col("lm_logp") < cuts(0), 2)
+          .when(col("lm_logp") < cuts(1), 1).otherwise(0).as("bucket"),
+        col("toks"), col("lm_logp"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("tokens"),
+        round(min("lm_logp"), 6).as("lo"),
+        round(max("lm_logp"), 6).as("hi"),
+        round(sum(col("lm_logp").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_logp"))
+      .orderBy("bucket")
+  }
+
   /** Per-source accounting of what survived curation. */
   def curate(s: SparkSession, dir: String): DataFrame =
     kept(s, dir)
@@ -921,6 +969,18 @@ object CurationQueries {
     val toksSql = SqlGen.toksSql
     val qualSql = SqlGen.qualitySql
     Map(
+      "curate_ppl_buckets" ->
+        s"""${SqlGen.lmPrefix},
+           |sc AS (SELECT doc_id, count(*) AS toks,
+           |        round(list_sum(list_sort(list(ln(c/tot))))/count(*), 6) AS lm_logp
+           |       FROM tk JOIN wc USING (w), tot GROUP BY doc_id),
+           |cuts AS (SELECT quantile_cont(lm_logp, ${pplTerciles(0)}) AS c1,
+           |                quantile_cont(lm_logp, ${pplTerciles(1)}) AS c2 FROM sc)
+           |SELECT CASE WHEN lm_logp < c1 THEN 2 WHEN lm_logp < c2 THEN 1 ELSE 0 END AS bucket,
+           |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
+           |  round(min(lm_logp), 6) AS lo, round(max(lm_logp), 6) AS hi,
+           |  round(CAST(sum(CAST(lm_logp AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_logp
+           |FROM sc, cuts GROUP BY bucket ORDER BY bucket""".stripMargin,
       "curate_classifier" -> classifierOracle,
       "curate_eval" -> evalOracle,
       "curate_calibration" -> calibrationOracle,

@@ -60,6 +60,31 @@ object GraphQueries {
     Graph.degreeProfile(tradeEdges(s, dir))
       .orderBy("degree")
 
+  val pprIters = 4
+  val pprSeedCount = 3
+
+  /** `graph_ppr` — personalized PageRank ([[Graph.personalizedPagerank]])
+    * from the 3 smallest node ids of the trade graph (deterministic,
+    * oracle-recomputable seed rule — in parity encoding these are the 3
+    * lowest customer keys): 4 integer micro-unit rounds, every reached node
+    * with its exact mass and mass share. The seeded complement of
+    * `graph_pagerank`: importance relative to THESE accounts (crawl
+    * seed-weighting, account-centric supplier ranking) instead of global
+    * importance; support grows outward from the seeds, so round k shuffles
+    * only the reached neighborhood.
+    */
+  def ppr(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val seeds = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src").as("node")).distinct()
+      .orderBy("node").limit(pprSeedCount)
+    Graph.personalizedPagerank(edges, seeds, pprSeedCount, pprIters)
+      .select(col("node"), col("u"),
+        round(col("u").cast("double") / 1.0e15, 9).as("share"))
+      .orderBy("node")
+  }
+
   val bfsRounds = 6
 
   /** `graph_bfs` — budgeted BFS from the graph's minimum node id over the
@@ -270,8 +295,35 @@ object GraphQueries {
        |GROUP BY size ORDER BY size""".stripMargin
   }
 
+  /** The PPR oracle mirrors [[Graph.personalizedPagerank]] term for term:
+    * the same seed rule (3 smallest nodes of the degree table), the same
+    * union-then-sum round shape (damped in-contributions ⊎ restart rows), and
+    * the same integer micro-unit arithmetic as the global PageRank oracle —
+    * bit-exact per round in both engines.
+    */
+  private def pprOracle: String = {
+    val m = Graph.massUnits
+    val d = Graph.dampingPct
+    val base = s"($m * ${100 - d} // 100) // $pprSeedCount"
+    val iters = (1 to pprIters).map { k =>
+      s"""r$k AS (SELECT node, sum(u0) AS u FROM (
+         |  SELECT ed.dst AS node, (sum(p.u // ed.deg) * $d) // 100 AS u0
+         |    FROM ed JOIN r${k - 1} p ON p.node = ed.src GROUP BY ed.dst
+         |  UNION ALL SELECT node, $base AS u0 FROM seeds) t$k GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeSql,
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |seeds AS (SELECT src AS node FROM deg ORDER BY src LIMIT $pprSeedCount),
+       |r0 AS (SELECT node, $m // $pprSeedCount AS u FROM seeds),
+       |$iters
+       |SELECT node, CAST(u AS BIGINT) AS u,
+       |  round(CAST(u AS DOUBLE) / 1.0e15, 9) AS share
+       |FROM r$pprIters ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "graph_kcore" -> kcoreOracle,
+    "graph_ppr" -> pprOracle,
     "graph_lpa" -> lpaOracle,
     "graph_common" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS g, l_suppkey AS i

@@ -175,6 +175,70 @@ object SimilarityQueries {
   def dimProfile(s: SparkSession, dir: String): DataFrame =
     Similarity.dimProfile(Tables.embeddings(s, dir)).orderBy("pos")
 
+  /** `sim_silhouette` — simplified silhouette of the label clustering in
+    * cosine-distance terms: per vector, a = distance to its OWN label
+    * centroid, b = distance to the NEAREST OTHER centroid, s = (b−a)/max(a,b)
+    * ∈ [−1, 1]; reported as per-label means. The partition-quality audit
+    * that complements the serving-side readings (C53's recall says how well
+    * probes retrieve; this says how SEPARATED the partitions are — a label
+    * with mean s near 0 explains a bad nprobe curve before any probe runs).
+    * Scale shape: 10 centroids broadcast, one corpus scan scores every
+    * vector against all of them (bounded ×k work per row), per-label means
+    * partial-aggregate; nothing pairwise, nothing corpus².
+    * Determinism: centroid means are exact decimal sums ÷ count (the
+    * [[Similarity.meanPoolCentroids]] contract), per-vector cosines are
+    * fixed-fold doubles, s is one double division rounded to 6, means use
+    * the round-then-decimal-sum pattern.
+    */
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("ev"))
+    val cent = Similarity.meanPoolCentroids(
+      emb.select(col("label"), col("ev").as("embedding")), vecCol = "embedding")
+      .select(col("label").as("clab"), col("centroid"))
+    val agg = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clab"),
+        Similarity.doubleCosine("ev", "centroid").as("c"))
+      .groupBy("vec_id")
+      .agg(first(col("label")).as("label"),
+        max(when(col("clab") === col("label"), col("c"))).as("own"),
+        max(when(col("clab") =!= col("label"), col("c"))).as("oth"))
+    val sil = agg.select(col("label"),
+      round(
+        when(greatest(lit(1.0) - col("own"), lit(1.0) - col("oth")) === 0.0, 0.0)
+          .otherwise((col("own") - col("oth"))
+            / greatest(lit(1.0) - col("own"), lit(1.0) - col("oth"))), 6).as("sil"))
+    sil.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("sil").cast("decimal(18,6)")).as("sdec"))
+      .select(col("label"), col("n"),
+        round(col("sdec").cast("double") / col("n"), 6).as("mean_sil"))
+      .orderBy("label")
+  }
+
+  val pcaRounds = 6
+
+  /** `sim_pca` — the corpus's top principal direction
+    * ([[graft.operators.Spectral.topComponent]]): one scan reduces the
+    * corpus to d² exact decimal Gram cells, then 6 rounds of scaled-integer
+    * power iteration on the driver (bounded by the embedding WIDTH, never
+    * the corpus) yield the leading loadings, eigenvalue, and
+    * explained-variance ratio — the anisotropy audit ([[dimProfile]] sees
+    * marginal spread per axis; this sees the dominant JOINT direction) run
+    * before whitening, dimension pruning, or diagnosing a vector store whose
+    * similarities are saturated by one direction.
+    */
+  def pca(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.operators.Spectral.topComponent(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      dims = Similarity.dims, rounds = pcaRounds)
+      .orderBy("dim")
+  }
+
   /** Nearest-centroid classification audit: assign every vector to the
     * closest mean-pooled LABEL centroid ([[Similarity.meanPoolCentroids]])
     * and cross-tabulate true label × predicted — the cluster-purity /
@@ -1003,7 +1067,67 @@ object SimilarityQueries {
        |) ORDER BY pool""".stripMargin
   }
 
+  /** The PCA oracle mirrors [[graft.operators.Spectral]] stage for stage:
+    * the same exact-decimal Gram cells (round-to-9 products, DECIMAL(38,9)
+    * sums, unscaled ×1e9 integers), the same max-normalized truncating
+    * power iteration (DuckDB `//` and BigInt `/` both truncate toward zero,
+    * so negative components divide identically), and the same scale-1e6
+    * Rayleigh/explained-ratio divisions — bit-exact end to end.
+    */
+  private def pcaSql: String = {
+    val d = Similarity.dims
+    val S = graft.operators.Spectral.vecScale
+    val p = graft.operators.Spectral.prodScale
+    val iters = (1 to pcaRounds).map { k =>
+      s"""w$k AS (SELECT g.i, sum(g.gu * v.v) AS w FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY g.i),
+         |v$k AS (SELECT i, (w * $S) // (SELECT max(abs(w)) FROM w$k) AS v FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+       |  CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, ${d + 1}) t(i)),
+       |g AS (SELECT a.i AS i, b.i AS j,
+       |  CAST(sum(CAST(round(a.x * b.x, $p) AS DECIMAL(38,$p))) * $S AS HUGEINT) AS gu
+       |  FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i),
+       |v0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST($S AS HUGEINT) AS v FROM range(1, ${d + 1}) t(i)),
+       |$iters,
+       |wf AS (SELECT g.i, sum(g.gu * v.v) AS w FROM g JOIN v$pcaRounds v ON v.i = g.j GROUP BY g.i),
+       |ray AS (SELECT sum(v.v * w.w) AS num, (SELECT sum(v*v) FROM v$pcaRounds) AS den,
+       |  (SELECT sum(gu) FROM g WHERE i = j) AS tr
+       |  FROM v$pcaRounds v JOIN wf w ON w.i = v.i)
+       |SELECT v.i AS dim, CAST(v.v AS BIGINT) AS v,
+       |  CAST(v.v AS DOUBLE) / 1.0e9 AS loading,
+       |  CAST(num // (den * 1000) AS DOUBLE) / 1.0e6 AS eigenvalue,
+       |  CAST(num // (den * (tr // 1000000)) AS DOUBLE) / 1.0e6 AS explained_ratio
+       |FROM v$pcaRounds v, ray ORDER BY dim""".stripMargin
+  }
+
+  /** Silhouette oracle: the same centroid CTEs as `sim_centroid_assign`,
+    * the same own/other CASE-max aggregation, the same guarded s formula —
+    * every arithmetic step mirrored.
+    */
+  private def silhouetteSql: String = {
+    val d = Similarity.dims
+    s"""WITH px AS (SELECT label, pos, CAST(CAST(embedding[pos+1] AS DOUBLE) AS DECIMAL(27,12)) AS x
+       |            FROM embeddings, range(0, $d) t(pos)),
+       |pm AS (SELECT label, pos, CAST(sum(x) AS DOUBLE)/count(*) AS m FROM px GROUP BY label, pos),
+       |cent AS (SELECT label AS clab, list(m ORDER BY pos) AS c FROM pm GROUP BY label),
+       |sc AS (SELECT vec_id, e.label, cent.clab, ${SqlGen.cosSql("e.embedding", "cent.c", d)} AS cv
+       |       FROM embeddings e, cent),
+       |ag AS (SELECT vec_id, max(label) AS label,
+       |        max(CASE WHEN clab = label THEN cv END) AS own,
+       |        max(CASE WHEN clab <> label THEN cv END) AS oth
+       |       FROM sc GROUP BY vec_id),
+       |sil AS (SELECT label, round(CASE WHEN greatest(1.0-own, 1.0-oth) = 0.0 THEN 0.0
+       |          ELSE (own-oth)/greatest(1.0-own, 1.0-oth) END, 6) AS s FROM ag),
+       |a AS (SELECT label, count(*) AS n, sum(CAST(s AS DECIMAL(18,6))) AS sdec
+       |      FROM sil GROUP BY label)
+       |SELECT label, n, round(CAST(sdec AS DOUBLE)/n, 6) AS mean_sil
+       |FROM a ORDER BY label""".stripMargin
+  }
+
   def oracle(dir: String): Map[String, String] = Map(
+    "sim_pca" -> pcaSql,
+    "sim_silhouette" -> silhouetteSql,
     "sim_nprobe_curve" -> nprobeCurveSql,
     "sim_recall_pq" -> recallWrapSql(pqSql()),
     "sim_recall_ivfpq" -> recallWrapSql(ivfPqSql),

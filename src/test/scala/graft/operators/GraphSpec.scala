@@ -41,6 +41,49 @@ class GraphSpec extends SparkSpec {
     assert(r.values.toSet.size == 1)
   }
 
+  private def pprRanks(pairs: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int = 4): Map[Long, Long] =
+    Graph.personalizedPagerank(pairs.toDF("src", "dst"), seeds.toDF("node"),
+      seeds.size.toLong, iters)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+  test("ppr: mass concentrates on the seed and decays with hop distance") {
+    // path 0-1-2-3-4, seeded at 0. A path is bipartite, so early rounds
+    // oscillate between the seed's parity classes; by round 20 the damping
+    // has contracted the oscillation and the fixpoint shows. At the
+    // fixpoint the degree-1 seed donates ALL its mass each round and keeps
+    // only the restart, so its neighbor narrowly outranks it (π1 ≈ 1.14·π0)
+    // — the honest assertions are monotone decay PAST the first hop, and
+    // the seed dominating everything two or more hops out.
+    val r = pprRanks(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), Seq(0L),
+      iters = 20)
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L))
+    assert(r(0L) > r(2L))
+  }
+
+  test("ppr: an unreached component holds no mass at any parity") {
+    // two components 0-1 and 10-11, seeded only at 0: the other component
+    // must stay absent whether the round count is odd or even
+    Seq(3, 4).foreach { it =>
+      val r = pprRanks(Seq((0L, 1L), (10L, 11L)), Seq(0L), iters = it)
+      assert(!r.contains(10L) && !r.contains(11L))
+    }
+    // at even parity (mass back home) the seed outranks its neighbor
+    val r = pprRanks(Seq((0L, 1L), (10L, 11L)), Seq(0L), iters = 4)
+    assert(r(0L) > r(1L))
+  }
+
+  test("ppr: symmetric seeds on a symmetric graph rank bit-identically") {
+    val r = pprRanks(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)), Seq(0L, 2L))
+    assert(r(0L) == r(2L) && r(1L) == r(3L))
+    assert(r(0L) > r(1L))
+  }
+
+  test("ppr: total mass never exceeds the restart+walk budget") {
+    val r = pprRanks(Seq((0L, 1L), (0L, 2L), (1L, 2L)), Seq(0L), iters = 5)
+    assert(r.values.sum <= Graph.massUnits)
+  }
+
   test("degree profile counts nodes per degree") {
     val p = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     val d = Graph.degreeProfile(p).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap

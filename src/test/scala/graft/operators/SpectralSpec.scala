@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(vs: Seq[Seq[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+
+  test("gram: exact decimal cells of a known single-vector corpus") {
+    val g = Spectral.gram(corpus(Seq(Seq(1.0f, 2.0f))))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).doubleValue()).toMap
+    assert(g == Map((1, 1) -> 1.0, (1, 2) -> 2.0, (2, 1) -> 2.0, (2, 2) -> 4.0))
+  }
+
+  test("topComponent: an axis-dominated corpus loads on that axis") {
+    val df = Spectral.topComponent(
+      corpus(Seq(Seq(3.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.1f, 0.9f))),
+      dims = 2, rounds = 8)
+    val rows = df.collect().sortBy(_.getInt(0))
+    // max-abs normalization pins the dominant component to exactly ±1e9
+    assert(math.abs(rows(0).getLong(1)) == Spectral.vecScale)
+    assert(math.abs(rows(1).getLong(1)) < Spectral.vecScale / 2)
+  }
+
+  test("topComponent: a rank-1 corpus explains everything (λ = n·|v|², evr = 1)") {
+    val df = Spectral.topComponent(
+      corpus(Seq(Seq(1.0f, 1.0f), Seq(1.0f, 1.0f))), dims = 2, rounds = 4)
+    val r = df.collect().head
+    assert(r.getDouble(3) == 4.0)   // eigenvalue = 2 vectors × |(1,1)|²
+    assert(r.getDouble(4) == 1.0)   // one direction carries all variance
+  }
+
+  test("powerIteration: bounds and degenerate input rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Spectral.powerIteration(Map((1, 1) -> BigInt("2000000000")), 1, rounds = 0)
+    }
+    intercept[IllegalArgumentException] { // zero matrix collapses
+      Spectral.powerIteration(
+        Map((1, 1) -> BigInt(0)), 1, rounds = 2)
+    }
+  }
+}
