@@ -83,21 +83,37 @@ object Spectral {
     (v, lam6.toLong, evr6.toLong)
   }
 
+  /** [[powerIteration]] over the collected Gram of `vecs` — the trained
+    * model artifact (eigenvector at scale 1e9 + scale-1e6 λ and λ/trace)
+    * consumers cache per (session, dir) and apply without re-scanning.
+    */
+  def topVector(vecs: DataFrame, dims: Int, rounds: Int)
+      : (Array[BigInt], Long, Long) = {
+    val cells = gram(vecs).collect().map { r =>
+      (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).unscaledValue())
+    }.toMap
+    powerIteration(cells, dims, rounds)
+  }
+
   /** Top principal direction of the corpus: one Gram scan + `rounds` of
     * integer power iteration. Returns one row per dimension: (dim, v
     * BIGINT exact scale-1e9 loading, loading DOUBLE display, eigenvalue,
     * explained_ratio). The only driver traffic is the d² Gram cells.
     */
   def topComponent(vecs: DataFrame, dims: Int, rounds: Int): DataFrame = {
-    val s = vecs.sparkSession
-    val cells = gram(vecs).collect().map { r =>
-      (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).unscaledValue())
-    }.toMap
-    val (v, lam6, evr6) = powerIteration(cells, dims, rounds)
+    val (v, lam6, evr6) = topVector(vecs, dims, rounds)
+    renderComponent(vecs.sparkSession, v, lam6, evr6)
+  }
+
+  /** The (dim, v, loading, eigenvalue, explained_ratio) frame for a trained
+    * [[topVector]] artifact.
+    */
+  def renderComponent(s: SparkSession, v: Array[BigInt], lam6: Long,
+      evr6: Long): DataFrame = {
     val lam = lam6 / 1.0e6
     val evr = evr6 / 1.0e6
-    val rows = (1 to dims).map { i =>
-      Row(i, v(i - 1).toLong, v(i - 1).toLong / 1.0e9, lam, evr)
+    val rows = v.indices.map { i0 =>
+      Row(i0 + 1, v(i0).toLong, v(i0).toLong / 1.0e9, lam, evr)
     }
     s.createDataFrame(
       s.sparkContext.parallelize(rows, 1),

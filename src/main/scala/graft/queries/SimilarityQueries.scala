@@ -230,13 +230,51 @@ object SimilarityQueries {
     * before whitening, dimension pruning, or diagnosing a vector store whose
     * similarities are saturated by one direction.
     */
-  def pca(s: SparkSession, dir: String): DataFrame = {
+  /** The trained PCA artifact (scale-1e9 eigenvector + scale-1e6 λ, λ/trace),
+    * computed once per (session, dir) — `sim_pca` renders it, `sim_pca_project`
+    * applies it; the Gram scan runs once for both.
+    */
+  private def pcaModel(s: SparkSession, dir: String): (Array[BigInt], Long, Long) = {
     import org.apache.spark.sql.functions.col
-    graft.operators.Spectral.topComponent(
-      Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec")),
-      dims = Similarity.dims, rounds = pcaRounds)
-      .orderBy("dim")
+    BackboneRegistry.scalarOrBuild(s, s"pca:top:$dir") {
+      graft.operators.Spectral.topVector(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        dims = Similarity.dims, rounds = pcaRounds)
+    }
+  }
+
+  def pca(s: SparkSession, dir: String): DataFrame = {
+    val (v, lam6, evr6) = pcaModel(s, dir)
+    graft.operators.Spectral.renderComponent(s, v, lam6, evr6).orderBy("dim")
+  }
+
+  /** `sim_pca_project` — APPLY the trained component (closing the
+    * train-without-apply gap the same way `text_bpe_apply` closed C156):
+    * every vector's scalar projection onto the top principal direction, one
+    * fixed-fold dot per row against the broadcast-literal eigenvector,
+    * rolled up per label (n, envelope, decimal-exact mean). The reading: a
+    * label whose projections sit far from 0 rides the dominant direction —
+    * the per-class anisotropy map that says which classes a whitening step
+    * would move most, and whether the top component is a class signal or a
+    * corpus-wide bias to remove.
+    */
+  def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (v, _, _) = pcaModel(s, dir)
+    val pv = array(v.map(b => lit(b.toLong / 1.0e9)).toIndexedSeq: _*)
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        round(aggregate(
+          zip_with(col("embedding"), pv, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, p) => acc + p), 6).as("p"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min("p").as("lo"), max("p").as("hi"),
+        sum(col("p").cast("decimal(18,6)")).as("sdec"))
+      .select(col("label"), col("n"), col("lo"), col("hi"),
+        round(col("sdec").cast("double") / col("n"), 6).as("mean_proj"))
+      .orderBy("label")
   }
 
   /** Nearest-centroid classification audit: assign every vector to the
@@ -1074,7 +1112,11 @@ object SimilarityQueries {
     * so negative components divide identically), and the same scale-1e6
     * Rayleigh/explained-ratio divisions — bit-exact end to end.
     */
-  private def pcaSql: String = {
+  /** Shared CTE body (Gram cells + the iteration chain up to the trained
+    * eigenvector) — `sim_pca` reads the component off it, `sim_pca_project`
+    * applies it, exactly as the engine shares one cached model.
+    */
+  private def pcaCtes: String = {
     val d = Similarity.dims
     val S = graft.operators.Spectral.vecScale
     val p = graft.operators.Spectral.prodScale
@@ -1082,14 +1124,18 @@ object SimilarityQueries {
       s"""w$k AS (SELECT g.i, sum(g.gu * v.v) AS w FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY g.i),
          |v$k AS (SELECT i, (w * $S) // (SELECT max(abs(w)) FROM w$k) AS v FROM w$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+    s"""e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
        |  CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
        |  FROM embeddings, range(1, ${d + 1}) t(i)),
        |g AS (SELECT a.i AS i, b.i AS j,
        |  CAST(sum(CAST(round(a.x * b.x, $p) AS DECIMAL(38,$p))) * $S AS HUGEINT) AS gu
        |  FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i),
        |v0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST($S AS HUGEINT) AS v FROM range(1, ${d + 1}) t(i)),
-       |$iters,
+       |$iters""".stripMargin
+  }
+
+  private def pcaSql: String =
+    s"""WITH $pcaCtes,
        |wf AS (SELECT g.i, sum(g.gu * v.v) AS w FROM g JOIN v$pcaRounds v ON v.i = g.j GROUP BY g.i),
        |ray AS (SELECT sum(v.v * w.w) AS num, (SELECT sum(v*v) FROM v$pcaRounds) AS den,
        |  (SELECT sum(gu) FROM g WHERE i = j) AS tr
@@ -1099,6 +1145,17 @@ object SimilarityQueries {
        |  CAST(num // (den * 1000) AS DOUBLE) / 1.0e6 AS eigenvalue,
        |  CAST(num // (den * (tr // 1000000)) AS DOUBLE) / 1.0e6 AS explained_ratio
        |FROM v$pcaRounds v, ray ORDER BY dim""".stripMargin
+
+  private def pcaProjectSql: String = {
+    val d = Similarity.dims
+    s"""WITH $pcaCtes,
+       |vv AS (SELECT list(CAST(v AS DOUBLE)/1.0e9 ORDER BY i) AS pv FROM v$pcaRounds),
+       |pr AS (SELECT label, round(list_sum(list_transform(range(1, ${d + 1}),
+       |         i -> CAST(embedding[i] AS DOUBLE) * pv[i])), 6) AS p
+       |       FROM embeddings, vv)
+       |SELECT label, count(*) AS n, min(p) AS lo, max(p) AS hi,
+       |  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE)/count(*), 6) AS mean_proj
+       |FROM pr GROUP BY label ORDER BY label""".stripMargin
   }
 
   /** Silhouette oracle: the same centroid CTEs as `sim_centroid_assign`,
@@ -1127,6 +1184,7 @@ object SimilarityQueries {
 
   def oracle(dir: String): Map[String, String] = Map(
     "sim_pca" -> pcaSql,
+    "sim_pca_project" -> pcaProjectSql,
     "sim_silhouette" -> silhouetteSql,
     "sim_nprobe_curve" -> nprobeCurveSql,
     "sim_recall_pq" -> recallWrapSql(pqSql()),
