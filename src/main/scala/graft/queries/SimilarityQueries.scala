@@ -1116,7 +1116,7 @@ object SimilarityQueries {
     * eigenvector) — `sim_pca` reads the component off it, `sim_pca_project`
     * applies it, exactly as the engine shares one cached model.
     */
-  private def pcaCtes: String = {
+  private[queries] def pcaCtes: String = {
     val d = Similarity.dims
     val S = graft.operators.Spectral.vecScale
     val p = graft.operators.Spectral.prodScale

@@ -140,6 +140,19 @@ object StreamGateQueries {
     s.table(name)
   }
 
+  /** [[replayComplete]] over an arbitrary staged replay path. */
+  private def replayPathComplete(s: SparkSession, path: String)(
+      op: DataFrame => DataFrame): DataFrame = withNarrowState(s) {
+    val src = replaySource(s, path)
+    val name = s"sg_${java.lang.Long.toUnsignedString(System.nanoTime, 36)}"
+    runWithTempCheckpoint(ckpt =>
+      op(src).writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .option("checkpointLocation", ckpt)
+        .start())
+    s.table(name)
+  }
+
   /** Same, for complete-mode aggregations. */
   private def replayComplete(s: SparkSession, dir: String)(
       op: DataFrame => DataFrame): DataFrame = withNarrowState(s) {
@@ -627,7 +640,55 @@ object StreamGateQueries {
     * TWAP cursor, the q73/q64 oracles wrapped in counts, epoch-bucket
     * groups for the windowed pair.
     */
+  /** `stream_gram` — the spectral MODEL under the driver gate, completing
+    * the maintenance family (indexes C29/C66/C168 keep serving structures
+    * fresh; this keeps a trained-model's sufficient statistics fresh): the
+    * embeddings replay feeds [[StreamOps.gramCells]] (stream-safe chained
+    * double-posexplode, one decimal sum per (i,j) — fixed-size state), whose
+    * final state must equal the batch Gram cell-for-cell (`diffs`), and the
+    * SERVED component — power-iterating the STREAMED cells — must match the
+    * batch-trained model exactly (`v1`, `lam6`, both recomputed end-to-end
+    * by the DuckDB oracle through the shared CTE chain). A model trained
+    * from streamed state being bit-identical to one trained from a full
+    * rescan is the strongest form of the append-≡-restage contract: it
+    * certifies the MODEL, not just the rows under it.
+    */
+  def gram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val streamed = cachedFrame(s, dir, "gram_stream") {
+      val path = stagedReplay(s, dir, "emb")(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        Seq("vec_id"), Seq("vec_id"))
+      replayPathComplete(s, path)(df =>
+        StreamOps.gramCells(df.select(col("embedding").as("vec"))))
+    }
+    val batch = cachedFrame(s, dir, "gram_batch") {
+      graft.operators.Spectral.gram(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")))
+    }
+    val diffs = diffCount(streamed, batch)
+    val (v, lam6, _) = cachedScalar(s, dir, "gram_model") {
+      val cells = streamed.collect().map(r =>
+        (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).unscaledValue())).toMap
+      graft.operators.Spectral.powerIteration(
+        cells, Similarity.dims, SimilarityQueries.pcaRounds)
+    }
+    Seq((streamed.count(), diffs, v(0).toLong, lam6))
+      .toDF("cells", "diffs", "v1", "lam6")
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_gram" -> {
+      val r = SimilarityQueries.pcaRounds
+      s"""WITH ${SimilarityQueries.pcaCtes},
+         |wf AS (SELECT g.i, sum(g.gu * v.v) AS w FROM g JOIN v$r v ON v.i = g.j GROUP BY g.i),
+         |ray AS (SELECT sum(v.v * w.w) AS num, (SELECT sum(v*v) FROM v$r) AS den
+         |  FROM v$r v JOIN wf w ON w.i = v.i)
+         |SELECT (SELECT count(*) FROM g) AS cells, CAST(0 AS BIGINT) AS diffs,
+         |  (SELECT CAST(v AS BIGINT) FROM v$r WHERE i = 1) AS v1,
+         |  (SELECT CAST(num // (den * 1000) AS BIGINT) FROM ray) AS lam6""".stripMargin
+    },
     "stream_sessions" ->
       s"""WITH b AS (SELECT user_id,
          |    CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > ${CoreQueries.sessionGapSec}

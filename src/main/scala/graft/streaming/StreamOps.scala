@@ -250,6 +250,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming maintenance of the d² Gram cells behind the PCA model
+    * ([[graft.operators.Spectral]]): a CHAINED double-posexplode turns each
+    * arriving vector into its d² products with no self-join (the batch
+    * operator's equi-join formulation is not stream-safe; the chained
+    * generators are, and produce bit-identical cells because the products
+    * are per-row exact and the DECIMAL sums order-free), then an ordinary
+    * streaming aggregation holds one decimal sum per (i, j) — fixed-size
+    * state (4,096 rows at d = 64) whatever the ingest volume, the same
+    * mergeable-sketch story as the HLL/heavy-hitter arms. A model server
+    * power-iterates the live cells whenever it wants a fresh component;
+    * nothing ever re-scans the corpus.
+    */
+  def gramCells(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec"), posexplode(col("vec")))
+      .toDF("vec", "i0", "x")
+      .select(col("i0"), col("x"), posexplode(col("vec")))
+      .toDF("i0", "x", "j0", "y")
+      .select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+      .groupBy("i", "j")
+      .agg(sum(round(col("x") * col("y"), graft.operators.Spectral.prodScale)
+        .cast(s"decimal(38,${graft.operators.Spectral.prodScale})")).as("g"))
+
   /** Per-user event sessionization over the `events` table shape using the
     * built-in session_window (gap-based), watermark-bounded.
     */

@@ -32,6 +32,15 @@ class SpectralSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)   // one direction carries all variance
   }
 
+  test("gramCells (stream-safe chained generators) equals gram (batch self-join) cell-for-cell") {
+    val vecs = corpus(Seq(Seq(0.5f, -1.5f, 2.0f), Seq(1.0f, 0.25f, -0.75f)))
+    val a = Spectral.gram(vecs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    val b = graft.streaming.StreamOps.gramCells(vecs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    assert(a == b && a.size == 9)
+  }
+
   test("powerIteration: bounds and degenerate input rejected loudly") {
     intercept[IllegalArgumentException] {
       Spectral.powerIteration(Map((1, 1) -> BigInt("2000000000")), 1, rounds = 0)
