@@ -329,7 +329,13 @@ object Dedup {
     */
   def shingleArrays(shm: DataFrame): DataFrame =
     shm.groupBy("doc_id")
-      .agg(collect_list(unhex(col("m"))).as("ms"), count(lit(1)).as("nsh"))
+      // SORTED at build (per-row O(k log k), paid once per corpus): the
+      // verify's per-pair intersection is then a zero-allocation two-pointer
+      // merge (SortedBinaryIntersectCount) instead of ArrayIntersect's
+      // hash-set-per-candidate — the all-32-threads hot spot of the sf10dc
+      // rehearsal's thread profile.
+      .agg(array_sort(collect_list(unhex(col("m")))).as("ms"),
+        count(lit(1)).as("nsh"))
 
   /** Array-side size (in optimizer-stat bytes) up to which the exact verify
     * BROADCASTS the per-doc array table to both join sides instead of
@@ -379,7 +385,11 @@ object Dedup {
       .join(side("d1", "ms1", "n1"), "d1")
       .join(side("d2", "ms2", "n2"), "d2")
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("ms1"), col("ms2"))).cast("long").as("inter"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.SortedBinaryIntersectCount(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ms1")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("ms2"))))
+          .as("inter"),
         col("n1"), col("n2"))
   }
 

@@ -184,8 +184,11 @@ object Graph {
     * heaviest graph stage.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // ids normalized to LONG here (INT-typed frames stay legal — the r9
+    // ADVICE class) so the sorted-merge closure expression sees one type
     val und = edges
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .select(least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true) // reused by deg and the orientation
@@ -200,14 +203,22 @@ object Graph {
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("t"))
       .select(col("t.u").as("u"), col("t.v").as("v"))
       .localCheckpoint(true) // adjacency build AND the edge scan
-    val adj = o.groupBy("u").agg(collect_list("v").as("nb"))
+    // adjacency lists SORTED at build so the per-edge closure count is a
+    // two-pointer merge (SortedLongIntersectCount) — O(m^1.5) evaluations
+    // pay no per-call hash set (the r13 profile fix, same as the dedup
+    // verify's digest arrays)
+    val adj = o.groupBy("u").agg(array_sort(collect_list("v")).as("nb"))
       .localCheckpoint(true) // both sides of the closure join
     // inner joins are exact: an endpoint absent from adj has no out-edges
     // and contributes an empty intersection anyway
     val tri = o
       .join(adj.select(col("u"), col("nb").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("v"), col("nb").as("nv")), Seq("v"))
-      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("t"))
+      .select(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.SortedLongIntersectCount(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("nu")),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("nv"))))
+        .as("t"))
       .agg(coalesce(sum("t"), lit(0L)).as("triangles")) // empty graph → 0
     val shape = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("(d * (d - 1)) div 2")).as("wedges"))

@@ -121,7 +121,9 @@ object DedupBackbone {
           "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
         val name = s"graft_dedup_sharr_b${arrayBuckets}_$tag"
         Staging.ensure(s,
-          Staging.fingerprint(s, dir, s"dedup_sharr:b$arrayBuckets:v2"),
+          // v3: array elements sorted at build (SortedBinaryIntersectCount
+          // contract) — the tag bump restages any v2-era unsorted table
+          Staging.fingerprint(s, dir, s"dedup_sharr:b$arrayBuckets:v3"),
           Seq(name)) {
           Bucketing.writeBucketedSorted(
             Dedup.shingleArrays(shingles(s, dir)), name, "doc_id",
