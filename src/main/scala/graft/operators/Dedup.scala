@@ -393,26 +393,56 @@ object Dedup {
         col("n1"), col("n2"))
   }
 
+  /** The exact small rational p/q behind a threshold literal (0.7 → 7/10).
+    * The verify filters compare in INTEGER form so the pushed join
+    * condition references the per-pair intersection count exactly ONCE —
+    * the double formulation `I/(S−I) ≥ t` carries the count twice, and a
+    * condition pushed into a join gets no subexpression elimination, so the
+    * sf10dc profile paid the 313.5M-pair merge twice per pair.
+    */
+  private[operators] def rationalize(t: Double): (Long, Long) = {
+    val den = 10000L
+    val num = math.round(t * den)
+    require(math.abs(num.toDouble / den - t) < 1e-12,
+      s"threshold $t is not a scale-4 decimal — extend rationalize")
+    val g = BigInt(num).gcd(BigInt(den)).toLong
+    (num / g, den / g)
+  }
+
   /** Exact Jaccard over candidates from a prebuilt [[shingleArrays]] frame —
     * arithmetic identical to [[jaccardOnCandidatesFromShingles]] (the
     * parity spec pins it), intersection evaluated in-project.
+    *
+    * The keep condition is the INTEGER form `I·(q+p) ≥ p·(n1+n2)`
+    * (⇔ I/(n1+n2−I) ≥ p/q over the reals). It admits exactly the same
+    * pairs as the double comparison both engines round through: I/(S−I) is
+    * a rational with denominator ≤ the doc set size, so its distance from
+    * p/q is either 0 or ≥ 1/(q·(S−I)) — at least ~1e-5/set-size, ten
+    * orders of magnitude above the ~1e-16 double-division rounding that
+    * could otherwise flip a boundary compare. Holds for set sizes to ~1e11;
+    * the oracle keeps the double form and cannot disagree.
     */
   def jaccardOnCandidatesFromArrays(arrays: DataFrame, cands: DataFrame,
-                                    threshold: Double): DataFrame =
+                                    threshold: Double): DataFrame = {
+    val (p, q) = rationalize(threshold)
     intersectionFromArrays(arrays, cands)
+      .filter(col("inter") * lit(q + p) >= lit(p) * (col("n1") + col("n2")))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jac"))
-      .filter(col("jac") >= threshold)
+  }
 
   /** Exact containment over candidates from [[shingleArrays]] — the array
-    * twin of [[containmentOnCandidatesFromShingles]].
+    * twin of [[containmentOnCandidatesFromShingles]]; same single-reference
+    * integer keep condition (`I·q ≥ p·min(n1,n2)`, same equivalence bound).
     */
   def containmentOnCandidatesFromArrays(arrays: DataFrame, cands: DataFrame,
-                                        threshold: Double): DataFrame =
+                                        threshold: Double): DataFrame = {
+    val (p, q) = rationalize(threshold)
     intersectionFromArrays(arrays, cands)
+      .filter(col("inter") * lit(q) >= lit(p) * least(col("n1"), col("n2")))
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / least(col("n1"), col("n2"))).as("cont"))
-      .filter(col("cont") >= threshold)
+  }
 
   /** Shared verify-tier staging for the set-overlap scorers: per-candidate
     * shingle intersection counts plus both docs' set sizes —
