@@ -85,6 +85,44 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  /** `graph_assortativity` — degree assortativity of the symmetrized trade
+    * graph: the Pearson correlation of (deg(src), deg(dst)) over directed
+    * edges — one number saying whether high-degree nodes attach to other
+    * hubs (r > 0) or to the periphery (r < 0), the structural reading that
+    * decides sampling strategy before any walk (a disassortative graph's
+    * hubs are the bottleneck salted joins and capped explosions exist for).
+    * Scale shape: degree rollup + two equi-joins + ONE partial-aggregable
+    * moment row (n, Σx, Σy, Σx², Σy², Σxy) — nothing quadratic, driver
+    * traffic is six numbers. Determinism: the q79 contract — exact decimal
+    * moment sums over integer degrees, closed form in double from cast-once
+    * moments, identical IEEE expression in both engines.
+    */
+  def assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val ed = sym
+      .join(deg.select(col("src"), col("d").as("da")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("db")), "dst")
+    def p(a: String, b: String) =
+      (col(a).cast("decimal(19,0)") * col(b).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+    val m = ed.agg(count(lit(1)).as("n"),
+      sum(col("da").cast("decimal(18,0)")).as("sx"),
+      sum(col("db").cast("decimal(18,0)")).as("sy"),
+      sum(p("da", "db")).as("sxy"),
+      sum(p("da", "da")).as("sxx"),
+      sum(p("db", "db")).as("syy"))
+    val nd = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n").as("n_dir_edges"),
+      round((nd * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(nd * d("sxx") - d("sx") * d("sx"))
+          * sqrt(nd * d("syy") - d("sy") * d("sy"))), 6).as("assortativity"))
+  }
+
   val bfsRounds = 6
 
   /** `graph_bfs` — budgeted BFS from the graph's minimum node id over the
@@ -324,6 +362,23 @@ object GraphQueries {
   val oracle: Map[String, String] = Map(
     "graph_kcore" -> kcoreOracle,
     "graph_ppr" -> pprOracle,
+    "graph_assortativity" ->
+      s"""WITH $edgeSql,
+         |ed AS (SELECT d1.deg AS da, d2.deg AS db
+         |       FROM e JOIN deg d1 ON d1.src = e.src JOIN deg d2 ON d2.src = e.dst),
+         |m AS (SELECT count(*) AS n,
+         |  sum(CAST(da AS DECIMAL(18,0))) AS sx,
+         |  sum(CAST(db AS DECIMAL(18,0))) AS sy,
+         |  sum(CAST(CAST(da AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxy,
+         |  sum(CAST(CAST(da AS DECIMAL(19,0)) * CAST(da AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS sxx,
+         |  sum(CAST(CAST(db AS DECIMAL(19,0)) * CAST(db AS DECIMAL(19,0)) AS DECIMAL(38,0))) AS syy
+         | FROM ed)
+         |SELECT CAST(n AS BIGINT) AS n_dir_edges,
+         |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    AS assortativity
+         |FROM m""".stripMargin,
     "graph_lpa" -> lpaOracle,
     "graph_common" ->
       s"""WITH e AS (SELECT DISTINCT o_custkey AS g, l_suppkey AS i
