@@ -2622,6 +2622,46 @@ object CoreQueries {
       .orderBy("day")
   }
 
+  /** Q111 — the CALENDAR-DENSE twin of [[q108]] (the r12 ADVICE note made
+    * permanent as its own row): q108's `rowsBetween` frame spans 7 PRESENT
+    * rows, so on gapped series its "7-day" label is really 7 observations.
+    * Here the daily frame is left-joined onto a dense generated calendar
+    * (min..max day, zero-filled), so the 7-row frame IS 7 calendar days and
+    * a zero-activity day correctly drags the correlation. Same integer
+    * moment + closed-form-in-double contract; the calendar frame is bounded
+    * by construction (≤ days in the corpus span).
+    */
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    val daily = EventsBackbone.byType(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(when(col("event_type") === "click", 1)).as("x"),
+        count(when(col("event_type") === "view", 1)).as("y"))
+    val cal = daily.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val dense = cal.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("x", "y"))
+    val w = Window.orderBy("day").rowsBetween(-(corrWindowDays - 1), 0)
+    val n = lit(corrWindowDays.toLong)
+    val moments = dense
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("syy", sum(col("y") * col("y")).over(w))
+      .filter(col("k") === n)
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    moments
+      .filter(vx > 0 && vy > 0)
+      .select(col("day"), col("sx").as("clicks"), col("sy").as("views"),
+        round(cov.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6).as("corr7"))
+      .orderBy("day")
+  }
+
   def q106(s: SparkSession, dir: String): DataFrame = {
     val daily = EventsBackbone.byType(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

@@ -547,6 +547,30 @@ object Oracles {
          |  AND ${CoreQueries.corrWindowDays}*sxx - sx*sx > 0
          |  AND ${CoreQueries.corrWindowDays}*syy - sy*sy > 0
          |ORDER BY day""".stripMargin,
+    "q111_moving_corr_dense" ->
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+         |    count(CASE WHEN event_type = 'view' THEN 1 END) AS y
+         |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+         |cal AS (SELECT CAST(unnest(generate_series(
+         |    (SELECT min(day) FROM daily), (SELECT max(day) FROM daily),
+         |    INTERVAL 1 DAY)) AS DATE) AS day),
+         |dense AS (SELECT cal.day, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+         |  FROM cal LEFT JOIN daily USING (day)),
+         |m AS (SELECT day,
+         |    count(*) OVER w AS k,
+         |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         |    sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx,
+         |    sum(y*y) OVER w AS syy
+         |  FROM dense WINDOW w AS (ORDER BY day ROWS BETWEEN ${CoreQueries.corrWindowDays - 1} PRECEDING AND CURRENT ROW))
+         |SELECT day, CAST(sx AS BIGINT) AS clicks, CAST(sy AS BIGINT) AS views,
+         |  round(CAST(${CoreQueries.corrWindowDays}*sxy - sx*sy AS DOUBLE) /
+         |    (sqrt(CAST(${CoreQueries.corrWindowDays}*sxx - sx*sx AS DOUBLE)) *
+         |     sqrt(CAST(${CoreQueries.corrWindowDays}*syy - sy*sy AS DOUBLE))), 6) AS corr7
+         |FROM m WHERE k = ${CoreQueries.corrWindowDays}
+         |  AND ${CoreQueries.corrWindowDays}*sxx - sx*sx > 0
+         |  AND ${CoreQueries.corrWindowDays}*syy - sy*sy > 0
+         |ORDER BY day""".stripMargin,
     // seasonal-naive backtest: integer absolute errors sum exactly; the
     // percentage errors round at scale 9 into an exact decimal sum
     "q106_forecast" ->

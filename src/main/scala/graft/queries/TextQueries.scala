@@ -458,6 +458,34 @@ object TextQueries {
     * fire); the guard fails LOUDLY if the corpus outgrows that regime
     * rather than silently diverging from the exact-count oracle.
     */
+  val cmsDepth = 4
+  val cmsWidth = 64
+
+  /** `text_cms` — Count-Min sketch audit ([[graft.operators.CountMin]]):
+    * the d×w counter table built in one exploded scan (256 counters at
+    * 4×64, mergeable by addition — the point-frequency member of the
+    * sketch family next to HLL's distinct-count and Misra-Gries's top-k),
+    * then the 10 highest-frequency tokens probed through it: exact count,
+    * CMS estimate (min over the d counters), and the one-sided overcount
+    * the collision bound promises — the "is the sketch width right for
+    * this corpus" reading an operator checks before shipping CMS counters
+    * instead of a full frequency table. All integers; the row hashes are
+    * the shared minhash md5 basis, mirrored in the oracle.
+    */
+  def cms(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val toks = TextBackbone.unigrams(s, dir).select(col("w"))
+    val ctr = CountMin.counters(toks, "w", cmsDepth, cmsWidth)
+      .localCheckpoint(true) // probe join + any future consumer
+    val exact = toks.groupBy("w").agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy(desc("exact"), asc("w")).limit(10)
+    CountMin.estimate(ctr, top, "w", cmsDepth, cmsWidth)
+      .join(top, "w")
+      .select(col("w").as("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(desc("exact"), asc("token"))
+  }
+
   def heavy(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val toks = TextBackbone.unigrams(s, dir).select(col("w").as("token"))
@@ -973,6 +1001,27 @@ object TextQueries {
           |SELECT doc_id, round(list_sum(list_sort(list(ln(c/tot))))/count(*), 6) AS lm_logp
           |FROM tk JOIN wc USING (w), tot WHERE doc_id < 200
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_cms" -> {
+        val mask = graft.operators.Dedup.km_mask
+        s"""${SqlGen.lmPrefix},
+           |hx AS (SELECT w, ('0x'||substr(md5(w),1,15))::BIGINT AS h1,
+           |        (('0x'||substr(md5(w),17,15))::BIGINT >> 4) AS h2 FROM tk),
+           |ctr AS (SELECT CAST(t.i AS INTEGER) AS row_i,
+           |         ((h1 + h2*t.i) & $mask) % $cmsWidth AS bucket, count(*) AS c
+           |        FROM hx, range(0, $cmsDepth) t(i) GROUP BY 1, 2),
+           |exact AS (SELECT w, count(*) AS exact FROM tk GROUP BY w),
+           |top AS (SELECT w, exact FROM exact ORDER BY exact DESC, w LIMIT 10),
+           |hxd AS (SELECT DISTINCT w, h1, h2 FROM hx),
+           |pr AS (SELECT top.w, top.exact, CAST(t.i AS INTEGER) AS row_i,
+           |        ((h1 + h2*t.i) & $mask) % $cmsWidth AS bucket
+           |       FROM top JOIN hxd USING (w), range(0, $cmsDepth) t(i)),
+           |est AS (SELECT pr.w, max(pr.exact) AS exact, min(ctr.c) AS est
+           |        FROM pr JOIN ctr ON ctr.row_i = pr.row_i AND ctr.bucket = pr.bucket
+           |        GROUP BY pr.w)
+           |SELECT w AS token, CAST(exact AS BIGINT) AS exact,
+           |  CAST(est AS BIGINT) AS est, CAST(est - exact AS BIGINT) AS overcount
+           |FROM est ORDER BY exact DESC, token""".stripMargin
+      },
       "text_heavy" ->
         """SELECT token, c FROM (
           |  SELECT token, count(*) AS c FROM
