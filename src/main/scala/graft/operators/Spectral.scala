@@ -83,6 +83,29 @@ object Spectral {
     (v, lam6.toLong, evr6.toLong)
   }
 
+  /** Hotelling deflation in the same scaled-integer regime: given the
+    * trained top component `v` of `gU`, returns the residual matrix
+    * `G − (vᵀGv)/(vᵀv)² · v vᵀ` cell-for-cell at the Gram scale, so a
+    * second [[powerIteration]] finds the SECOND component. The rank-one
+    * term is computed as `(λ9 · v_i · v_j) / den` with `λ9 = num / den`
+    * (two truncating divisions in that fixed order — the single-division
+    * form overflows 128-bit integers at corpus scale, and the oracle must
+    * divide in the same order to stay bit-exact).
+    */
+  def deflate(gU: Map[(Int, Int), BigInt], v: Array[BigInt], dims: Int)
+      : Map[(Int, Int), BigInt] = {
+    val w = Array.tabulate(dims) { i =>
+      (1 to dims).map(j => gU.getOrElse((i + 1, j), BigInt(0)) * v(j - 1)).sum
+    }
+    val num = (0 until dims).map(i => v(i) * w(i)).sum
+    val den = v.map(x => x * x).sum
+    require(den > 0, "deflation against a zero vector")
+    val lam9 = num / den
+    (for (i <- 1 to dims; j <- 1 to dims) yield {
+      (i, j) -> (gU.getOrElse((i, j), BigInt(0)) - lam9 * v(i - 1) * v(j - 1) / den)
+    }).toMap
+  }
+
   /** [[powerIteration]] over the collected Gram of `vecs` — the trained
     * model artifact (eigenvector at scale 1e9 + scale-1e6 λ and λ/trace)
     * consumers cache per (session, dir) and apply without re-scanning.

@@ -230,23 +230,62 @@ object SimilarityQueries {
     * before whitening, dimension pruning, or diagnosing a vector store whose
     * similarities are saturated by one direction.
     */
-  /** The trained PCA artifact (scale-1e9 eigenvector + scale-1e6 λ, λ/trace),
-    * computed once per (session, dir) — `sim_pca` renders it, `sim_pca_project`
-    * applies it; the Gram scan runs once for both.
+  /** The collected Gram cells, once per (session, dir) — every spectral
+    * consumer (top component, projection, deflation) derives from this one
+    * scan's d² numbers.
     */
-  private def pcaModel(s: SparkSession, dir: String): (Array[BigInt], Long, Long) = {
+  private def pcaCells(s: SparkSession, dir: String): Map[(Int, Int), BigInt] = {
     import org.apache.spark.sql.functions.col
-    BackboneRegistry.scalarOrBuild(s, s"pca:top:$dir") {
-      graft.operators.Spectral.topVector(
+    BackboneRegistry.scalarOrBuild(s, s"pca:cells:$dir") {
+      graft.operators.Spectral.gram(
         Tables.embeddings(s, dir)
-          .select(col("vec_id").as("id"), col("embedding").as("vec")),
-        dims = Similarity.dims, rounds = pcaRounds)
+          .select(col("vec_id").as("id"), col("embedding").as("vec")))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).unscaledValue()))
+        .toMap
     }
   }
+
+  /** The trained PCA artifact (scale-1e9 eigenvector + scale-1e6 λ, λ/trace),
+    * computed once per (session, dir) — `sim_pca` renders it, `sim_pca_project`
+    * applies it, `sim_pca2` deflates past it; the Gram scan runs once for all.
+    */
+  private def pcaModel(s: SparkSession, dir: String): (Array[BigInt], Long, Long) =
+    BackboneRegistry.scalarOrBuild(s, s"pca:top:$dir") {
+      graft.operators.Spectral.powerIteration(
+        pcaCells(s, dir), Similarity.dims, pcaRounds)
+    }
 
   def pca(s: SparkSession, dir: String): DataFrame = {
     val (v, lam6, evr6) = pcaModel(s, dir)
     graft.operators.Spectral.renderComponent(s, v, lam6, evr6).orderBy("dim")
+  }
+
+  /** `sim_pca2` — the SECOND principal direction via Hotelling deflation
+    * ([[graft.operators.Spectral.deflate]]): subtract the trained top
+    * component's rank-one term from the cached Gram cells (pure driver
+    * integer math — the corpus is NOT re-scanned) and power-iterate the
+    * residual. Reported per dimension with λ₂, λ₂'s share of the RESIDUAL
+    * variance, and the scale-1e9 orthogonality dot v₁·v₂ (near 0 — the
+    * deflation's own audit). Top-2 is where spectral diagnosis usually
+    * stops for embedding stores: "is the anisotropy one rogue direction or
+    * a plane"; repeating deflate+iterate extends to top-k at d² driver
+    * cost per extra component.
+    */
+  def pca2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = Similarity.dims
+    val (v1, _, _) = pcaModel(s, dir)
+    val g2 = graft.operators.Spectral.deflate(pcaCells(s, dir), v1, d)
+    val (v2, lam6, evr6) = graft.operators.Spectral.powerIteration(g2, d, pcaRounds)
+    val ortho9 = ((0 until d).map(i => v1(i) * v2(i)).sum /
+      BigInt(graft.operators.Spectral.vecScale)).toLong
+    graft.operators.Spectral.renderComponent(s, v2, lam6, evr6)
+      .select(col("dim"), col("v"), col("loading"),
+        col("eigenvalue").as("eigenvalue2"),
+        col("explained_ratio").as("explained_residual"),
+        lit(ortho9).as("ortho9"))
+      .orderBy("dim")
   }
 
   /** `sim_pca_project` — APPLY the trained component (closing the
@@ -1116,18 +1155,32 @@ object SimilarityQueries {
     * eigenvector) — `sim_pca` reads the component off it, `sim_pca_project`
     * applies it, exactly as the engine shares one cached model.
     */
+  /** One power-iteration CTE chain over Gram table `gT`, vectors named
+    * `$vP{0..rounds}` — shared by the top-component chain and the deflated
+    * second chain.
+    */
+  private def pcaIterChain(gT: String, vP: String, wP: String): String = {
+    val S = graft.operators.Spectral.vecScale
+    // MATERIALIZED is load-bearing (the kcore-oracle lesson): each round
+    // references the previous vector CTE and its own w CTE more than once,
+    // and the second-component chain joins the shared tables three ways —
+    // default inlining re-expands the Gram derivation per reference
+    // (observed: DuckDB exhausting file handles re-opening the parquet)
+    (1 to pcaRounds).map { k =>
+      s"""$wP$k AS MATERIALIZED (SELECT g.i, sum(g.gu * v.v) AS w FROM $gT g JOIN $vP${k - 1} v ON v.i = g.j GROUP BY g.i),
+         |$vP$k AS MATERIALIZED (SELECT i, (w * $S) // (SELECT max(abs(w)) FROM $wP$k) AS v FROM $wP$k)""".stripMargin
+    }.mkString(",\n")
+  }
+
   private[queries] def pcaCtes: String = {
     val d = Similarity.dims
     val S = graft.operators.Spectral.vecScale
     val p = graft.operators.Spectral.prodScale
-    val iters = (1 to pcaRounds).map { k =>
-      s"""w$k AS (SELECT g.i, sum(g.gu * v.v) AS w FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY g.i),
-         |v$k AS (SELECT i, (w * $S) // (SELECT max(abs(w)) FROM w$k) AS v FROM w$k)""".stripMargin
-    }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
+    val iters = pcaIterChain("g", "v", "w")
+    s"""e AS MATERIALIZED (SELECT vec_id, CAST(t.i AS INTEGER) AS i,
        |  CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
        |  FROM embeddings, range(1, ${d + 1}) t(i)),
-       |g AS (SELECT a.i AS i, b.i AS j,
+       |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
        |  CAST(sum(CAST(round(a.x * b.x, $p) AS DECIMAL(38,$p))) * $S AS HUGEINT) AS gu
        |  FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i),
        |v0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST($S AS HUGEINT) AS v FROM range(1, ${d + 1}) t(i)),
@@ -1145,6 +1198,38 @@ object SimilarityQueries {
        |  CAST(num // (den * 1000) AS DOUBLE) / 1.0e6 AS eigenvalue,
        |  CAST(num // (den * (tr // 1000000)) AS DOUBLE) / 1.0e6 AS explained_ratio
        |FROM v$pcaRounds v, ray ORDER BY dim""".stripMargin
+
+  /** pca2 oracle: the shared top-component chain, the SAME two-division
+    * deflation order as [[graft.operators.Spectral.deflate]]
+    * (`λ9 = num // den`, then `(λ9·v_i·v_j) // den` — the single-division
+    * form overflows HUGEINT), then a second iteration chain over the
+    * deflated cells and the same scale-1e6 ratios; orthogonality as the
+    * scale-1e9 truncated dot.
+    */
+  private def pca2Sql: String = {
+    val d = Similarity.dims
+    val S = graft.operators.Spectral.vecScale
+    s"""WITH $pcaCtes,
+       |wf AS (SELECT g.i, sum(g.gu * v.v) AS w FROM g JOIN v$pcaRounds v ON v.i = g.j GROUP BY g.i),
+       |ray AS (SELECT sum(v.v * w.w) AS num, (SELECT sum(v*v) FROM v$pcaRounds) AS den
+       |  FROM v$pcaRounds v JOIN wf w ON w.i = v.i),
+       |gd AS MATERIALIZED (SELECT g.i, g.j, g.gu - ((num // den) * vi.v * vj.v) // den AS gu
+       |  FROM g JOIN v$pcaRounds vi ON vi.i = g.i JOIN v$pcaRounds vj ON vj.i = g.j, ray),
+       |b0 AS (SELECT CAST(t.i AS INTEGER) AS i, CAST($S AS HUGEINT) AS v FROM range(1, ${d + 1}) t(i)),
+       |${pcaIterChain("gd", "b", "x")},
+       |wfb AS (SELECT g.i, sum(g.gu * v.v) AS w FROM gd g JOIN b$pcaRounds v ON v.i = g.j GROUP BY g.i),
+       |rayb AS (SELECT sum(v.v * w.w) AS num, (SELECT sum(v*v) FROM b$pcaRounds) AS den,
+       |  (SELECT sum(gu) FROM gd WHERE i = j) AS tr
+       |  FROM b$pcaRounds v JOIN wfb w ON w.i = v.i),
+       |orth AS (SELECT sum(a.v * b.v) // $S AS o
+       |  FROM v$pcaRounds a JOIN b$pcaRounds b ON b.i = a.i)
+       |SELECT v.i AS dim, CAST(v.v AS BIGINT) AS v,
+       |  CAST(v.v AS DOUBLE) / 1.0e9 AS loading,
+       |  CAST(num // (den * 1000) AS DOUBLE) / 1.0e6 AS eigenvalue2,
+       |  CAST(num // (den * (tr // 1000000)) AS DOUBLE) / 1.0e6 AS explained_residual,
+       |  CAST(o AS BIGINT) AS ortho9
+       |FROM b$pcaRounds v, rayb, orth ORDER BY dim""".stripMargin
+  }
 
   private def pcaProjectSql: String = {
     val d = Similarity.dims
@@ -1184,6 +1269,7 @@ object SimilarityQueries {
 
   def oracle(dir: String): Map[String, String] = Map(
     "sim_pca" -> pcaSql,
+    "sim_pca2" -> pca2Sql,
     "sim_pca_project" -> pcaProjectSql,
     "sim_silhouette" -> silhouetteSql,
     "sim_nprobe_curve" -> nprobeCurveSql,

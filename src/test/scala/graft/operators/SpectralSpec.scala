@@ -41,6 +41,34 @@ class SpectralSpec extends SparkSpec {
     assert(a == b && a.size == 9)
   }
 
+  test("deflate: removes the top direction so iteration finds the second") {
+    // corpus [(2,0),(0,1)]: G = diag(4,1) → top = e1 (λ=4), second = e2 (λ=1)
+    val cells = Map((1, 1) -> BigInt("4000000000"), (2, 2) -> BigInt("1000000000"))
+    val (v1, lam6a, _) = Spectral.powerIteration(cells, 2, rounds = 12)
+    // λ₁ = 4 up to one scale-6 unit of truncation (the residual second-axis
+    // dust in v₁ biases the Rayleigh quotient down by < 1e-6)
+    assert(math.abs(lam6a - 4000000L) <= 1L)
+    assert(math.abs(v1(0).toLong) == Spectral.vecScale)
+    val g2 = Spectral.deflate(cells, v1, 2)
+    val (v2, lam6b, _) = Spectral.powerIteration(g2, 2, rounds = 12)
+    assert(math.abs(v2(1).toLong) == Spectral.vecScale) // second axis dominates
+    assert(math.abs(v2(0).toLong) < Spectral.vecScale / 100)
+    assert(math.abs(lam6b - 1000000L) < 2000) // λ₂ ≈ 1 up to deflation truncation
+    // near-orthogonal at scale 1e9
+    val dot9 = (0 until 2).map(i => v1(i) * v2(i)).sum / BigInt(Spectral.vecScale)
+    assert(dot9.abs < BigInt(Spectral.vecScale) / 100)
+  }
+
+  test("deflate: a rank-one matrix deflates to (near) nothing") {
+    // corpus [(1,1),(1,1)]: G = [[2,2],[2,2]] — removing the top component
+    // leaves only truncation dust, orders below the original trace
+    val two = BigInt("2000000000")
+    val cells = Map((1, 1) -> two, (1, 2) -> two, (2, 1) -> two, (2, 2) -> two)
+    val (v1, _, _) = Spectral.powerIteration(cells, 2, rounds = 4)
+    val g2 = Spectral.deflate(cells, v1, 2)
+    assert(g2.values.map(_.abs).max < BigInt(1000)) // ≤ µ-units of dust
+  }
+
   test("powerIteration: bounds and degenerate input rejected loudly") {
     intercept[IllegalArgumentException] {
       Spectral.powerIteration(Map((1, 1) -> BigInt("2000000000")), 1, rounds = 0)
