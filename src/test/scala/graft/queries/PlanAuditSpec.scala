@@ -511,8 +511,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("triangle census closes edges over adjacency arrays: no wedge rows in any exchange") {
     val p = plans("graph_triangles")
-    assert(p.contains("array_intersect"),
-      s"closure must intersect adjacency arrays in-project:\n$p")
+    // r13: the closure count is the codegen'd sorted-merge expression, not
+    // the generic hash-set array_intersect
+    assert(p.contains("sortedlongintersectcount"),
+      s"closure must merge-count adjacency arrays in-project:\n$p")
     assert(!p.contains("LeftSemi"),
       s"the wedge-materializing semi-join shape is retired:\n$p")
     assert(!p.contains("CartesianProduct"), p)
@@ -774,7 +776,8 @@ class PlanAuditSpec extends SparkSpec {
       "stream_percentiles", "stream_quality", "stream_index_ann",
       "stream_index_lex", "stream_index_ivf", "stream_join",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
-      "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup")
+      "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup",
+      "graph_assortativity", "stream_gram")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       if (!singleRow(name))
         assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
