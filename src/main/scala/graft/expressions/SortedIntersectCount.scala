@@ -28,8 +28,24 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * `array_intersect`'s set semantics, so the expressions are drop-in
   * value-equal replacements (the parity spec pins this, duplicates
   * included). Unsorted input is a CONTRACT VIOLATION with silently wrong
-  * counts — every call site reads a frame whose builder sorts.
+  * counts — every call site reads a frame whose builder sorts. NULL
+  * ELEMENTS are likewise out of contract (`array_sort` would have placed
+  * them last, where the merge order is undefined for them) — unlike
+  * `array_intersect`, which tolerates them; a null element fails loudly
+  * with a contract message instead of an NPE deep in codegen (binary) or
+  * a silently-wrong count (long, where `getLong` on a null slot reads 0).
   */
+/** Shared contract-violation error for the sorted-merge kernels (a plain
+  * object compiles to a static forwarder, so generated Java calls it too).
+  */
+object SortedIntersectCount {
+  def nullElement(): IllegalArgumentException =
+    new IllegalArgumentException(
+      "SortedIntersectCount: null array element — inputs must be null-free " +
+        "ascending-sorted arrays (the staged builders array_sort null-free " +
+        "columns); use array_intersect for null-tolerant semantics")
+}
+
 case class SortedBinaryIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -54,7 +70,9 @@ case class SortedBinaryIntersectCount(left: Expression, right: Expression)
     var c = 0L
     while (i < n && j < m) {
       val xi = x.getBinary(i)
-      val cmp = java.util.Arrays.compareUnsigned(xi, y.getBinary(j))
+      val yj = y.getBinary(j)
+      if (xi == null || yj == null) throw SortedIntersectCount.nullElement()
+      val cmp = java.util.Arrays.compareUnsigned(xi, yj)
       if (cmp < 0) i += 1
       else if (cmp > 0) j += 1
       else {
@@ -77,13 +95,17 @@ case class SortedBinaryIntersectCount(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val xi = ctx.freshName("xi")
       val cmp = ctx.freshName("cmp")
+      val yj = ctx.freshName("yj")
       s"""
          |int $n = $a.numElements();
          |int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
          |  byte[] $xi = $a.getBinary($i);
-         |  int $cmp = java.util.Arrays.compareUnsigned($xi, $b.getBinary($j));
+         |  byte[] $yj = $b.getBinary($j);
+         |  if ($xi == null || $yj == null)
+         |    throw graft.expressions.SortedIntersectCount.nullElement();
+         |  int $cmp = java.util.Arrays.compareUnsigned($xi, $yj);
          |  if ($cmp < 0) { $i++; }
          |  else if ($cmp > 0) { $j++; }
          |  else {
@@ -128,6 +150,7 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0L
     while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) throw SortedIntersectCount.nullElement()
       val xi = x.getLong(i)
       val yj = y.getLong(j)
       if (xi < yj) i += 1
@@ -157,6 +180,8 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
          |int $m = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j))
+         |    throw graft.expressions.SortedIntersectCount.nullElement();
          |  long $xi = $a.getLong($i);
          |  long $yj = $b.getLong($j);
          |  if ($xi < $yj) { $i++; }

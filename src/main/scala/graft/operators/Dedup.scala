@@ -393,20 +393,24 @@ object Dedup {
         col("n1"), col("n2"))
   }
 
-  /** The exact small rational p/q behind a threshold literal (0.7 → 7/10).
-    * The verify filters compare in INTEGER form so the pushed join
-    * condition references the per-pair intersection count exactly ONCE —
-    * the double formulation `I/(S−I) ≥ t` carries the count twice, and a
-    * condition pushed into a join gets no subexpression elimination, so the
-    * sf10dc profile paid the 313.5M-pair merge twice per pair.
+  /** The exact small rational p/q behind a threshold literal (0.7 → 7/10),
+    * or None when the threshold is not a scale-4 decimal (e.g. 1.0/3) —
+    * callers then fall back to the double comparison, keeping the public
+    * Double-typed API total. The verify filters prefer the INTEGER form so
+    * the pushed join condition references the per-pair intersection count
+    * exactly ONCE — the double formulation `I/(S−I) ≥ t` carries the count
+    * twice, and a condition pushed into a join gets no subexpression
+    * elimination, so the sf10dc profile paid the 313.5M-pair merge twice
+    * per pair.
     */
-  private[operators] def rationalize(t: Double): (Long, Long) = {
+  private[operators] def rationalize(t: Double): Option[(Long, Long)] = {
     val den = 10000L
     val num = math.round(t * den)
-    require(math.abs(num.toDouble / den - t) < 1e-12,
-      s"threshold $t is not a scale-4 decimal — extend rationalize")
-    val g = BigInt(num).gcd(BigInt(den)).toLong
-    (num / g, den / g)
+    if (math.abs(num.toDouble / den - t) >= 1e-12) None
+    else {
+      val g = BigInt(num).gcd(BigInt(den)).toLong
+      Some((num / g, den / g))
+    }
   }
 
   /** Exact Jaccard over candidates from a prebuilt [[shingleArrays]] frame —
@@ -424,9 +428,15 @@ object Dedup {
     */
   def jaccardOnCandidatesFromArrays(arrays: DataFrame, cands: DataFrame,
                                     threshold: Double): DataFrame = {
-    val (p, q) = rationalize(threshold)
+    val keep = rationalize(threshold) match {
+      case Some((p, q)) =>
+        col("inter") * lit(q + p) >= lit(p) * (col("n1") + col("n2"))
+      case None => // non-scale-4 threshold: the (double-counting) double form
+        col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")) >= threshold
+    }
     intersectionFromArrays(arrays, cands)
-      .filter(col("inter") * lit(q + p) >= lit(p) * (col("n1") + col("n2")))
+      .filter(keep)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jac"))
   }
@@ -437,9 +447,14 @@ object Dedup {
     */
   def containmentOnCandidatesFromArrays(arrays: DataFrame, cands: DataFrame,
                                         threshold: Double): DataFrame = {
-    val (p, q) = rationalize(threshold)
+    val keep = rationalize(threshold) match {
+      case Some((p, q)) =>
+        col("inter") * lit(q) >= lit(p) * least(col("n1"), col("n2"))
+      case None =>
+        col("inter").cast("double") / least(col("n1"), col("n2")) >= threshold
+    }
     intersectionFromArrays(arrays, cands)
-      .filter(col("inter") * lit(q) >= lit(p) * least(col("n1"), col("n2")))
+      .filter(keep)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") / least(col("n1"), col("n2"))).as("cont"))
   }

@@ -36,27 +36,42 @@ object Spectral {
   /** Eigenvector component scale: v ∈ [−1e9, 1e9] after each round. */
   val vecScale: Long = 1000000000L
 
-  /** Exact Gram matrix of `(id, vec)` rows as (i, j, g DECIMAL(38,9)) cells,
+  /** Exact Gram matrix of `vec` rows as (i, j, g DECIMAL(38,9)) cells,
     * 1-based dims, all d² cells (the full matrix keeps the driver-side and
     * SQL matvecs join-shaped instead of triangular-cased).
+    *
+    * Shape (r13 verdict item 5): chained posexplode generators — each row
+    * fans out to its own d² products IN THE SCAN, so the only exchange in
+    * the plan is the d²-row partial-aggregate shuffle. The previous
+    * id-keyed self-join of the exploded corpus bought two corpus×d
+    * exchanges for bit-identical cells; the streaming twin
+    * ([[graft.streaming.StreamOps.gramCells]], proven cell-equal by the
+    * `stream_gram` gate) always used this form, and both now share THIS
+    * implementation. Any `id` column is ignored.
     */
-  def gram(vecs: DataFrame): DataFrame = {
-    val e = vecs
-      .select(col("id"), posexplode(col("vec")))
-      .select(col("id"), (col("pos") + 1).as("i"), col("col").cast("double").as("x"))
-    e.as("a")
-      .join(e.select(col("id"), col("i").as("j"), col("x").as("y")).as("b"), "id")
-      .groupBy(col("i"), col("j"))
+  def gram(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec"), posexplode(col("vec")))
+      .toDF("vec", "i0", "x")
+      .select(col("i0"), col("x"), posexplode(col("vec")))
+      .toDF("i0", "x", "j0", "y")
+      .select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+      .groupBy("i", "j")
       .agg(sum(round(col("x") * col("y"), prodScale)
         .cast(s"decimal(38,$prodScale)")).as("g"))
-  }
 
   /** Power iteration on a collected Gram matrix (unscaled 1e9 integer
     * cells): `rounds` matvec+normalize steps from the all-ones vector, then
     * the Rayleigh quotient λ and explained-variance ratio λ/trace(G), both
-    * as scale-1e6 integers. Pure BigInt — no overflow at any corpus size
-    * (the SQL oracle's HUGEINT ceiling is ~1.7e38, fine to ~1e13 vectors;
-    * the engine itself has no ceiling).
+    * as scale-1e6 integers. Pure BigInt — the ENGINE has no overflow
+    * ceiling at any corpus size. The SQL oracle's HUGEINT (~1.7e38) bounds
+    * only oracle VERIFIABILITY, and more tightly than the cells alone
+    * suggest: inside the iteration chain the intermediate `w·1e9` rescale
+    * products reach ~d·g·1e18 with g ~ n·1e9 for unit-bounded embeddings,
+    * so the unrolled CTE overflows around n ≈ 1e9–1e10 vectors (normalize
+    * w before the rescale to recover headroom if a bigger corpus ever
+    * needs oracle checking).
     */
   def powerIteration(gU: Map[(Int, Int), BigInt], dims: Int, rounds: Int)
       : (Array[BigInt], Long, Long) = {

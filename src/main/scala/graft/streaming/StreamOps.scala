@@ -263,16 +263,7 @@ object StreamOps {
     * nothing ever re-scans the corpus.
     */
   def gramCells(vecs: DataFrame): DataFrame =
-    vecs
-      .select(col("vec"), posexplode(col("vec")))
-      .toDF("vec", "i0", "x")
-      .select(col("i0"), col("x"), posexplode(col("vec")))
-      .toDF("i0", "x", "j0", "y")
-      .select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"),
-        col("x").cast("double").as("x"), col("y").cast("double").as("y"))
-      .groupBy("i", "j")
-      .agg(sum(round(col("x") * col("y"), graft.operators.Spectral.prodScale)
-        .cast(s"decimal(38,${graft.operators.Spectral.prodScale})")).as("g"))
+    graft.operators.Spectral.gram(vecs)
 
   /** Per-user event sessionization over the `events` table shape using the
     * built-in session_window (gap-based), watermark-bounded.

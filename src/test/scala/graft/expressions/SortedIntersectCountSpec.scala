@@ -74,4 +74,32 @@ class SortedIntersectCountSpec extends SparkSpec {
       .select(longCount(col("a"), col("b"))).head.getLong(0)
     assert(viaPlan == 2L)
   }
+
+  test("null array element fails loudly with the contract message (r13 ADVICE)") {
+    // array_intersect tolerates null elements; the sorted-merge contract
+    // excludes them — a violation must name itself, not NPE in codegen
+    // (binary) or silently read 0 (long)
+    val binErr = intercept[Exception] {
+      Seq((Seq("aa"), Seq("aa"))).toDF("x", "y")
+        .select(binCount(
+          array(unhex(col("x").getItem(0)), lit(null).cast("binary")),
+          array(unhex(col("y").getItem(0)), lit(null).cast("binary"))))
+        .collect()
+    }
+    assert(exceptionChain(binErr).exists(_.getMessage != null) &&
+      exceptionChain(binErr).exists(m =>
+        Option(m.getMessage).exists(_.contains("SortedIntersectCount: null array element"))))
+    val longErr = intercept[Exception] {
+      Seq(1).toDF("one")
+        .select(longCount(
+          array(lit(1L), lit(null).cast("long")),
+          array(lit(null).cast("long"), lit(1L))))
+        .collect()
+    }
+    assert(exceptionChain(longErr).exists(m =>
+      Option(m.getMessage).exists(_.contains("SortedIntersectCount: null array element"))))
+  }
+
+  private def exceptionChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
 }

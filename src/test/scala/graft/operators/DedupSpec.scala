@@ -279,6 +279,14 @@ class DedupSpec extends SparkSpec {
     val contJoin = canon(Dedup.containmentOnCandidatesFromShingles(sh, allCands, 0.8), "cont")
     val contArr = canon(Dedup.containmentOnCandidatesFromArrays(arrays, allCands, 0.8), "cont")
     assert(contJoin.nonEmpty && contArr == contJoin)
+    // r13 ADVICE: a non-scale-4 threshold (1.0/3) must not throw — the
+    // Double-typed API falls back to the double comparison and still
+    // agrees with the shingle-join scorer at that threshold
+    val t3 = 1.0 / 3
+    val jacThird = canon(Dedup.jaccardOnCandidatesFromArrays(arrays, allCands, t3), "jac")
+    assert(jacThird == canon(Dedup.jaccardOnCandidatesFromShingles(sh, allCands, t3), "jac"))
+    val contThird = canon(Dedup.containmentOnCandidatesFromArrays(arrays, allCands, t3), "cont")
+    assert(contThird == canon(Dedup.containmentOnCandidatesFromShingles(sh, allCands, t3), "cont"))
   }
 
   test("prefix filtering finds a pair at EXACTLY the 0.7 threshold (integer prefix arithmetic)") {

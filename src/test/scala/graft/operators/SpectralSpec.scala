@@ -32,13 +32,20 @@ class SpectralSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)   // one direction carries all variance
   }
 
-  test("gramCells (stream-safe chained generators) equals gram (batch self-join) cell-for-cell") {
+  test("gramCells delegates to gram; the shared generator form is exchange-minimal") {
     val vecs = corpus(Seq(Seq(0.5f, -1.5f, 2.0f), Seq(1.0f, 0.25f, -0.75f)))
     val a = Spectral.gram(vecs)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
     val b = graft.streaming.StreamOps.gramCells(vecs)
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
     assert(a == b && a.size == 9)
+    // r13 verdict item 5: the batch form must be the chained-generator
+    // shape — the ONLY exchange is the d²-row partial-agg shuffle, and the
+    // old corpus×d self-join (two exchanges + a join) must not come back
+    val p = Spectral.gram(vecs).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"gram must shuffle only the d² partial-agg cells:\n$p")
+    assert(!p.contains("Join"), s"gram must not self-join the corpus:\n$p")
   }
 
   test("deflate: removes the top direction so iteration finds the second") {
