@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.{BandedWindow, FrameQuantile, Layout, TemporalJoin}
+import graft.operators.{BandedWindow, BoundedWindow, FrameQuantile, Layout, TemporalJoin}
 
 /** The declared relational query set (FIXTURES.md §3, Q01-Q19), written
   * DataFrame-first so Catalyst plans them (column pruning + filter pushdown to
@@ -879,8 +879,8 @@ object CoreQueries {
     val first = EventsBackbone.byUser(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy("user_id").agg(min("d").as("day"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val w = BoundedWindow.ordered("calendar", col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     first.groupBy("day").agg(count(lit(1)).as("new_users"))
       .withColumn("cum_users", sum("new_users").over(w))
       .orderBy("day")
@@ -1601,7 +1601,7 @@ object CoreQueries {
         expr(s"CAST(r * 100 AS BIGINT) div $paretoBandCents"))
     val bandOff = rev.groupBy("band").agg(sum("r").as("bsum"))
       .withColumn("off", coalesce(
-        sum("bsum").over(Window.orderBy(desc("band"))
+        sum("bsum").over(BoundedWindow.ordered("calendar", desc("band"))
           .rowsBetween(Window.unboundedPreceding, -1)),
         lit(BigDecimal(0))))
       .select("band", "off")
@@ -2229,7 +2229,8 @@ object CoreQueries {
     // tiny band table: best size seen in any STRICTLY earlier band
     val carry = px.groupBy("band").agg(max("my").as("bmax"))
       .withColumn("carry", max("bmax").over(
-        Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)))
+        BoundedWindow.ordered("calendar", col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
       .select("band", "carry")
     val wLoc = Window.partitionBy("band").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2316,7 +2317,7 @@ object CoreQueries {
       .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
         1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val wAll = Window.orderBy("digit")
+    val wAll = BoundedWindow.ordered("calendar", col("digit"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // NB: the grand total must NOT be named "N" — Spark and DuckDB both
     // resolve identifiers case-insensitively, so "N" silently merges with
@@ -2601,7 +2602,8 @@ object CoreQueries {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(when(col("event_type") === "click", 1)).as("x"),
         count(when(col("event_type") === "view", 1)).as("y"))
-    val w = Window.orderBy("day").rowsBetween(-(corrWindowDays - 1), 0)
+    val w = BoundedWindow.ordered("calendar", col("day"))
+      .rowsBetween(-(corrWindowDays - 1), 0)
     val n = lit(corrWindowDays.toLong)
     val moments = daily
       .withColumn("k", count(lit(1)).over(w))
@@ -2641,7 +2643,8 @@ object CoreQueries {
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
     val dense = cal.join(daily, Seq("day"), "left")
       .na.fill(0L, Seq("x", "y"))
-    val w = Window.orderBy("day").rowsBetween(-(corrWindowDays - 1), 0)
+    val w = BoundedWindow.ordered("calendar", col("day"))
+      .rowsBetween(-(corrWindowDays - 1), 0)
     val n = lit(corrWindowDays.toLong)
     val moments = dense
       .withColumn("k", count(lit(1)).over(w))

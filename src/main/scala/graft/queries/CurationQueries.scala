@@ -422,6 +422,60 @@ object CurationQueries {
         seqLen, chunkWidth = shardChunkWidth)
       .orderBy("doc_id", "seq")
 
+  /** `pipeline_mm_dump` — the MULTIMODAL training dump (r13 verdict item 3):
+    * [[pipelineDump]]'s packed context windows with each curated doc's
+    * media columns riding along — kind + payload checksum through the
+    * decode layer ([[MultimodalQueries.mediaCatalog]]) and the embedding's
+    * width + squared norm from the cross-modal link — i.e. what a real
+    * dump ships so the trainer can route modalities and detect payload
+    * drift without re-reading media bytes. Composition law (spec-pinned
+    * AND oracled): the row set is EXACTLY `pipeline_dump ⋈ media catalog
+    * ⟕ embeddings` — the media columns change no window, drop no doc, and
+    * the curated∩train doc set is byte-identical to the text-only dump's.
+    * Scale shape: the dump's own stages plus two keyed joins (catalog
+    * derived scan-locally from the payload bytes; embeddings equi-joined
+    * on id) — both partition-parallel, nothing new driver-side.
+    */
+  /** The text dump's DuckDB CTE chain (curate → split → train slice →
+    * packed windows) ending in the `dump` CTE — `pipeline_dump` selects it
+    * directly, `pipeline_mm_dump` joins the media columns onto it; one
+    * text, so the composition-law oracle cannot drift from the text-only
+    * dump's.
+    */
+  private def dumpSqlCtes: String =
+    s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |cur AS (SELECT d.doc_id AS doc_id, source, text
+       |        FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+       |        WHERE (${SqlGen.langIdSql}) = 'en' AND ${SqlGen.qualitySql} >= $qualityFloor),
+       |tr AS (SELECT doc_id, source, text FROM cur
+       |       WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100
+       |             >= ${splitTestPct + splitValPct}),
+       |c AS (SELECT doc_id, source, len(string_split(text,' ')) AS toks,
+       |        sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM tr),
+       |dump AS (SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
+       | CAST(greatest(seq*$seqLen, cum - toks) - (cum - toks) AS BIGINT) AS tok_start,
+       | CAST(least((seq+1)*$seqLen, cum) - (cum - toks) AS BIGINT) AS tok_end FROM
+       | (SELECT doc_id, source, toks, cum,
+       |   unnest(range(CAST((cum - toks) // $seqLen AS BIGINT), CAST(((cum - 1) // $seqLen) + 1 AS BIGINT))) AS seq
+       |  FROM c) t)""".stripMargin
+
+  def pipelineMmDump(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"),
+        size(col("embedding")).as("emb_dim"),
+        round(graft.functions.VectorOps.dot(col("embedding"), col("embedding")), 6)
+          .as("emb_norm2"))
+    pipelineDump(s, dir)
+      .join(MultimodalQueries.mediaCatalog(s, dir), "doc_id")
+      .join(emb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("seq"), col("tok_start"),
+        col("tok_end"), col("kind"), col("checksum"), col("media_bytes"),
+        col("emb_dim"), col("emb_norm2"))
+      .orderBy("doc_id", "seq")
+  }
+
   /** The TOKENIZER composition, oracled end to end as ONE query: vocabulary
     * construction (`text_vocab`) → token-id rewrite of every doc
     * (`text_token_ids`' operator over the full corpus) → fixed-length
@@ -1142,24 +1196,21 @@ object CurationQueries {
            | ORDER BY doc_id, epoch""".stripMargin.replaceAll("\n", "")
       },
       "pipeline_dump" ->
-        s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-           |cur AS (SELECT d.doc_id AS doc_id, source, text
-           |        FROM documents d JOIN keep k ON k.doc_id = d.doc_id
-           |        WHERE (${SqlGen.langIdSql}) = 'en' AND $qualSql >= $qualityFloor),
-           |tr AS (SELECT doc_id, source, text FROM cur
-           |       WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'#split'),1,15))::BIGINT % 100
-           |             >= ${splitTestPct + splitValPct}),
-           |c AS (SELECT doc_id, source, len(string_split(text,' ')) AS toks,
-           |        sum(len(string_split(text,' '))) OVER (PARTITION BY source ORDER BY doc_id
-           |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           |      FROM tr)
-           |SELECT doc_id, source, CAST(seq AS BIGINT) AS seq,
-           | CAST(greatest(seq*$seqLen, cum - toks) - (cum - toks) AS BIGINT) AS tok_start,
-           | CAST(least((seq+1)*$seqLen, cum) - (cum - toks) AS BIGINT) AS tok_end FROM
-           | (SELECT doc_id, source, toks, cum,
-           |   unnest(range(CAST((cum - toks) // $seqLen AS BIGINT), CAST(((cum - 1) // $seqLen) + 1 AS BIGINT))) AS seq
-           |  FROM c) t
+        s"""$dumpSqlCtes
+           |SELECT doc_id, source, seq, tok_start, tok_end FROM dump
            |ORDER BY doc_id, seq""".stripMargin,
+      "pipeline_mm_dump" ->
+        s"""$dumpSqlCtes
+           |SELECT p.doc_id, p.source, p.seq, p.tok_start, p.tok_end,
+           | CASE (('0x'||substr(md5(d.text),1,1))::INT % 3)
+           |   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           | md5(d.text) AS checksum,
+           | CAST(octet_length(encode(d.text)) AS BIGINT) AS media_bytes,
+           | CAST(len(e.embedding) AS INTEGER) AS emb_dim,
+           | round(${SqlGen.dotSql("e.embedding", "e.embedding")}, 6) AS emb_norm2
+           |FROM dump p JOIN documents d ON d.doc_id = p.doc_id
+           |LEFT JOIN embeddings e ON e.vec_id = p.doc_id
+           |ORDER BY p.doc_id, p.seq""".stripMargin,
       "pipeline_tokens" -> {
         val L = seqLen
         s"""WITH vc AS (SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token) AS INTEGER) AS id FROM (

@@ -91,6 +91,17 @@ object MultimodalQueries {
     when(nib === 0, "image").when(nib === 1, "audio").otherwise("video")
   }
 
+  /** Per-doc media catalog derived THROUGH the decode layer — (doc_id,
+    * kind, checksum, media_bytes): the typed-metadata columns a training
+    * dump carries alongside each curated document's packed windows
+    * (`pipeline_mm_dump`). Kind and checksum are pure functions of the
+    * canonical decoded bytes, so the catalog is oracle-expressible.
+    */
+  private[queries] def mediaCatalog(s: SparkSession, dir: String): DataFrame =
+    Media.decodeMeta(records(s, dir), FakeDecoder)
+      .select(col("id").as("doc_id"), kindOf(col("checksum")).as("kind"),
+        col("checksum"), col("n_bytes").as("media_bytes"))
+
   /** The media-embedding corpus: decoded payload metadata joined to the
     * embedding table on id — the cross-modal link (each media row's vector
     * lives in the same space as every other modality's).
@@ -152,26 +163,70 @@ object MultimodalQueries {
       col("kind") === searchKind && col("vec_id") =!= 0, k = searchK)
   }
 
+  /** `mm_recall` — recall@[[searchK]] of the typed media probe against the
+    * exact brute-force cosine top-k AMONG the kind-scoped population (the
+    * r13 verdict's item 1: the media arm was the only served ANN arm
+    * without a reading, and the filtered-LSH arm measured 0.0 at sf1 AFTER
+    * shipping with a clean plan audit — unmeasured arms hide surprises).
+    * Ground truth is kind-scoped, like every filtered-recall row: the
+    * metric must interrogate the INDEX, not punish the predicate. Both
+    * arms end in bounded top-k, so the intersection join is 2·k rows at
+    * any corpus size; the cost is the one calibration scan of the exact
+    * arm.
+    */
+  def searchRecall(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val exact = mediaEmb(s, dir)
+      .filter(col("kind") === searchKind && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(searchK)
+      .select("vec_id")
+    exact.join(search(s, dir).select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(searchK).as("k"), col("hits"),
+        round(col("hits") / lit(searchK.toDouble), 6).as("recall"))
+  }
+
+  /** Shared DuckDB CTE block for the media ANN arm: the decoded-kind
+    * corpus, its centroid prefix, list assignment, the query row, and the
+    * probe-list selection — `mm_search` appends the probe read; `mm_recall`
+    * appends probe + exact truth + the recall rollup. One text, so the two
+    * oracles cannot drift.
+    */
+  private def searchCtes: String =
+    s"""WITH me AS (SELECT e.vec_id, e.embedding,
+       |    CASE (('0x'||substr(md5(d.text),1,1))::INT % 3)
+       |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce FROM me WHERE vec_id < ${Similarity.ivfCentroids}),
+       |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+       |  (SELECT m.vec_id, c.cid, ${SqlGen.cosSql("m.embedding", "c.ce")} AS ccos FROM me m, cent c) t),
+       |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qprobe AS (SELECT cid FROM
+       |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+       |   FROM cent c, q) t WHERE rn <= $searchNprobe),
+       |probe AS (SELECT m.vec_id, round(${SqlGen.cosSql("m.embedding", "q.qe")}, 6) AS cos_sim
+       |  FROM me m JOIN a ON a.vec_id = m.vec_id JOIN qprobe p ON p.cid = a.cid, q
+       |  WHERE m.kind = '$searchKind' AND m.vec_id <> 0
+       |  ORDER BY cos_sim DESC, m.vec_id LIMIT $searchK)""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "mm_search" -> {
-      val cos = SqlGen.cosSql("m.embedding", "q.qe")
-      s"""WITH me AS (SELECT e.vec_id, e.embedding,
-         |    CASE (('0x'||substr(md5(d.text),1,1))::INT % 3)
-         |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
-         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-         |cent AS (SELECT vec_id AS cid, embedding AS ce FROM me WHERE vec_id < ${Similarity.ivfCentroids}),
-         |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
-         |  (SELECT m.vec_id, c.cid, ${SqlGen.cosSql("m.embedding", "c.ce")} AS ccos FROM me m, cent c) t),
-         |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
-         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         |qprobe AS (SELECT cid FROM
-         |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
-         |   FROM cent c, q) t WHERE rn <= $searchNprobe)
-         |SELECT m.vec_id, round($cos, 6) AS cos_sim
-         |FROM me m JOIN a ON a.vec_id = m.vec_id JOIN qprobe p ON p.cid = a.cid, q
-         |WHERE m.kind = '$searchKind' AND m.vec_id <> 0
-         |ORDER BY cos_sim DESC, m.vec_id LIMIT $searchK""".stripMargin
-    },
+    "mm_search" -> s"""$searchCtes
+         |SELECT vec_id, cos_sim FROM probe
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin,
+    "mm_recall" -> s"""$searchCtes,
+         |exact AS (SELECT vec_id FROM
+         |  (SELECT m.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("m.embedding", "q.qe")}, 6) DESC, m.vec_id) AS rn
+         |   FROM me m, q WHERE m.kind = '$searchKind' AND m.vec_id <> 0) t
+         |  WHERE rn <= $searchK)
+         |SELECT $searchK AS k, hits, round(hits / $searchK.0, 6) AS recall FROM
+         |  (SELECT count(*) AS hits FROM exact JOIN probe USING (vec_id)) t""".stripMargin,
     "mm_dedup" ->
       """WITH g AS (SELECT md5(text) AS checksum, count(*) AS n_copies,
         |  sum(octet_length(encode(text))) AS b,

@@ -64,10 +64,12 @@ object RetrievalQueries {
     val bmTop = TextQueries.bm25Scores(s, dir)
       .orderBy(desc("bm25"), asc("doc_id")).limit(armDepth)
       .withColumn("rb",
-        row_number().over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("int"))
+        row_number().over(graft.operators.BoundedWindow.ordered("pool",
+          desc("bm25"), asc("doc_id"))).cast("int"))
     val cosTop = cosineTop(s, dir)
       .withColumn("rc",
-        row_number().over(Window.orderBy(desc("cos_sim"), asc("doc_id"))).cast("int"))
+        row_number().over(graft.operators.BoundedWindow.ordered("pool",
+          desc("cos_sim"), asc("doc_id"))).cast("int"))
     bmTop.select("doc_id", "rb")
       .join(cosTop.select("doc_id", "rc"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),

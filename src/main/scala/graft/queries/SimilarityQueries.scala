@@ -191,10 +191,19 @@ object SimilarityQueries {
     * the round-then-decimal-sum pattern.
     */
   def silhouette(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val emb = Tables.embeddings(s, dir)
+    import org.apache.spark.sql.functions.col
+    silhouetteOf(Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("ev"))
+        col("embedding").cast("array<double>").as("ev")))
+  }
+
+  /** The silhouette rollup over any (vec_id, label, ev ARRAY<DOUBLE>)
+    * corpus — shared by the raw reading and the whitened twin
+    * (`sim_silhouette_white`), so the "did whitening separate the
+    * partitions" comparison cannot drift in its arithmetic.
+    */
+  private def silhouetteOf(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     val cent = Similarity.meanPoolCentroids(
       emb.select(col("label"), col("ev").as("embedding")), vecCol = "embedding")
       .select(col("label").as("clab"), col("centroid"))
@@ -506,8 +515,8 @@ object SimilarityQueries {
     // the per-pool pqTopK calls re-encoded the corpus 4×).
     val maxPool = rerankCurve.max
     // unpartitioned window is ≤ maxPool rows by construction
-    val byAdc = org.apache.spark.sql.expressions.Window
-      .orderBy(desc("adc"), asc("vec_id"))
+    val byAdc = graft.operators.BoundedWindow.ordered("pool",
+      desc("adc"), asc("vec_id"))
     val pooled = Similarity.pqTopK(emb, queryId = 0L, k = maxPool)
       .withColumn("adc_rank", row_number().over(byAdc))
       .join(emb, "vec_id")
@@ -921,6 +930,158 @@ object SimilarityQueries {
     Similarity.probeStagedIvf(s, ivfT, qe, probeCids, k = 10)
   }
 
+  /** The compaction lifecycle's own staging table (distinct from
+    * [[annTables]]' shared index so the lifecycle can drop/rebuild freely
+    * without invalidating the other staged-arm queries mid-session).
+    */
+  def compactIvfTable(dir: String): String =
+    "graft_ann_ivfc_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** `sim_index_compact` — the serving-index MAINTENANCE lifecycle the
+    * append paths created and r13's verdict item 2 demanded an answer for:
+    * every [[Similarity.appendStagedIvf]] lands one file per batch per
+    * touched bucket, so after N ingest batches a bucket-pruned probe reads
+    * N files per pruned list — serving-latency decay that every real index
+    * answers with compaction. The flow: stage the base quarter of the
+    * corpus as IVF lists, append the other three quarters as three ingest
+    * batches (each against the SAME centroid artifact), probe, then
+    * [[Bucketing.compactDelta]] — table service ∝ appended data, exactly
+    * the q97 machinery pointed at an ANN index — and probe again. The
+    * post-compact probe IS the declared result, oracled as the full-corpus
+    * staged probe ([[ivfProbeSql]] — same centroids, same 2 probe lists);
+    * the flow itself requires the pre/post answers equal, so a compaction
+    * that lost, doubled, or re-assigned any row fails loudly before the
+    * oracle even runs. File-count and plan degradation/restoration are
+    * spec-pinned (`CompactDeltaSpec`/`PlanAuditSpec`).
+    */
+  def indexCompact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = compactIvfTable(dir)
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.stageIvfBucketed(emb.filter(col("vec_id") % 4 === 0), cent, t,
+      stagedIvfBuckets)
+    (1 to 3).foreach { m =>
+      Similarity.appendStagedIvf(emb.filter(col("vec_id") % 4 === m), cent, t,
+        stagedIvfBuckets)
+    }
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val pre = Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+      .collect().toSeq
+    val rewritten = graft.operators.Bucketing.compactDelta(s, t, "cid",
+      Seq("cid"), stagedIvfBuckets)
+    require(rewritten.nonEmpty,
+      "three appended batches must leave at least one multi-file bucket")
+    val post = Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+    require(post.collect().toSeq == pre,
+      "compaction changed the probe answer — rows lost or re-assigned")
+    post
+  }
+
+  /** The WHITENED corpus: every embedding standardized against the
+    * [[Similarity.dimProfile]] — (vec_id, label, embedding ARRAY<DOUBLE>).
+    * The profile is the same bounded model artifact `sim_dim_profile`
+    * declares; the transform is scan-local (literal means/sds in the
+    * plan), so whitening costs nothing beyond the read at any corpus size.
+    */
+  private def whitened(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(s, dir)
+    Similarity.standardize(
+      emb.select(col("vec_id"), col("label"), col("embedding")),
+      Similarity.dimProfile(emb))
+  }
+
+  /** The staged whitened-IVF index — `sim_recall_white`'s serving arm:
+    * the SAME staged shape as the raw production path (cid-keyed inverted
+    * lists, bucket-pruned probes), with assignment and ranking in whitened
+    * space. A separate artifact so the raw arm's tables stay untouched.
+    */
+  private def annWhiteTable(s: SparkSession, dir: String): String =
+    BackboneRegistry.namesOrBuild(s, s"annwhite:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      import org.apache.spark.sql.functions._
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_ann_ivfw_$tag"
+      val fp = Staging.fingerprint(s, dir,
+        s"ann_ivf_white:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:v1")
+      Staging.ensure(s, fp, Seq(t)) {
+        val w = whitened(s, dir)
+        val cent = w.filter(col("vec_id") < Similarity.ivfCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val assigned = w.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            Similarity.doubleCosine("embedding", "ce").as("ccos"))
+          .groupBy("vec_id")
+          .agg(first(col("embedding")).as("embedding"),
+            max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+        graft.operators.Bucketing.writeBucketed(
+          assigned.select(col("vec_id"), col("embedding"), col("cid")),
+          t, "cid", stagedIvfBuckets)
+      }
+      Seq(t)
+    }.head
+
+  /** Top-[[recallK]] via the staged WHITENED IVF arm: probe-list selection
+    * over the whitened centroid prefix, 2 lists read bucket-pruned,
+    * whitened-cosine ranking of the survivors.
+    */
+  def whiteIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = annWhiteTable(s, dir)
+    val w = whitened(s, dir)
+    val qw = w.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Double](0).toArray
+    val probeCids = w.filter(col("vec_id") < Similarity.ivfCentroids)
+      .withColumn("qe", typedlit(qw))
+      .select(col("vec_id").as("cid"),
+        Similarity.doubleCosine("embedding", "qe").as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    graft.operators.Bucketing.read(s, t)
+      .filter(col("cid").isin(probeCids: _*))
+      .withColumn("qe", typedlit(qw))
+      .select(col("vec_id"),
+        round(Similarity.doubleCosine("embedding", "qe"), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(recallK)
+  }
+
+  /** `sim_recall_white` — the spectral→serving loop closed with a number
+    * (r13 verdict item 4): C185/C193 measured a dominant direction and C72
+    * trained the transform that removes it, but nothing measured whether
+    * whitening helps the SERVED arm. This is recall@[[recallK]] of the
+    * staged whitened-IVF probe against the RAW exact truth — the same
+    * ground truth `sim_recall_ivf` is scored on, so the two rows answer
+    * "should the production IVF path standardize before staging?" like
+    * with like. Either reading is an answer (a win justifies a whitening
+    * stage; parity-or-worse records that this corpus doesn't need one);
+    * guessing is not. Measured: raw 1.0 vs whitened — see the spec/SURVEY.
+    */
+  def recallWhite(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, whiteIvfTopK(s, dir))
+
+  /** `sim_silhouette_white` — the whitened twin of `sim_silhouette`: the
+    * label-partition separation audit re-run on standardized vectors, the
+    * second number the whitening decision reads (recall says what the
+    * probe retrieves; this says whether the partitions got more or less
+    * separated when the dominant direction's scale was removed).
+    */
+  def silhouetteWhite(s: SparkSession, dir: String): DataFrame =
+    silhouetteOf(whitened(s, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("label"),
+        org.apache.spark.sql.functions.col("embedding").as("ev")))
+
   /** DuckDB rendering of the full trained-IVF path: the [[trainedIters]]
     * Lloyd iterations unrolled as CTE generations (assignment argmax via
     * ROW_NUMBER with the same (cos DESC, cid) tie rule as Spark's `max_by`;
@@ -1267,7 +1428,83 @@ object SimilarityQueries {
        |FROM a ORDER BY label""".stripMargin
   }
 
+  /** Whitening CTE chain (no WITH keyword): the `sim_dim_profile` moment
+    * arithmetic rounded to the same 6 dp the engine's literal profile
+    * carries, then each vector standardized per dimension — `wh(vec_id,
+    * label, wv ARRAY<DOUBLE>)`. Shared by the whitened recall and
+    * silhouette oracles.
+    */
+  private def whitenCtes: String = {
+    val d = Similarity.dims
+    s"""px AS (SELECT CAST(pos AS INTEGER) AS pos, CAST(embedding[pos+1] AS DOUBLE) AS x
+       |       FROM embeddings, range(0, $d) t(pos)),
+       |prof AS (SELECT pos, round(sx/n, 6) AS mean,
+       |          round(sqrt((sxx - sx*sx/n)/(n-1)), 6) AS sd FROM
+       |  (SELECT pos, count(*) AS n,
+       |     CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+       |     CAST(sum(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+       |   FROM px GROUP BY pos) a),
+       |wh AS (SELECT e.vec_id, e.label,
+       |        list(CASE WHEN p.sd = 0.0 THEN 0.0
+       |             ELSE (CAST(e.embedding[p.pos+1] AS DOUBLE) - p.mean)/p.sd END
+       |             ORDER BY p.pos) AS wv
+       |       FROM embeddings e, prof p GROUP BY e.vec_id, e.label)""".stripMargin
+  }
+
+  /** `sim_recall_white`'s DuckDB rendering: whiten, stage-assign to the
+    * whitened centroid prefix, probe the 2 nearest whitened lists, rank by
+    * whitened cosine — scored against the RAW exact truth (the same `ex`
+    * arm every IVF recall row uses).
+    */
+  private def recallWhiteSql: String =
+    s"""WITH $whitenCtes,
+       |cent AS (SELECT vec_id AS cid, wv AS ce FROM wh WHERE vec_id < ${Similarity.ivfCentroids}),
+       |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+       |  (SELECT m.vec_id, c.cid, ${SqlGen.cosSql("m.wv", "c.ce")} AS ccos FROM wh m, cent c) t),
+       |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |qw AS (SELECT wv AS qe FROM wh WHERE vec_id = 0),
+       |qprobe AS (SELECT cid FROM
+       |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "qw.qe")} DESC, c.cid) AS rn
+       |   FROM cent c, qw) t WHERE rn <= 2),
+       |ap AS (SELECT vec_id FROM
+       |  (SELECT m.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("m.wv", "qw.qe")}, 6) DESC, m.vec_id) AS rn
+       |   FROM wh m JOIN a ON a.vec_id = m.vec_id JOIN qprobe p ON p.cid = a.cid, qw) t
+       |  WHERE rn <= $recallK),
+       |q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM
+       |  (SELECT vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("embedding", "qe")}, 6) DESC, vec_id) AS rn
+       |   FROM embeddings, q0) t WHERE rn <= $recallK)
+       |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
+       |FROM ex JOIN ap USING (vec_id)""".stripMargin
+
+  /** `sim_silhouette_white`: [[silhouetteSql]]'s arithmetic over the
+    * whitened corpus (centroid means as exact decimal sums of the whitened
+    * doubles, like the Spark side's meanPoolCentroids on `wh`).
+    */
+  private def silhouetteWhiteSql: String = {
+    val d = Similarity.dims
+    s"""WITH $whitenCtes,
+       |wx AS (SELECT label, pos, CAST(CAST(wv[pos+1] AS DOUBLE) AS DECIMAL(27,12)) AS x
+       |       FROM wh, range(0, $d) t(pos)),
+       |pm AS (SELECT label, pos, CAST(sum(x) AS DOUBLE)/count(*) AS m FROM wx GROUP BY label, pos),
+       |cent AS (SELECT label AS clab, list(m ORDER BY pos) AS c FROM pm GROUP BY label),
+       |sc AS (SELECT vec_id, e.label, cent.clab, ${SqlGen.cosSql("e.wv", "cent.c", d)} AS cv
+       |       FROM wh e, cent),
+       |ag AS (SELECT vec_id, max(label) AS label,
+       |        max(CASE WHEN clab = label THEN cv END) AS own,
+       |        max(CASE WHEN clab <> label THEN cv END) AS oth
+       |       FROM sc GROUP BY vec_id),
+       |sil AS (SELECT label, round(CASE WHEN greatest(1.0-own, 1.0-oth) = 0.0 THEN 0.0
+       |          ELSE (own-oth)/greatest(1.0-own, 1.0-oth) END, 6) AS s FROM ag),
+       |a AS (SELECT label, count(*) AS n, sum(CAST(s AS DECIMAL(18,6))) AS sdec
+       |      FROM sil GROUP BY label)
+       |SELECT label, n, round(CAST(sdec AS DOUBLE)/n, 6) AS mean_sil
+       |FROM a ORDER BY label""".stripMargin
+  }
+
   def oracle(dir: String): Map[String, String] = Map(
+    "sim_recall_white" -> recallWhiteSql,
+    "sim_silhouette_white" -> silhouetteWhiteSql,
     "sim_pca" -> pcaSql,
     "sim_pca2" -> pca2Sql,
     "sim_pca_project" -> pcaProjectSql,
@@ -1388,6 +1625,9 @@ object SimilarityQueries {
     },
     "sim_ivf_trained" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
+    // the compaction lifecycle ends in the SAME full-corpus staged probe —
+    // stage/append×3/compact must be answer-invariant, which is the point
+    "sim_index_compact" -> ivfProbeSql,
     "sim_lsh_staged" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)

@@ -194,7 +194,7 @@ object TextQueries {
       .select(col("w").as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("token")).limit(vocabSize)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(desc("c"), asc("token"))
+    val w = graft.operators.BoundedWindow.ordered("vocab", desc("c"), asc("token"))
     top.withColumn("id", row_number().over(w).cast("int"))
       .select(col("id"), col("token"), col("c"))
       .orderBy("id")
@@ -775,7 +775,7 @@ object TextQueries {
     val withSyms = bpeTokens(s, dir)
     val vocab = withSyms.select(explode(col("syms")).as("sym")).distinct()
       .withColumn("tok_id",
-        row_number().over(org.apache.spark.sql.expressions.Window.orderBy("sym")))
+        row_number().over(graft.operators.BoundedWindow.ordered("vocab", col("sym"))))
     withSyms
       .select(col("doc_id"), size(col("syms")).as("n_tokens"),
         posexplode_outer(slice(col("syms"), 1, 8)))

@@ -37,4 +37,21 @@ class MediaSpec extends SparkSpec {
     assert(f.forall(v => v >= -1.0 && v < 1.0))
     assert(f.forall(v => (v * 128).isWhole))
   }
+
+  test("mm_recall: the typed media probe carries a measured recall reading (r13 item 1)") {
+    // the media arm is a served ANN path, and the project's own discipline
+    // (C53→C165→C169→C177) is that every served arm ships with a number —
+    // the filtered-LSH arm read 0.0 at sf1 AFTER a clean plan audit.
+    // Harness invariants at sf0.001: one row, hits ≤ k, recall = hits/k,
+    // and recall > 0 (the IVF lists retain kind-scoped neighbors here —
+    // the measured sf0.01 reading is recorded in SURVEY/SCALE_r14).
+    val sf0001 = "/root/testdata/sf0.001"
+    val r = graft.queries.MultimodalQueries.searchRecall(spark, sf0001).collect()
+    assert(r.length == 1)
+    val (k, hits, recall) = (r.head.getInt(0), r.head.getLong(1), r.head.getDouble(2))
+    assert(k == graft.queries.MultimodalQueries.searchK)
+    assert(hits >= 0L && hits <= k)
+    assert(math.abs(recall - hits.toDouble / k) < 1e-9)
+    assert(hits >= 1L, s"typed probe lost every kind-scoped true neighbor (recall 0)")
+  }
 }

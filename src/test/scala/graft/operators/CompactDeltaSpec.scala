@@ -107,4 +107,26 @@ class CompactDeltaSpec extends SparkSpec {
       .orderBy("event_type").collect().toSeq
     assert(got == want)
   }
+
+  test("sim_index_compact: probe answer invariant, buckets back to one file, probe still pruned") {
+    import graft.queries.SimilarityQueries
+    // the lifecycle itself requires pre ≡ post probe answers in-flow; here
+    // we pin the two properties the flow can't see from its own result:
+    // (a) table service restored the one-file-per-bucket contract, and
+    // (b) the post-compact probe still bucket-prunes to its 2 lists
+    val post = SimilarityQueries.indexCompact(spark, sf0001)
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(post.queryExecution.executedPlan.toString)
+    assert(m.isDefined, "post-compact probe lost bucket pruning")
+    assert(m.get.group(1).toInt <= 2 && m.get.group(1).toInt < m.get.group(2).toInt)
+    val t = SimilarityQueries.compactIvfTable(sf0001)
+    val perBucket = warehouseFiles(t).keys
+      .groupBy(n => Bucketing.bucketIdOf(n).get).map { case (b, fs) => b -> fs.size }
+    assert(perBucket.nonEmpty && perBucket.values.forall(_ == 1),
+      s"buckets still multi-file after compaction: $perBucket")
+    // the answer equals the shared-index staged probe's (same centroids,
+    // same probe lists, full corpus) — the oracle's equality, locally
+    val viaShared = SimilarityQueries.ivfStagedTopK(spark, sf0001).collect().toSeq
+    assert(post.collect().toSeq == viaShared)
+  }
 }

@@ -477,6 +477,30 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh <= multi && multi <= ivf, s"lsh=$lsh multi=$multi ivf=$ivf")
   }
 
+  test("whitened IVF arm: measured recall + silhouette shift vs the raw readings (r13 item 4)") {
+    // the spectral family says the corpus has a dominant direction and C72
+    // trains the transform that removes it; these rows MEASURE whether the
+    // served arm benefits. Harness invariants + the recorded comparison:
+    val w = graft.queries.SimilarityQueries.recallWhite(spark, sf0001).head()
+    assert(w.getInt(0) == 10 && w.getLong(1) <= 10 &&
+      math.abs(w.getDouble(2) - w.getLong(1) / 10.0) < 1e-9)
+    val raw = graft.queries.SimilarityQueries.recallIvf(spark, sf0001)
+      .head().getDouble(2)
+    info(s"recall vs RAW truth at sf0.001: raw-IVF $raw, whitened-IVF ${w.getDouble(2)}")
+    // the whitened probe must still be a pruned index read, not a scan
+    val p = graft.queries.SimilarityQueries.whiteIvfTopK(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined && m.get.group(1).toInt <= 2 &&
+      m.get.group(1).toInt < m.get.group(2).toInt,
+      s"whitened probe not bucket-pruned:\n$p")
+    // silhouette twin runs and keeps the rollup shape (one row per label)
+    val sil = graft.queries.SimilarityQueries.silhouetteWhite(spark, sf0001).collect()
+    val silRaw = graft.queries.SimilarityQueries.silhouette(spark, sf0001).collect()
+    assert(sil.map(_.getInt(0)).toSeq == silRaw.map(_.getInt(0)).toSeq)
+    info(s"mean silhouette label 0: raw ${silRaw.head.getDouble(2)}, whitened ${sil.head.getDouble(2)}")
+  }
+
   test("filtered ANN: the IVF arm serves the predicate at least as well as the LSH arm") {
     import org.apache.spark.sql.functions.col
     // r11 verdict item 2: the LSH filtered arm measured recall 0.0 at sf1

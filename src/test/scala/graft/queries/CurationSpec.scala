@@ -35,6 +35,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("pipeline_mm_dump composes: text dump's windows exactly, media columns are the decode catalog's (r13 item 3)") {
+    val mm = CurationQueries.pipelineMmDump(spark, sf0001).collect()
+    val dump = CurationQueries.pipelineDump(spark, sf0001).collect()
+    // composition law 1: the packed-window set is byte-identical to the
+    // text-only dump's — media columns drop no doc and shift no offset
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(mm.map(key).toSet == dump.map(key).toSet && mm.length == dump.length)
+    // composition law 2: media rows ≡ dump ⋈ media catalog — each dumped
+    // doc's kind/checksum equal the decode layer's, and every dumped doc
+    // carries its embedding stats (the corpus is fully cross-modal here)
+    val cat = MultimodalQueries.mediaCatalog(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    mm.foreach { r =>
+      val (kind, sum) = cat(r.getLong(0))
+      assert(r.getString(5) == kind && r.getString(6) == sum)
+      assert(!r.isNullAt(8) && r.getInt(8) == graft.operators.Similarity.dims)
+      assert(!r.isNullAt(9) && r.getDouble(9) > 0.0)
+    }
+  }
+
   test("pipeline_tokens composes: every window is exactly seqLen ids except each source's last, and payloads are the tokenized stream") {
     val rows = CurationQueries.pipelineTokens(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
