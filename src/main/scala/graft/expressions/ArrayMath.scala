@@ -1,0 +1,142 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd folds over float/double array pairs — the r14 answer to the
+  * decade rehearsal's HOF wall (SCALE_r14 §2): `aggregate(zip_with(...))`
+  * does not participate in whole-stage codegen, so the PQ encode's n·M·K
+  * distance evaluations and the double-cosine assignment paths paid a
+  * per-element lambda+boxing tax measured in tens of seconds at 200k
+  * vectors. These kernels run the SAME left-to-right double fold (bit-
+  * identical to the HOF forms and to DuckDB's `list_sum(list_transform)`)
+  * as a primitive loop inside codegen.
+  *
+  * Element types may differ per side (float corpus slice vs double
+  * residual codeword — exactly [[graft.operators.Similarity.pqEncode]]'s
+  * shape); each element is widened to double before the arithmetic, like
+  * the HOF's explicit CASTs. Assumes non-null elements (vector columns);
+  * mismatched lengths fold the common prefix, like [[FloatDotProduct]].
+  */
+object ArrayMath {
+  private[expressions] def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  private[expressions] def getD(x: ArrayData, t: DataType, i: Int): Double =
+    if (t == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+
+  private[expressions] def getDJava(v: String, t: DataType, i: String): String =
+    if (t == FloatType) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+}
+
+sealed trait ArrayPairFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  protected def kernelName: String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ArrayMath.elemType(left.dataType), ArrayMath.elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$kernelName needs ARRAY<FLOAT|DOUBLE> inputs, " +
+          s"got ${left.dataType} / ${right.dataType}")
+    }
+}
+
+/** `Σ_i a[i]·b[i]` in ascending order — the codegen'd general-element twin
+  * of [[FloatDotProduct]] (kept as-is: its float-only plans are pinned).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends ArrayPairFold {
+  override protected def kernelName: String = "ArrayDotProduct"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
+      ArrayMath.elemType(right.dataType).get)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += ArrayMath.getD(x, tx, i) * ArrayMath.getD(y, ty, i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
+        ArrayMath.elemType(right.dataType).get)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${ArrayMath.getDJava(a, tx, i)} * ${ArrayMath.getDJava(b, ty, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `Σ_i (a[i]−b[i])²` in ascending order — the PQ encode distance
+  * ([[graft.operators.Similarity.pqEncode]]'s hot expression: n·M·K
+  * evaluations per corpus encode).
+  */
+case class ArrayL2Sq(left: Expression, right: Expression)
+    extends ArrayPairFold {
+  override protected def kernelName: String = "ArrayL2Sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
+      ArrayMath.elemType(right.dataType).get)
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = ArrayMath.getD(x, tx, i) - ArrayMath.getD(y, ty, i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
+        ArrayMath.elemType(right.dataType).get)
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${ArrayMath.getDJava(a, tx, i)} - ${ArrayMath.getDJava(b, ty, i)};
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

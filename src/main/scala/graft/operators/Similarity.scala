@@ -709,13 +709,68 @@ object Similarity {
       "cw", idCol, "rv")
       .select(col("j"), col(idCol).cast("long").as("k"), col("cw"))
 
+  /** Per-subspace Lloyd refinement of the RESIDUAL PQ codebook over the
+    * bounded systematic sample — [[trainCentroids]]'s contract applied one
+    * level down (C17 trained the stand-in IVF centroids; this trains the
+    * stand-in residual codewords): sample ids ≡ 0 mod stride (stride sized
+    * so the sample stays ≤ `sampleMax` rows), init = the deterministic
+    * [[pqCodebookResidual]] stand-in, then per iteration an argmin
+    * assignment of every sample residual SLICE to its nearest codeword
+    * (the codegen'd squared-L2 kernel, ties to the smaller codeword id —
+    * `pqEncode`'s exact rule) and per-(subspace, codeword, position) means
+    * as sorted left-to-right folds (the engine-exact mean the oracle's
+    * `list_sum(list_sort(list(...)))` reproduces). Codewords that attract
+    * no sample keep their previous cells. All distributed-cheap: the
+    * codebook (M·K rows) broadcasts, the sample is bounded, and only the
+    * M·K codeword rows ever reach the driver's plan.
+    */
+  def trainPqCodebookResidual(emb: DataFrame, cent: DataFrame, iters: Int = 2,
+                              sampleMax: Long = 4096,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding",
+                              nOpt: Option[Long] = None): DataFrame = {
+    val n = nOpt.getOrElse(emb.count())
+    val stride = math.max(1L, n / sampleMax)
+    val slices = pqSubspaces(
+        residuals(emb.filter(pmod(col(idCol), lit(stride)) === 0), cent,
+          idCol, vecCol).select(col(idCol), col("rv")),
+        "sv", idCol, "rv")
+      .localCheckpoint(true)
+    var cb = pqCodebookResidual(emb, cent, idCol, vecCol).localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val asn = slices.join(broadcast(cb), "j")
+        .select(col(idCol), col("j"), col("k"), l2sq("sv", "cw").as("dist"))
+        .groupBy(idCol, "j")
+        .agg(max_by(col("k"),
+          struct((-col("dist")).as("nd"), (-col("k")).as("tie"))).as("k"))
+      val means = slices.join(asn, Seq(idCol, "j"))
+        .select(col("j"), col("k"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "k", "pos")
+        .agg((expr("aggregate(array_sort(collect_list(CAST(x AS DOUBLE))), " +
+          "CAST(0.0 AS DOUBLE), (a, v) -> a + v)") / count(lit(1))).as("m"))
+        .groupBy("j", "k")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("j"), col("k"), expr("transform(pm, e -> e.m)").as("cw"))
+      cb = cb.as("prev").join(means.as("next"), Seq("j", "k"), "left")
+        .select(col("j"), col("k"),
+          coalesce(col("next.cw"), col("prev.cw")).as("cw"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
   /** Left-to-right-fold squared L2 between two subvector columns — the fold
     * order DuckDB's `list_sum(list_transform(...))` reproduces exactly.
+    * r14: the codegen'd [[graft.expressions.ArrayL2Sq]] kernel (bit-equal
+    * to the HOF formulation it replaced, parity spec-pinned) — this is the
+    * PQ encode's n·M·K-evaluated hot expression, and the interpreted HOF
+    * was the measured wall of the decade rehearsal (SCALE_r14 §2).
     */
   private def l2sq(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b,
-        (x, c) -> (CAST(x AS DOUBLE)-CAST(c AS DOUBLE))*(CAST(x AS DOUBLE)-CAST(c AS DOUBLE))),
-        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.ArrayL2Sq(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(a)),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(b))))
 
   /** PQ-encode a corpus: per (vector, subspace), the nearest codeword id by
     * squared L2 (ties toward the smaller id — the same aggregation-argmax as
@@ -774,7 +829,8 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
                 centroidsNOpt: Option[Int] = None, nprobe: Int = 2,
                 idCol: String = "vec_id", vecCol: String = "embedding",
-                nOpt: Option[Long] = None): DataFrame = {
+                nOpt: Option[Long] = None,
+                cbOpt: Option[DataFrame] = None): DataFrame = {
     val centroidsN = centroidsNOpt.getOrElse(centroidsFor(nOpt.getOrElse(emb.count())))
     val cent = emb.filter(col(idCol) < centroidsN)
       .select(col(idCol).as("cid"), col(vecCol).as("ce"))
@@ -797,7 +853,7 @@ object Similarity {
     val cands = resid.join(broadcast(probes), "cid")
       .select(col(idCol), col("rv"))
 
-    val cb = pqCodebookResidual(emb, cent, idCol, vecCol)
+    val cb = cbOpt.getOrElse(pqCodebookResidual(emb, cent, idCol, vecCol))
     val codes = pqEncode(cands, cb, idCol, "rv")
     val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
       .join(broadcast(cb), "j")
@@ -1041,12 +1097,18 @@ object Similarity {
 
   /** Cosine over ARRAY<DOUBLE> columns (pooled centroids) — same
     * left-to-right fold and zero-vector guard as [[VectorOps.cosine]] /
-    * `SqlGen.cosSql`, expressed as HOFs because the codegen'd kernel is
-    * FLOAT-typed.
+    * `SqlGen.cosSql`. r14: the dot rides the codegen'd
+    * [[graft.expressions.ArrayDotProduct]] kernel (bit-equal to the HOF
+    * fold it replaced, parity spec-pinned) — the whitened/silhouette
+    * assignment scans were HOF-interpreted before, the second measured
+    * wall of the decade rehearsal (SCALE_r14 §5).
     */
   def doubleCosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) = expr(
-      s"aggregate(zip_with($x, $y, (p, q) -> p*q), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    def dot(x: String, y: String) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.ArrayDotProduct(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(x)),
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(y))))
     when(sqrt(dot(a, a)) === 0 || sqrt(dot(b, b)) === 0, lit(0.0))
       .otherwise(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
   }

@@ -41,16 +41,34 @@ object Spectral {
     * SQL matvecs join-shaped instead of triangular-cased).
     *
     * Shape (r13 verdict item 5): chained posexplode generators — each row
-    * fans out to its own d² products IN THE SCAN, so the only exchange in
-    * the plan is the d²-row partial-aggregate shuffle. The previous
-    * id-keyed self-join of the exploded corpus bought two corpus×d
-    * exchanges for bit-identical cells; the streaming twin
+    * fans out to its own d² products IN THE SCAN, so the only keyed
+    * exchange in the plan is the d²-row partial-aggregate shuffle. The
+    * previous id-keyed self-join of the exploded corpus bought two
+    * corpus×d hash exchanges for bit-identical cells; the streaming twin
     * ([[graft.streaming.StreamOps.gramCells]], proven cell-equal by the
     * `stream_gram` gate) always used this form, and both now share THIS
     * implementation. Any `id` column is ignored.
+    *
+    * Parallelism guard (r14, from the sf1 rehearsal): a fan-out operator's
+    * work is set by its OUTPUT volume (n·d² product rows), but Spark sizes
+    * scan tasks by INPUT bytes — a single-row-group parquet file planned
+    * the whole expansion onto ONE task (142 s for 20k vectors that takes
+    * ~4 s spread across cores). When the batch input arrives in fewer
+    * partitions than the cluster has slots, a narrow ROUND-ROBIN
+    * repartition of the raw vector rows (n rows × ~4·d bytes — ≤ 1/d² of
+    * the downstream generate work) restores parallelism; inputs that
+    * already carry enough splits (any real multi-file corpus) skip it, and
+    * streaming inputs always skip it (micro-batch partitioning is the
+    * stream's own contract, and `.rdd` is not stream-legal).
     */
-  def gram(vecs: DataFrame): DataFrame =
-    vecs
+  def gram(vecs: DataFrame): DataFrame = {
+    val src =
+      if (vecs.isStreaming) vecs
+      else {
+        val slots = vecs.sparkSession.sparkContext.defaultParallelism
+        if (vecs.rdd.getNumPartitions < slots) vecs.repartition(slots) else vecs
+      }
+    src
       .select(col("vec"), posexplode(col("vec")))
       .toDF("vec", "i0", "x")
       .select(col("i0"), col("x"), posexplode(col("vec")))
@@ -60,6 +78,7 @@ object Spectral {
       .groupBy("i", "j")
       .agg(sum(round(col("x") * col("y"), prodScale)
         .cast(s"decimal(38,$prodScale)")).as("g"))
+  }
 
   /** Power iteration on a collected Gram matrix (unscaled 1e9 integer
     * cells): `rounds` matvec+normalize steps from the all-ones vector, then

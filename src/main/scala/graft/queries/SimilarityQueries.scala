@@ -1183,7 +1183,16 @@ object SimilarityQueries {
     * so the stand-in starts past it); ranking adds the exact per-list
     * `dot(q, ce)` coarse term to the ADC residual sum.
     */
-  private def ivfPqSql: String = {
+  private def ivfPqSql: String = ivfPqSqlWith("")
+
+  /** The composed IVF-PQ oracle with the residual codebook derivation as a
+    * parameter: `""` renders the deterministic stand-in (`cb` = residual
+    * slices of vectors 16..31), [[pqTrainedChain]] appends the per-subspace
+    * Lloyd iteration CTEs ending in a trained `cb` — one probe/ranking
+    * text for both arms, so swap-in-a-trained-codebook cannot drift the
+    * serving arithmetic.
+    */
+  private def ivfPqSqlWith(cbChain: String): String = {
     val (m, kk, sd) = (Similarity.pqM, Similarity.pqK, Similarity.pqSubDim)
     val cN = Similarity.ivfCentroids
     val dims = Similarity.dims
@@ -1192,6 +1201,9 @@ object SimilarityQueries {
       s"list_sum(list_transform(range(1, ${sd + 1}), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))))"
     def ip(a: String, b: String) =
       s"list_sum(list_transform(range(1, ${sd + 1}), i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)))"
+    val standIn = s"""cb0 AS (SELECT j, vec_id AS k, ${sliceSql("rv")} AS cw
+       |       FROM rv, range(0, $m) t(j) WHERE vec_id >= $cN AND vec_id < ${cN + kk})""".stripMargin
+    val cbFinal = if (cbChain.isEmpty) "cb0" else "cbt"
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $cN),
        |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
        |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
@@ -1200,11 +1212,12 @@ object SimilarityQueries {
        |qprobe AS (SELECT cid FROM
        |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
        |   FROM cent c, q) t WHERE rn <= 2),
-       |rv AS (SELECT e.vec_id, a.cid,
+       |rv AS MATERIALIZED (SELECT e.vec_id, a.cid,
        |    list_transform(range(1, ${dims + 1}), i -> CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) AS rv
        |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN cent c ON c.cid = a.cid),
-       |cb AS (SELECT j, vec_id AS k, ${sliceSql("rv")} AS cw
-       |       FROM rv, range(0, $m) t(j) WHERE vec_id >= $cN AND vec_id < ${cN + kk}),
+       |$standIn,
+       |${if (cbChain.isEmpty) "" else cbChain + ","}
+       |cb AS (SELECT j, k, cw FROM $cbFinal),
        |sub AS (SELECT r.vec_id, r.cid, j, ${sliceSql("r.rv")} AS sv
        |        FROM rv r JOIN qprobe p ON p.cid = r.cid, range(0, $m) t(j)),
        |codes AS (SELECT vec_id, cid, j, k AS code FROM
@@ -1223,6 +1236,81 @@ object SimilarityQueries {
        |   GROUP BY cd.vec_id, cd.cid) t JOIN qce USING (cid)
        |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
   }
+
+  /** Lloyd iterations for the trained residual codebook (matches the
+    * trained-IVF convention: enough to move the stand-in, bounded so the
+    * unrolled oracle chain stays renderable).
+    */
+  val pqTrainedIters = 2
+
+  /** The per-subspace Lloyd chain (sample → slices → iterate assign/mean →
+    * `cbt`), appended into [[ivfPqSqlWith]] — the [[Similarity
+    * .trainPqCodebookResidual]] arithmetic unrolled as CTE generations,
+    * exactly how `ivfTrainedSql` unrolls `trainCentroids`.
+    */
+  private def pqTrainedChain: String = {
+    val (m, sd) = (Similarity.pqM, Similarity.pqSubDim)
+    def sliceSql(v: String) = s"$v[j*$sd+1 : j*$sd+$sd]"
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${sd + 1}), i -> (CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))*(CAST($a[i] AS DOUBLE)-CAST($b[i] AS DOUBLE))))"
+    val iters = (1 to pqTrainedIters).map { i =>
+      s"""pasn$i AS (SELECT vec_id, j, k FROM
+         | (SELECT s.vec_id, s.j, c.k, ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+         |    ORDER BY ${l2("s.sv", "c.cw")}, c.k) AS rn
+         |  FROM psl s JOIN pcb${i - 1} c ON c.j = s.j) t WHERE rn = 1),
+         |pmean$i AS (SELECT a.j, a.k, t.pos,
+         |  list_sum(list_sort(list(CAST(s.sv[t.pos] AS DOUBLE))))/count(*) AS m
+         |  FROM psl s JOIN pasn$i a ON a.vec_id = s.vec_id AND a.j = s.j,
+         |       (SELECT range AS pos FROM range(1, ${sd + 1})) t
+         |  GROUP BY a.j, a.k, t.pos),
+         |pnew$i AS (SELECT j, k, list(m ORDER BY pos) AS cw FROM pmean$i GROUP BY j, k),
+         |pcb$i AS (SELECT p.j, p.k, coalesce(n.cw, p.cw) AS cw
+         |          FROM pcb${i - 1} p LEFT JOIN pnew$i n ON n.j = p.j AND n.k = p.k)""".stripMargin
+    }.mkString(",\n")
+    s"""psample AS (SELECT vec_id FROM embeddings
+       |  WHERE vec_id % (SELECT greatest(1, count(*)//4096) FROM embeddings) = 0),
+       |psl AS MATERIALIZED (SELECT r.vec_id, j, ${sliceSql("r.rv")} AS sv
+       |       FROM rv r JOIN psample p ON p.vec_id = r.vec_id, range(0, $m) t(j)),
+       |pcb0 AS (SELECT j, k, cw FROM cb0),
+       |$iters,
+       |cbt AS (SELECT j, k, cw FROM pcb$pqTrainedIters)""".stripMargin
+  }
+
+  private def ivfPqTrainedSql: String = ivfPqSqlWith(pqTrainedChain)
+
+  /** The trained residual codebook, once per (session, dir) — both trained
+    * rows derive from it.
+    */
+  private def trainedPqCb(s: SparkSession, dir: String): DataFrame =
+    BackboneRegistry.scalarOrBuild(s, s"pqcb:$dir") {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      Similarity.trainPqCodebookResidual(emb, cent, iters = pqTrainedIters,
+        nOpt = Some(embCount(s, dir)))
+    }
+
+  /** `sim_ivfpq_trained` — the composed IVF-PQ arm ranked from a TRAINED
+    * residual codebook ([[Similarity.trainPqCodebookResidual]]): C17
+    * trained the IVF stand-in centroids; this closes the same
+    * train-don't-guess gap one level down, where the C177 readings said
+    * the codebook is the recall bottleneck (stand-in residual ADC: 0.5 at
+    * sf0.01). Same probe/ranking plan as `sim_ivfpq_topk` — only the
+    * codeword artifact changes, which is the swap-in contract C35
+    * promised.
+    */
+  def ivfPqTrainedTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), queryId = 0L, k = recallK,
+      nOpt = Some(embCount(s, dir)), cbOpt = Some(trainedPqCb(s, dir)))
+
+  /** `sim_recall_ivfpq_trained` — the trained arm's measured reading, the
+    * number that says whether training the codebook bought recall over the
+    * stand-in (C53 discipline: a trained artifact without a reading is
+    * still a guess).
+    */
+  def recallIvfPqTrained(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, ivfPqTrainedTopK(s, dir))
 
   /** A `def` OF THE TARGET DIR, not a `val`: the two LSH oracles render at
     * the ADAPTIVE code width their queries resolved FOR THAT DIR
@@ -1512,6 +1600,8 @@ object SimilarityQueries {
     "sim_nprobe_curve" -> nprobeCurveSql,
     "sim_recall_pq" -> recallWrapSql(pqSql()),
     "sim_recall_ivfpq" -> recallWrapSql(ivfPqSql),
+    "sim_ivfpq_trained" -> ivfPqTrainedSql,
+    "sim_recall_ivfpq_trained" -> recallWrapSql(ivfPqTrainedSql),
     "sim_pq_rerank" -> pqRerankSql,
     "sim_recall_pq_rerank" -> recallWrapSql(pqRerankSql),
     "sim_rerank_curve" -> rerankCurveSql,

@@ -477,6 +477,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh <= multi && multi <= ivf, s"lsh=$lsh multi=$multi ivf=$ivf")
   }
 
+  test("trained residual codebook: Lloyd moves the stand-in and the arm stays harness-valid") {
+    import org.apache.spark.sql.functions.col
+    // the codebook artifact actually trains: after 2 iterations at least
+    // one codeword differs from the stand-in (Lloyd with a non-degenerate
+    // sample cannot be a global no-op here), empty codewords keep their
+    // stand-in cells, and the (j, k) key set is exactly M×K
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val standIn = Similarity.pqCodebookResidual(emb, cent)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    val trained = Similarity.trainPqCodebookResidual(emb, cent, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(trained.keySet == standIn.keySet)
+    assert(trained.keySet.size == Similarity.pqM * Similarity.pqK)
+    assert(trained.exists { case (k, v) => standIn(k) != v }, "training was a no-op")
+    // harness invariants of the declared rows
+    val r = graft.queries.SimilarityQueries.recallIvfPqTrained(spark, sf0001).head()
+    assert(r.getInt(0) == 10 && r.getLong(1) <= 10 &&
+      math.abs(r.getDouble(2) - r.getLong(1) / 10.0) < 1e-9)
+    val standInRecall = graft.queries.SimilarityQueries
+      .recallIvfPq(spark, sf0001).head().getDouble(2)
+    info(s"ADC recall at sf0.001: stand-in $standInRecall, trained ${r.getDouble(2)}")
+  }
+
   test("whitened IVF arm: measured recall + silhouette shift vs the raw readings (r13 item 4)") {
     // the spectral family says the corpus has a dominant direction and C72
     // trains the transform that removes it; these rows MEASURE whether the

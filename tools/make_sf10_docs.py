@@ -69,7 +69,7 @@ def main():
                                  newtext.cast(r.schema.field("text").type))
             parts.append(r)
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{DST}/{t}.parquet")
+        pq.write_table(out, f"{DST}/{t}.parquet", row_group_size=8192)
         print(t, out.num_rows, f"{time.time() - t0:.1f}s")
 
 
