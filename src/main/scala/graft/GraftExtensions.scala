@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{Bloom, BloomFilterAgg, BloomMightContain, FloatDotProduct, FreqItemsAgg, LongDotProduct, LshCode, RollingHashMin, SimhashAgg}
+import graft.expressions.{ArrayDotProduct, ArrayL2Sq, Bloom, BloomFilterAgg, BloomMightContain, FloatDotProduct, FreqItemsAgg, LongDotProduct, LshCode, RollingHashMin, SimhashAgg}
 import graft.operators.Similarity
 
 /** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
@@ -12,6 +12,9 @@ import graft.operators.Similarity
   * `spark.sql` users get the same codegen'd kernels the DataFrame API uses —
   *
   *   graft_dot(a, b)           — Double dot product of two FLOAT arrays
+  *   graft_dotd(a, b)          — Double dot product over FLOAT/DOUBLE arrays
+  *                               (element types may differ per side)
+  *   graft_l2sq(a, b)          — squared L2 distance over FLOAT/DOUBLE arrays
   *   graft_idot(a, b)          — exact Long dot product of two BIGINT arrays
   *   graft_lsh_code(v[, p])    — p-plane signed-hyperplane LSH code (default
   *                               [[Similarity.lshPlanes]])
@@ -52,6 +55,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two ARRAY<FLOAT> in DOUBLE"),
       binary("graft_dot", FloatDotProduct)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_dotd"),
+      info("graft_dotd",
+        "graft_dotd(a, b) - dot product of two ARRAY<FLOAT|DOUBLE> (element " +
+          "types may differ per side) in DOUBLE, left-to-right fold"),
+      binary("graft_dotd", ArrayDotProduct)))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq",
+        "graft_l2sq(a, b) - squared L2 distance of two ARRAY<FLOAT|DOUBLE> " +
+          "in DOUBLE, left-to-right fold (the PQ-encode kernel)"),
+      binary("graft_l2sq", ArrayL2Sq)))
 
     ext.injectFunction((
       FunctionIdentifier("graft_idot"),

@@ -20,6 +20,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaDf)
   }
 
+  test("graft_dotd / graft_l2sq from SQL match the generic kernels, mixed element types") {
+    Tables.registerAll(spark, sf0001)
+    // float×float dotd agrees with graft_dot; l2sq(v, v) is exactly 0
+    val r = spark.sql(
+      """SELECT graft_dotd(embedding, embedding) AS dd,
+        |       graft_dot(embedding, embedding) AS df,
+        |       graft_l2sq(embedding, embedding) AS l2,
+        |       graft_l2sq(embedding, CAST(embedding AS ARRAY<DOUBLE>)) AS l2mix
+        |FROM embeddings WHERE vec_id = 0""".stripMargin).collect().head
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    val msg = intercept[Exception] {
+      spark.sql("SELECT graft_l2sq(embedding) FROM embeddings").collect()
+    }.getMessage
+    assert(msg.contains("graft_l2sq expects exactly 2 arguments"))
+  }
+
   test("graft_lsh_code from SQL matches the operator, incl. the planes override") {
     Tables.registerAll(spark, sf0001)
     val viaSql = spark.sql(
