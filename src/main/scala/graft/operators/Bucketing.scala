@@ -170,6 +170,19 @@ object Bucketing {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
 
+  /** Max data-file count over a bucketed table's buckets (0 for an empty
+    * location) — the serving-latency degradation appends accumulate and
+    * [[compactDelta]]/[[compactSorted]] restore to 1; gates assert on it.
+    */
+  def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byBucket = fs.listStatus(loc).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .groupBy(f => bucketIdOf(f.getPath.getName))
+    if (byBucket.isEmpty) 0 else byBucket.values.map(_.size).max
+  }
+
   /** INCREMENTAL compaction: restore the one-sorted-file-per-bucket
     * contract by rewriting ONLY the buckets that [[appendBucketed]]
     * actually touched (≥ 2 files), leaving every single-file bucket's

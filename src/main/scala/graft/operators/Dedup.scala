@@ -424,7 +424,10 @@ object Dedup {
     * p/q is either 0 or ≥ 1/(q·(S−I)) — at least ~1e-5/set-size, ten
     * orders of magnitude above the ~1e-16 double-division rounding that
     * could otherwise flip a boundary compare. Holds for set sizes to ~1e11;
-    * the oracle keeps the double form and cannot disagree.
+    * the oracle keeps the double form and cannot disagree. A threshold
+    * with no scale-4 rational (e.g. 1.0/3) falls back to the double form
+    * (r13 ADVICE — the Double-typed API stays total; only the
+    * single-reference join-condition optimization is forgone).
     */
   def jaccardOnCandidatesFromArrays(arrays: DataFrame, cands: DataFrame,
                                     threshold: Double): DataFrame = {

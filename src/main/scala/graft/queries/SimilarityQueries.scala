@@ -986,6 +986,55 @@ object SimilarityQueries {
     post
   }
 
+  /** The trained centroid artifact, once per (session, dir) — the staged
+    * trained arm's probe selection and staging share one training run.
+    */
+  private def trainedCent(s: SparkSession, dir: String): DataFrame =
+    BackboneRegistry.scalarOrBuild(s, s"ivfcent_trained:$dir") {
+      Similarity.trainCentroids(Tables.embeddings(s, dir), iters = trainedIters,
+        nOpt = Some(embCount(s, dir)))
+    }
+
+  /** The staged TRAINED-IVF index: the corpus bucketed into the k-means‖-
+    * trained lists instead of the prefix stand-in's.
+    */
+  private def annTrainedTable(s: SparkSession, dir: String): String =
+    BackboneRegistry.namesOrBuild(s, s"annivft:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_ann_ivft_$tag"
+      val fp = Staging.fingerprint(s, dir,
+        s"ann_ivf_trained:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:it$trainedIters:v1")
+      Staging.ensure(s, fp, Seq(t)) {
+        Similarity.stageIvfBucketed(Tables.embeddings(s, dir),
+          trainedCent(s, dir), t, stagedIvfBuckets)
+      }
+      Seq(t)
+    }.head
+
+  /** `sim_ivf_trained_staged` — the trained codebook SERVED (r14): C17's
+    * `sim_ivf_trained` proves the train→assign→probe math end-to-end but
+    * re-scans and re-assigns per query; production serves a trained
+    * codebook the way every staged arm serves — list membership as a
+    * storage key, probes bucket-pruned. This stages the corpus into the
+    * TRAINED lists and answers through [[Similarity.probeStagedIvf]];
+    * same oracle text as the one-shot row (same training chain, same
+    * 2-probe rule), because staging must not change the answer.
+    */
+  def ivfTrainedStagedTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = annTrainedTable(s, dir)
+    val qe = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probeCids = trainedCent(s, dir)
+      .select(col("cid"),
+        graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+  }
+
   /** The WHITENED corpus: every embedding standardized against the
     * [[Similarity.dimProfile]] — (vec_id, label, embedding ARRAY<DOUBLE>).
     * The profile is the same bounded model artifact `sim_dim_profile`
@@ -1714,6 +1763,8 @@ object SimilarityQueries {
          |ORDER BY l1, l2""".stripMargin
     },
     "sim_ivf_trained" -> ivfTrainedSql(),
+    // staged must not change the trained answer — one oracle text for both
+    "sim_ivf_trained_staged" -> ivfTrainedSql(),
     "sim_ivf_staged" -> ivfProbeSql,
     // the compaction lifecycle ends in the SAME full-corpus staged probe —
     // stage/append×3/compact must be answer-invariant, which is the point

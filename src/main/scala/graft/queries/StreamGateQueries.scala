@@ -598,6 +598,69 @@ object StreamGateQueries {
     Seq((vectors, diffs)).toDF("vectors", "diffs")
   }
 
+  /** `stream_index_compact` — the index-maintenance loop CLOSED under
+    * ingest (r14, C195's streaming twin): the embeddings replay appends
+    * per micro-batch into a fresh staged IVF table (each batch lands one
+    * file per touched `cid` bucket — the measured serving-latency decay),
+    * then the TABLE-SERVICE job runs: [[graft.operators.Bucketing
+    * .compactDelta]] rewrites exactly the multi-file buckets. The gate
+    * then demands (a) the compacted stream-built index equals a full
+    * batch restage row-for-row on (vec_id, cid) AND through a bucket-
+    * pruned 2-list probe — compaction lost/doubled/re-assigned nothing a
+    * probe could see — and (b) every bucket is back to ONE file
+    * (`max_files` column, oracle-pinned to 1). This is the full ops story
+    * a live vector store runs: ingest degrades, service restores, answers
+    * never change.
+    */
+  def indexCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = dirTag(dir)
+    def cent = cachedFrame(s, dir, "ivf_cent") {
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < Similarity.ivfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    }
+    val streamT = BackboneRegistry.namesOrBuild(s, s"sg_ivfc_stream:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val path = stagedReplay(s, dir, "emb")(
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        Seq("vec_id"), Seq("vec_id"))
+      val t = s"sg_ivfc_stream_$tag"
+      Bucketing.dropStaged(s, t)
+      runWithTempCheckpoint(ckpt =>
+        StreamOps.maintainIvfIndex(replaySource(s, path), cent, t, ckpt))
+      require(Bucketing.maxFilesPerBucket(s, t) >= 2,
+        "multi-batch replay must leave multi-file buckets to compact")
+      val rewritten = Bucketing.compactDelta(s, t, "cid", Seq("cid"), 8)
+      require(rewritten.nonEmpty, "compaction must rewrite the dirty buckets")
+      Seq(t)
+    }.head
+    val fullT = BackboneRegistry.namesOrBuild(s, s"sg_ivf_full:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val t = s"sg_ivf_full_$tag"
+      Similarity.stageIvfBucketed(Tables.embeddings(s, dir), cent, t)
+      Seq(t)
+    }.head
+    val rowDiff = diffCount(
+      Bucketing.read(s, streamT).select("vec_id", "cid"),
+      Bucketing.read(s, fullT).select("vec_id", "cid"))
+    val (qv, probeCids) = cachedScalar(s, dir, "ivf_probe_vec") {
+      val v = Tables.embeddings(s, dir).orderBy("vec_id").limit(1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cids = cent
+        .select(col("cid"),
+          graft.functions.VectorOps.cosine(col("ce"), typedlit(v)).as("c"))
+        .orderBy(desc("c"), asc("cid")).limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      (v, cids)
+    }
+    def probe(t: String) = Similarity.probeStagedIvf(s, t, qv, probeCids)
+    val diffs = rowDiff + diffCount(probe(streamT), probe(fullT))
+    val vectors = cachedScalar(s, dir, "vectors")(Tables.embeddings(s, dir).count())
+    Seq((vectors, diffs, Bucketing.maxFilesPerBucket(s, streamT).toLong))
+      .toDF("vectors", "diffs", "max_files")
+  }
+
   /** `stream_index_lex` — C66's streaming lexical-index maintenance under
     * the driver gate: documents replay through
     * [[StreamOps.maintainLexicalIndex]] (per-batch postings append + one
@@ -740,6 +803,9 @@ object StreamGateQueries {
       "SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs FROM embeddings",
     "stream_index_ivf" ->
       "SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs FROM embeddings",
+    "stream_index_compact" ->
+      ("SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs, " +
+        "CAST(1 AS BIGINT) AS max_files FROM embeddings"),
     "stream_index_lex" ->
       "SELECT count(*) AS docs, CAST(0 AS BIGINT) AS diffs FROM documents",
     "stream_expectations" -> {

@@ -94,6 +94,7 @@ class PlanAuditSpec extends SparkSpec {
     // mm_search: the cross-modal typed probe reads at most its nprobe=4
     // inverted lists' buckets, kind predicate inside the pruned scan
     Seq("sim_lsh_staged" -> 9, "sim_ivf_staged" -> 2, "sim_ivfpq_staged" -> 2,
+        "sim_ivf_trained_staged" -> 2,
         "sim_batch_staged" -> (SimilarityQueries.stagedLshBuckets - 1),
         "search_lexical_staged" -> RetrievalQueries.lexTerms.length,
         "mm_search" -> MultimodalQueries.searchNprobe).foreach { case (n, maxSel) =>
@@ -774,7 +775,8 @@ class PlanAuditSpec extends SparkSpec {
       "stream_twap", "stream_wau", "stream_anomaly", "stream_heavy",
       "stream_expectations", "stream_dedup", "stream_distinct",
       "stream_percentiles", "stream_quality", "stream_index_ann",
-      "stream_index_lex", "stream_index_ivf", "stream_join",
+      "stream_index_lex", "stream_index_ivf", "stream_index_compact",
+      "stream_join",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
       "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup",
       "graph_assortativity", "stream_gram")
