@@ -40,6 +40,13 @@ sealed trait ArrayPairFold extends BinaryExpression {
 
   protected def kernelName: String
 
+  // resolved once per expression instance, not once per evaluated row (the
+  // interpreted path runs these in hot loops; codegen resolves statically)
+  @transient protected lazy val leftElem: DataType =
+    ArrayMath.elemType(left.dataType).get
+  @transient protected lazy val rightElem: DataType =
+    ArrayMath.elemType(right.dataType).get
+
   override def checkInputDataTypes(): TypeCheckResult =
     (ArrayMath.elemType(left.dataType), ArrayMath.elemType(right.dataType)) match {
       case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
@@ -59,13 +66,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
-      ArrayMath.elemType(right.dataType).get)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += ArrayMath.getD(x, tx, i) * ArrayMath.getD(y, ty, i)
+      s += ArrayMath.getD(x, leftElem, i) * ArrayMath.getD(y, rightElem, i)
       i += 1
     }
     s
@@ -73,8 +78,6 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
-        ArrayMath.elemType(right.dataType).get)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
@@ -82,7 +85,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${ArrayMath.getDJava(a, tx, i)} * ${ArrayMath.getDJava(b, ty, i)};
+         |  $s += ${ArrayMath.getDJava(a, leftElem, i)} * ${ArrayMath.getDJava(b, rightElem, i)};
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -104,13 +107,11 @@ case class ArrayL2Sq(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
-      ArrayMath.elemType(right.dataType).get)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      val d = ArrayMath.getD(x, tx, i) - ArrayMath.getD(y, ty, i)
+      val d = ArrayMath.getD(x, leftElem, i) - ArrayMath.getD(y, rightElem, i)
       s += d * d
       i += 1
     }
@@ -119,8 +120,6 @@ case class ArrayL2Sq(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val (tx, ty) = (ArrayMath.elemType(left.dataType).get,
-        ArrayMath.elemType(right.dataType).get)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
@@ -129,7 +128,7 @@ case class ArrayL2Sq(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${ArrayMath.getDJava(a, tx, i)} - ${ArrayMath.getDJava(b, ty, i)};
+         |  double $d = ${ArrayMath.getDJava(a, leftElem, i)} - ${ArrayMath.getDJava(b, rightElem, i)};
          |  $s += $d * $d;
          |}
          |${ev.value} = $s;

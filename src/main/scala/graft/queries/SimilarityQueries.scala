@@ -1035,6 +1035,19 @@ object SimilarityQueries {
     Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
   }
 
+  /** `sim_recall_ivf_trained` — the trained-IVF arm's own reading (every
+    * served arm carries one; the trained arm predates the rule and slipped
+    * through until its staged twin landed): recall@[[recallK]] of the
+    * staged trained probe against the raw exact truth. Measured: 0.8 vs
+    * the stand-in's 0.7 at sf0.001 but 0.9 vs 1.0 at sf0.01 — two Lloyd
+    * iterations RESHAPE the lists, helping where the stand-in was weak and
+    * costing a boundary neighbor where it wasn't, which is EXACTLY why a
+    * retrained-codebook rollout gates on this reading before swapping
+    * artifacts instead of assuming training is monotone.
+    */
+  def recallIvfTrained(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, ivfTrainedStagedTopK(s, dir))
+
   /** The WHITENED corpus: every embedding standardized against the
     * [[Similarity.dimProfile]] — (vec_id, label, embedding ARRAY<DOUBLE>).
     * The profile is the same bounded model artifact `sim_dim_profile`
@@ -1765,6 +1778,7 @@ object SimilarityQueries {
     "sim_ivf_trained" -> ivfTrainedSql(),
     // staged must not change the trained answer — one oracle text for both
     "sim_ivf_trained_staged" -> ivfTrainedSql(),
+    "sim_recall_ivf_trained" -> recallWrapSql(ivfTrainedSql()),
     "sim_ivf_staged" -> ivfProbeSql,
     // the compaction lifecycle ends in the SAME full-corpus staged probe —
     // stage/append×3/compact must be answer-invariant, which is the point
