@@ -60,14 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dotd"),
       info("graft_dotd",
         "graft_dotd(a, b) - dot product of two ARRAY<FLOAT|DOUBLE> (element " +
-          "types may differ per side) in DOUBLE, left-to-right fold"),
+          "types may differ per side) in DOUBLE, left-to-right fold. NULL on " +
+          "mismatched lengths or any null element (HOF zip_with parity)"),
       binary("graft_dotd", ArrayDotProduct)))
 
     ext.injectFunction((
       FunctionIdentifier("graft_l2sq"),
       info("graft_l2sq",
         "graft_l2sq(a, b) - squared L2 distance of two ARRAY<FLOAT|DOUBLE> " +
-          "in DOUBLE, left-to-right fold (the PQ-encode kernel)"),
+          "in DOUBLE, left-to-right fold (the PQ-encode kernel). NULL on " +
+          "mismatched lengths or any null element (HOF zip_with parity)"),
       binary("graft_l2sq", ArrayL2Sq)))
 
     ext.injectFunction((

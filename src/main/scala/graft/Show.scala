@@ -10,6 +10,17 @@ package graft
 object Show {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "pass one or more SparkEntry.queries names")
+    // validate BEFORE the session spins up: a typo should die with near-miss
+    // suggestions, not a bare key-not-found after 10 s of Spark startup
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      val hints = unknown.map { u =>
+        val near = SparkEntry.queries.keySet.toSeq
+          .filter(k => k.contains(u.take(6)) || u.contains(k.take(6))).sorted.take(5)
+        s"'$u'" + (if (near.nonEmpty) s" (did you mean: ${near.mkString(", ")})" else "")
+      }
+      sys.error(s"unknown query name(s): ${hints.mkString("; ")}")
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local(defaultCpus = 32)
     spark.sparkContext.setLogLevel("ERROR")

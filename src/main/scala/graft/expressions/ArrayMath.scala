@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Element types may differ per side (float corpus slice vs double
   * residual codeword — exactly [[graft.operators.Similarity.pqEncode]]'s
   * shape); each element is widened to double before the arithmetic, like
-  * the HOF's explicit CASTs. Assumes non-null elements (vector columns);
-  * mismatched lengths fold the common prefix, like [[FloatDotProduct]].
+  * the HOF's explicit CASTs. Null handling matches the HOF forms exactly
+  * (r15, after these kernels were exposed to arbitrary SQL input as
+  * `graft_dotd`/`graft_l2sq`): a null element or mismatched lengths yield
+  * NULL — `zip_with` pads the shorter side with nulls and `acc + NULL`
+  * poisons the fold — instead of silently reading 0.0 / folding the
+  * common prefix. The element null checks are emitted only when the array
+  * type says `containsNull`, so trusted non-null vector columns keep the
+  * branch-free loop.
   */
 object ArrayMath {
   private[expressions] def elemType(dt: DataType): Option[DataType] = dt match {
@@ -38,6 +44,11 @@ object ArrayMath {
 sealed trait ArrayPairFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // NULL can surface from non-null inputs (mismatched lengths, null
+  // elements), so the HOF-parity contract forces nullable regardless of
+  // the children's nullability.
+  override def nullable: Boolean = true
+
   protected def kernelName: String
 
   // resolved once per expression instance, not once per evaluated row (the
@@ -46,6 +57,9 @@ sealed trait ArrayPairFold extends BinaryExpression {
     ArrayMath.elemType(left.dataType).get
   @transient protected lazy val rightElem: DataType =
     ArrayMath.elemType(right.dataType).get
+  @transient protected lazy val elemsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): TypeCheckResult =
     (ArrayMath.elemType(left.dataType), ArrayMath.elemType(right.dataType)) match {
@@ -54,23 +68,21 @@ sealed trait ArrayPairFold extends BinaryExpression {
         s"$kernelName needs ARRAY<FLOAT|DOUBLE> inputs, " +
           s"got ${left.dataType} / ${right.dataType}")
     }
-}
 
-/** `Σ_i a[i]·b[i]` in ascending order — the codegen'd general-element twin
-  * of [[FloatDotProduct]] (kept as-is: its float-only plans are pinned).
-  */
-case class ArrayDotProduct(left: Expression, right: Expression)
-    extends ArrayPairFold {
-  override protected def kernelName: String = "ArrayDotProduct"
+  /** step(aElem, bElem) → contribution to the running double sum. */
+  protected def step(a: Double, b: Double): Double
+  protected def javaStep(a: String, b: String): String
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += ArrayMath.getD(x, leftElem, i) * ArrayMath.getD(y, rightElem, i)
+      if (elemsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += step(ArrayMath.getD(x, leftElem, i), ArrayMath.getD(y, rightElem, i))
       i += 1
     }
     s
@@ -81,15 +93,35 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // emitted only for array types that can actually hold null elements;
+      // trusted vector columns (containsNull = false) keep a branch-free loop
+      val nullCheck = if (elemsNullable) {
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      } else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${ArrayMath.getDJava(a, leftElem, i)} * ${ArrayMath.getDJava(b, rightElem, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += ${javaStep(ArrayMath.getDJava(a, leftElem, i), ArrayMath.getDJava(b, rightElem, i))};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
+}
+
+/** `Σ_i a[i]·b[i]` in ascending order — the codegen'd general-element twin
+  * of [[FloatDotProduct]] (kept as-is: its float-only plans are pinned).
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends ArrayPairFold {
+  override protected def kernelName: String = "ArrayDotProduct"
+  override protected def step(a: Double, b: Double): Double = a * b
+  override protected def javaStep(a: String, b: String): String = s"$a * $b"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -103,37 +135,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 case class ArrayL2Sq(left: Expression, right: Expression)
     extends ArrayPairFold {
   override protected def kernelName: String = "ArrayL2Sq"
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      val d = ArrayMath.getD(x, leftElem, i) - ArrayMath.getD(y, rightElem, i)
-      s += d * d
-      i += 1
-    }
-    s
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val s = ctx.freshName("s")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ${ArrayMath.getDJava(a, leftElem, i)} - ${ArrayMath.getDJava(b, rightElem, i)};
-         |  $s += $d * $d;
-         |}
-         |${ev.value} = $s;
-       """.stripMargin
-    })
+  override protected def step(a: Double, b: Double): Double = { val d = a - b; d * d }
+  // the JIT common-subexpressions the duplicated element reads; the HOF
+  // form it mirrors also evaluated (x-c) twice
+  override protected def javaStep(a: String, b: String): String =
+    s"(($a) - ($b)) * (($a) - ($b))"
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

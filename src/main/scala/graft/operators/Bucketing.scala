@@ -180,6 +180,11 @@ object Bucketing {
     val byBucket = fs.listStatus(loc).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       .groupBy(f => bucketIdOf(f.getPath.getName))
+    // mirror compactDelta: an untagged data file means this is not (or no
+    // longer) a bucketed table — fail loudly instead of counting the
+    // untagged files as a pseudo-bucket compaction can never shrink
+    require(!byBucket.contains(None),
+      s"$table holds files without a bucket tag — not a bucketed table")
     if (byBucket.isEmpty) 0 else byBucket.values.map(_.size).max
   }
 

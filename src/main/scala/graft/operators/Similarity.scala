@@ -1078,9 +1078,21 @@ object Similarity {
   val standardizeMaxDims = 1024
 
   def standardize(df: DataFrame, profile: DataFrame,
-                  vecCol: String = "embedding"): DataFrame = {
-    val rows = profile.select("pos", "mean", "sd").collect()
+                  vecCol: String = "embedding"): DataFrame =
+    standardizeWith(df, collectProfile(profile), vecCol)
+
+  /** The profile as the bounded driver-side artifact [[standardizeWith]]
+    * embeds: pos → (mean, sd). Split out (r15, ADVICE) so callers that
+    * whiten repeatedly can cache the COLLECTED map per (session, dir) —
+    * e.g. via `BackboneRegistry.scalarOrBuild` — instead of re-paying the
+    * full-corpus profile aggregation on every query construction.
+    */
+  def collectProfile(profile: DataFrame): Map[Int, (Double, Double)] =
+    profile.select("pos", "mean", "sd").collect()
       .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  def standardizeWith(df: DataFrame, rows: Map[Int, (Double, Double)],
+                      vecCol: String = "embedding"): DataFrame = {
     val dimsN = rows.size
     require(dimsN <= standardizeMaxDims,
       s"standardize embeds 2*$dimsN profile literals into the plan, past the " +

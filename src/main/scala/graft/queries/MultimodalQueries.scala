@@ -192,6 +192,136 @@ object MultimodalQueries {
         round(col("hits") / lit(searchK.toDouble), 6).as("recall"))
   }
 
+  /** Per-FRAME pseudo-embedding (8 dims) from a frame checksum — the
+    * [[FakeDecoder.features]] arithmetic applied to the frame's canonical
+    * hex digest, scan-local (conv/substring — codegen'd, no UDF). Values
+    * are exact dyadic rationals ((k−128)/128), so the float cast loses
+    * nothing and the DOUBLE-computed oracle matches bit-for-bit.
+    */
+  private def frameVec(cs: org.apache.spark.sql.Column) =
+    array((0 until 8).map(i =>
+      ((conv(substring(cs, 1 + 2 * i, 2), 16, 10).cast("int") - 128) / 128.0)
+        .cast("float")): _*)
+
+  /** The frame-level media corpus: every payload's sampled frames, each
+    * carrying its own vector in a shared 8-dim space plus the parent doc's
+    * kind — the multi-vector representation late-interaction retrieval
+    * ranks over ([[searchMaxSim]]).
+    */
+  private def frameEmb(s: SparkSession, dir: String): DataFrame = {
+    val fr = Media.sampleFrames(records(s, dir), FakeDecoder)
+      .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_checksum"))
+    val kinds = Media.decodeMeta(records(s, dir), FakeDecoder)
+      .select(col("id").as("doc_id"), kindOf(col("checksum")).as("kind"))
+    fr.join(kinds, "doc_id")
+      .select(col("doc_id"), col("frame_idx"), col("kind"),
+        frameVec(col("frame_checksum")).as("fv"))
+  }
+
+  /** The staged FRAME-level media ANN index (r14 verdict item 5): one row
+    * per frame (≤ 4 per payload), inverted-list id from the frame vector's
+    * nearest centroid, `kind` staged into the rows — the same kind-payload
+    * IVF layout as [[mediaAnnTable]], at frame granularity. `fid` packs
+    * (doc_id, frame_idx) into the unique row id the staging argmax groups
+    * by (frame_idx < 4 by the decoder's contract).
+    */
+  private def mediaFrameAnnTable(s: SparkSession, dir: String): String =
+    BackboneRegistry.namesOrBuild(s, s"mm_fann:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_mm_fann_$tag"
+      val fp = Staging.fingerprint(s, dir,
+        s"mm_fann:c${Similarity.ivfCentroids}:pl_kind:v1")
+      Staging.ensure(s, fp, Seq(t)) {
+        val fe = frameEmb(s, dir)
+          .withColumn("fid", col("doc_id") * 4 + col("frame_idx"))
+        val cent = fe.filter(col("doc_id") < Similarity.ivfCentroids &&
+            col("frame_idx") === 0)
+          .select(col("doc_id").as("cid"), col("fv").as("ce"))
+        Similarity.stageIvfBucketed(fe, cent, t, idCol = "fid", vecCol = "fv",
+          payloadCols = Seq("doc_id", "frame_idx", "kind"))
+      }
+      Seq(t)
+    }.head
+
+  /** `mm_search_maxsim` — MULTI-VECTOR media retrieval (r14 verdict item
+    * 5): [[search]] ranks one pooled vector per payload, which washes out
+    * partial matches (one matching frame inside an otherwise-different
+    * video); this serves the late-interaction shape instead. The query is
+    * a SET (payload 0's frames); each query frame selects its 2 nearest
+    * inverted lists (union, still bounded literal cids → bucket-pruned
+    * scan); candidates are the probed lists' kind-matching frames; a
+    * payload scores `Σ_q max_f dot(q, f)` over its RETRIEVED frames — the
+    * C87 MaxSim aggregation, here over an index probe instead of a corpus
+    * scan. Determinism: per-(payload, query-frame) maxima are 6-rounded
+    * and summed as DECIMAL (order-independent), exactly like `sim_maxsim`.
+    */
+  def searchMaxSim(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = mediaFrameAnnTable(s, dir)
+    val fe = frameEmb(s, dir)
+    val cent = fe.filter(col("doc_id") < Similarity.ivfCentroids &&
+        col("frame_idx") === 0)
+      .select(col("doc_id").as("cid"), col("fv").as("ce"))
+    val q = fe.filter(col("doc_id") === 0)
+      .select(col("frame_idx").as("qid"), col("fv").as("qv"))
+    // per-query-frame top-[[searchNprobe]] lists, unioned: the kind
+    // predicate thins every probed list, so the probe widens 2→4 like the
+    // other filtered arms (C168's compensation — more lists, each still
+    // bucket-pruned). Centroids × query frames is a bounded frame
+    // (≤ 16·4 rows); the collected cid list ≤ 16 literals.
+    val byQ = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cid"))
+    val probeCids = cent.crossJoin(broadcast(q))
+      .select(col("cid"), col("qid"),
+        graft.functions.VectorOps.cosine(col("ce"), col("qv")).as("qcos"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= searchNprobe)
+      .select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    Bucketing.read(s, t)
+      .filter(col("cid").isin(probeCids: _*))
+      .filter(col("kind") === searchKind && col("doc_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("doc_id"), col("qid"),
+        graft.functions.VectorOps.dot(col("fv"), col("qv")).as("d"))
+      .groupBy("doc_id", "qid").agg(max(col("d")).as("mx"))
+      .groupBy("doc_id")
+      .agg(sum(round(col("mx"), 6).cast("decimal(18,6)")).as("sdec"))
+      .select(col("doc_id"), round(col("sdec").cast("double"), 6).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("doc_id"))
+      .limit(searchK)
+  }
+
+  /** `mm_recall_maxsim` — the MaxSim arm's reading against the EXACT
+    * MaxSim truth (every served arm carries one): ground truth scores
+    * every kind-scoped payload over ALL its frames (no probe restriction),
+    * so the number prices exactly what list-pruning costs the
+    * late-interaction ranking — a frame assigned to an unprobed list is
+    * invisible to the approximate arm's max.
+    */
+  def searchMaxSimRecall(s: SparkSession, dir: String): DataFrame = {
+    val fe = frameEmb(s, dir)
+    val q = fe.filter(col("doc_id") === 0)
+      .select(col("frame_idx").as("qid"), col("fv").as("qv"))
+    val exact = fe.filter(col("kind") === searchKind && col("doc_id") =!= 0)
+      .join(broadcast(q))
+      .select(col("doc_id"), col("qid"),
+        graft.functions.VectorOps.dot(col("fv"), col("qv")).as("d"))
+      .groupBy("doc_id", "qid").agg(max(col("d")).as("mx"))
+      .groupBy("doc_id")
+      .agg(sum(round(col("mx"), 6).cast("decimal(18,6)")).as("sdec"))
+      .select(col("doc_id"), round(col("sdec").cast("double"), 6).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("doc_id"))
+      .limit(searchK)
+      .select("doc_id")
+    exact.join(searchMaxSim(s, dir).select("doc_id"), "doc_id")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(searchK).as("k"), col("hits"),
+        round(col("hits") / lit(searchK.toDouble), 6).as("recall"))
+  }
+
   /** Shared DuckDB CTE block for the media ANN arm: the decoded-kind
     * corpus, its centroid prefix, list assignment, the query row, and the
     * probe-list selection — `mm_search` appends the probe read; `mm_recall`
@@ -216,7 +346,61 @@ object MultimodalQueries {
        |  WHERE m.kind = '$searchKind' AND m.vec_id <> 0
        |  ORDER BY cos_sim DESC, m.vec_id LIMIT $searchK)""".stripMargin
 
+  /** Shared DuckDB CTE block for the FRAME-level MaxSim arm: frame fan-out
+    * (the `mm_frames` derivation), per-frame vectors (the `mm_features`
+    * arithmetic over the frame checksum), centroid prefix, frame→list
+    * assignment, the query frame SET, per-query-frame probe-list union,
+    * and the probed MaxSim ranking — `mm_search_maxsim` reads the ranking
+    * off it; `mm_recall_maxsim` appends the exact-truth arm and the recall
+    * rollup. One text, so the two oracles cannot drift.
+    */
+  private def maxSimCtes: String = {
+    val vecExpr = (0 until 8)
+      .map(i => s"(('0x'||substr(fcs,${1 + 2 * i},2))::INT - 128)/128.0")
+      .mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id, md5(text) AS h,
+       |    CASE (('0x'||substr(md5(text),1,1))::INT % 3)
+       |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+       |  FROM documents),
+       |n AS (SELECT doc_id, h, kind, ('0x'||substr(h,5,1))::INT % 4 + 1 AS nf FROM m),
+       |f AS (SELECT doc_id, kind, h, unnest(range(0, nf)) AS frame_idx FROM n),
+       |fv AS MATERIALIZED (SELECT doc_id, kind, frame_idx, $vecExpr AS v FROM
+       |  (SELECT doc_id, kind, frame_idx, md5(h||':'||frame_idx) AS fcs FROM f) t),
+       |cent AS (SELECT doc_id AS cid, v AS ce FROM fv
+       |         WHERE doc_id < ${Similarity.ivfCentroids} AND frame_idx = 0),
+       |asn AS (SELECT doc_id, frame_idx, cid FROM
+       |  (SELECT e.doc_id, e.frame_idx, c.cid, ROW_NUMBER() OVER (PARTITION BY e.doc_id, e.frame_idx
+       |     ORDER BY ${SqlGen.cosSql("e.v", "c.ce", 8)} DESC, c.cid) AS rn
+       |   FROM fv e, cent c) t WHERE rn = 1),
+       |q AS (SELECT frame_idx AS qid, v AS qv FROM fv WHERE doc_id = 0),
+       |qp AS (SELECT DISTINCT cid FROM
+       |  (SELECT q.qid, c.cid, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |     ORDER BY ${SqlGen.cosSql("c.ce", "q.qv", 8)} DESC, c.cid) AS rn
+       |   FROM cent c, q) t WHERE rn <= $searchNprobe),
+       |probe AS (SELECT doc_id, round(CAST(sdec AS DOUBLE), 6) AS maxsim FROM
+       |  (SELECT doc_id, sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS sdec FROM
+       |    (SELECT e.doc_id, q.qid, max(${SqlGen.dotSql("e.v", "q.qv", 8)}) AS mx
+       |     FROM fv e JOIN asn a ON a.doc_id = e.doc_id AND a.frame_idx = e.frame_idx
+       |          JOIN qp p ON p.cid = a.cid, q
+       |     WHERE e.kind = '$searchKind' AND e.doc_id <> 0
+       |     GROUP BY e.doc_id, q.qid) t1 GROUP BY doc_id) t2
+       |  ORDER BY maxsim DESC, doc_id LIMIT $searchK)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "mm_search_maxsim" -> s"""$maxSimCtes
+         |SELECT doc_id, maxsim FROM probe
+         |ORDER BY maxsim DESC, doc_id""".stripMargin,
+    "mm_recall_maxsim" -> s"""$maxSimCtes,
+         |exd AS (SELECT doc_id, round(CAST(sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim FROM
+         |  (SELECT e.doc_id, q.qid, max(${SqlGen.dotSql("e.v", "q.qv", 8)}) AS mx
+         |   FROM fv e, q WHERE e.kind = '$searchKind' AND e.doc_id <> 0
+         |   GROUP BY e.doc_id, q.qid) t GROUP BY doc_id),
+         |exact AS (SELECT doc_id FROM
+         |  (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY maxsim DESC, doc_id) AS rn FROM exd) t
+         |  WHERE rn <= $searchK)
+         |SELECT $searchK AS k, hits, round(hits / $searchK.0, 6) AS recall FROM
+         |  (SELECT count(*) AS hits FROM exact JOIN probe USING (doc_id)) t""".stripMargin,
     "mm_search" -> s"""$searchCtes
          |SELECT vec_id, cos_sim FROM probe
          |ORDER BY cos_sim DESC, vec_id""".stripMargin,

@@ -916,6 +916,54 @@ object SimilarityQueries {
     Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10)
   }
 
+  /** ADC pool for the composed staged re-rank — the pool where C179's
+    * rerank curve saturates on this corpus (order errors gone by 50,
+    * pool misses recovered by 100).
+    */
+  val stagedRerankPool = 100
+
+  /** `sim_ivfpq_staged_rerank` — the PRODUCTION billion-scale serving
+    * composition the r14 verdict named (item 2): probe the staged
+    * inverted lists, ADC-rank their members from stored codes to a
+    * [[stagedRerankPool]] candidate pool (I/O: 2 lists' worth of 8-byte
+    * codes), then read ONLY the pool's full vectors and exact-cosine
+    * re-rank to the served k. The pieces existed — staged IVF-PQ probe
+    * (C68), exact re-rank (C178) — but only composed unstaged; this is
+    * the chain a vector store actually serves with: codes decide who gets
+    * read, full vectors decide the order. The pool's full-vector fetch is
+    * a k-bounded id join against the corpus (in production: the primary
+    * store's point lookups), never a corpus scan.
+    */
+  def ivfPqStagedRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = pqTable(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val pool = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids,
+      k = stagedRerankPool).select("vec_id")
+    emb.join(pool, "vec_id")
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(recallK)
+  }
+
+  /** `sim_recall_ivfpq_rerank` — what the composition buys, measured: the
+    * pure-ADC staged arm's recall (C177's `sim_recall_ivfpq`) vs this —
+    * the re-rank stage can only fix ORDER within the probed lists' pool,
+    * so the reading is bounded above by the IVF probe's own recall
+    * (`sim_recall_ivf`) and below by the ADC arm's.
+    */
+  def recallIvfPqRerank(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, ivfPqStagedRerank(s, dir))
+
   def ivfStagedTopK(s: SparkSession, dir: String): DataFrame = {
     val (_, ivfT) = annTables(s, dir)
     import org.apache.spark.sql.functions._
@@ -929,6 +977,92 @@ object SimilarityQueries {
       .limit(2).collect().map(_.getLong(0)).toSeq
     Similarity.probeStagedIvf(s, ivfT, qe, probeCids, k = 10)
   }
+
+  /** ADAPTIVE inverted-list count for the staged IVF serving arm — the r14
+    * verdict's one measured scale deviation, closed with the LSH arm's own
+    * idiom ([[AdaptiveWidth]]): the fixed staged arm pins
+    * [[Similarity.ivfCentroids]] = 16 lists for oracle renderability, so
+    * its probe I/O is nprobe/16 of the CORPUS at any size (SCALE_r14 §1
+    * measured the warm probe growing ~2×/decade). This resolver stages at
+    * [[Similarity.centroidsFor]](n) ≈ √(n/256) lists and records the
+    * per-dir resolution, so the oracle text renders at the SAME count the
+    * plan served with — at ANY corpus size, like the LSH width.
+    */
+  private final class AdaptiveCentroids {
+    private val byDir = scala.collection.concurrent.TrieMap[String, Int]()
+    def apply(s: SparkSession, dir: String): Int = {
+      val k = BackboneRegistry.scalarOrBuild(s, s"ivfkc:$dir") {
+        Similarity.centroidsFor(embCount(s, dir))
+      }
+      byDir(dir) = k
+      k
+    }
+    def forOracle(dir: String): Int =
+      byDir.getOrElse(dir, Similarity.ivfCentroids)
+  }
+
+  private val adaptiveIvfK = new AdaptiveCentroids
+
+  /** The data-scaled staged IVF index: [[Similarity.centroidsFor]] lists,
+    * stored at ONE BUCKET PER LIST — with the fixed [[stagedIvfBuckets]],
+    * pruning happens at bucket granularity, so probe I/O would stay
+    * nprobe/buckets of the corpus no matter how many lists exist; making
+    * the bucket count track the list count is what turns probe I/O into
+    * nprobe·(n/kc) ≈ nprobe·256·√n bytes. At 100 TB that's tens of
+    * thousands of buckets — the regime bucketed tables are built for.
+    */
+  private def annAdaptiveTable(s: SparkSession, dir: String): String =
+    BackboneRegistry.namesOrBuild(s, s"annivfa:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val kc = adaptiveIvfK(s, dir)
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_ann_ivfa_k${kc}_$tag"
+      val fp = Staging.fingerprint(s, dir, s"ann_ivf_adaptive:k$kc:v1")
+      Staging.ensure(s, fp, Seq(t)) {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter(col("vec_id") < kc)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        Similarity.stageIvfBucketed(emb, cent, t, buckets = kc)
+      }
+      Seq(t)
+    }.head
+
+  /** `sim_ivf_staged_adaptive` — the staged IVF probe at the DATA-SCALED
+    * list count (r14 verdict item 1): same probe rule as `sim_ivf_staged`
+    * (2 nearest lists by centroid cosine, exact cosine top-10 of their
+    * members, bucket-pruned scan), but the list count — and the bucket
+    * count under it — resolves per corpus, so the probe's I/O share
+    * SHRINKS as the corpus grows instead of staying a fixed 1/8. At the
+    * driver's scale factors [[Similarity.centroidsFor]] resolves to the 16
+    * floor (the two arms coincide, each rendering from its own
+    * resolution); the decade rehearsal is where they part.
+    */
+  def ivfStagedAdaptiveTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kc = adaptiveIvfK(s, dir)
+    val t = annAdaptiveTable(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+  }
+
+  /** `sim_recall_ivf_adaptive` — the adaptive arm's own reading (every
+    * served arm carries one): recall@[[recallK]] against the exact truth.
+    * At the driver floor it must read what `sim_recall_ivf` reads; at the
+    * decade points it prices what the √n list count costs in recall at the
+    * fixed nprobe = 2 — the number that decides whether nprobe should
+    * scale too.
+    */
+  def recallIvfAdaptive(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, ivfStagedAdaptiveTopK(s, dir))
 
   /** The compaction lifecycle's own staging table (distinct from
     * [[annTables]]' shared index so the lifecycle can drop/rebuild freely
@@ -984,6 +1118,93 @@ object SimilarityQueries {
     require(post.collect().toSeq == pre,
       "compaction changed the probe answer — rows lost or re-assigned")
     post
+  }
+
+  /** The rotation lifecycle's live serving name (distinct from every other
+    * staged arm's tables, like [[compactIvfTable]], so the lifecycle can
+    * stage/swap/drop freely without invalidating them mid-session).
+    */
+  def rotateIvfTable(dir: String): String =
+    "graft_ann_ivfr_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** `sim_index_rotate` — TRAINED-ARTIFACT ROTATION for a staged index,
+    * the remaining real vector-store lifecycle after compaction closed
+    * file decay (r14 verdict item 4): retraining reshapes the inverted
+    * lists NON-MONOTONICALLY (`sim_recall_ivf_trained` measured 0.9 vs the
+    * stand-in's 1.0 at sf0.01, but 0.8 vs 0.7 at sf0.001), so a codebook
+    * rollout that swaps blindly can make serving WORSE — the lifecycle
+    * gates on the recall harness before touching the live name.
+    *
+    * Flow: stage v1 (the stand-in prefix codebook) as the LIVE table →
+    * train v2 ([[trainedCent]]) and stage it NEXT TO the live table under
+    * a staging name → measure both arms' recall@[[recallK]] against the
+    * same exact truth → swap ONLY if v2 ≥ v1 (atomic catalog rename; the
+    * loser is dropped either way) → probe through the live name and
+    * require, in-flow, that the answer equals the winning codebook's
+    * one-shot arm ([[Similarity.ivfTopK]]) — a swap that served the wrong
+    * generation fails loudly before the oracle runs.
+    *
+    * The DECLARED result is the gate's decision row — both recalls and
+    * `swapped` — because that comparison IS the operator; the oracle
+    * re-derives it from the two arms' shared probe texts. At sf0.01 the
+    * gate correctly REFUSES the rotation (v2 reads 0.9 vs v1's 1.0); at
+    * sf0.001 it rotates (0.8 vs 0.7) — both branches exercised, both
+    * oracle-checked. At 100 TB each stage is the cost already priced for
+    * the staged arms (train ∝ sample, stage ∝ corpus, gate = the recall
+    * harness's calibration scans, swap = one catalog op).
+    */
+  def indexRotate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val live = rotateIvfTable(dir)
+    val next = live + "_next"
+    val emb = Tables.embeddings(s, dir)
+    val centV1 = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val centV2 = trainedCent(s, dir)
+    Similarity.stageIvfBucketed(emb, centV1, live, stagedIvfBuckets)
+    Similarity.stageIvfBucketed(emb, centV2, next, stagedIvfBuckets)
+
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    def probeOf(table: String, cent: DataFrame): DataFrame = {
+      val cids = cent
+        .select(col("cid"),
+          graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+        .orderBy(desc("qcos"), asc("cid"))
+        .limit(2).collect().map(_.getLong(0)).toSeq
+      Similarity.probeStagedIvf(s, table, qe, cids, k = recallK)
+    }
+    val exactIds = Similarity.bruteForceTopK(emb, queryId = 0L, k = recallK)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def hitsOf(arm: DataFrame): Int =
+      arm.select("vec_id").collect().map(_.getLong(0)).count(exactIds)
+    val v1Hits = hitsOf(probeOf(live, centV1))
+    val v2Hits = hitsOf(probeOf(next, centV2))
+
+    val swapped = v2Hits >= v1Hits
+    if (swapped) {
+      graft.operators.Bucketing.dropStaged(s, live)
+      s.sql(s"ALTER TABLE `$next` RENAME TO `$live`")
+    } else {
+      graft.operators.Bucketing.dropStaged(s, next)
+    }
+
+    // the post-swap probe through the LIVE name must serve the winning
+    // codebook's one-shot answer — catches a swap that kept the loser
+    val winCent = if (swapped) centV2 else centV1
+    val post = probeOf(live, winCent).collect().toSeq
+    val oneShot = Similarity.ivfTopK(emb, queryId = 0L, k = recallK,
+      trained = Some(winCent)).collect().toSeq
+    require(post == oneShot,
+      "post-swap probe diverged from the winning codebook's one-shot arm")
+
+    Seq((recallK, v1Hits.toLong, v1Hits / recallK.toDouble,
+        v2Hits.toLong, v2Hits / recallK.toDouble, swapped))
+      .toDF("k", "v1_hits", "v1_recall", "v2_hits", "v2_recall", "swapped")
+      .select(col("k"), col("v1_hits"), round(col("v1_recall"), 6).as("v1_recall"),
+        col("v2_hits"), round(col("v2_recall"), 6).as("v2_recall"), col("swapped"))
   }
 
   /** The trained centroid artifact, once per (session, dir) — the staged
@@ -1053,13 +1274,19 @@ object SimilarityQueries {
     * The profile is the same bounded model artifact `sim_dim_profile`
     * declares; the transform is scan-local (literal means/sds in the
     * plan), so whitening costs nothing beyond the read at any corpus size.
+    * The COLLECTED profile (dims rows of two doubles) is cached per
+    * (session, dir) like the other bounded model artifacts (r15, ADVICE) —
+    * before, every whitened query paid the full-corpus profile aggregation
+    * again at construction time, once for staging and once for the probe.
     */
   private def whitened(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(s, dir)
-    Similarity.standardize(
-      emb.select(col("vec_id"), col("label"), col("embedding")),
-      Similarity.dimProfile(emb))
+    val profile = BackboneRegistry.scalarOrBuild(s, s"dimprofile:$dir") {
+      Similarity.collectProfile(Similarity.dimProfile(emb))
+    }
+    Similarity.standardizeWith(
+      emb.select(col("vec_id"), col("label"), col("embedding")), profile)
   }
 
   /** The staged whitened-IVF index — `sim_recall_white`'s serving arm:
@@ -1191,10 +1418,13 @@ object SimilarityQueries {
     * `sim_ivf_staged` (staged inverted lists, bucket-pruned probe): the two
     * plans differ in WHERE the assignment work happens — query time vs
     * staging time — but compute the same answer, which is exactly the
-    * invariant worth pinning with one oracle text.
+    * invariant worth pinning with one oracle text. The list count is a
+    * parameter (r15): the ADAPTIVE staged arm renders the same text at its
+    * per-dir resolved [[Similarity.centroidsFor]] count, the fixed rows at
+    * the 16 floor.
     */
-  private val ivfProbeSql: String =
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 16),
+  private def ivfProbeSqlAt(kc: Int): String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
        |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
        |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
        |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
@@ -1205,6 +1435,8 @@ object SimilarityQueries {
        |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
        |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
+  private val ivfProbeSql: String = ivfProbeSqlAt(Similarity.ivfCentroids)
 
   /** DuckDB rendering of the PQ ADC path: codebook + subspace slices via a
     * range lateral, argmin codes via ROW_NUMBER with Spark `max_by`'s
@@ -1254,7 +1486,7 @@ object SimilarityQueries {
     * text for both arms, so swap-in-a-trained-codebook cannot drift the
     * serving arithmetic.
     */
-  private def ivfPqSqlWith(cbChain: String): String = {
+  private def ivfPqSqlWith(cbChain: String, limit: Int = 10): String = {
     val (m, kk, sd) = (Similarity.pqM, Similarity.pqK, Similarity.pqSubDim)
     val cN = Similarity.ivfCentroids
     val dims = Similarity.dims
@@ -1296,7 +1528,7 @@ object SimilarityQueries {
        |  (SELECT cd.vec_id, cd.cid, list_sum(list(l.ip ORDER BY cd.j)) AS radc
        |   FROM codes cd JOIN lut l ON l.j = cd.j AND l.k = cd.code
        |   GROUP BY cd.vec_id, cd.cid) t JOIN qce USING (cid)
-       |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin
+       |ORDER BY adc DESC, vec_id LIMIT $limit""".stripMargin
   }
 
   /** Lloyd iterations for the trained residual codebook (matches the
@@ -1425,6 +1657,40 @@ object SimilarityQueries {
   /** The re-ranked PQ arm's oracle: ADC pool from the parameterized pqSql,
     * exact-cosine re-rank with the engine's (round-6 DESC, vec_id) order.
     */
+  /** The rotation gate's oracle: both generations' arms re-derived from
+    * their shared probe texts (v1 = [[ivfProbeSqlAt]]'s stand-in chain,
+    * v2 = [[ivfTrainedSql]]'s unrolled training chain), each scored
+    * against the same exact truth, and the swap rule (`v2 ≥ v1`) applied
+    * in SQL — so the Spark side's decision to rotate is itself checked,
+    * not just the numbers it read.
+    */
+  private def indexRotateSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT vec_id FROM
+       |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+       |   FROM embeddings e, q) t WHERE rn <= $recallK),
+       |v1 AS (SELECT vec_id FROM (${ivfProbeSql}) t),
+       |v2 AS (SELECT vec_id FROM (${ivfTrainedSql()}) t),
+       |h1 AS (SELECT count(*) AS hits FROM ex JOIN v1 USING (vec_id)),
+       |h2 AS (SELECT count(*) AS hits FROM ex JOIN v2 USING (vec_id))
+       |SELECT $recallK AS k,
+       |  h1.hits AS v1_hits, round(h1.hits/$recallK.0, 6) AS v1_recall,
+       |  h2.hits AS v2_hits, round(h2.hits/$recallK.0, 6) AS v2_recall,
+       |  h2.hits >= h1.hits AS swapped
+       |FROM h1, h2""".stripMargin
+
+  /** The composed staged re-rank's oracle: the full IVF-PQ chain at the
+    * [[stagedRerankPool]] pool, wrapped in the same exact-cosine re-rank
+    * CTE as [[pqRerankSql]] — one probe/ranking text with the staged ADC
+    * row, so composing the re-rank cannot drift the staged arithmetic.
+    */
+  private def ivfPqStagedRerankSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT vec_id FROM (${ivfPqSqlWith("", stagedRerankPool)}) t)
+       |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+       |FROM embeddings e JOIN cand USING (vec_id), q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT $recallK""".stripMargin
+
   private def pqRerankSql: String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |cand AS (SELECT vec_id FROM (${pqSql(rerankPool)}) t)
@@ -1742,6 +2008,8 @@ object SimilarityQueries {
     "sim_pq_topk" -> pqSql(),
     "sim_ivfpq_topk" -> ivfPqSql,
     "sim_ivfpq_staged" -> ivfPqSql,
+    "sim_ivfpq_staged_rerank" -> ivfPqStagedRerankSql,
+    "sim_recall_ivfpq_rerank" -> recallWrapSql(ivfPqStagedRerankSql),
     "sim_centroid_assign" -> {
       val d = Similarity.dims
       s"""WITH px AS (SELECT label, pos, CAST(CAST(embedding[pos+1] AS DOUBLE) AS DECIMAL(27,12)) AS x
@@ -1780,9 +2048,16 @@ object SimilarityQueries {
     "sim_ivf_trained_staged" -> ivfTrainedSql(),
     "sim_recall_ivf_trained" -> recallWrapSql(ivfTrainedSql()),
     "sim_ivf_staged" -> ivfProbeSql,
+    // the adaptive arm renders the SAME probe text at its per-dir resolved
+    // list count (the floor and the resolution coincide at driver scale;
+    // they part at the decade points — each dir renders its own)
+    "sim_ivf_staged_adaptive" -> ivfProbeSqlAt(adaptiveIvfK.forOracle(dir)),
+    "sim_recall_ivf_adaptive" ->
+      recallWrapSql(ivfProbeSqlAt(adaptiveIvfK.forOracle(dir))),
     // the compaction lifecycle ends in the SAME full-corpus staged probe —
     // stage/append×3/compact must be answer-invariant, which is the point
     "sim_index_compact" -> ivfProbeSql,
+    "sim_index_rotate" -> indexRotateSql,
     "sim_lsh_staged" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)

@@ -86,6 +86,20 @@ class ArrayMathSpec extends SparkSpec {
     assert(l2Eval == l2Plan)
   }
 
+  test("null element or mismatched lengths -> NULL, like the HOF (r15)") {
+    // zip_with pads the shorter side with nulls and acc + NULL poisons the
+    // fold, so the HOF forms return NULL on both shapes; the kernels must too
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(dotK(col("a"), col("b")).as("dk"), dotHof("a", "b").as("dh"),
+        l2K(col("a"), col("b")).as("lk"), l2Hof("a", "b").as("lh"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
   test("non-numeric array types rejected at analysis") {
     val e = intercept[Exception] {
       Seq((Seq("x"), Seq("y"))).toDF("a", "b")

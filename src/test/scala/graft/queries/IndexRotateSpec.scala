@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** The codebook-rotation lifecycle's contracts beyond the oracle row
+  * (r14 verdict item 4): the gate's decision matches the recall
+  * comparison, the loser's staging table is gone afterward (no abandoned
+  * `_next` artifact accumulating in the warehouse), and the LIVE table
+  * serves the winning generation — which [[SimilarityQueries.indexRotate]]
+  * already requires in-flow against the one-shot arm; the spec adds the
+  * catalog end-state the in-flow check can't see.
+  */
+class IndexRotateSpec extends SparkSpec {
+
+  test("rotation gate: decision row is coherent and the catalog holds exactly the live table") {
+    val row = SimilarityQueries.indexRotate(spark, sf0001).collect().head
+    val (v1Hits, v2Hits) = (row.getLong(1), row.getLong(3))
+    val swapped = row.getBoolean(5)
+    assert(swapped == (v2Hits >= v1Hits),
+      s"gate decision $swapped contradicts hits $v1Hits vs $v2Hits")
+    // recall fields derive from hits
+    assert(row.getDouble(2) == v1Hits / 10.0 && row.getDouble(4) == v2Hits / 10.0)
+    val live = SimilarityQueries.rotateIvfTable(sf0001)
+    assert(spark.catalog.tableExists(live), "live serving table missing")
+    assert(!spark.catalog.tableExists(live + "_next"),
+      "rotation left its staging table behind")
+  }
+
+  test("the composed staged re-rank lifts (never lowers) the pure-ADC staged arm's recall") {
+    def recallOfArm(df: org.apache.spark.sql.DataFrame): Long =
+      df.collect().head.getLong(1) // hits column of the shared rollup
+    val adc = recallOfArm(SimilarityQueries.recallIvfPq(spark, sf0001))
+    val reranked = recallOfArm(SimilarityQueries.recallIvfPqRerank(spark, sf0001))
+    // same probed lists, same candidate pool ⊇ ADC top-k: exact re-rank
+    // can only fix order within the pool, never lose a true hit the ADC
+    // top-k already had
+    assert(reranked >= adc, s"re-rank read $reranked hits vs ADC's $adc")
+  }
+
+  test("the MaxSim media probe returns only kind-matching payloads, never the query") {
+    val probe = MultimodalQueries.searchMaxSim(spark, sf0001)
+    val ids = probe.select("doc_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && !ids.contains(0L))
+    import org.apache.spark.sql.functions.col
+    val kinds = MultimodalQueries.mediaCatalog(spark, sf0001)
+      .filter(col("doc_id").isin(ids: _*))
+      .select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set(MultimodalQueries.searchKind), kinds)
+  }
+}

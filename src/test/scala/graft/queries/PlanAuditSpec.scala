@@ -95,6 +95,14 @@ class PlanAuditSpec extends SparkSpec {
     // inverted lists' buckets, kind predicate inside the pruned scan
     Seq("sim_lsh_staged" -> 9, "sim_ivf_staged" -> 2, "sim_ivfpq_staged" -> 2,
         "sim_ivf_trained_staged" -> 2,
+        // adaptive arm: 2 probe lists over kc buckets (16 at the floor —
+        // bucket count tracks list count, that's the whole point)
+        "sim_ivf_staged_adaptive" -> 2,
+        // the rerank's pool comes off the same 2-list pruned code scan
+        "sim_ivfpq_staged_rerank" -> 2,
+        // frame probe: ≤ nprobe·|query frames| literal cids, must still
+        // read strictly fewer than all 8 cid buckets
+        "mm_search_maxsim" -> 7,
         "sim_batch_staged" -> (SimilarityQueries.stagedLshBuckets - 1),
         "search_lexical_staged" -> RetrievalQueries.lexTerms.length,
         "mm_search" -> MultimodalQueries.searchNprobe).foreach { case (n, maxSel) =>
