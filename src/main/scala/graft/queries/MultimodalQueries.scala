@@ -113,6 +113,22 @@ object MultimodalQueries {
         col("id") === col("vec_id"))
       .select(col("vec_id"), col("kind"), col("embedding"))
 
+  /** The probe-selection PREFIX of [[mediaEmb]]: only the centroid-prefix
+    * payloads decode (r15 — `mapPartitions` is a pushdown barrier, so
+    * filtering [[mediaEmb]] AFTER the decode paid a full-corpus decode per
+    * probe construction just to read 16 bounded model rows; the filter
+    * must reach the record source itself). Same derivation — decode, join
+    * to embeddings — over ≤ [[Similarity.ivfCentroids]] records, so the
+    * staged-list desync guard the join provides is preserved.
+    */
+  private def mediaEmbPrefix(s: SparkSession, dir: String): DataFrame =
+    Media.decodeMeta(
+        records(s, dir).filter(col("id") < Similarity.ivfCentroids), FakeDecoder)
+      .select(col("id"))
+      .join(Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        col("id") === col("vec_id"))
+      .select(col("vec_id"), col("embedding"))
+
   /** The staged media ANN index: inverted lists bucketed by `cid` with the
     * media KIND staged into the rows (the C168 payload-in-index shape), so
     * a typed probe prunes to its lists AND applies the kind predicate
@@ -153,8 +169,8 @@ object MultimodalQueries {
     // probe-list selection over the SAME centroid artifact the index was
     // staged with (the joined media corpus's prefix — using the raw
     // embeddings prefix would desync from the staged lists if a doc id
-    // were absent from the join)
-    val probeCids = mediaEmb(s, dir).filter(col("vec_id") < Similarity.ivfCentroids)
+    // were absent from the join); only the prefix records decode (r15)
+    val probeCids = mediaEmbPrefix(s, dir)
       .select(col("vec_id").as("cid"),
         graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
@@ -219,6 +235,18 @@ object MultimodalQueries {
         frameVec(col("frame_checksum")).as("fv"))
   }
 
+  /** The probe-selection PREFIX of [[frameEmb]]: frames of the centroid-
+    * prefix payloads only (which include the query payload 0) — decoding
+    * ≤ 16 records instead of the corpus, for the same pushdown-barrier
+    * reason as [[mediaEmbPrefix]]. Kind is irrelevant to probe selection,
+    * so the decode-kind join drops too.
+    */
+  private def frameEmbPrefix(s: SparkSession, dir: String): DataFrame =
+    Media.sampleFrames(
+        records(s, dir).filter(col("id") < Similarity.ivfCentroids), FakeDecoder)
+      .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        frameVec(col("frame_checksum")).as("fv"))
+
   /** The staged FRAME-level media ANN index (r14 verdict item 5): one row
     * per frame (≤ 4 per payload), inverted-list id from the frame vector's
     * nearest centroid, `kind` staged into the rows — the same kind-payload
@@ -261,9 +289,8 @@ object MultimodalQueries {
   def searchMaxSim(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = mediaFrameAnnTable(s, dir)
-    val fe = frameEmb(s, dir)
-    val cent = fe.filter(col("doc_id") < Similarity.ivfCentroids &&
-        col("frame_idx") === 0)
+    val fe = frameEmbPrefix(s, dir)
+    val cent = fe.filter(col("frame_idx") === 0)
       .select(col("doc_id").as("cid"), col("fv").as("ce"))
     val q = fe.filter(col("doc_id") === 0)
       .select(col("frame_idx").as("qid"), col("fv").as("qv"))
@@ -303,7 +330,7 @@ object MultimodalQueries {
     */
   def searchMaxSimRecall(s: SparkSession, dir: String): DataFrame = {
     val fe = frameEmb(s, dir)
-    val q = fe.filter(col("doc_id") === 0)
+    val q = frameEmbPrefix(s, dir).filter(col("doc_id") === 0)
       .select(col("frame_idx").as("qid"), col("fv").as("qv"))
     val exact = fe.filter(col("kind") === searchKind && col("doc_id") =!= 0)
       .join(broadcast(q))
