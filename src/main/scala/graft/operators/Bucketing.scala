@@ -231,8 +231,70 @@ object Bucketing {
     // catalog (no lock on the live table), and the bucketed write re-tags
     // each rewritten bucket's single file correctly by construction.
     val paths = delta.values.flatten.map(_.getPath.toString).toSeq
+    rewriteBucketFiles(spark, table, key, sortCols, buckets,
+      paths, delta.values.flatten.toSeq, identity)
+    delta.keySet.toSet
+  }
+
+  /** Apply accumulated TOMBSTONES physically — the deletion half of the
+    * staged-index maintenance pair ([[compactDelta]] restores file counts;
+    * this restores ROW truth): rewrite ONLY the buckets that hold
+    * tombstoned rows, anti-joining the tombstone ids out, leaving every
+    * clean bucket's files byte-untouched. Tombstones are co-keyed with the
+    * table (same `key`, same bucket count — [[graft.operators.Similarity
+    * .deleteStagedIvf]]'s contract), so the dirty-bucket set derives from
+    * the tombstone rows via the SAME Murmur3-pmod the bucketed writer
+    * assigns with. Service cost ∝ buckets holding deletes, like every
+    * maintenance job here. Returns the rewritten bucket ids (empty =
+    * nothing tombstoned, nothing touched). The caller truncates/drops the
+    * tombstone table after a successful apply — this function leaves it
+    * intact so a crash mid-apply never loses a delete (re-running after
+    * any failure converges: the anti-join is idempotent).
+    */
+  def compactDeletes(spark: SparkSession, table: String, tombTable: String,
+                     idCol: String, key: String, sortCols: Seq[String],
+                     buckets: Int): Set[Int] = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    require(sortCols.nonEmpty, "compactDeletes needs the table's sort columns")
+    val tombIds = spark.table(tombTable).select(col(idCol))
+    // same hash the bucketed writer uses: bucket id = pmod(murmur3(key), n)
+    val dirty = spark.table(tombTable)
+      .select(pmod(hash(col(key)), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (dirty.isEmpty) return Set.empty
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byBucket = fs.listStatus(loc).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .groupBy(f => bucketIdOf(f.getPath.getName))
+    require(!byBucket.contains(None),
+      s"$table holds files without a bucket tag — not a bucketed table")
+    val delta = byBucket.collect { case (Some(b), fls) if dirty(b) => b -> fls }
+    if (delta.isEmpty) return Set.empty
+    val paths = delta.values.flatten.map(_.getPath.toString).toSeq
+    rewriteBucketFiles(spark, table, key, sortCols, buckets,
+      paths, delta.values.flatten.toSeq,
+      df => df.join(tombIds, Seq(idCol), "left_anti"))
+    delta.keySet.toSet
+  }
+
+  /** Shared bucket-rewrite mechanics for the maintenance jobs: re-stage the
+    * given files' rows (optionally transformed) through a TEMP table with
+    * the identical bucket spec, MOVE the new files into the live location,
+    * then delete the superseded files and refresh the scan cache —
+    * install-before-delete, so a concurrent reader sees duplicates briefly
+    * rather than losing rows (run as the maintenance job it models).
+    */
+  private def rewriteBucketFiles(spark: SparkSession, table: String,
+                                 key: String, sortCols: Seq[String], buckets: Int,
+                                 paths: Seq[String],
+                                 superseded: Seq[org.apache.hadoop.fs.FileStatus],
+                                 transform: DataFrame => DataFrame): Unit = {
+    val loc = tableLocation(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = table + "_cdelta"
-    writeBucketedSorted(spark.read.parquet(paths: _*), tmp, key, sortCols, buckets)
+    writeBucketedSorted(transform(spark.read.parquet(paths: _*)),
+      tmp, key, sortCols, buckets)
     val tmpLoc = tableLocation(spark, tmp)
     val newFiles = fs.listStatus(tmpLoc).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
@@ -240,12 +302,11 @@ object Bucketing {
     newFiles.foreach { f =>
       require(fs.rename(f.getPath,
         new org.apache.hadoop.fs.Path(loc, f.getPath.getName)),
-        s"compactDelta: failed to move ${f.getPath} into $loc")
+        s"bucket rewrite: failed to move ${f.getPath} into $loc")
     }
-    delta.values.flatten.foreach(f => fs.delete(f.getPath, false))
+    superseded.foreach(f => fs.delete(f.getPath, false))
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
     if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)
     spark.catalog.refreshTable(table)
-    delta.keySet.toSet
   }
 }

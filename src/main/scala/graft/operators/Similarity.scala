@@ -612,6 +612,51 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  /** Record a DELETE batch against a [[stageIvfBucketed]] index as
+    * TOMBSTONES — the only delete a parquet-backed index can take online
+    * (files are immutable; rewriting a list per delete request would make
+    * each delete ∝ its list). The batch is assigned against the SAME
+    * pinned centroid artifact the index was staged with — a row's list id
+    * is a pure function of its vector and the codebook, so the tombstone
+    * lands in the same `cid` bucket as the live row it shadows (broadcast
+    * argmax, cost ∝ batch, no index scan) and probes can prune BOTH sides
+    * by the same storage key. Physical removal is the maintenance job's
+    * business ([[Bucketing.compactDeletes]]).
+    */
+  def deleteStagedIvf(batch: DataFrame, cent: DataFrame, tombTable: String,
+                      buckets: Int = 8, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val assigned = batch.crossJoin(broadcast(cent))
+      .select(col(idCol), col("cid"),
+        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .groupBy(idCol)
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    Bucketing.appendBucketed(
+      assigned.select(col(idCol), col("cid")), tombTable, "cid", buckets)
+  }
+
+  /** Probe a tombstone-carrying staged IVF index: both the lists and the
+    * tombstones prune to the SAME probed `cid` buckets (the reason
+    * [[deleteStagedIvf]] co-keys them), the anti-join shadows deleted rows,
+    * exact cosine ranks the survivors — deletes are visible to serving the
+    * moment the tombstone lands, long before compaction applies them.
+    */
+  def probeStagedIvfDeletes(spark: SparkSession, table: String, tombTable: String,
+                            queryVec: Array[Float], probeCids: Seq[Long],
+                            k: Int = 10, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val tomb = Bucketing.read(spark, tombTable)
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col(idCol))
+    Bucketing.read(spark, table)
+      .filter(col("cid").isin(probeCids: _*))
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** FILTERED probe of a payload-carrying [[stageIvfBucketed]] table —
     * the predicate-under-search shape on the IVF arm. The r11 measurements
     * settled which arm can serve it: the LSH filtered probe measured recall

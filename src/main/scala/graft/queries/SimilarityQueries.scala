@@ -1120,6 +1120,66 @@ object SimilarityQueries {
     post
   }
 
+  /** The deleted-id residue classes for the deletion lifecycle — two
+    * delete batches (10% of the corpus each), so the tombstone table
+    * accumulates across batches the way a live store's does.
+    */
+  val deleteResidues = Seq(3L, 7L)
+
+  def deleteIvfTable(dir: String): String =
+    "graft_ann_ivfd_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** `sim_index_delete` — TOMBSTONE DELETES for a staged index, the last
+    * lifecycle op the serving family owed (append = C29, file decay =
+    * C195, retrain = the rotation row; a real store also takes deletion
+    * requests — GDPR erasure, content takedowns, expired documents).
+    * Flow: stage the corpus as IVF lists → two delete batches land as
+    * tombstones ([[Similarity.deleteStagedIvf]] — assigned against the
+    * pinned centroid artifact, cost ∝ batch, co-keyed with the index so
+    * probes prune BOTH sides) → probe with the tombstone anti-join
+    * (deletes visible immediately) → [[graft.operators.Bucketing
+    * .compactDeletes]] rewrites ONLY the tombstone-holding buckets →
+    * tombstones dropped → probe WITHOUT the anti-join. The flow requires
+    * the pre/post answers equal — a compaction that lost a live row or
+    * resurrected a deleted one fails before the oracle runs; the declared
+    * result is the post-apply probe, oracled as the staged probe over the
+    * corpus minus the deleted residues.
+    */
+  def indexDelete(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = deleteIvfTable(dir)
+    val tomb = t + "_tomb"
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.stageIvfBucketed(emb, cent, t, stagedIvfBuckets)
+    graft.operators.Bucketing.dropStaged(s, tomb)
+    deleteResidues.foreach { r =>
+      Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
+        tomb, stagedIvfBuckets)
+    }
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val pre = Similarity.probeStagedIvfDeletes(s, t, tomb, qe, probeCids, k = 10)
+      .collect().toSeq
+    val rewritten = graft.operators.Bucketing.compactDeletes(s, t, tomb,
+      "vec_id", "cid", Seq("cid"), stagedIvfBuckets)
+    require(rewritten.nonEmpty,
+      "two tombstoned batches must dirty at least one bucket")
+    graft.operators.Bucketing.dropStaged(s, tomb)
+    val post = Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+    require(post.collect().toSeq == pre,
+      "applying tombstones changed the probe answer — a live row was lost " +
+        "or a deleted one resurrected")
+    post
+  }
+
   /** The rotation lifecycle's live serving name (distinct from every other
     * staged arm's tables, like [[compactIvfTable]], so the lifecycle can
     * stage/swap/drop freely without invalidating them mid-session).
@@ -1423,7 +1483,7 @@ object SimilarityQueries {
     * per-dir resolved [[Similarity.centroidsFor]] count, the fixed rows at
     * the 16 floor.
     */
-  private def ivfProbeSqlAt(kc: Int): String =
+  private def ivfProbeSqlAt(kc: Int, where: String = ""): String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
        |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
        |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
@@ -1434,7 +1494,7 @@ object SimilarityQueries {
        |   FROM cent c, q) t WHERE rn <= 2)
        |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
        |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
-       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+       |${if (where.isEmpty) "" else s"WHERE $where\n"}ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
 
   private val ivfProbeSql: String = ivfProbeSqlAt(Similarity.ivfCentroids)
 
@@ -2058,6 +2118,11 @@ object SimilarityQueries {
     // stage/append×3/compact must be answer-invariant, which is the point
     "sim_index_compact" -> ivfProbeSql,
     "sim_index_rotate" -> indexRotateSql,
+    // the deletion lifecycle ends in the plain staged probe over the corpus
+    // minus the tombstoned residues — delete → shadow → apply → drop
+    // tombstones must land exactly there, which is the point
+    "sim_index_delete" -> ivfProbeSqlAt(Similarity.ivfCentroids,
+      s"e.vec_id % 10 NOT IN (${deleteResidues.mkString(", ")})"),
     "sim_lsh_staged" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+import graft.operators.{Bucketing, Similarity}
+
+/** The tombstone-delete lifecycle's contracts beyond the oracle row:
+  * tombstones shadow rows from the probe the moment they land, the
+  * physical apply removes exactly the tombstoned ids, clean buckets'
+  * files stay byte-untouched (service ∝ dirty buckets — the q97/C195
+  * discipline on the deletion path), and re-applying is idempotent.
+  */
+class IndexDeleteSpec extends SparkSpec {
+
+  private val buckets = SimilarityQueries.stagedIvfBuckets
+
+  test("tombstone shadow, dirty-bucket-only apply, idempotent re-apply") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val t = "graft_spec_ivfdel"
+    val tomb = t + "_tomb"
+    Similarity.stageIvfBucketed(emb, cent, t, buckets)
+    Bucketing.dropStaged(spark, tomb)
+    val deleted = emb.filter(col("vec_id") % 10 === 3)
+    Similarity.deleteStagedIvf(deleted, cent, tomb, buckets)
+    val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // shadowing: the tombstone-aware probe never returns a deleted id
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val cids = (0L until Similarity.ivfCentroids.toLong)
+    val pre = Similarity.probeStagedIvfDeletes(spark, t, tomb, qe, cids, k = 50)
+      .collect().map(_.getLong(0))
+    assert(pre.nonEmpty && !pre.exists(delIds))
+
+    // file-level: only tombstone-holding buckets get rewritten
+    def files(): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(f => f.getPath.getName -> f.getModificationTime).toMap
+    }
+    val before = files()
+    val rewritten = Bucketing.compactDeletes(spark, t, tomb,
+      "vec_id", "cid", Seq("cid"), buckets)
+    assert(rewritten.nonEmpty && rewritten.size <= buckets)
+    val after = files()
+    val expectedDirty = spark.table(tomb)
+      .select(pmod(hash(col("cid")), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(rewritten == expectedDirty, s"$rewritten vs dirty $expectedDirty")
+    // clean buckets' files survive byte-untouched (same name, same mtime)
+    val untouched = before.keySet.intersect(after.keySet)
+    untouched.foreach(f => assert(before(f) == after(f), s"$f was rewritten"))
+
+    // row truth: exactly the tombstoned ids are gone
+    val live = spark.table(t).select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == all.diff(delIds))
+
+    // idempotence: re-applying the same tombstones changes nothing
+    Bucketing.compactDeletes(spark, t, tomb, "vec_id", "cid", Seq("cid"), buckets)
+    val live2 = spark.table(t).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live2 == live)
+    // and the plain probe now equals the pre-apply shadowed probe
+    val post = Similarity.probeStagedIvf(spark, t, qe, cids, k = 50)
+      .collect().map(_.getLong(0))
+    assert(post.toSeq == pre.toSeq)
+  }
+}

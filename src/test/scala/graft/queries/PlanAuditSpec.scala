@@ -100,6 +100,9 @@ class PlanAuditSpec extends SparkSpec {
         "sim_ivf_staged_adaptive" -> 2,
         // the rerank's pool comes off the same 2-list pruned code scan
         "sim_ivfpq_staged_rerank" -> 2,
+        // the deletion lifecycle's declared result is the plain post-apply
+        // probe — still a 2-list pruned scan
+        "sim_index_delete" -> 2,
         // frame probe: ≤ nprobe·|query frames| literal cids, must still
         // read strictly fewer than all 8 cid buckets
         "mm_search_maxsim" -> 7,
