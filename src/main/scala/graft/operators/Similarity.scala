@@ -612,6 +612,73 @@ object Similarity {
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
 
+  /** Routing groups for [[assignTwoLevel]]: √kc super-lists balances the
+    * two levels' work (g + kc/g minimized at g = √kc).
+    */
+  def groupsFor(kc: Int): Int =
+    math.max(1, math.ceil(math.sqrt(kc.toDouble)).toInt)
+
+  /** TWO-LEVEL (routed) list assignment — the staging-superlinearity fix
+    * the SCALE_r15 rehearsal priced: exact argmax assignment evaluates
+    * n·kc cosines, and with the data-scaled kc ≈ √(n/256) that is
+    * n^1.5/16 — measured 266 s at 2M vectors and 2e12 kernel evaluations
+    * at 1e9. This routes each vector through `g = √kc` SUPER-centroids
+    * first, then argmaxes only among the centroids whose own nearest
+    * super-centroid matches — n·(g + kc/g) ≈ 2n√kc evaluations, the
+    * standard coarse-routing trade every large IVF build makes.
+    *
+    * Deterministic end-to-end (every level is an exact argmax with the
+    * (cos DESC, id ASC) tie rule; super-centroids are the codebook's first
+    * g rows; each group contains at least its own super-centroid, so no
+    * vector can route into an empty group) — which is what makes the
+    * routed assignment ORACLE-renderable, unlike a sampled or randomized
+    * approximation. The price is approximation: a vector whose true
+    * nearest list lives in a different routing group lands on the wrong
+    * list — `sim_assign_2level` MEASURES that disagreement and
+    * `sim_recall_ivf_2level` prices what it costs the probe.
+    */
+  def assignTwoLevel(emb: DataFrame, cent: DataFrame, g: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val sup = cent.filter(col("cid") < g)
+      .select(col("cid").as("gid"), col("ce").as("ge"))
+    // bounded model artifact: each centroid's routing group (kc·g cosines)
+    val member = cent.crossJoin(broadcast(sup))
+      .select(col("cid"), col("ce"), col("gid"),
+        VectorOps.cosine(col("ce"), col("ge")).as("gcos"))
+      .groupBy("cid")
+      .agg(first(col("ce")).as("ce"),
+        max_by(col("gid"), struct(col("gcos"), (-col("gid")).as("tie"))).as("gid"))
+    // level 1: route each vector to its nearest super-centroid (n·g)
+    val routed = emb.crossJoin(broadcast(sup))
+      .select(col(idCol), col(vecCol), col("gid"),
+        VectorOps.cosine(col(vecCol), col("ge")).as("gcos"))
+      .groupBy(idCol)
+      .agg(first(col(vecCol)).as(vecCol),
+        max_by(col("gid"), struct(col("gcos"), (-col("gid")).as("tie"))).as("gid"))
+    // level 2: exact argmax among the routed group's centroids (n·kc/g avg)
+    routed.join(broadcast(member), "gid")
+      .select(col(idCol), col(vecCol), col("cid"),
+        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+      .groupBy(idCol)
+      .agg(first(col(vecCol)).as(vecCol),
+        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+  }
+
+  /** Stage IVF lists under the ROUTED assignment — [[stageIvfBucketed]]
+    * with [[assignTwoLevel]] replacing the exact argmax; everything
+    * downstream (bucket layout, probes, appends via the same routing)
+    * is unchanged.
+    */
+  def stageIvfBucketedTwoLevel(emb: DataFrame, cent: DataFrame, g: Int,
+                               table: String, buckets: Int = 8,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Unit =
+    Bucketing.writeBucketed(
+      assignTwoLevel(emb, cent, g, idCol, vecCol)
+        .select(col(idCol), col(vecCol), col("cid")),
+      table, "cid", buckets)
+
   /** Record a DELETE batch against a [[stageIvfBucketed]] index as
     * TOMBSTONES — the only delete a parquet-backed index can take online
     * (files are immutable; rewriting a list per delete request would make

@@ -199,23 +199,43 @@ object RetrievalQueries {
         |  b.rb AS rb, c.rc AS rc
         |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
-    "search_lexical_staged" -> {
-      val terms = lexTerms.map(t => s"'$t'").mkString(", ")
-      val (k1, b) = (TextQueries.bm25K1, TextQueries.bm25B)
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
-         |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
-         |q AS (SELECT unnest([$terms]) AS w),
-         |tf AS (SELECT doc_id, t.w, count(*) AS tf FROM tk t JOIN q ON q.w = t.w GROUP BY doc_id, t.w),
-         |dfreq AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tk JOIN q USING (w)) dq GROUP BY w)
-         |SELECT tf.doc_id AS doc_id,
-         |  round(list_sum(list_sort(list(
-         |    ln(1.0 + (st.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) * (tf.tf * ${k1 + 1}) /
-         |    (tf.tf + $k1 * (${1 - b} + $b * dl.dl / st.avgdl))))), 6) AS bm25
-         |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
-         |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    })
+    "search_lexical_staged" -> lexStagedSql(10),
+    // BOTH arms staged: the lexical chain and the pruned IVF probe are the
+    // same texts their single-arm rows render (one text per arm — fusing
+    // cannot drift either side), pooled at armDepth, RRF like search_hybrid
+    "search_hybrid_staged" ->
+      s"""WITH bmtop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
+        |  FROM (${lexStagedSql(armDepth)}) tb),
+        |costop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rc
+        |  FROM (SELECT vec_id AS doc_id, cos_sim FROM (${SimilarityQueries.ivfProbePoolSql(armDepth)}) t0) tc)
+        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+        |  round(COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + b.rb), 0.0) +
+        |        COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + c.rc), 0.0), 6) AS rrf,
+        |  b.rb AS rb, c.rc AS rc
+        |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+
+  /** DuckDB rendering of the staged lexical probe at an arm limit — the
+    * full-corpus BM25 restricted to [[lexTerms]] (the staging invariant:
+    * serving from the index must not change the answer).
+    */
+  private def lexStagedSql(limit: Int): String = {
+    val terms = lexTerms.map(t => s"'$t'").mkString(", ")
+    val (k1, b) = (TextQueries.bm25K1, TextQueries.bm25B)
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+       |q AS (SELECT unnest([$terms]) AS w),
+       |tf AS (SELECT doc_id, t.w, count(*) AS tf FROM tk t JOIN q ON q.w = t.w GROUP BY doc_id, t.w),
+       |dfreq AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM tk JOIN q USING (w)) dq GROUP BY w)
+       |SELECT tf.doc_id AS doc_id,
+       |  round(list_sum(list_sort(list(
+       |    ln(1.0 + (st.n - dfreq.df + 0.5)/(dfreq.df + 0.5)) * (tf.tf * ${k1 + 1}) /
+       |    (tf.tf + $k1 * (${1 - b} + $b * dl.dl / st.avgdl))))), 6) AS bm25
+       |FROM tf JOIN dfreq ON dfreq.w = tf.w JOIN dl ON dl.doc_id = tf.doc_id, st
+       |GROUP BY tf.doc_id ORDER BY bm25 DESC, doc_id LIMIT $limit""".stripMargin
+  }
 
   /** The staged lexical index, built once per (session, dir) and
     * re-validated against the catalog — same cache discipline as the staged
@@ -243,4 +263,34 @@ object RetrievalQueries {
   def lexicalStaged(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextIndex.probeIndex(s, lexTable(s, dir), lexTerms, k = 10,
       k1 = TextQueries.bm25K1, b = TextQueries.bm25B)
+
+  /** `search_hybrid_staged` — the hybrid SERVING path (C43 is the fusion
+    * math over full-corpus arms; production serves both arms from their
+    * indexes): the lexical arm reads only [[lexTerms]]' postings buckets
+    * (C66's pruned probe), the dense arm reads only its 2 inverted lists
+    * (C29's pruned probe), each pools [[armDepth]] candidates, and RRF
+    * fuses the two bounded frames — the whole query touches index buckets,
+    * never the corpus. This is the RAG stack's retrieval shape: at 100 TB
+    * the arms are each a few buckets' I/O and the fusion is O(armDepth).
+    */
+  def hybridStaged(s: SparkSession, dir: String): DataFrame = {
+    val bmTop = graft.operators.TextIndex.probeIndex(s, lexTable(s, dir),
+        lexTerms, k = armDepth, k1 = TextQueries.bm25K1, b = TextQueries.bm25B)
+      .withColumn("rb",
+        row_number().over(graft.operators.BoundedWindow.ordered("pool",
+          desc("bm25"), asc("doc_id"))).cast("int"))
+    val cosTop = SimilarityQueries.ivfStagedPool(s, dir, k = armDepth)
+      .select(col("vec_id").as("doc_id"), col("cos_sim"))
+      .withColumn("rc",
+        row_number().over(graft.operators.BoundedWindow.ordered("pool",
+          desc("cos_sim"), asc("doc_id"))).cast("int"))
+    bmTop.select("doc_id", "rb")
+      .join(cosTop.select("doc_id", "rc"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("rb")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(rrfK) + col("rc")), lit(0.0)), 6).as("rrf"),
+        col("rb"), col("rc"))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(10)
+  }
 }

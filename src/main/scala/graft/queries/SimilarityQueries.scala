@@ -964,7 +964,14 @@ object SimilarityQueries {
   def recallIvfPqRerank(s: SparkSession, dir: String): DataFrame =
     recallOf(s, dir, ivfPqStagedRerank(s, dir))
 
-  def ivfStagedTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfStagedTopK(s: SparkSession, dir: String): DataFrame =
+    ivfStagedPool(s, dir, k = 10)
+
+  /** The fixed staged probe at a caller-chosen k — `sim_ivf_staged` serves
+    * k = 10; the staged hybrid row pools k = armDepth from the same index.
+    */
+  private[queries] def ivfStagedPool(s: SparkSession, dir: String,
+                                     k: Int): DataFrame = {
     val (_, ivfT) = annTables(s, dir)
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(s, dir)
@@ -975,7 +982,7 @@ object SimilarityQueries {
         graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
       .limit(2).collect().map(_.getLong(0)).toSeq
-    Similarity.probeStagedIvf(s, ivfT, qe, probeCids, k = 10)
+    Similarity.probeStagedIvf(s, ivfT, qe, probeCids, k = k)
   }
 
   /** ADAPTIVE inverted-list count for the staged IVF serving arm — the r14
@@ -1063,6 +1070,89 @@ object SimilarityQueries {
     */
   def recallIvfAdaptive(s: SparkSession, dir: String): DataFrame =
     recallOf(s, dir, ivfStagedAdaptiveTopK(s, dir))
+
+  /** The TWO-LEVEL-staged adaptive index ([[Similarity.assignTwoLevel]] —
+    * the SCALE_r15 §1 staging-superlinearity mitigation, built): same
+    * data-scaled list/bucket count as [[annAdaptiveTable]], assignment
+    * routed through √kc super-lists instead of the full exact argmax.
+    */
+  private def annTwoLevelTable(s: SparkSession, dir: String): String =
+    BackboneRegistry.namesOrBuild(s, s"annivf2:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val kc = adaptiveIvfK(s, dir)
+      val g = Similarity.groupsFor(kc)
+      val tag = dir.split('/').last.replace('.', '_') +
+        "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+      val t = s"graft_ann_ivf2_k${kc}_$tag"
+      val fp = Staging.fingerprint(s, dir, s"ann_ivf_2level:k$kc:g$g:v1")
+      Staging.ensure(s, fp, Seq(t)) {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, dir)
+        val cent = emb.filter(col("vec_id") < kc)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        Similarity.stageIvfBucketedTwoLevel(emb, cent, g, t, buckets = kc)
+      }
+      Seq(t)
+    }.head
+
+  /** `sim_ivf_staged_2level` — the adaptive staged probe over ROUTED
+    * assignment: list membership comes from the 2·n√kc two-level argmax
+    * instead of the n·kc exact one (the build-cost trade the SCALE_r15
+    * far point priced at 266 s), probe rule unchanged (2 nearest lists by
+    * exact centroid cosine — the probe side is a bounded artifact, only
+    * the corpus-side assignment routes).
+    */
+  def ivfStaged2LevelTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kc = adaptiveIvfK(s, dir)
+    val t = annTwoLevelTable(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+  }
+
+  /** `sim_recall_ivf_2level` — what routing costs the PROBE: recall of the
+    * two-level-staged arm against the exact truth, read next to
+    * `sim_recall_ivf_adaptive` (same lists, exact assignment).
+    */
+  def recallIvf2Level(s: SparkSession, dir: String): DataFrame =
+    recallOf(s, dir, ivfStaged2LevelTopK(s, dir))
+
+  /** `sim_assign_2level` — what routing costs the ASSIGNMENT, measured
+    * directly: the fraction of vectors whose routed list equals their
+    * exact-argmax list. This is the number that prices the 2√kc/kc build
+    * saving BEFORE anyone serves from the routed index (a vector on the
+    * wrong list is invisible to probes of its true list — recall decay is
+    * bounded by this rate).
+    */
+  def assign2LevelAgree(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kc = adaptiveIvfK(s, dir)
+    val g = Similarity.groupsFor(kc)
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val exact = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), col("ce")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie")))
+        .as("cid_exact"))
+    val routed = Similarity.assignTwoLevel(emb, cent, g)
+      .select(col("vec_id"), col("cid").as("cid_routed"))
+    exact.join(routed, "vec_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cid_exact") === col("cid_routed"), 1).otherwise(0))
+          .as("agree"))
+      .select(col("n"), col("agree"),
+        round(col("agree") / col("n"), 6).as("agree_rate"))
+  }
 
   /** The compaction lifecycle's own staging table (distinct from
     * [[annTables]]' shared index so the lifecycle can drop/rebuild freely
@@ -1483,7 +1573,8 @@ object SimilarityQueries {
     * per-dir resolved [[Similarity.centroidsFor]] count, the fixed rows at
     * the 16 floor.
     */
-  private def ivfProbeSqlAt(kc: Int, where: String = ""): String =
+  private def ivfProbeSqlAt(kc: Int, where: String = "",
+                            limit: Int = 10): String =
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
        |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
        |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
@@ -1494,9 +1585,66 @@ object SimilarityQueries {
        |   FROM cent c, q) t WHERE rn <= 2)
        |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
        |FROM embeddings e JOIN a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
-       |${if (where.isEmpty) "" else s"WHERE $where\n"}ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+       |${if (where.isEmpty) "" else s"WHERE $where\n"}ORDER BY cos_sim DESC, e.vec_id LIMIT $limit""".stripMargin
 
   private val ivfProbeSql: String = ivfProbeSqlAt(Similarity.ivfCentroids)
+
+  /** The fixed staged probe's oracle at an arm-pool limit — the staged
+    * hybrid row's dense arm ([[RetrievalQueries]]) renders from the same
+    * text as `sim_ivf_staged`.
+    */
+  private[queries] def ivfProbePoolSql(limit: Int): String =
+    ivfProbeSqlAt(Similarity.ivfCentroids, "", limit)
+
+  /** The two-level assignment CTE block (`cent`/`sup`/`member`/`routed`/
+    * `a2`) — the [[Similarity.assignTwoLevel]] chain rendered with the
+    * same (cos DESC, id) tie rule at every level. Shared by the routed
+    * probe, its recall wrap, and the agreement reading.
+    */
+  private def twoLevelAsnCtes(kc: Int, g: Int): String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
+       |sup AS (SELECT cid AS gid, ce AS ge FROM cent WHERE cid < $g),
+       |member AS MATERIALIZED (SELECT cid, ce, gid FROM
+       |  (SELECT c.cid, c.ce, s.gid, ROW_NUMBER() OVER (PARTITION BY c.cid
+       |     ORDER BY ${SqlGen.cosSql("c.ce", "s.ge")} DESC, s.gid) AS rn
+       |   FROM cent c, sup s) t WHERE rn = 1),
+       |routed AS MATERIALIZED (SELECT vec_id, gid FROM
+       |  (SELECT e.vec_id, s.gid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${SqlGen.cosSql("e.embedding", "s.ge")} DESC, s.gid) AS rn
+       |   FROM embeddings e, sup s) t WHERE rn = 1),
+       |a2 AS (SELECT vec_id, cid FROM
+       |  (SELECT e.vec_id, m.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${SqlGen.cosSql("e.embedding", "m.ce")} DESC, m.cid) AS rn
+       |   FROM embeddings e JOIN routed r ON r.vec_id = e.vec_id
+       |        JOIN member m ON m.gid = r.gid) t WHERE rn = 1)""".stripMargin
+
+  /** The routed probe oracle: two-level assignment, exact probe-list
+    * selection (bounded artifact, like the Spark side), pruned-list
+    * cosine top-10.
+    */
+  private def ivf2LevelProbeSql(kc: Int): String =
+    s"""WITH ${twoLevelAsnCtes(kc, Similarity.groupsFor(kc))},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qprobe AS (SELECT cid FROM
+       |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+       |   FROM cent c, q) t WHERE rn <= 2)
+       |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+       |FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id JOIN qprobe p ON p.cid = a2.cid, q
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** The agreement oracle: exact-argmax assignment vs the routed one,
+    * joined per vector, one rollup row.
+    */
+  private def assign2LevelSql(kc: Int): String =
+    s"""WITH ${twoLevelAsnCtes(kc, Similarity.groupsFor(kc))},
+       |aex AS (SELECT vec_id, cid FROM
+       |  (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${SqlGen.cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+       |   FROM embeddings e, cent c) t WHERE rn = 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN x.cid = y.cid THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+       |  round(sum(CASE WHEN x.cid = y.cid THEN 1 ELSE 0 END) / count(*), 6) AS agree_rate
+       |FROM aex x JOIN a2 y USING (vec_id)""".stripMargin
 
   /** DuckDB rendering of the PQ ADC path: codebook + subspace slices via a
     * range lateral, argmin codes via ROW_NUMBER with Spark `max_by`'s
@@ -2114,6 +2262,11 @@ object SimilarityQueries {
     "sim_ivf_staged_adaptive" -> ivfProbeSqlAt(adaptiveIvfK.forOracle(dir)),
     "sim_recall_ivf_adaptive" ->
       recallWrapSql(ivfProbeSqlAt(adaptiveIvfK.forOracle(dir))),
+    // the routed-assignment family renders at the same per-dir kc
+    "sim_ivf_staged_2level" -> ivf2LevelProbeSql(adaptiveIvfK.forOracle(dir)),
+    "sim_recall_ivf_2level" ->
+      recallWrapSql(ivf2LevelProbeSql(adaptiveIvfK.forOracle(dir))),
+    "sim_assign_2level" -> assign2LevelSql(adaptiveIvfK.forOracle(dir)),
     // the compaction lifecycle ends in the SAME full-corpus staged probe —
     // stage/append×3/compact must be answer-invariant, which is the point
     "sim_index_compact" -> ivfProbeSql,

@@ -98,6 +98,8 @@ class PlanAuditSpec extends SparkSpec {
         // adaptive arm: 2 probe lists over kc buckets (16 at the floor —
         // bucket count tracks list count, that's the whole point)
         "sim_ivf_staged_adaptive" -> 2,
+        // the routed-assignment twin probes identically
+        "sim_ivf_staged_2level" -> 2,
         // the rerank's pool comes off the same 2-list pruned code scan
         "sim_ivfpq_staged_rerank" -> 2,
         // the deletion lifecycle's declared result is the plain post-apply
