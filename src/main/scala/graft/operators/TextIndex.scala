@@ -106,6 +106,55 @@ object TextIndex {
     Bucketing.writeTable(pair, statsTable(table))
   }
 
+  private def tombTable(table: String) = s"${table}_tomb"
+
+  /** Record a document-DELETE batch against the index as TOMBSTONES — the
+    * Lucene move: a doc's postings scatter across as many term buckets as
+    * it has distinct terms, so physical removal per delete request would
+    * rewrite most of the index; instead the ids land in a doc-keyed
+    * sidecar, probes shadow them, and [[mergeDeletes]] applies them at
+    * maintenance time. Cost ∝ batch.
+    */
+  def deleteFromIndex(batch: DataFrame, table: String): Unit =
+    Bucketing.appendTable(batch.select("doc_id"), tombTable(table))
+
+  /** [[probeIndex]] over a tombstone-carrying index, with LUCENE-EXACT
+    * staleness semantics: deleted docs vanish from the RESULTS immediately,
+    * but df and the (n, avgdl) scalars still count them until the merge —
+    * docFreq/corpus stats in a live Lucene index include deleted docs'
+    * contributions until segments merge, and reproducing that published
+    * behavior (rather than half-adjusting) is what keeps the probe
+    * oracle-expressible: full-corpus stats, result set filtered.
+    */
+  def probeIndexTombstoned(spark: SparkSession, table: String,
+                           terms: Seq[String], k: Int,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "probeIndexTombstoned needs at least one query term")
+    val tomb = spark.table(tombTable(table)).select("doc_id").distinct()
+    probeWith(spark, table, terms, k, k1, b,
+      scoring => scoring.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Apply accumulated tombstones physically — the MERGE: rewrite the
+    * postings minus the deleted docs' rows and rebuild the EXACT stats
+    * ledger over the survivors, so post-merge scoring uses the reduced
+    * corpus's n/avgdl/df (scores legitimately change at the merge — that
+    * is Lucene's contract too). Unlike the ANN index's bucket-local
+    * deletes, doc tombstones dirty ~every term bucket (a doc's postings
+    * live in all its terms' buckets), so the merge is the full-rewrite
+    * maintenance job segment merging is everywhere; the current rows pin
+    * through an eager checkpoint before the drop-and-rewrite.
+    */
+  def mergeDeletes(spark: SparkSession, table: String, buckets: Int): Unit = {
+    val tomb = spark.table(tombTable(table)).select("doc_id").distinct()
+    val kept = Bucketing.read(spark, table)
+      .join(tomb, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    Bucketing.writeBucketed(kept, table, "w", buckets)
+    recomputeStats(spark, table)
+    Bucketing.dropStaged(spark, tombTable(table))
+  }
+
   /** BM25 top-`k` for literal `terms`, served from the staged index. The
     * postings scan carries an IN filter on the bucket key, so only the
     * buckets the terms hash to are read; df comes from the pruned postings;
@@ -113,7 +162,12 @@ object TextIndex {
     * `TextQueries.bm25Scores` term-for-term.
     */
   def probeIndex(spark: SparkSession, table: String, terms: Seq[String], k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    probeWith(spark, table, terms, k, k1, b, identity)
+
+  private def probeWith(spark: SparkSession, table: String, terms: Seq[String],
+                        k: Int, k1: Double, b: Double,
+                        shadow: DataFrame => DataFrame): DataFrame = {
     require(terms.nonEmpty, "probeIndex needs at least one query term")
     val idx = Bucketing.read(spark, table).filter(col("w").isin(terms: _*))
     val dfreq = idx.groupBy("w").agg(count(lit(1)).as("df"))
@@ -121,7 +175,7 @@ object TextIndex {
       .agg(sum("n").as("ni"), sum("total_dl").as("tdl"))
       .select(col("ni").cast("double").as("n"),
         (col("tdl").cast("double") / col("ni")).as("avgdl"))
-    idx.join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
+    shadow(idx).join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
       .select(col("doc_id"),
         (log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (k1 + 1)) /

@@ -42,6 +42,12 @@ object RetrievalQueries {
     */
   val lexBuckets = 8
 
+  /** The deleted-doc residue for the lexical deletion lifecycle. Declared
+    * ABOVE the oracle map like [[lexTerms]] — the map renders it into SQL
+    * at object init, and a forward reference would bake in 0.
+    */
+  val lexDeleteResidue = 3L
+
   /** Dense arm: corpus cosine vs vec 0, top-[[armDepth]] (broadcast query +
     * codegen'd dot product + TakeOrdered — the q19 serving shape).
     */
@@ -200,6 +206,10 @@ object RetrievalQueries {
         |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "search_lexical_staged" -> lexStagedSql(10),
+    // the deletion lifecycle ends in the post-merge exact-stats probe —
+    // BM25 over the corpus minus the deleted docs
+    "search_lexical_delete" ->
+      lexStagedSql(10, s"doc_id % 10 <> $lexDeleteResidue"),
     // BOTH arms staged: the lexical chain and the pruned IVF probe are the
     // same texts their single-arm rows render (one text per arm — fusing
     // cannot drift either side), pooled at armDepth, RRF like search_hybrid
@@ -219,10 +229,11 @@ object RetrievalQueries {
     * full-corpus BM25 restricted to [[lexTerms]] (the staging invariant:
     * serving from the index must not change the answer).
     */
-  private def lexStagedSql(limit: Int): String = {
+  private def lexStagedSql(limit: Int, docWhere: String = ""): String = {
     val terms = lexTerms.map(t => s"'$t'").mkString(", ")
     val (k1, b) = (TextQueries.bm25K1, TextQueries.bm25B)
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    val src = if (docWhere.isEmpty) "documents" else s"(SELECT * FROM documents WHERE $docWhere)"
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM $src),
        |tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
@@ -263,6 +274,42 @@ object RetrievalQueries {
   def lexicalStaged(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextIndex.probeIndex(s, lexTable(s, dir), lexTerms, k = 10,
       k1 = TextQueries.bm25K1, b = TextQueries.bm25B)
+
+  def lexDeleteTable(dir: String): String =
+    "graft_lexdel_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** `search_lexical_delete` — DOCUMENT DELETION for the staged lexical
+    * index, the text twin of `sim_index_delete` shaped by a structural
+    * difference: a doc's postings scatter across every one of its terms'
+    * buckets, so per-request physical removal would rewrite most of the
+    * index — the published answer is Lucene's, reproduced exactly here:
+    * deletes land as doc-keyed tombstones (cost ∝ batch), live probes drop
+    * deleted docs from RESULTS immediately but keep serving the STALE
+    * df/n/avgdl (docFreq in a live Lucene index includes deleted docs
+    * until segments merge), and the MERGE rewrites the postings minus the
+    * deleted rows and rebuilds the exact stats ledger — after which scores
+    * legitimately change to the reduced corpus's. Flow: stage → tombstone
+    * the residue-[[lexDeleteResidue]] docs → stale-stats probe (required
+    * in-flow to exclude every deleted doc) → merge → exact-stats probe =
+    * the declared result, oracled as BM25 over the corpus minus the
+    * deleted docs.
+    */
+  def lexicalDelete(s: SparkSession, dir: String): DataFrame = {
+    val t = lexDeleteTable(dir)
+    val docs = Tables.documents(s, dir)
+    graft.operators.TextIndex.stageIndex(docs, t, lexBuckets)
+    graft.operators.Bucketing.dropStaged(s, s"${t}_tomb")
+    graft.operators.TextIndex.deleteFromIndex(
+      docs.filter(col("doc_id") % 10 === lexDeleteResidue), t)
+    val pre = graft.operators.TextIndex.probeIndexTombstoned(s, t, lexTerms,
+      k = 10, k1 = TextQueries.bm25K1, b = TextQueries.bm25B).collect()
+    require(pre.forall(_.getLong(0) % 10 != lexDeleteResidue),
+      "a tombstoned doc surfaced in the stale-stats probe")
+    graft.operators.TextIndex.mergeDeletes(s, t, lexBuckets)
+    graft.operators.TextIndex.probeIndex(s, t, lexTerms, k = 10,
+      k1 = TextQueries.bm25K1, b = TextQueries.bm25B)
+  }
 
   /** `search_hybrid_staged` — the hybrid SERVING path (C43 is the fusion
     * math over full-corpus arms; production serves both arms from their
