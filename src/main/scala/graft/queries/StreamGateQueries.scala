@@ -661,6 +661,93 @@ object StreamGateQueries {
       .toDF("vectors", "diffs", "max_files")
   }
 
+  /** `stream_index_delete` — the DELETION loop closed under streaming
+    * erasure requests (C205's streaming twin, completing the ops
+    * certificate family: build `stream_index_ivf`, file service
+    * `stream_index_compact`, and now row removal): a full-corpus staged
+    * IVF table takes the residue-3 ids as a MICRO-BATCH STREAM of delete
+    * requests ([[StreamOps.maintainIvfDeletes]] — each batch tombstones
+    * against the pinned centroid artifact), the tombstoned probe must
+    * already exclude every deleted row (required in-flow — deletes serve
+    * before any rewrite), then the service job
+    * ([[graft.operators.Bucketing.compactDeletes]]) applies them
+    * physically and the gate demands the result ≡ a batch staging OF THE
+    * REDUCED CORPUS row-for-row AND through a bucket-pruned probe. Erasure
+    * arrives streaming, serving never lies, the table ends exactly where a
+    * from-scratch build of the surviving corpus would.
+    */
+  def indexDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = dirTag(dir)
+    def cent = cachedFrame(s, dir, "ivf_cent") {
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < Similarity.ivfCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    }
+    val residue = SimilarityQueries.deleteResidues.head
+    val streamT = BackboneRegistry.namesOrBuild(s, s"sg_ivfd_stream:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val t = s"sg_ivfd_stream_$tag"
+      Bucketing.dropStaged(s, t)
+      Bucketing.dropStaged(s, t + "_tomb")
+      Similarity.stageIvfBucketed(Tables.embeddings(s, dir), cent, t)
+      val path = stagedReplay(s, dir, "embdel")(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 === residue)
+          .select("vec_id", "embedding"),
+        Seq("vec_id"), Seq("vec_id"))
+      runWithTempCheckpoint(ckpt =>
+        StreamOps.maintainIvfDeletes(replaySource(s, path), cent, t + "_tomb", ckpt))
+      // deletes must serve from the tombstones BEFORE any rewrite
+      val (pv, pcids) = cachedScalar(s, dir, "ivf_probe_vec") {
+        val v = Tables.embeddings(s, dir).orderBy("vec_id").limit(1)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val cids = cent
+          .select(col("cid"),
+            graft.functions.VectorOps.cosine(col("ce"), typedlit(v)).as("c"))
+          .orderBy(desc("c"), asc("cid")).limit(2)
+          .collect().map(_.getLong(0)).toSeq
+        (v, cids)
+      }
+      val shadowed = Similarity.probeStagedIvfDeletes(s, t, t + "_tomb",
+        pv, pcids, k = 50).collect()
+      require(shadowed.forall(_.getLong(0) % 10 != residue),
+        "a streamed-in tombstone failed to shadow its row")
+      val rewritten = Bucketing.compactDeletes(s, t, t + "_tomb",
+        "vec_id", "cid", Seq("cid"), 8)
+      require(rewritten.nonEmpty, "tombstoned batches must dirty buckets")
+      Bucketing.dropStaged(s, t + "_tomb")
+      Seq(t)
+    }.head
+    val fullT = BackboneRegistry.namesOrBuild(s, s"sg_ivfd_full:$dir")(
+      _.forall(s.catalog.tableExists)) {
+      val t = s"sg_ivfd_full_$tag"
+      Similarity.stageIvfBucketed(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= residue),
+        cent, t)
+      Seq(t)
+    }.head
+    val rowDiff = diffCount(
+      Bucketing.read(s, streamT).select("vec_id", "cid"),
+      Bucketing.read(s, fullT).select("vec_id", "cid"))
+    val (qv, probeCids) = cachedScalar(s, dir, "ivf_probe_vec") {
+      val v = Tables.embeddings(s, dir).orderBy("vec_id").limit(1)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cids = cent
+        .select(col("cid"),
+          graft.functions.VectorOps.cosine(col("ce"), typedlit(v)).as("c"))
+        .orderBy(desc("c"), asc("cid")).limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      (v, cids)
+    }
+    def probe(t: String) = Similarity.probeStagedIvf(s, t, qv, probeCids)
+    val diffs = rowDiff + diffCount(probe(streamT), probe(fullT))
+    val vectors = cachedScalar(s, dir, "vectors")(Tables.embeddings(s, dir).count())
+    val deleted = cachedScalar(s, dir, "deleted_r3") {
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === residue).count()
+    }
+    Seq((vectors, deleted, diffs)).toDF("vectors", "deleted", "diffs")
+  }
+
   /** `stream_index_lex` — C66's streaming lexical-index maintenance under
     * the driver gate: documents replay through
     * [[StreamOps.maintainLexicalIndex]] (per-batch postings append + one
@@ -806,6 +893,10 @@ object StreamGateQueries {
     "stream_index_compact" ->
       ("SELECT count(*) AS vectors, CAST(0 AS BIGINT) AS diffs, " +
         "CAST(1 AS BIGINT) AS max_files FROM embeddings"),
+    "stream_index_delete" ->
+      s"""SELECT count(*) AS vectors,
+         |  CAST(count(CASE WHEN vec_id % 10 = ${SimilarityQueries.deleteResidues.head} THEN 1 END) AS BIGINT) AS deleted,
+         |  CAST(0 AS BIGINT) AS diffs FROM embeddings""".stripMargin,
     "stream_index_lex" ->
       "SELECT count(*) AS docs, CAST(0 AS BIGINT) AS diffs FROM documents",
     "stream_expectations" -> {

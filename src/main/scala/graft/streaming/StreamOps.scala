@@ -228,6 +228,29 @@ object StreamOps {
       }
       .start()
 
+  /** Record streaming DELETE requests against a staged IVF index as
+    * tombstones ([[graft.operators.Similarity.deleteStagedIvf]]) — the
+    * deletion counterpart of [[maintainIvfIndex]]: each micro-batch of
+    * (id, vector) erasure requests is assigned against the SAME pinned
+    * centroid artifact (broadcast argmax, cost ∝ batch) and lands in the
+    * tombstone sidecar's matching `cid` bucket, so probes shadow the
+    * deleted rows immediately while the physical apply
+    * ([[graft.operators.Bucketing.compactDeletes]]) stays a maintenance
+    * job. Same effectively-once-per-epoch checkpoint contract as the
+    * append arms (a replayed epoch re-tombstones the same ids — the
+    * anti-join and the apply are both idempotent under duplicates, unlike
+    * the append arms' new-docs-only contract).
+    */
+  def maintainIvfDeletes(deletes: DataFrame, cent: DataFrame, tombTable: String,
+                         checkpoint: String, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deletes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.deleteStagedIvf(batch, cent, tombTable, buckets)
+      }
+      .start()
+
   /** Keep a staged inverted LEXICAL index ([[graft.operators.TextIndex
     * .stageIndex]]) fresh under streaming document ingest — the lexical
     * twin of [[maintainLshIndex]], closing the serving-index family
