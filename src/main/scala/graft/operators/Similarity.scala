@@ -724,6 +724,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Probe a [[stageIvfBucketed]] table for a BATCH of query vectors — the
+    * many-queries serving shape on the IVF arm (it existed only on the LSH
+    * arm, whose single-query recall measures 0.1 on this corpus vs IVF's
+    * 1.0 — the batch shape belongs on the arm that actually serves). All
+    * queries' probe lists collapse into one literal IN (bucket pruning,
+    * `SelectedBucketsCount`); the bounded query batch broadcasts onto the
+    * pruned scan; each (query, candidate) pair re-checks membership of the
+    * candidate's list in ITS query's probe set; exact cosine ranks per
+    * query, self excluded (the batch arms' query ≠ candidate contract).
+    * Probe I/O ∝ the union of probed lists × nothing — never the corpus.
+    */
+  def probeStagedIvfBatch(spark: SparkSession, table: String,
+                          queries: Seq[(Long, Array[Float], Seq[Long])],
+                          k: Int = 5, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val allCids = queries.flatMap(_._3).distinct
+    val qdf = queries.toDF("query_id", "qv", "probe_cids")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos_sim"), asc("cand_id"))
+    Bucketing.read(spark, table)
+      .filter(col("cid").isin(allCids: _*))
+      .join(broadcast(qdf),
+        array_contains(col("probe_cids"), col("cid")) &&
+          col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        round(VectorOps.cosine(col("qv"), col(vecCol)), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos_sim"), col("rn"))
+  }
+
   /** FILTERED probe of a payload-carrying [[stageIvfBucketed]] table —
     * the predicate-under-search shape on the IVF arm. The r11 measurements
     * settled which arm can serve it: the LSH filtered probe measured recall

@@ -617,6 +617,66 @@ object SimilarityQueries {
     */
   val batchRecallK = 5
 
+  /** `sim_batch_ivf_staged` — the many-queries serving shape on the IVF
+    * arm (r15): [[batchStagedTopK]] serves batches from the staged LSH
+    * index, but this corpus's single-query readings say IVF is the arm
+    * that serves (recall 1.0 vs LSH 0.1) — a batch path that exists only
+    * on the weak arm is a gap. Each of the 3 query vectors selects its 2
+    * nearest lists over the bounded centroid artifact; the probe unions
+    * the lists into ONE pruned scan ([[Similarity.probeStagedIvfBatch]]),
+    * each (query, candidate) pair re-checks membership in its own probe
+    * set, exact cosine ranks per query (self excluded, the batch
+    * contract). Probe I/O ∝ probed lists, never corpus × batch.
+    */
+  def batchIvfStagedTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (_, ivfT) = annTables(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val qs = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = qs.map { case (qid, qv) =>
+      val cids = cent
+        .select(col("cid"),
+          graft.functions.VectorOps.cosine(col("ce"), typedlit(qv)).as("qcos"))
+        .orderBy(desc("qcos"), asc("cid"))
+        .limit(2).collect().map(_.getLong(0)).toSeq
+      (qid, qv, cids)
+    }.toSeq
+    Similarity.probeStagedIvfBatch(s, ivfT, queries, k = batchRecallK)
+      .orderBy("query_id", "rn")
+  }
+
+  /** `sim_recall_batch_ivf` — the batch IVF arm's reading per query vs the
+    * exact self-excluded truth, next to [[recallBatch]]'s LSH reading: the
+    * pair says which arm a batch scorer should route through on this
+    * corpus, at the depth it actually serves.
+    */
+  def recallBatchIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(s, dir)
+    val approx = batchIvfStagedTopK(s, dir)
+      .select(col("query_id"), col("cand_id").as("vec_id"), lit(1).as("hit"))
+    val exact = (0L until 3L).map { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+      emb.filter(col("vec_id") =!= qid).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 6)
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(batchRecallK)
+        .select(lit(qid).as("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), lit(batchRecallK).as("k"), col("hits"),
+        round(col("hits") / lit(batchRecallK.toDouble), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** Recall@[[batchRecallK]] of the STAGED batch-ANN arm
     * ([[batchStagedTopK]]) per query — the C53 "measure, don't guess" row
     * the r10 verdict flagged as missing: the batch serving path shipped
@@ -1596,6 +1656,47 @@ object SimilarityQueries {
   private[queries] def ivfProbePoolSql(limit: Int): String =
     ivfProbeSqlAt(Similarity.ivfCentroids, "", limit)
 
+  /** Shared CTE block for the batch-IVF arm: assignment (the `ivfProbeSql`
+    * chain), the 3-query frame, per-query probe lists, and the ranked
+    * candidate set — the batch row reads the top-k off it, the recall row
+    * joins it against per-query exact truth.
+    */
+  private def batchIvfCtes: String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+       |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+       |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+       |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+       |qp AS (SELECT query_id, cid FROM
+       |  (SELECT q.query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |     ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+       |   FROM cent c, q) t WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, e.vec_id AS cand_id,
+       |    round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
+       |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+       |       JOIN qp p ON p.cid = a.cid JOIN q ON q.query_id = p.query_id
+       |  WHERE e.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, cand_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+       |  FROM cand)""".stripMargin
+
+  private def batchIvfSql: String =
+    s"""WITH $batchIvfCtes
+       |SELECT query_id, cand_id, cos_sim, CAST(rn AS INTEGER) AS rn
+       |FROM ranked WHERE rn <= $batchRecallK ORDER BY query_id, rn""".stripMargin
+
+  private def recallBatchIvfSql: String =
+    s"""WITH $batchIvfCtes,
+       |ex AS (SELECT query_id, vec_id FROM
+       |  (SELECT q.query_id, e.vec_id,
+       |     row_number() OVER (PARTITION BY q.query_id ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+       |   FROM embeddings e, q WHERE e.vec_id <> q.query_id) t WHERE rn <= $batchRecallK),
+       |ap AS (SELECT query_id, cand_id AS vec_id FROM ranked WHERE rn <= $batchRecallK)
+       |SELECT ex.query_id, $batchRecallK AS k, count(ap.vec_id) AS hits,
+       |  round(count(ap.vec_id)/$batchRecallK.0, 6) AS recall
+       |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   /** The two-level assignment CTE block (`cent`/`sup`/`member`/`routed`/
     * `a2`) — the [[Similarity.assignTwoLevel]] chain rendered with the
     * same (cos DESC, id) tie rule at every level. Shared by the routed
@@ -2267,6 +2368,8 @@ object SimilarityQueries {
     "sim_recall_ivf_2level" ->
       recallWrapSql(ivf2LevelProbeSql(adaptiveIvfK.forOracle(dir))),
     "sim_assign_2level" -> assign2LevelSql(adaptiveIvfK.forOracle(dir)),
+    "sim_batch_ivf_staged" -> batchIvfSql,
+    "sim_recall_batch_ivf" -> recallBatchIvfSql,
     // the compaction lifecycle ends in the SAME full-corpus staged probe —
     // stage/append×3/compact must be answer-invariant, which is the point
     "sim_index_compact" -> ivfProbeSql,

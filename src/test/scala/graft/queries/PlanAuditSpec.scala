@@ -100,6 +100,9 @@ class PlanAuditSpec extends SparkSpec {
         "sim_ivf_staged_adaptive" -> 2,
         // the routed-assignment twin probes identically
         "sim_ivf_staged_2level" -> 2,
+        // batch IVF probe: union of 3 queries' 2-list probe sets, ≤ 6
+        // literal cids over 8 buckets
+        "sim_batch_ivf_staged" -> 6,
         // the rerank's pool comes off the same 2-list pruned code scan
         "sim_ivfpq_staged_rerank" -> 2,
         // the deletion lifecycle's declared result is the plain post-apply
@@ -789,7 +792,7 @@ class PlanAuditSpec extends SparkSpec {
       "stream_expectations", "stream_dedup", "stream_distinct",
       "stream_percentiles", "stream_quality", "stream_index_ann",
       "stream_index_lex", "stream_index_ivf", "stream_index_compact",
-      "stream_join",
+      "stream_index_delete", "stream_join",
       "q52_sketch_intersect", "q56_skew_profile", "graph_triangles",
       "q91_conversion_lag", "q101_zonemap", "q105_zone_append", "mm_dedup",
       "graph_assortativity", "stream_gram")
