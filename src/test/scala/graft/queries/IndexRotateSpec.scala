@@ -24,6 +24,21 @@ class IndexRotateSpec extends SparkSpec {
     assert(spark.catalog.tableExists(live), "live serving table missing")
     assert(!spark.catalog.tableExists(live + "_next"),
       "rotation left its staging table behind")
+    // the bucket spec must SURVIVE the catalog rename: a swap that served
+    // correct answers through an unbucketed table would turn every probe
+    // into a corpus scan — correctness green, scale silently lost
+    if (swapped) {
+      val plan = graft.operators.Similarity
+        .probeStagedIvf(spark, live,
+          graft.Tables.embeddings(spark, sf0001)
+            .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+            .select("embedding").head().getSeq[Float](0).toArray,
+          probeCids = Seq(0L, 1L), k = 10)
+        .queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"post-swap probe lost bucket pruning:\n$plan")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt, m.get.group(0))
+    }
   }
 
   test("the composed staged re-rank lifts (never lowers) the pure-ADC staged arm's recall") {
