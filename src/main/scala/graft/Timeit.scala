@@ -14,6 +14,11 @@ object Timeit {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { n =>
       Seq("cold", "warm").foreach { tag =>
+        // Bench's inter-query GC hygiene (r15: multi-query Timeit sessions
+        // at decade scale read warm SLOWER than cold from accumulated
+        // heap/shuffle pressure — SCALE_r15 §3; the readings must be
+        // per-plan cost, not prior queries' garbage)
+        System.gc()
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, dir).collect().length
         println(f"$n%s($tag%s) rows=$rows%d sec=${(System.nanoTime() - t0) / 1e9}%.3f")
