@@ -72,10 +72,12 @@ object Bench {
     * guard exists for — a contended host inflating medians with no marker —
     * still fires, because an inflated median is by definition material.
     * A failed run (-1 sentinel at the head) is never "noisy" — it is
-    * broken, which the queries map already records.
+    * broken, which the queries map already records. The guard's domain is
+    * any sorted sample of ≥ 2 runs (r16, ADVICE: the median index made a
+    * 1-element sample throw where the old `ts.last` form was total).
     */
   private[graft] def noisy(ts: Seq[Double]): Boolean =
-    ts.nonEmpty && ts.head >= 0 && ts(1) > 0.5 &&
+    ts.size >= 2 && ts.head >= 0 && ts(1) > 0.5 &&
       ts.last / math.max(ts.head, 1e-9) > 3.0
 
   def main(args: Array[String]): Unit = {

@@ -24,8 +24,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * NULL — `zip_with` pads the shorter side with nulls and `acc + NULL`
   * poisons the fold — instead of silently reading 0.0 / folding the
   * common prefix. The element null checks are emitted only when the array
-  * type says `containsNull`, so trusted non-null vector columns keep the
-  * branch-free loop.
+  * type says `containsNull` — but note (r16, ADVICE) that parquet-read
+  * array columns, and `slice()` results over them, declare
+  * `containsNull = true` regardless of the data, so the serving-kernel
+  * paths over staged tables DO emit the per-element check; on the all-
+  * non-null vector columns it never fires and branch prediction makes it
+  * measurement-noise next to the fold arithmetic. The branch-free loop
+  * applies only to columns whose type provably forbids null elements
+  * (e.g. `array(...)` constructions of non-nullable inputs).
   */
 object ArrayMath {
   private[expressions] def elemType(dt: DataType): Option[DataType] = dt match {

@@ -157,7 +157,7 @@ object Bucketing {
     * name-shape the bucketed scan itself uses to assign files to buckets.
     */
   private val bucketedFileName = """.*_(\d+)(?:\..*)?$""".r
-  private[operators] def bucketIdOf(fileName: String): Option[Int] =
+  def bucketIdOf(fileName: String): Option[Int] =
     fileName match {
       case bucketedFileName(id) => Some(id.toInt)
       case _ => None
@@ -212,9 +212,20 @@ object Bucketing {
     * window, run it as the maintenance job it models. Returns the set of
     * bucket ids rewritten (empty = table already compact, nothing
     * touched).
+    *
+    * Crash recovery (r16, ADVICE): a crash between the install loop and
+    * the superseded-file delete leaves BOTH generations in the dirty
+    * buckets. With `idCols` supplied (a per-row unique key — every staged
+    * index here has one), a re-run converges: the rewrite reads both
+    * generations and dedupes by id before writing, so the duplicated rows
+    * collapse and no delete/append is ever lost. Without `idCols` the
+    * rewrite cannot tell a crash-duplicated row from a legitimately
+    * repeated one, so a mid-install crash can double the dirty buckets'
+    * rows on the next compaction — pass the table's id when it has one.
     */
   def compactDelta(spark: SparkSession, table: String, key: String,
-                   sortCols: Seq[String], buckets: Int): Set[Int] = {
+                   sortCols: Seq[String], buckets: Int,
+                   idCols: Seq[String] = Nil): Set[Int] = {
     require(sortCols.nonEmpty, "compactDelta needs the table's sort columns")
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -232,7 +243,8 @@ object Bucketing {
     // each rewritten bucket's single file correctly by construction.
     val paths = delta.values.flatten.map(_.getPath.toString).toSeq
     rewriteBucketFiles(spark, table, key, sortCols, buckets,
-      paths, delta.values.flatten.toSeq, identity)
+      paths, delta.values.flatten.toSeq,
+      df => if (idCols.isEmpty) df else df.dropDuplicates(idCols))
     delta.keySet.toSet
   }
 
@@ -248,8 +260,12 @@ object Bucketing {
     * maintenance job here. Returns the rewritten bucket ids (empty =
     * nothing tombstoned, nothing touched). The caller truncates/drops the
     * tombstone table after a successful apply — this function leaves it
-    * intact so a crash mid-apply never loses a delete (re-running after
-    * any failure converges: the anti-join is idempotent).
+    * intact so a crash mid-apply never loses a delete. Re-running after
+    * ANY failure converges (r16, ADVICE): the anti-join is idempotent,
+    * and a crash between the install loop and the superseded-file delete
+    * (which leaves both generations in the dirty buckets) is healed by
+    * the dedupe-by-`idCol` inside the rewrite — the staged indexes hold
+    * one row per id by contract, so the duplicate collapse is exact.
     */
   def compactDeletes(spark: SparkSession, table: String, tombTable: String,
                      idCol: String, key: String, sortCols: Seq[String],
@@ -274,7 +290,7 @@ object Bucketing {
     val paths = delta.values.flatten.map(_.getPath.toString).toSeq
     rewriteBucketFiles(spark, table, key, sortCols, buckets,
       paths, delta.values.flatten.toSeq,
-      df => df.join(tombIds, Seq(idCol), "left_anti"))
+      df => df.dropDuplicates(idCol).join(tombIds, Seq(idCol), "left_anti"))
     delta.keySet.toSet
   }
 

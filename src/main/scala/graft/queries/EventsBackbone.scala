@@ -331,7 +331,8 @@ object EventsBackbone {
         .filter(unix_micros(col("ts")) >= lifecycleCutoffUs &&
           col("event_type") === "purchase"),
       t, "event_type", buckets, lifecycleSort)
-    val rewritten = Bucketing.compactDelta(s, t, "event_type", lifecycleSort, buckets)
+    val rewritten = Bucketing.compactDelta(s, t, "event_type", lifecycleSort,
+      buckets, idCols = Seq("event_id"))
     require(rewritten.size == 1,
       s"single-source batch must rewrite exactly its one bucket, got $rewritten")
     lifecycleReadout(s, t)

@@ -631,7 +631,8 @@ object StreamGateQueries {
         StreamOps.maintainIvfIndex(replaySource(s, path), cent, t, ckpt))
       require(Bucketing.maxFilesPerBucket(s, t) >= 2,
         "multi-batch replay must leave multi-file buckets to compact")
-      val rewritten = Bucketing.compactDelta(s, t, "cid", Seq("cid"), 8)
+      val rewritten = Bucketing.compactDelta(s, t, "cid", Seq("cid"), 8,
+        idCols = Seq("vec_id"))
       require(rewritten.nonEmpty, "compaction must rewrite the dirty buckets")
       Seq(t)
     }.head

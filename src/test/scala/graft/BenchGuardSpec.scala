@@ -29,4 +29,9 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.noisy(Seq(-1.0, 1.0, 5.0)))
     assert(!Bench.noisy(Seq.empty))
   }
+
+  test("total on degenerate samples (r16 ADVICE: the guard's domain is any sample)") {
+    assert(!Bench.noisy(Seq(5.0)))        // 1 run: no spread to judge
+    assert(Bench.noisy(Seq(1.0, 4.0)))    // 2 runs still judged
+  }
 }

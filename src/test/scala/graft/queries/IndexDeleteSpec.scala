@@ -71,4 +71,50 @@ class IndexDeleteSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(post.toSeq == pre.toSeq)
   }
+
+  test("re-apply converges after a crash between install and delete (r16 ADVICE)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val t = "graft_spec_ivfdel_crash"
+    val tomb = t + "_tomb"
+    Similarity.stageIvfBucketed(emb, cent, t, buckets)
+    Bucketing.dropStaged(spark, tomb)
+    val deleted = emb.filter(col("vec_id") % 10 === 3)
+    Similarity.deleteStagedIvf(deleted, cent, tomb, buckets)
+    val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // Simulate the torn window: the rewrite installed its new files but
+    // died before deleting the superseded generation — the dirty buckets
+    // hold BOTH generations. Reproduce it by copying each dirty bucket's
+    // file under a second part name with the same bucket tag.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirty = spark.table(tomb)
+      .select(pmod(hash(col("cid")), lit(buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    fs.listStatus(loc)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .foreach { f =>
+        val name = f.getPath.getName
+        graft.operators.Bucketing.bucketIdOf(name).filter(dirty).foreach { _ =>
+          val dup = new org.apache.hadoop.fs.Path(loc,
+            name.replaceFirst("^part-(\\d+)", "part-9$1"))
+          org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs, dup, false,
+            spark.sparkContext.hadoopConfiguration)
+        }
+      }
+    spark.catalog.refreshTable(t)
+    val doubled = spark.table(t).groupBy("vec_id").count()
+      .filter(col("count") > 1).count()
+    assert(doubled > 0, "crash simulation must leave duplicated rows")
+
+    // the re-run must converge: duplicates collapsed, tombstoned ids gone
+    Bucketing.compactDeletes(spark, t, tomb, "vec_id", "cid", Seq("cid"), buckets)
+    val live = spark.table(t).select("vec_id").collect().map(_.getLong(0))
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live.length == live.distinct.length, "duplicates survived the re-apply")
+    assert(live.toSet == all.diff(delIds))
+  }
 }
