@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bucketing, Similarity}
+import graft.queries.SimilarityQueries
+
+/** Dev tool for the r16 serving-under-maintenance reading (verdict item 7):
+  * the stream gates prove append/delete/compact CONVERGE, but no reading
+  * existed for probe latency DURING maintenance — the
+  * serving-while-compacting number a vector store publishes.
+  *
+  * Flow: stage a quarter of `SPARK_GRAFT_SF_DIR`'s embeddings as a staged
+  * IVF index, append the other three quarters as ingest batches (file decay
+  * — the degraded state compaction exists to fix), then run
+  * [[graft.operators.Bucketing.compactDelta]] on a background thread while
+  * the foreground loops the bucket-pruned probe, recording each probe's
+  * wall and row-identity vs the pre-maintenance answer. Install-before-
+  * delete means a concurrent reader may briefly see BOTH generations —
+  * the probe is a top-k, so duplicates could only surface as a duplicated
+  * id in the k frame; the identity check catches exactly that.
+  *
+  *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf10dc sbt "runMain graft.MaintProbe"
+  */
+object MaintProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(defaultCpus = 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    val kc = SimilarityQueries.adaptiveKc(spark, dir)
+    val emb = Tables.embeddings(spark, dir).localCheckpoint(true)
+    val cent = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .localCheckpoint(true)
+    val t = "graft_maint_probe_ivf"
+    Similarity.stageIvfBucketed(emb.filter(col("vec_id") % 4 === 0), cent, t,
+      buckets = kc)
+    (1 to 3).foreach { m =>
+      Similarity.appendStagedIvf(emb.filter(col("vec_id") % 4 === m), cent, t,
+        buckets = kc)
+    }
+    println(s"[maint] staged $t kc=$kc maxFiles=" +
+      Bucketing.maxFilesPerBucket(spark, t))
+
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = cent
+      .select(col("cid"),
+        graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    def probe(): Seq[(Long, Double)] =
+      Similarity.probeStagedIvf(spark, t, qe, probeCids, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reference = probe()
+
+    @volatile var compactNanos = -1L
+    val maint = new Thread(() => {
+      val t0 = System.nanoTime()
+      val rewritten = Bucketing.compactDelta(spark, t, "cid", Seq("cid"), kc,
+        idCols = Seq("vec_id"))
+      compactNanos = System.nanoTime() - t0
+      println(s"[maint] compaction rewrote ${rewritten.size} buckets in " +
+        f"${compactNanos / 1e9}%.3f s")
+    }, "graft-maint")
+    maint.start()
+
+    var i = 0
+    var worst = 0.0
+    while (maint.isAlive) {
+      val t0 = System.nanoTime()
+      val got = probe()
+      val sec = (System.nanoTime() - t0) / 1e9
+      worst = math.max(worst, sec)
+      val ok = got == reference
+      println(f"[probe] #$i%d during-maintenance sec=$sec%.3f answer_ok=$ok%b")
+      require(ok, s"probe #$i diverged during maintenance: $got vs $reference")
+      i += 1
+    }
+    maint.join()
+    val t0 = System.nanoTime()
+    val post = probe()
+    val postSec = (System.nanoTime() - t0) / 1e9
+    require(post == reference, "post-maintenance probe diverged")
+    println(f"[maint] probes_during=$i%d worst_probe=$worst%.3f s " +
+      f"post_probe=$postSec%.3f s maxFiles=" +
+      Bucketing.maxFilesPerBucket(spark, t))
+    spark.stop()
+  }
+}

@@ -838,18 +838,22 @@ object Similarity {
 
   /** Deterministic RESIDUAL codebook stand-in: codeword (j, k) is the j-th
     * slice of the residual of vector `k`, for k in
-    * `[ivfCentroids, ivfCentroids + pqK)` — the centroid vectors themselves
+    * `[centroidsN, centroidsN + pqK)` — the centroid vectors themselves
     * are skipped because their residuals are identically zero (a centroid
-    * assigns to itself), which would collapse the codebook. A trained
-    * residual codebook (per-subspace k-means over residual slices) swaps in
-    * without changing any downstream plan, same as [[pqCodebook]].
+    * assigns to itself), which would collapse the codebook. `centroidsN`
+    * is the LIST COUNT the `cent` prefix was built with (r16: the staged
+    * IVF-PQ arms resolve it data-scaled, so the stand-in window moves with
+    * the prefix instead of pinning 16). A trained residual codebook
+    * (per-subspace k-means over residual slices) swaps in without changing
+    * any downstream plan, same as [[pqCodebook]].
     */
   def pqCodebookResidual(emb: DataFrame, cent: DataFrame,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame =
+                         vecCol: String = "embedding",
+                         centroidsN: Int = ivfCentroids): DataFrame =
     pqSubspaces(
       residuals(emb, cent, idCol, vecCol)
-        .filter(col(idCol) >= ivfCentroids && col(idCol) < ivfCentroids + pqK),
+        .filter(col(idCol) >= centroidsN && col(idCol) < centroidsN + pqK),
       "cw", idCol, "rv")
       .select(col("j"), col(idCol).cast("long").as("k"), col("cw"))
 
@@ -872,7 +876,8 @@ object Similarity {
                               sampleMax: Long = 4096,
                               idCol: String = "vec_id",
                               vecCol: String = "embedding",
-                              nOpt: Option[Long] = None): DataFrame = {
+                              nOpt: Option[Long] = None,
+                              centroidsN: Int = ivfCentroids): DataFrame = {
     val n = nOpt.getOrElse(emb.count())
     val stride = math.max(1L, n / sampleMax)
     val slices = pqSubspaces(
@@ -880,7 +885,8 @@ object Similarity {
           idCol, vecCol).select(col(idCol), col("rv")),
         "sv", idCol, "rv")
       .localCheckpoint(true)
-    var cb = pqCodebookResidual(emb, cent, idCol, vecCol).localCheckpoint(true)
+    var cb = pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN)
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val asn = slices.join(broadcast(cb), "j")
         .select(col(idCol), col("j"), col("k"), l2sq("sv", "cw").as("dist"))
@@ -997,7 +1003,10 @@ object Similarity {
     val cands = resid.join(broadcast(probes), "cid")
       .select(col(idCol), col("rv"))
 
-    val cb = cbOpt.getOrElse(pqCodebookResidual(emb, cent, idCol, vecCol))
+    // the stand-in codebook's window starts past the PROBE's list count, so
+    // an adaptive (above-floor) composition never picks zero-residual
+    // centroid rows as codewords
+    val cb = cbOpt.getOrElse(pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN))
     val codes = pqEncode(cands, cb, idCol, "rv")
     val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
       .join(broadcast(cb), "j")
@@ -1131,15 +1140,25 @@ object Similarity {
     * no float corpus vector is touched after staging. `emb` supplies only
     * the query row and the (bounded, deterministic) codebook.
     */
+  /** `tombTableOpt`: a [[deleteStagedIvf]]-shaped tombstone table to shadow
+    * — both sides prune to the probed `cid` buckets and deleted rows
+    * vanish from the ADC ranking the moment the tombstone lands, exactly
+    * like [[probeStagedIvfDeletes]] on the plain arm (r16: the IVF-PQ code
+    * table takes deletion requests too — a GDPR erasure against it no
+    * longer means a full restage).
+    */
   def probeStagedIvfPq(spark: SparkSession, table: String, emb: DataFrame,
                        queryId: Long, probeCids: Seq[Long], k: Int = 10,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       centroidsN: Int = ivfCentroids,
+                       tombTableOpt: Option[String] = None): DataFrame = {
     // same bounded artifacts the table was staged with: the prefix centroid
-    // table and the residual codebook derived from it — `emb` supplies only
-    // the query row and these model artifacts, never a corpus-sized read
-    val cent = emb.filter(col(idCol) < ivfCentroids)
+    // table (at the SAME list count the index was staged at) and the
+    // residual codebook derived from it — `emb` supplies only the query row
+    // and these model artifacts, never a corpus-sized read
+    val cent = emb.filter(col(idCol) < centroidsN)
       .select(col(idCol).as("cid"), col(vecCol).as("ce"))
-    val cb = pqCodebookResidual(emb, cent, idCol, vecCol)
+    val cb = pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
     val qce = cent.filter(col("cid").isin(probeCids: _*)).crossJoin(broadcast(q))
       .select(col("cid"), VectorOps.dot(col("qe"), col("ce")).as("qce"))
@@ -1148,8 +1167,16 @@ object Similarity {
       .select(col("j").as("lj"), col("k").as("lk"),
         expr(s"""aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)),
             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("ip"))
-    Bucketing.read(spark, table)
-      .filter(col("cid").isin(probeCids: _*))
+    val live = tombTableOpt.fold(
+        Bucketing.read(spark, table).filter(col("cid").isin(probeCids: _*))) { tt =>
+      val tomb = Bucketing.read(spark, tt)
+        .filter(col("cid").isin(probeCids: _*))
+        .select(col(idCol))
+      Bucketing.read(spark, table)
+        .filter(col("cid").isin(probeCids: _*))
+        .join(broadcast(tomb), Seq(idCol), "left_anti")
+    }
+    live
       .select(col(idCol), col("cid"), posexplode(col("codes")))
       .toDF(idCol, "cid", "j", "code")
       .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lk"))

@@ -123,7 +123,8 @@ object MultimodalQueries {
     */
   private def mediaEmbPrefix(s: SparkSession, dir: String): DataFrame =
     Media.decodeMeta(
-        records(s, dir).filter(col("id") < Similarity.ivfCentroids), FakeDecoder)
+        records(s, dir).filter(col("id") < SimilarityQueries.adaptiveKc(s, dir)),
+        FakeDecoder)
       .select(col("id"))
       .join(Tables.embeddings(s, dir).select("vec_id", "embedding"),
         col("id") === col("vec_id"))
@@ -137,16 +138,17 @@ object MultimodalQueries {
   private def mediaAnnTable(s: SparkSession, dir: String): String =
     BackboneRegistry.namesOrBuild(s, s"mm_ann:$dir")(
       _.forall(s.catalog.tableExists)) {
+      val kc = SimilarityQueries.adaptiveKc(s, dir)
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
-      val t = s"graft_mm_ann_$tag"
-      val fp = Staging.fingerprint(s, dir,
-        s"mm_ann:c${Similarity.ivfCentroids}:pl_kind:v1")
+      val t = s"graft_mm_ann_k${kc}_$tag"
+      val fp = Staging.fingerprint(s, dir, s"mm_ann:k$kc:pl_kind:v2")
       Staging.ensure(s, fp, Seq(t)) {
         val me = mediaEmb(s, dir)
-        val cent = me.filter(col("vec_id") < Similarity.ivfCentroids)
+        val cent = me.filter(col("vec_id") < kc)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        Similarity.stageIvfBucketed(me, cent, t, payloadCols = Seq("kind"))
+        Similarity.stageIvfBucketed(me, cent, t, buckets = kc,
+          payloadCols = Seq("kind"))
       }
       Seq(t)
     }.head
@@ -243,7 +245,8 @@ object MultimodalQueries {
     */
   private def frameEmbPrefix(s: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(
-        records(s, dir).filter(col("id") < Similarity.ivfCentroids), FakeDecoder)
+        records(s, dir).filter(col("id") < SimilarityQueries.adaptiveKc(s, dir)),
+        FakeDecoder)
       .select(col("id").as("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         frameVec(col("frame_checksum")).as("fv"))
 
@@ -259,17 +262,16 @@ object MultimodalQueries {
       _.forall(s.catalog.tableExists)) {
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
-      val t = s"graft_mm_fann_$tag"
-      val fp = Staging.fingerprint(s, dir,
-        s"mm_fann:c${Similarity.ivfCentroids}:pl_kind:v1")
+      val kc = SimilarityQueries.adaptiveKc(s, dir)
+      val t = s"graft_mm_fann_k${kc}_$tag"
+      val fp = Staging.fingerprint(s, dir, s"mm_fann:k$kc:pl_kind:v2")
       Staging.ensure(s, fp, Seq(t)) {
         val fe = frameEmb(s, dir)
           .withColumn("fid", col("doc_id") * 4 + col("frame_idx"))
-        val cent = fe.filter(col("doc_id") < Similarity.ivfCentroids &&
-            col("frame_idx") === 0)
+        val cent = fe.filter(col("doc_id") < kc && col("frame_idx") === 0)
           .select(col("doc_id").as("cid"), col("fv").as("ce"))
-        Similarity.stageIvfBucketed(fe, cent, t, idCol = "fid", vecCol = "fv",
-          payloadCols = Seq("doc_id", "frame_idx", "kind"))
+        Similarity.stageIvfBucketed(fe, cent, t, buckets = kc, idCol = "fid",
+          vecCol = "fv", payloadCols = Seq("doc_id", "frame_idx", "kind"))
       }
       Seq(t)
     }.head
@@ -355,12 +357,12 @@ object MultimodalQueries {
     * appends probe + exact truth + the recall rollup. One text, so the two
     * oracles cannot drift.
     */
-  private def searchCtes: String =
+  private def searchCtes(kc: Int): String =
     s"""WITH me AS (SELECT e.vec_id, e.embedding,
        |    CASE (('0x'||substr(md5(d.text),1,1))::INT % 3)
        |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-       |cent AS (SELECT vec_id AS cid, embedding AS ce FROM me WHERE vec_id < ${Similarity.ivfCentroids}),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce FROM me WHERE vec_id < $kc),
        |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
        |  (SELECT m.vec_id, c.cid, ${SqlGen.cosSql("m.embedding", "c.ce")} AS ccos FROM me m, cent c) t),
        |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
@@ -381,7 +383,7 @@ object MultimodalQueries {
     * off it; `mm_recall_maxsim` appends the exact-truth arm and the recall
     * rollup. One text, so the two oracles cannot drift.
     */
-  private def maxSimCtes: String = {
+  private def maxSimCtes(kc: Int): String = {
     val vecExpr = (0 until 8)
       .map(i => s"(('0x'||substr(fcs,${1 + 2 * i},2))::INT - 128)/128.0")
       .mkString("[", ", ", "]")
@@ -394,7 +396,7 @@ object MultimodalQueries {
        |fv AS MATERIALIZED (SELECT doc_id, kind, frame_idx, $vecExpr AS v FROM
        |  (SELECT doc_id, kind, frame_idx, md5(h||':'||frame_idx) AS fcs FROM f) t),
        |cent AS (SELECT doc_id AS cid, v AS ce FROM fv
-       |         WHERE doc_id < ${Similarity.ivfCentroids} AND frame_idx = 0),
+       |         WHERE doc_id < $kc AND frame_idx = 0),
        |asn AS (SELECT doc_id, frame_idx, cid FROM
        |  (SELECT e.doc_id, e.frame_idx, c.cid, ROW_NUMBER() OVER (PARTITION BY e.doc_id, e.frame_idx
        |     ORDER BY ${SqlGen.cosSql("e.v", "c.ce", 8)} DESC, c.cid) AS rn
@@ -414,11 +416,15 @@ object MultimodalQueries {
        |  ORDER BY maxsim DESC, doc_id LIMIT $searchK)""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
-    "mm_search_maxsim" -> s"""$maxSimCtes
+  def oracle(dir: String): Map[String, String] = {
+    // the media arms stage at the dir's resolved list count (r16); the
+    // oracle texts render the SAME count, like every adaptive sim_* arm
+    val kc = SimilarityQueries.adaptiveKcForOracle(dir)
+    Map(
+    "mm_search_maxsim" -> s"""${maxSimCtes(kc)}
          |SELECT doc_id, maxsim FROM probe
          |ORDER BY maxsim DESC, doc_id""".stripMargin,
-    "mm_recall_maxsim" -> s"""$maxSimCtes,
+    "mm_recall_maxsim" -> s"""${maxSimCtes(kc)},
          |exd AS (SELECT doc_id, round(CAST(sum(CAST(round(mx, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS maxsim FROM
          |  (SELECT e.doc_id, q.qid, max(${SqlGen.dotSql("e.v", "q.qv", 8)}) AS mx
          |   FROM fv e, q WHERE e.kind = '$searchKind' AND e.doc_id <> 0
@@ -428,10 +434,10 @@ object MultimodalQueries {
          |  WHERE rn <= $searchK)
          |SELECT $searchK AS k, hits, round(hits / $searchK.0, 6) AS recall FROM
          |  (SELECT count(*) AS hits FROM exact JOIN probe USING (doc_id)) t""".stripMargin,
-    "mm_search" -> s"""$searchCtes
+    "mm_search" -> s"""${searchCtes(kc)}
          |SELECT vec_id, cos_sim FROM probe
          |ORDER BY cos_sim DESC, vec_id""".stripMargin,
-    "mm_recall" -> s"""$searchCtes,
+    "mm_recall" -> s"""${searchCtes(kc)},
          |exact AS (SELECT vec_id FROM
          |  (SELECT m.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("m.embedding", "q.qe")}, 6) DESC, m.vec_id) AS rn
          |   FROM me m, q WHERE m.kind = '$searchKind' AND m.vec_id <> 0) t
@@ -462,4 +468,5 @@ object MultimodalQueries {
         |f AS (SELECT doc_id, h, unnest(range(0, nf)) AS frame_idx FROM n)
         |SELECT doc_id, frame_idx, md5(h||':'||frame_idx) AS frame_checksum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+  }
 }

@@ -187,43 +187,71 @@ object RetrievalQueries {
        |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  /** The full-corpus fusion's oracle text — `search_hybrid` renders it,
+    * and the agreement row re-derives the reference ranking from it.
+    */
+  private def hybridSql: String =
+    s"""${TextQueries.bm25WithChain},
+      |bm AS (${TextQueries.bm25SelectSql}),
+      |bmtop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
+      |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT $armDepth) tb),
+      |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |cos AS (SELECT e.vec_id AS doc_id, round(${SqlGen.cosSql("e.embedding", "qv.qe")}, 6) AS cos_sim
+      |  FROM embeddings e, qv),
+      |costop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rc
+      |  FROM (SELECT * FROM cos ORDER BY cos_sim DESC, doc_id LIMIT $armDepth) tc)
+      |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+      |  round(COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + b.rb), 0.0) +
+      |        COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + c.rc), 0.0), 6) AS rrf,
+      |  b.rb AS rb, c.rc AS rc
+      |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The staged fusion's oracle text at the dir's resolved dense-arm list
+    * count — BOTH arms staged: the lexical chain and the pruned IVF probe
+    * are the same texts their single-arm rows render (one text per arm —
+    * fusing cannot drift either side), pooled at armDepth, RRF like
+    * search_hybrid.
+    */
+  private def hybridStagedSql(dir: String): String =
+    s"""WITH bmtop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
+      |  FROM (${lexStagedSql(armDepth)}) tb),
+      |costop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rc
+      |  FROM (SELECT vec_id AS doc_id, cos_sim FROM (${SimilarityQueries.ivfProbePoolSql(dir, armDepth)}) t0) tc)
+      |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+      |  round(COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + b.rb), 0.0) +
+      |        COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + c.rc), 0.0), 6) AS rrf,
+      |  b.rb AS rb, c.rc AS rc
+      |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
+      |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The agreement oracle: both fusions' top-10 re-ranked, full-outer
+    * joined, and reduced to the overlap + displacement row — composed from
+    * the SAME two texts the fusion rows render, so the measurement cannot
+    * drift from what it measures.
+    */
+  private def hybridAgreeSql(dir: String): String =
+    s"""WITH fx AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rf
+      |  FROM ($hybridSql) t),
+      |sx AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rs
+      |  FROM (${hybridStagedSql(dir)}) t)
+      |SELECT 10 AS k,
+      |  CAST(sum(CASE WHEN rf IS NOT NULL AND rs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap,
+      |  round(sum(CASE WHEN rf IS NOT NULL AND rs IS NOT NULL THEN 1 ELSE 0 END)/10.0, 6) AS overlap_rate,
+      |  CAST(coalesce(sum(CASE WHEN rf IS NOT NULL AND rs IS NOT NULL THEN abs(rf - rs) END), 0) AS BIGINT) AS disp_sum,
+      |  CAST(coalesce(max(CASE WHEN rf IS NOT NULL AND rs IS NOT NULL THEN abs(rf - rs) END), 0) AS INTEGER) AS max_disp
+      |FROM fx FULL OUTER JOIN sx USING (doc_id)""".stripMargin
+
+  def oracle(dir: String): Map[String, String] = Map(
     "search_mmr" -> mmrOracle,
-    "search_hybrid" ->
-      s"""${TextQueries.bm25WithChain},
-        |bm AS (${TextQueries.bm25SelectSql}),
-        |bmtop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
-        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT $armDepth) tb),
-        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-        |cos AS (SELECT e.vec_id AS doc_id, round(${SqlGen.cosSql("e.embedding", "qv.qe")}, 6) AS cos_sim
-        |  FROM embeddings e, qv),
-        |costop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rc
-        |  FROM (SELECT * FROM cos ORDER BY cos_sim DESC, doc_id LIMIT $armDepth) tc)
-        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-        |  round(COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + b.rb), 0.0) +
-        |        COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + c.rc), 0.0), 6) AS rrf,
-        |  b.rb AS rb, c.rc AS rc
-        |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "search_hybrid" -> hybridSql,
     "search_lexical_staged" -> lexStagedSql(10),
     // the deletion lifecycle ends in the post-merge exact-stats probe —
     // BM25 over the corpus minus the deleted docs
     "search_lexical_delete" ->
       lexStagedSql(10, s"doc_id % 10 <> $lexDeleteResidue"),
-    // BOTH arms staged: the lexical chain and the pruned IVF probe are the
-    // same texts their single-arm rows render (one text per arm — fusing
-    // cannot drift either side), pooled at armDepth, RRF like search_hybrid
-    "search_hybrid_staged" ->
-      s"""WITH bmtop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rb
-        |  FROM (${lexStagedSql(armDepth)}) tb),
-        |costop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rc
-        |  FROM (SELECT vec_id AS doc_id, cos_sim FROM (${SimilarityQueries.ivfProbePoolSql(armDepth)}) t0) tc)
-        |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
-        |  round(COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + b.rb), 0.0) +
-        |        COALESCE(CAST(1.0 AS DOUBLE)/($rrfK + c.rc), 0.0), 6) AS rrf,
-        |  b.rb AS rb, c.rc AS rc
-        |FROM bmtop b FULL OUTER JOIN costop c ON b.doc_id = c.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+    "search_hybrid_staged" -> hybridStagedSql(dir),
+    "search_hybrid_agree" -> hybridAgreeSql(dir))
 
   /** DuckDB rendering of the staged lexical probe at an arm limit — the
     * full-corpus BM25 restricted to [[lexTerms]] (the staging invariant:
@@ -315,18 +343,52 @@ object RetrievalQueries {
     * math over full-corpus arms; production serves both arms from their
     * indexes): the lexical arm reads only [[lexTerms]]' postings buckets
     * (C66's pruned probe), the dense arm reads only its 2 inverted lists
-    * (C29's pruned probe), each pools [[armDepth]] candidates, and RRF
+    * of the ADAPTIVE staged index (r16 — the hybrid serving path rides the
+    * data-scaled arm, C201's flat probe line, not the fixed 16-list
+    * layout), each pools [[armDepth]] candidates, and RRF
     * fuses the two bounded frames — the whole query touches index buckets,
     * never the corpus. This is the RAG stack's retrieval shape: at 100 TB
     * the arms are each a few buckets' I/O and the fusion is O(armDepth).
     */
+  /** `search_hybrid_agree` — the staged hybrid path's SERVING-QUALITY
+    * reading (r16, verdict item 3): every ANN arm carries a recall number,
+    * but the staged fusion had none — and it CAN legitimately drift from
+    * the full-corpus fusion, because the staged lexical arm scores with
+    * pruned-postings df and the staged dense arm pools from 2 inverted
+    * lists instead of the corpus. This row prices that drift the
+    * `sim_assign_2level` way: overlap@10 between the two fusions, plus
+    * rank displacement over the common documents (sum and max of
+    * |rank_full − rank_staged|). Both rankings are the declared rows'
+    * own outputs (bounded, 10 rows each), so the measurement costs two
+    * already-priced fusions plus an O(k) join — and the oracle composes
+    * the SAME two texts the fusion rows render.
+    */
+  def hybridAgree(s: SparkSession, dir: String): DataFrame = {
+    val byRrf = graft.operators.BoundedWindow.ordered("pool",
+      desc("rrf"), asc("doc_id"))
+    val full = hybrid(s, dir).select(col("doc_id"), col("rrf"))
+      .withColumn("rf", row_number().over(byRrf)).drop("rrf")
+    val staged = hybridStaged(s, dir).select(col("doc_id"), col("rrf"))
+      .withColumn("rs", row_number().over(byRrf)).drop("rrf")
+    val both = col("rf").isNotNull && col("rs").isNotNull
+    full.join(staged, Seq("doc_id"), "full_outer")
+      .agg(sum(when(both, 1).otherwise(0)).as("overlap"),
+        coalesce(sum(when(both, abs(col("rf") - col("rs")))), lit(0L))
+          .as("disp_sum"),
+        coalesce(max(when(both, abs(col("rf") - col("rs")))), lit(0))
+          .as("max_disp"))
+      .select(lit(10).as("k"), col("overlap"),
+        round(col("overlap") / 10.0, 6).as("overlap_rate"),
+        col("disp_sum"), col("max_disp"))
+  }
+
   def hybridStaged(s: SparkSession, dir: String): DataFrame = {
     val bmTop = graft.operators.TextIndex.probeIndex(s, lexTable(s, dir),
         lexTerms, k = armDepth, k1 = TextQueries.bm25K1, b = TextQueries.bm25B)
       .withColumn("rb",
         row_number().over(graft.operators.BoundedWindow.ordered("pool",
           desc("bm25"), asc("doc_id"))).cast("int"))
-    val cosTop = SimilarityQueries.ivfStagedPool(s, dir, k = armDepth)
+    val cosTop = SimilarityQueries.ivfStagedAdaptivePool(s, dir, k = armDepth)
       .select(col("vec_id").as("doc_id"), col("cos_sim"))
       .withColumn("rc",
         row_number().over(graft.operators.BoundedWindow.ordered("pool",

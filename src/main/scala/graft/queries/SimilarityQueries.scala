@@ -48,10 +48,20 @@ object SimilarityQueries {
       p
     }
     /** Width the oracle for `dir` renders with: the resolution recorded by
-      * a query run against that dir, else the floor (what every
-      * driver-scale corpus resolves to anyway).
+      * a query run against that dir — or, when no query of the family has
+      * run in this JVM yet (r16, ADVICE: rendering an above-floor dir's
+      * oracle before executing its query produced the floor text, an
+      * order-dependent spurious mismatch), the SAME resolution computed
+      * from the corpus through the active session. The floor is only the
+      * last resort (no session, or `dir` unreadable — the no-arg
+      * `oracleSql` dump's empty dir), which is also what every
+      * driver-scale corpus resolves to.
       */
-    def forOracle(dir: String): Int = byDir.getOrElse(dir, floor)
+    def forOracle(dir: String): Int =
+      byDir.getOrElse(dir,
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => scala.util.Try(apply(s, dir)).toOption)
+          .getOrElse(floor))
   }
 
   /** Code Hamming radius for the LSH top-k: 3 of 16 planes disagreeing
@@ -630,9 +640,13 @@ object SimilarityQueries {
     */
   def batchIvfStagedTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (_, ivfT) = annTables(s, dir)
+    // served from the ADAPTIVE index (r16): the batch probe's I/O is the
+    // union of the queries' probe lists, so it inherits C201's flat line
+    // instead of the fixed arm's n/8-per-list reads
+    val ivfT = annAdaptiveTable(s, dir)
+    val kc = adaptiveIvfK(s, dir)
     val emb = Tables.embeddings(s, dir)
-    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+    val cent = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val qs = emb.filter(col("vec_id") < 3)
       .select("vec_id", "embedding").collect()
@@ -848,17 +862,18 @@ object SimilarityQueries {
   private def annFilteredIvfTable(s: SparkSession, dir: String): String =
     BackboneRegistry.namesOrBuild(s, s"annfivf:$dir")(
       _.forall(s.catalog.tableExists)) {
+      val kc = adaptiveIvfK(s, dir)
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
-      val t = s"graft_ann_ivff_$tag"
+      val t = s"graft_ann_ivff_k${kc}_$tag"
       val fp = Staging.fingerprint(s, dir,
-        s"ann_ivf_filtered:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:pl_label:v1")
+        s"ann_ivf_filtered:k$kc:pl_label:v2")
       Staging.ensure(s, fp, Seq(t)) {
         import org.apache.spark.sql.functions.col
         val emb = Tables.embeddings(s, dir)
-        val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+        val cent = emb.filter(col("vec_id") < kc)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-        Similarity.stageIvfBucketed(emb, cent, t, stagedIvfBuckets,
+        Similarity.stageIvfBucketed(emb, cent, t, buckets = kc,
           payloadCols = Seq("label"))
       }
       Seq(t)
@@ -873,10 +888,11 @@ object SimilarityQueries {
   def filteredIvfTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val t = annFilteredIvfTable(s, dir)
+    val kc = adaptiveIvfK(s, dir)
     val emb = Tables.embeddings(s, dir)
     val qe = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+    val probeCids = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"),
         graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
@@ -935,22 +951,29 @@ object SimilarityQueries {
     */
   /** The staged IVF-PQ table, cached with the same discipline as
     * [[annTables]] (registry-held, session-evicted, catalog-revalidated).
+    * r16 (verdict item 1): staged at the ADAPTIVE list count with one
+    * bucket per list — the composed billion-scale arm inherits the flat
+    * probe line C201 proved on the plain arm, instead of pinning the 16
+    * lists SCALE_r14 measured growing ~2×/decade. At driver scale the
+    * count resolves to the 16 floor, so the oracle texts coincide.
     */
   private def pqTable(s: SparkSession, dir: String): String =
     BackboneRegistry.namesOrBuild(s, s"ann_pq:$dir")(
       _.forall(s.catalog.tableExists)) {
+      val kc = adaptiveIvfK(s, dir)
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
-      val t = s"graft_ann_ivfpq_$tag"
+      val t = s"graft_ann_ivfpq_k${kc}_$tag"
       val fp = Staging.fingerprint(s, dir,
-        s"ann_ivfpq:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:pqk${Similarity.pqK}:res1")
+        s"ann_ivfpq:k$kc:pqk${Similarity.pqK}:res1:v2")
       Staging.ensure(s, fp, Seq(t)) {
         val emb = Tables.embeddings(s, dir)
         import org.apache.spark.sql.functions.col
-        val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+        val cent = emb.filter(col("vec_id") < kc)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         Similarity.stageIvfPqBucketed(emb, cent,
-          Similarity.pqCodebookResidual(emb, cent), t, stagedIvfBuckets)
+          Similarity.pqCodebookResidual(emb, cent, centroidsN = kc), t,
+          buckets = kc)
       }
       Seq(t)
     }.head
@@ -964,16 +987,17 @@ object SimilarityQueries {
     */
   def ivfPqStagedTopK(s: SparkSession, dir: String): DataFrame = {
     val t = pqTable(s, dir)
+    val kc = adaptiveIvfK(s, dir)
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(s, dir)
     val qe = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+    val probeCids = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"),
         graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
       .limit(2).collect().map(_.getLong(0)).toSeq
-    Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10)
+    Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10, centroidsN = kc)
   }
 
   /** ADC pool for the composed staged re-rank — the pool where C179's
@@ -997,16 +1021,17 @@ object SimilarityQueries {
   def ivfPqStagedRerank(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val t = pqTable(s, dir)
+    val kc = adaptiveIvfK(s, dir)
     val emb = Tables.embeddings(s, dir)
     val qe = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+    val probeCids = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"),
         graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
       .limit(2).collect().map(_.getLong(0)).toSeq
     val pool = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids,
-      k = stagedRerankPool).select("vec_id")
+      k = stagedRerankPool, centroidsN = kc).select("vec_id")
     emb.join(pool, "vec_id")
       .select(col("vec_id"),
         round(graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)), 6)
@@ -1064,11 +1089,29 @@ object SimilarityQueries {
       byDir(dir) = k
       k
     }
+    /** Same resolution rule as [[AdaptiveWidth.forOracle]] (r16, ADVICE):
+      * recorded per-dir resolution, else compute it from the corpus via
+      * the active session, else the floor.
+      */
     def forOracle(dir: String): Int =
-      byDir.getOrElse(dir, Similarity.ivfCentroids)
+      byDir.getOrElse(dir,
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => scala.util.Try(apply(s, dir)).toOption)
+          .getOrElse(Similarity.ivfCentroids))
   }
 
   private val adaptiveIvfK = new AdaptiveCentroids
+
+  /** The per-dir adaptive list count, exposed to the OTHER query families
+    * that compose the staged-IVF shape (media, hybrid — r16 verdict item 1:
+    * every composed serving arm stages at the data-scaled count, not the
+    * 16-list floor the SCALE_r14 rehearsal measured growing ~2×/decade).
+    * One resolution per dir, shared with the sim_* adaptive arms.
+    */
+  private[graft] def adaptiveKc(s: SparkSession, dir: String): Int =
+    adaptiveIvfK(s, dir)
+  private[queries] def adaptiveKcForOracle(dir: String): Int =
+    adaptiveIvfK.forOracle(dir)
 
   /** The data-scaled staged IVF index: [[Similarity.centroidsFor]] lists,
     * stored at ONE BUCKET PER LIST — with the fixed [[stagedIvfBuckets]],
@@ -1106,7 +1149,16 @@ object SimilarityQueries {
     * floor (the two arms coincide, each rendering from its own
     * resolution); the decade rehearsal is where they part.
     */
-  def ivfStagedAdaptiveTopK(s: SparkSession, dir: String): DataFrame = {
+  def ivfStagedAdaptiveTopK(s: SparkSession, dir: String): DataFrame =
+    ivfStagedAdaptivePool(s, dir, k = 10)
+
+  /** The adaptive staged probe at a caller-chosen k — `sim_ivf_staged_
+    * adaptive` serves k = 10; the staged hybrid row's dense arm pools
+    * k = armDepth from the same index (r16: the hybrid serving path rides
+    * the data-scaled arm, not the fixed 16-list one).
+    */
+  private[queries] def ivfStagedAdaptivePool(s: SparkSession, dir: String,
+                                             k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     val kc = adaptiveIvfK(s, dir)
     val t = annAdaptiveTable(s, dir)
@@ -1118,7 +1170,7 @@ object SimilarityQueries {
         graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
       .limit(2).collect().map(_.getLong(0)).toSeq
-    Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+    Similarity.probeStagedIvf(s, t, qe, probeCids, k = k)
   }
 
   /** `sim_recall_ivf_adaptive` — the adaptive arm's own reading (every
@@ -1261,7 +1313,7 @@ object SimilarityQueries {
     val pre = Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
       .collect().toSeq
     val rewritten = graft.operators.Bucketing.compactDelta(s, t, "cid",
-      Seq("cid"), stagedIvfBuckets)
+      Seq("cid"), stagedIvfBuckets, idCols = Seq("vec_id"))
     require(rewritten.nonEmpty,
       "three appended batches must leave at least one multi-file bucket")
     val post = Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
@@ -1300,18 +1352,19 @@ object SimilarityQueries {
     import org.apache.spark.sql.functions._
     val t = deleteIvfTable(dir)
     val tomb = t + "_tomb"
+    val kc = adaptiveIvfK(s, dir)
     val emb = Tables.embeddings(s, dir)
-    val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+    val cent = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    Similarity.stageIvfBucketed(emb, cent, t, stagedIvfBuckets)
+    Similarity.stageIvfBucketed(emb, cent, t, buckets = kc)
     graft.operators.Bucketing.dropStaged(s, tomb)
     deleteResidues.foreach { r =>
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
-        tomb, stagedIvfBuckets)
+        tomb, buckets = kc)
     }
     val qe = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+    val probeCids = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"),
         graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
@@ -1319,7 +1372,7 @@ object SimilarityQueries {
     val pre = Similarity.probeStagedIvfDeletes(s, t, tomb, qe, probeCids, k = 10)
       .collect().toSeq
     val rewritten = graft.operators.Bucketing.compactDeletes(s, t, tomb,
-      "vec_id", "cid", Seq("cid"), stagedIvfBuckets)
+      "vec_id", "cid", Seq("cid"), buckets = kc)
     require(rewritten.nonEmpty,
       "two tombstoned batches must dirty at least one bucket")
     graft.operators.Bucketing.dropStaged(s, tomb)
@@ -1327,6 +1380,64 @@ object SimilarityQueries {
     require(post.collect().toSeq == pre,
       "applying tombstones changed the probe answer — a live row was lost " +
         "or a deleted one resurrected")
+    post
+  }
+
+  def pqDeleteTable(dir: String): String =
+    "graft_ann_ivfpqd_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** `sim_ivfpq_delete` — TOMBSTONE DELETES for the staged IVF-PQ CODE
+    * table (r16, verdict item 4): C205 gave the plain staged IVF arm a
+    * deletion path, but the compressed-code arm — the one a billion-scale
+    * store actually keeps hot — had none, so a GDPR erasure against it
+    * meant a full restage. The case is bucket-local (codes are co-keyed by
+    * `cid`, the C205 shape verbatim): delete batches are assigned against
+    * the SAME pinned centroid artifact the codes were staged with
+    * ([[Similarity.deleteStagedIvf]] — tombstone cost ∝ batch), the
+    * tombstoned ADC probe shadows deleted rows immediately
+    * ([[Similarity.probeStagedIvfPq]]'s anti-join arm), and
+    * [[graft.operators.Bucketing.compactDeletes]] rewrites ONLY the dirty
+    * buckets. The flow requires pre ≡ post like C205; the declared result
+    * is the post-apply ADC probe, oracled as the composed IVF-PQ ranking
+    * over the corpus minus the deleted residues (the codebook stays the
+    * stage-time artifact — deletion removes ROWS, not the trained model).
+    */
+  def indexPqDelete(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val t = pqDeleteTable(dir)
+    val tomb = t + "_tomb"
+    val kc = adaptiveIvfK(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val cent = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    Similarity.stageIvfPqBucketed(emb, cent,
+      Similarity.pqCodebookResidual(emb, cent, centroidsN = kc), t,
+      buckets = kc)
+    graft.operators.Bucketing.dropStaged(s, tomb)
+    deleteResidues.foreach { r =>
+      Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
+        tomb, buckets = kc)
+    }
+    val qe = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val probeCids = emb.filter(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"),
+        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val pre = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10,
+      centroidsN = kc, tombTableOpt = Some(tomb)).collect().toSeq
+    val rewritten = graft.operators.Bucketing.compactDeletes(s, t, tomb,
+      "vec_id", "cid", Seq("cid"), buckets = kc)
+    require(rewritten.nonEmpty,
+      "two tombstoned batches must dirty at least one bucket")
+    graft.operators.Bucketing.dropStaged(s, tomb)
+    val post = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10,
+      centroidsN = kc)
+    require(post.collect().toSeq == pre,
+      "applying tombstones changed the ADC probe answer — a live row was " +
+        "lost or a deleted one resurrected")
     post
   }
 
@@ -1338,6 +1449,14 @@ object SimilarityQueries {
     "graft_ann_ivfr_" + dir.split('/').last.replace('.', '_') +
       "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
 
+  /** Query batch for the rotation gate (r16, verdict item 2): vec_ids
+    * 0..2 — the batch-recall harness's frame. The r15 gate decided the
+    * production swap from ONE query's recall@10, a 0.1-granularity
+    * statistic on a sample of one; the gate now reads per-query recalls
+    * for both codebooks and swaps on the MEAN.
+    */
+  val rotateGateQueries = 3
+
   /** `sim_index_rotate` — TRAINED-ARTIFACT ROTATION for a staged index,
     * the remaining real vector-store lifecycle after compaction closed
     * file decay (r14 verdict item 4): retraining reshapes the inverted
@@ -1346,39 +1465,46 @@ object SimilarityQueries {
     * rollout that swaps blindly can make serving WORSE — the lifecycle
     * gates on the recall harness before touching the live name.
     *
-    * Flow: stage v1 (the stand-in prefix codebook) as the LIVE table →
+    * Flow: stage v1 (the stand-in prefix codebook, at the adaptive list
+    * count — routed above the floor, [[stageIvfAt]]) as the LIVE table →
     * train v2 ([[trainedCent]]) and stage it NEXT TO the live table under
-    * a staging name → measure both arms' recall@[[recallK]] against the
-    * same exact truth → swap ONLY if v2 ≥ v1 (atomic catalog rename; the
-    * loser is dropped either way) → probe through the live name and
-    * require, in-flow, that the answer equals the winning codebook's
-    * one-shot arm ([[Similarity.ivfTopK]]) — a swap that served the wrong
-    * generation fails loudly before the oracle runs.
+    * a staging name → measure both arms' recall@[[recallK]] for EVERY
+    * query in the [[rotateGateQueries]]-vector gate batch against each
+    * query's exact truth → swap ONLY if v2's mean ≥ v1's (atomic catalog
+    * rename; the loser is dropped either way) → probe through the live
+    * name for every gate query and require, in-flow, that each answer
+    * equals the winning codebook's assignment-consistent one-shot arm — a
+    * swap that served the wrong generation fails loudly before the oracle
+    * runs.
     *
-    * The DECLARED result is the gate's decision row — both recalls and
+    * The DECLARED result is the gate's decision frame — one row per gate
+    * query with both arms' hits/recall, plus the batch means and
     * `swapped` — because that comparison IS the operator; the oracle
-    * re-derives it from the two arms' shared probe texts. At sf0.01 the
-    * gate correctly REFUSES the rotation (v2 reads 0.9 vs v1's 1.0); at
-    * sf0.001 it rotates (0.8 vs 0.7) — both branches exercised, both
-    * oracle-checked. At 100 TB each stage is the cost already priced for
-    * the staged arms (train ∝ sample, stage ∝ corpus, gate = the recall
-    * harness's calibration scans, swap = one catalog op).
+    * re-derives every row from the two arms' shared probe texts. At
+    * sf0.01 the gate REFUSES the rotation; at sf0.001 it rotates — both
+    * branches exercised, both oracle-checked. At 100 TB each stage is the
+    * cost already priced for the staged arms (train ∝ sample, stage ∝
+    * corpus with the routed assignment above the floor, gate = the
+    * calibration scans × batch size, swap = one catalog op).
     */
   def indexRotate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     val live = rotateIvfTable(dir)
     val next = live + "_next"
+    val kc = adaptiveIvfK(s, dir)
     val emb = Tables.embeddings(s, dir)
-    val centV1 = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+    val centV1 = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val centV2 = trainedCent(s, dir)
-    Similarity.stageIvfBucketed(emb, centV1, live, stagedIvfBuckets)
-    Similarity.stageIvfBucketed(emb, centV2, next, stagedIvfBuckets)
+    stageIvfAt(emb, centV1, live, kc)
+    stageIvfAt(emb, centV2, next, kc)
 
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    def probeOf(table: String, cent: DataFrame): DataFrame = {
+    val gateQs = emb.filter(col("vec_id") < rotateGateQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    def probeOf(table: String, cent: DataFrame, qe: Array[Float]): DataFrame = {
       val cids = cent
         .select(col("cid"),
           graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
@@ -1386,14 +1512,17 @@ object SimilarityQueries {
         .limit(2).collect().map(_.getLong(0)).toSeq
       Similarity.probeStagedIvf(s, table, qe, cids, k = recallK)
     }
-    val exactIds = Similarity.bruteForceTopK(emb, queryId = 0L, k = recallK)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    def hitsOf(arm: DataFrame): Int =
-      arm.select("vec_id").collect().map(_.getLong(0)).count(exactIds)
-    val v1Hits = hitsOf(probeOf(live, centV1))
-    val v2Hits = hitsOf(probeOf(next, centV2))
-
-    val swapped = v2Hits >= v1Hits
+    val perQuery = gateQs.map { case (qid, qe) =>
+      val exact = Similarity.bruteForceTopK(emb, queryId = qid, k = recallK)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val h1 = probeOf(live, centV1, qe)
+        .select("vec_id").collect().map(_.getLong(0)).count(exact)
+      val h2 = probeOf(next, centV2, qe)
+        .select("vec_id").collect().map(_.getLong(0)).count(exact)
+      (qid, h1, h2)
+    }
+    val (s1, s2) = (perQuery.map(_._2).sum, perQuery.map(_._3).sum)
+    val swapped = s2 >= s1
     if (swapped) {
       graft.operators.Bucketing.dropStaged(s, live)
       s.sql(s"ALTER TABLE `$next` RENAME TO `$live`")
@@ -1401,45 +1530,109 @@ object SimilarityQueries {
       graft.operators.Bucketing.dropStaged(s, next)
     }
 
-    // the post-swap probe through the LIVE name must serve the winning
-    // codebook's one-shot answer — catches a swap that kept the loser
+    // the post-swap probes through the LIVE name must serve the winning
+    // codebook's answers for EVERY gate query — catches a swap that kept
+    // the loser. The reference is assignment-consistent: exact argmax at
+    // the floor, the routed chain above it (what the staging used).
     val winCent = if (swapped) centV2 else centV1
-    val post = probeOf(live, winCent).collect().toSeq
-    val oneShot = Similarity.ivfTopK(emb, queryId = 0L, k = recallK,
-      trained = Some(winCent)).collect().toSeq
-    require(post == oneShot,
-      "post-swap probe diverged from the winning codebook's one-shot arm")
+    gateQs.foreach { case (qid, qe) =>
+      val post = probeOf(live, winCent, qe).collect().toSeq
+      val ref = referenceProbe(s, emb, winCent, kc, qe).collect().toSeq
+      require(post == ref,
+        s"post-swap probe for gate query $qid diverged from the winning " +
+          "codebook's one-shot arm")
+    }
 
-    Seq((recallK, v1Hits.toLong, v1Hits / recallK.toDouble,
-        v2Hits.toLong, v2Hits / recallK.toDouble, swapped))
-      .toDF("k", "v1_hits", "v1_recall", "v2_hits", "v2_recall", "swapped")
-      .select(col("k"), col("v1_hits"), round(col("v1_recall"), 6).as("v1_recall"),
-        col("v2_hits"), round(col("v2_recall"), 6).as("v2_recall"), col("swapped"))
+    val denom = (gateQs.length * recallK).toDouble
+    perQuery.map { case (qid, h1, h2) =>
+      (qid, recallK, h1.toLong, h1 / recallK.toDouble,
+        h2.toLong, h2 / recallK.toDouble, s1 / denom, s2 / denom, swapped)
+    }.toDF("query_id", "k", "v1_hits", "v1_recall", "v2_hits", "v2_recall",
+        "v1_mean", "v2_mean", "swapped")
+      .select(col("query_id"), col("k"), col("v1_hits"),
+        round(col("v1_recall"), 6).as("v1_recall"), col("v2_hits"),
+        round(col("v2_recall"), 6).as("v2_recall"),
+        round(col("v1_mean"), 6).as("v1_mean"),
+        round(col("v2_mean"), 6).as("v2_mean"), col("swapped"))
+      .orderBy("query_id")
+  }
+
+  /** The one-shot probe consistent with [[stageIvfAt]]'s assignment: the
+    * exact-argmax [[Similarity.ivfTopK]] at the floor, the routed
+    * assignment above it — the in-flow reference a post-swap probe must
+    * reproduce.
+    */
+  private def referenceProbe(s: SparkSession, emb: DataFrame, cent: DataFrame,
+                             kc: Int, qe: Array[Float]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cids = cent
+      .select(col("cid"),
+        graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(2).collect().map(_.getLong(0)).toSeq
+    val asn =
+      if (kc > Similarity.ivfCentroids)
+        Similarity.assignTwoLevel(emb, cent, Similarity.groupsFor(kc))
+          .select(col("vec_id"), col("cid"))
+      else
+        emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"),
+            graft.functions.VectorOps.cosine(col("embedding"), col("ce")).as("ccos"),
+            col("cid"))
+          .groupBy("vec_id")
+          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    emb.join(asn, "vec_id")
+      .filter(col("cid").isin(cids: _*))
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)), 6)
+          .as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(recallK)
   }
 
   /** The trained centroid artifact, once per (session, dir) — the staged
     * trained arm's probe selection and staging share one training run.
+    * r16: trained at the ADAPTIVE list count, like every composed arm.
     */
   private def trainedCent(s: SparkSession, dir: String): DataFrame =
     BackboneRegistry.scalarOrBuild(s, s"ivfcent_trained:$dir") {
-      Similarity.trainCentroids(Tables.embeddings(s, dir), iters = trainedIters,
+      Similarity.trainCentroids(Tables.embeddings(s, dir),
+        k = adaptiveIvfK(s, dir), iters = trainedIters,
         nOpt = Some(embCount(s, dir)))
     }
 
+  /** Stage a corpus into `cent`'s inverted lists at the resolved list
+    * count, ROUTING the assignment above the floor (r16, verdict item 6):
+    * at the 16-list floor the exact broadcast argmax is cheap and the
+    * oracle texts expect it; above it, exact assignment is the n^1.5
+    * staging wall C206 measured (266 s at 2M vectors), so the build
+    * defaults to [[Similarity.assignTwoLevel]] — the 5.7×-measured routed
+    * path — and the kc-parameterized oracles render the routed chain for
+    * that regime.
+    */
+  private def stageIvfAt(emb: DataFrame, cent: DataFrame, table: String,
+                         kc: Int): Unit =
+    if (kc > Similarity.ivfCentroids)
+      Similarity.stageIvfBucketedTwoLevel(emb, cent, Similarity.groupsFor(kc),
+        table, buckets = kc)
+    else
+      Similarity.stageIvfBucketed(emb, cent, table, buckets = kc)
+
   /** The staged TRAINED-IVF index: the corpus bucketed into the k-means‖-
-    * trained lists instead of the prefix stand-in's.
+    * trained lists instead of the prefix stand-in's — at the adaptive list
+    * count, routed above the floor ([[stageIvfAt]]).
     */
   private def annTrainedTable(s: SparkSession, dir: String): String =
     BackboneRegistry.namesOrBuild(s, s"annivft:$dir")(
       _.forall(s.catalog.tableExists)) {
+      val kc = adaptiveIvfK(s, dir)
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
-      val t = s"graft_ann_ivft_$tag"
+      val t = s"graft_ann_ivft_k${kc}_$tag"
       val fp = Staging.fingerprint(s, dir,
-        s"ann_ivf_trained:ib$stagedIvfBuckets:c${Similarity.ivfCentroids}:it$trainedIters:v1")
+        s"ann_ivf_trained:k$kc:it$trainedIters:v2")
       Staging.ensure(s, fp, Seq(t)) {
-        Similarity.stageIvfBucketed(Tables.embeddings(s, dir),
-          trainedCent(s, dir), t, stagedIvfBuckets)
+        stageIvfAt(Tables.embeddings(s, dir), trainedCent(s, dir), t, kc)
       }
       Seq(t)
     }.head
@@ -1588,9 +1781,12 @@ object SimilarityQueries {
     * fixed summation order as the Scala side), then assign-all, probe the 2
     * nearest lists, exact cosine top-10.
     */
-  private def ivfTrainedSql(k: Int = Similarity.ivfCentroids,
-                            iters: Int = trainedIters,
-                            sampleMax: Long = 4096L): String = {
+  /** The Lloyd-chain CTEs alone (`sample`, `cent0`, generations up to
+    * `cent$iters`) — shared by the trained probe, its staged/routed twins,
+    * and the rotation gate's v2 arm.
+    */
+  private def trainedChainCtes(k: Int, iters: Int = trainedIters,
+                               sampleMax: Long = 4096L): String = {
     val d = Similarity.dims
     val gens = (1 to iters).map { i =>
       s"""asn$i AS (SELECT vec_id, cid FROM
@@ -1607,14 +1803,29 @@ object SimilarityQueries {
          |cent$i AS (SELECT p.cid, coalesce(n.ce, p.ce) AS ce
          |           FROM cent${i - 1} p LEFT JOIN new$i n ON n.cid = p.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH sample AS (SELECT vec_id, embedding FROM embeddings
+    s"""sample AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id % (SELECT greatest(1, count(*)//$sampleMax) FROM embeddings) = 0),
        |cent0 AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $k),
-       |$gens,
-       |fasn AS (SELECT vec_id, cid FROM
-       | (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |    ORDER BY ${SqlGen.cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
-       |  FROM embeddings e, cent$iters c) t WHERE rn = 1),
+       |$gens""".stripMargin
+  }
+
+  /** Corpus assignment to the TRAINED codebook: the exact argmax at the
+    * floor, the routed two-level chain above it — exactly the regime split
+    * [[stageIvfAt]] builds with. Produces `fasn(vec_id, cid)`.
+    */
+  private def trainedAsnCte(k: Int, iters: Int = trainedIters): String =
+    if (k <= Similarity.ivfCentroids)
+      s"""fasn AS (SELECT vec_id, cid FROM
+         | (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${SqlGen.cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+         |  FROM embeddings e, cent$iters c) t WHERE rn = 1)""".stripMargin
+    else twoLevelFrom(s"cent$iters", Similarity.groupsFor(k), "t", "fasn")
+
+  private def ivfTrainedSql(k: Int = Similarity.ivfCentroids,
+                            iters: Int = trainedIters,
+                            sampleMax: Long = 4096L): String =
+    s"""WITH ${trainedChainCtes(k, iters, sampleMax)},
+       |${trainedAsnCte(k, iters)},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qprobe AS (SELECT cid FROM
        | (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
@@ -1622,7 +1833,6 @@ object SimilarityQueries {
        |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
        |FROM embeddings e JOIN fasn a ON a.vec_id = e.vec_id JOIN qprobe p ON p.cid = a.cid, q
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
-  }
 
   /** Shared by `sim_ivf_topk` (scan-and-assign per query) and
     * `sim_ivf_staged` (staged inverted lists, bucket-pruned probe): the two
@@ -1649,20 +1859,20 @@ object SimilarityQueries {
 
   private val ivfProbeSql: String = ivfProbeSqlAt(Similarity.ivfCentroids)
 
-  /** The fixed staged probe's oracle at an arm-pool limit — the staged
-    * hybrid row's dense arm ([[RetrievalQueries]]) renders from the same
-    * text as `sim_ivf_staged`.
+  /** The ADAPTIVE staged probe's oracle at an arm-pool limit — the staged
+    * hybrid row's dense arm ([[RetrievalQueries]]) renders the same text
+    * as `sim_ivf_staged_adaptive`, at the dir's resolved list count.
     */
-  private[queries] def ivfProbePoolSql(limit: Int): String =
-    ivfProbeSqlAt(Similarity.ivfCentroids, "", limit)
+  private[queries] def ivfProbePoolSql(dir: String, limit: Int): String =
+    ivfProbeSqlAt(adaptiveIvfK.forOracle(dir), "", limit)
 
-  /** Shared CTE block for the batch-IVF arm: assignment (the `ivfProbeSql`
-    * chain), the 3-query frame, per-query probe lists, and the ranked
-    * candidate set — the batch row reads the top-k off it, the recall row
-    * joins it against per-query exact truth.
+  /** Shared CTE block for the batch-IVF arm at a list count: assignment
+    * (the `ivfProbeSql` chain), the 3-query frame, per-query probe lists,
+    * and the ranked candidate set — the batch row reads the top-k off it,
+    * the recall row joins it against per-query exact truth.
     */
-  private def batchIvfCtes: String =
-    s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+  private def batchIvfCtes(kc: Int): String =
+    s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
        |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
        |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
        |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
@@ -1680,13 +1890,13 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
        |  FROM cand)""".stripMargin
 
-  private def batchIvfSql: String =
-    s"""WITH $batchIvfCtes
+  private def batchIvfSql(kc: Int): String =
+    s"""WITH ${batchIvfCtes(kc)}
        |SELECT query_id, cand_id, cos_sim, CAST(rn AS INTEGER) AS rn
        |FROM ranked WHERE rn <= $batchRecallK ORDER BY query_id, rn""".stripMargin
 
-  private def recallBatchIvfSql: String =
-    s"""WITH $batchIvfCtes,
+  private def recallBatchIvfSql(kc: Int): String =
+    s"""WITH ${batchIvfCtes(kc)},
        |ex AS (SELECT query_id, vec_id FROM
        |  (SELECT q.query_id, e.vec_id,
        |     row_number() OVER (PARTITION BY q.query_id ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
@@ -1697,27 +1907,37 @@ object SimilarityQueries {
        |FROM ex LEFT JOIN ap ON ap.query_id = ex.query_id AND ap.vec_id = ex.vec_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  /** The ROUTED-assignment CTE chain over an EXISTING codebook CTE
+    * `centCte(cid, ce)` — the [[Similarity.assignTwoLevel]] chain rendered
+    * with the same (cos DESC, id) tie rule at every level, CTE names
+    * prefixed with `p` so several chains compose in one statement
+    * (the rotation oracle routes both generations above the floor).
+    * Produces `$out(vec_id, cid)`.
+    */
+  private def twoLevelFrom(centCte: String, g: Int, p: String,
+                           out: String): String =
+    s"""${p}sup AS (SELECT cid AS gid, ce AS ge FROM $centCte WHERE cid < $g),
+       |${p}member AS MATERIALIZED (SELECT cid, ce, gid FROM
+       |  (SELECT c.cid, c.ce, s.gid, ROW_NUMBER() OVER (PARTITION BY c.cid
+       |     ORDER BY ${SqlGen.cosSql("c.ce", "s.ge")} DESC, s.gid) AS rn
+       |   FROM $centCte c, ${p}sup s) t WHERE rn = 1),
+       |${p}routed AS MATERIALIZED (SELECT vec_id, gid FROM
+       |  (SELECT e.vec_id, s.gid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${SqlGen.cosSql("e.embedding", "s.ge")} DESC, s.gid) AS rn
+       |   FROM embeddings e, ${p}sup s) t WHERE rn = 1),
+       |$out AS (SELECT vec_id, cid FROM
+       |  (SELECT e.vec_id, m.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${SqlGen.cosSql("e.embedding", "m.ce")} DESC, m.cid) AS rn
+       |   FROM embeddings e JOIN ${p}routed r ON r.vec_id = e.vec_id
+       |        JOIN ${p}member m ON m.gid = r.gid) t WHERE rn = 1)""".stripMargin
+
   /** The two-level assignment CTE block (`cent`/`sup`/`member`/`routed`/
-    * `a2`) — the [[Similarity.assignTwoLevel]] chain rendered with the
-    * same (cos DESC, id) tie rule at every level. Shared by the routed
-    * probe, its recall wrap, and the agreement reading.
+    * `a2`) — shared by the routed probe, its recall wrap, and the
+    * agreement reading.
     */
   private def twoLevelAsnCtes(kc: Int, g: Int): String =
     s"""cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
-       |sup AS (SELECT cid AS gid, ce AS ge FROM cent WHERE cid < $g),
-       |member AS MATERIALIZED (SELECT cid, ce, gid FROM
-       |  (SELECT c.cid, c.ce, s.gid, ROW_NUMBER() OVER (PARTITION BY c.cid
-       |     ORDER BY ${SqlGen.cosSql("c.ce", "s.ge")} DESC, s.gid) AS rn
-       |   FROM cent c, sup s) t WHERE rn = 1),
-       |routed AS MATERIALIZED (SELECT vec_id, gid FROM
-       |  (SELECT e.vec_id, s.gid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |     ORDER BY ${SqlGen.cosSql("e.embedding", "s.ge")} DESC, s.gid) AS rn
-       |   FROM embeddings e, sup s) t WHERE rn = 1),
-       |a2 AS (SELECT vec_id, cid FROM
-       |  (SELECT e.vec_id, m.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |     ORDER BY ${SqlGen.cosSql("e.embedding", "m.ce")} DESC, m.cid) AS rn
-       |   FROM embeddings e JOIN routed r ON r.vec_id = e.vec_id
-       |        JOIN member m ON m.gid = r.gid) t WHERE rn = 1)""".stripMargin
+       |${twoLevelFrom("cent", g, "", "a2")}""".stripMargin
 
   /** The routed probe oracle: two-level assignment, exact probe-list
     * selection (bounded artifact, like the Spark side), pruned-list
@@ -1788,6 +2008,13 @@ object SimilarityQueries {
     */
   private def ivfPqSql: String = ivfPqSqlWith("")
 
+  /** The composed IVF-PQ oracle at a resolved list count — the staged and
+    * unstaged arms both rank at [[Similarity.centroidsFor]]'s resolution
+    * (r16: the composed arms no longer pin 16 lists).
+    */
+  private def ivfPqSqlAt(kc: Int, limit: Int = 10, where: String = ""): String =
+    ivfPqSqlWith("", limit, kc, where)
+
   /** The composed IVF-PQ oracle with the residual codebook derivation as a
     * parameter: `""` renders the deterministic stand-in (`cb` = residual
     * slices of vectors 16..31), [[pqTrainedChain]] appends the per-subspace
@@ -1795,9 +2022,10 @@ object SimilarityQueries {
     * text for both arms, so swap-in-a-trained-codebook cannot drift the
     * serving arithmetic.
     */
-  private def ivfPqSqlWith(cbChain: String, limit: Int = 10): String = {
+  private def ivfPqSqlWith(cbChain: String, limit: Int = 10,
+                           cN: Int = Similarity.ivfCentroids,
+                           where: String = ""): String = {
     val (m, kk, sd) = (Similarity.pqM, Similarity.pqK, Similarity.pqSubDim)
-    val cN = Similarity.ivfCentroids
     val dims = Similarity.dims
     def sliceSql(v: String) = s"$v[j*$sd+1 : j*$sd+$sd]"
     def l2(a: String, b: String) =
@@ -1837,7 +2065,7 @@ object SimilarityQueries {
        |  (SELECT cd.vec_id, cd.cid, list_sum(list(l.ip ORDER BY cd.j)) AS radc
        |   FROM codes cd JOIN lut l ON l.j = cd.j AND l.k = cd.code
        |   GROUP BY cd.vec_id, cd.cid) t JOIN qce USING (cid)
-       |ORDER BY adc DESC, vec_id LIMIT $limit""".stripMargin
+       |${if (where.isEmpty) "" else s"WHERE $where\n"}ORDER BY adc DESC, vec_id LIMIT $limit""".stripMargin
   }
 
   /** Lloyd iterations for the trained residual codebook (matches the
@@ -1879,7 +2107,8 @@ object SimilarityQueries {
        |cbt AS (SELECT j, k, cw FROM pcb$pqTrainedIters)""".stripMargin
   }
 
-  private def ivfPqTrainedSql: String = ivfPqSqlWith(pqTrainedChain)
+  private def ivfPqTrainedSqlAt(kc: Int): String =
+    ivfPqSqlWith(pqTrainedChain, 10, kc)
 
   /** The trained residual codebook, once per (session, dir) — both trained
     * rows derive from it.
@@ -1887,11 +2116,12 @@ object SimilarityQueries {
   private def trainedPqCb(s: SparkSession, dir: String): DataFrame =
     BackboneRegistry.scalarOrBuild(s, s"pqcb:$dir") {
       import org.apache.spark.sql.functions.col
+      val kc = adaptiveIvfK(s, dir)
       val emb = Tables.embeddings(s, dir)
-      val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
+      val cent = emb.filter(col("vec_id") < kc)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       Similarity.trainPqCodebookResidual(emb, cent, iters = pqTrainedIters,
-        nOpt = Some(embCount(s, dir)))
+        nOpt = Some(embCount(s, dir)), centroidsN = kc)
     }
 
   /** `sim_ivfpq_trained` — the composed IVF-PQ arm ranked from a TRAINED
@@ -1966,36 +2196,77 @@ object SimilarityQueries {
   /** The re-ranked PQ arm's oracle: ADC pool from the parameterized pqSql,
     * exact-cosine re-rank with the engine's (round-6 DESC, vec_id) order.
     */
-  /** The rotation gate's oracle: both generations' arms re-derived from
-    * their shared probe texts (v1 = [[ivfProbeSqlAt]]'s stand-in chain,
-    * v2 = [[ivfTrainedSql]]'s unrolled training chain), each scored
-    * against the same exact truth, and the swap rule (`v2 ≥ v1`) applied
-    * in SQL — so the Spark side's decision to rotate is itself checked,
-    * not just the numbers it read.
+  /** The rotation gate's oracle at a list count: both generations' corpus
+    * assignments re-derived (v1 = the prefix stand-in codebook, v2 = the
+    * unrolled training chain — each exact at the floor, ROUTED above it,
+    * matching [[stageIvfAt]]), per-gate-query probes and exact truths, and
+    * the swap rule (`mean v2 ≥ mean v1`) applied in SQL — so the Spark
+    * side's decision to rotate is itself checked, not just the per-query
+    * numbers it read.
     */
-  private def indexRotateSql: String =
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |ex AS (SELECT vec_id FROM
-       |  (SELECT e.vec_id, row_number() OVER (ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+  private def indexRotateSqlAt(kc: Int): String = {
+    val nq = rotateGateQueries
+    val routed = kc > Similarity.ivfCentroids
+    val g = Similarity.groupsFor(kc)
+    val v1Asn =
+      if (!routed)
+        s"""a1 AS (SELECT vec_id, cid FROM
+           |  (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |     ORDER BY ${SqlGen.cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+           |   FROM embeddings e, cent0 c) t WHERE rn = 1)""".stripMargin
+      else twoLevelFrom("cent0", g, "u", "a1")
+    val v2Asn =
+      if (!routed)
+        s"""a2v AS (SELECT vec_id, cid FROM
+           |  (SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |     ORDER BY ${SqlGen.cosSql("e.embedding", "c.ce")} DESC, c.cid) AS rn
+           |   FROM embeddings e, cent$trainedIters c) t WHERE rn = 1)""".stripMargin
+      else twoLevelFrom(s"cent$trainedIters", g, "w", "a2v")
+    def armCtes(cent: String, asn: String, qp: String, arm: String) =
+      s"""$qp AS (SELECT query_id, cid FROM
+         |  (SELECT q.query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |     ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
+         |   FROM $cent c, q) t WHERE rn <= 2),
+         |$arm AS (SELECT query_id, vec_id FROM
+         |  (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id
+         |     ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
+         |   FROM q JOIN $qp p ON p.query_id = q.query_id
+         |        JOIN $asn a ON a.cid = p.cid
+         |        JOIN embeddings e ON e.vec_id = a.vec_id) t WHERE rn <= $recallK)""".stripMargin
+    s"""WITH ${trainedChainCtes(kc)},
+       |$v1Asn,
+       |$v2Asn,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
+       |${armCtes("cent0", "a1", "qp1", "arm1")},
+       |${armCtes(s"cent$trainedIters", "a2v", "qp2", "arm2")},
+       |ex AS (SELECT query_id, vec_id FROM
+       |  (SELECT q.query_id, e.vec_id, row_number() OVER (PARTITION BY q.query_id
+       |     ORDER BY round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) DESC, e.vec_id) AS rn
        |   FROM embeddings e, q) t WHERE rn <= $recallK),
-       |v1 AS (SELECT vec_id FROM (${ivfProbeSql}) t),
-       |v2 AS (SELECT vec_id FROM (${ivfTrainedSql()}) t),
-       |h1 AS (SELECT count(*) AS hits FROM ex JOIN v1 USING (vec_id)),
-       |h2 AS (SELECT count(*) AS hits FROM ex JOIN v2 USING (vec_id))
-       |SELECT $recallK AS k,
-       |  h1.hits AS v1_hits, round(h1.hits/$recallK.0, 6) AS v1_recall,
-       |  h2.hits AS v2_hits, round(h2.hits/$recallK.0, 6) AS v2_recall,
-       |  h2.hits >= h1.hits AS swapped
-       |FROM h1, h2""".stripMargin
+       |h1 AS (SELECT ex.query_id, count(a.vec_id) AS hits FROM ex
+       |       LEFT JOIN arm1 a ON a.query_id = ex.query_id AND a.vec_id = ex.vec_id
+       |       GROUP BY ex.query_id),
+       |h2 AS (SELECT ex.query_id, count(a.vec_id) AS hits FROM ex
+       |       LEFT JOIN arm2 a ON a.query_id = ex.query_id AND a.vec_id = ex.vec_id
+       |       GROUP BY ex.query_id),
+       |m AS (SELECT (SELECT sum(hits) FROM h1) AS s1, (SELECT sum(hits) FROM h2) AS s2)
+       |SELECT h1.query_id AS query_id, $recallK AS k,
+       |  CAST(h1.hits AS BIGINT) AS v1_hits, round(h1.hits/$recallK.0, 6) AS v1_recall,
+       |  CAST(h2.hits AS BIGINT) AS v2_hits, round(h2.hits/$recallK.0, 6) AS v2_recall,
+       |  round(CAST(m.s1 AS DOUBLE)/${nq * recallK}, 6) AS v1_mean,
+       |  round(CAST(m.s2 AS DOUBLE)/${nq * recallK}, 6) AS v2_mean,
+       |  m.s2 >= m.s1 AS swapped
+       |FROM h1 JOIN h2 USING (query_id), m ORDER BY query_id""".stripMargin
+  }
 
   /** The composed staged re-rank's oracle: the full IVF-PQ chain at the
     * [[stagedRerankPool]] pool, wrapped in the same exact-cosine re-rank
     * CTE as [[pqRerankSql]] — one probe/ranking text with the staged ADC
     * row, so composing the re-rank cannot drift the staged arithmetic.
     */
-  private def ivfPqStagedRerankSql: String =
+  private def ivfPqStagedRerankSql(kc: Int): String =
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-       |cand AS (SELECT vec_id FROM (${ivfPqSqlWith("", stagedRerankPool)}) t)
+       |cand AS (SELECT vec_id FROM (${ivfPqSqlWith("", stagedRerankPool, kc)}) t)
        |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
        |FROM embeddings e JOIN cand USING (vec_id), q
        |ORDER BY cos_sim DESC, e.vec_id LIMIT $recallK""".stripMargin
@@ -2227,7 +2498,11 @@ object SimilarityQueries {
        |FROM a ORDER BY label""".stripMargin
   }
 
-  def oracle(dir: String): Map[String, String] = Map(
+  def oracle(dir: String): Map[String, String] = {
+    // ONE per-dir list-count resolution for every composed arm's oracle —
+    // the floor at driver scale, the corpus's √(n/256) above it (r16)
+    val kc = adaptiveIvfK.forOracle(dir)
+    Map(
     "sim_recall_white" -> recallWhiteSql,
     "sim_silhouette_white" -> silhouetteWhiteSql,
     "sim_pca" -> pcaSql,
@@ -2236,9 +2511,9 @@ object SimilarityQueries {
     "sim_silhouette" -> silhouetteSql,
     "sim_nprobe_curve" -> nprobeCurveSql,
     "sim_recall_pq" -> recallWrapSql(pqSql()),
-    "sim_recall_ivfpq" -> recallWrapSql(ivfPqSql),
-    "sim_ivfpq_trained" -> ivfPqTrainedSql,
-    "sim_recall_ivfpq_trained" -> recallWrapSql(ivfPqTrainedSql),
+    "sim_recall_ivfpq" -> recallWrapSql(ivfPqSqlAt(kc)),
+    "sim_ivfpq_trained" -> ivfPqTrainedSqlAt(kc),
+    "sim_recall_ivfpq_trained" -> recallWrapSql(ivfPqTrainedSqlAt(kc)),
     "sim_pq_rerank" -> pqRerankSql,
     "sim_recall_pq_rerank" -> recallWrapSql(pqRerankSql),
     "sim_rerank_curve" -> rerankCurveSql,
@@ -2315,10 +2590,13 @@ object SimilarityQueries {
          |SELECT $recallK AS k, count(*) AS hits, round(count(*)/$recallK.0, 6) AS recall
          |FROM ex JOIN ap USING (vec_id)""".stripMargin,
     "sim_pq_topk" -> pqSql(),
-    "sim_ivfpq_topk" -> ivfPqSql,
-    "sim_ivfpq_staged" -> ivfPqSql,
-    "sim_ivfpq_staged_rerank" -> ivfPqStagedRerankSql,
-    "sim_recall_ivfpq_rerank" -> recallWrapSql(ivfPqStagedRerankSql),
+    // the composed arms rank at the dir's resolved list count (r16):
+    // the unstaged arm auto-scales via centroidsFor, the staged arm stores
+    // the same layout — one probe text for both, per dir
+    "sim_ivfpq_topk" -> ivfPqSqlAt(kc),
+    "sim_ivfpq_staged" -> ivfPqSqlAt(kc),
+    "sim_ivfpq_staged_rerank" -> ivfPqStagedRerankSql(kc),
+    "sim_recall_ivfpq_rerank" -> recallWrapSql(ivfPqStagedRerankSql(kc)),
     "sim_centroid_assign" -> {
       val d = Similarity.dims
       s"""WITH px AS (SELECT label, pos, CAST(CAST(embedding[pos+1] AS DOUBLE) AS DECIMAL(27,12)) AS x
@@ -2354,8 +2632,8 @@ object SimilarityQueries {
     },
     "sim_ivf_trained" -> ivfTrainedSql(),
     // staged must not change the trained answer — one oracle text for both
-    "sim_ivf_trained_staged" -> ivfTrainedSql(),
-    "sim_recall_ivf_trained" -> recallWrapSql(ivfTrainedSql()),
+    "sim_ivf_trained_staged" -> ivfTrainedSql(kc),
+    "sim_recall_ivf_trained" -> recallWrapSql(ivfTrainedSql(kc)),
     "sim_ivf_staged" -> ivfProbeSql,
     // the adaptive arm renders the SAME probe text at its per-dir resolved
     // list count (the floor and the resolution coincide at driver scale;
@@ -2368,17 +2646,22 @@ object SimilarityQueries {
     "sim_recall_ivf_2level" ->
       recallWrapSql(ivf2LevelProbeSql(adaptiveIvfK.forOracle(dir))),
     "sim_assign_2level" -> assign2LevelSql(adaptiveIvfK.forOracle(dir)),
-    "sim_batch_ivf_staged" -> batchIvfSql,
-    "sim_recall_batch_ivf" -> recallBatchIvfSql,
+    "sim_batch_ivf_staged" -> batchIvfSql(kc),
+    "sim_recall_batch_ivf" -> recallBatchIvfSql(kc),
     // the compaction lifecycle ends in the SAME full-corpus staged probe —
     // stage/append×3/compact must be answer-invariant, which is the point
     "sim_index_compact" -> ivfProbeSql,
-    "sim_index_rotate" -> indexRotateSql,
+    "sim_index_rotate" -> indexRotateSqlAt(kc),
     // the deletion lifecycle ends in the plain staged probe over the corpus
     // minus the tombstoned residues — delete → shadow → apply → drop
     // tombstones must land exactly there, which is the point
-    "sim_index_delete" -> ivfProbeSqlAt(Similarity.ivfCentroids,
+    "sim_index_delete" -> ivfProbeSqlAt(kc,
       s"e.vec_id % 10 NOT IN (${deleteResidues.mkString(", ")})"),
+    // the IVF-PQ deletion lifecycle ends in the plain staged ADC probe over
+    // the corpus minus the tombstoned residues (codebook = the stage-time
+    // artifact, so the ranking chain is the staged arm's own text)
+    "sim_ivfpq_delete" -> ivfPqSqlAt(kc, 10,
+      s"vec_id % 10 NOT IN (${deleteResidues.mkString(", ")})"),
     "sim_lsh_staged" ->
       s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
          |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)
@@ -2406,7 +2689,7 @@ object SimilarityQueries {
     // but nprobe widened to filterNprobe and the predicate applied in the
     // probed-list scan (pre-filtering, like the Spark side)
     "sim_filter_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
          |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
          |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
          |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
@@ -2419,7 +2702,7 @@ object SimilarityQueries {
          |WHERE e.label = $filterLabel AND e.vec_id <> 0
          |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
     "sim_recall_filter_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < ${Similarity.ivfCentroids}),
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $kc),
          |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
          |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
          |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
@@ -2517,4 +2800,5 @@ object SimilarityQueries {
          |FROM coded, q
          |WHERE bit_count(xor(lsh_code, qcode)) <= $lshTopKHamming
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+  }
 }

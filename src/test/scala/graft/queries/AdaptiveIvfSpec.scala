@@ -62,6 +62,19 @@ class AdaptiveIvfSpec extends SparkSpec {
       s"the wider dir must keep its 18-list render:\n$wide")
   }
 
+  test("oracle render is order-independent: an unresolved above-floor dir " +
+    "resolves from the corpus, not the floor (r16 ADVICE)") {
+    // a COPY of the wide corpus under a path no query has touched in this
+    // JVM: rendering its oracle FIRST must compute 18 from the corpus
+    // itself instead of defaulting to the 16 floor
+    val fresh = java.nio.file.Files.createTempDirectory("graft_adaptive_fresh").toString
+    spark.read.parquet(s"$bigDir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$fresh/embeddings.parquet")
+    val sql = SimilarityQueries.oracle(fresh)("sim_ivf_staged_adaptive")
+    assert(sql.contains("WHERE vec_id < 18"),
+      s"pre-run oracle render must resolve the corpus's 18 lists:\n$sql")
+  }
+
   test("at the floor the adaptive arm and the fixed staged arm answer identically") {
     val adaptive = SimilarityQueries.ivfStagedAdaptiveTopK(spark, sf0001)
       .collect().toSeq

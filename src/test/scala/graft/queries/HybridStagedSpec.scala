@@ -23,7 +23,7 @@ class HybridStagedSpec extends SparkSpec {
         k1 = TextQueries.bm25K1, b = TextQueries.bm25B)
       .collect().map(_.getLong(0)).zipWithIndex
       .map { case (id, i) => id -> (i + 1) }.toMap
-    val cos = SimilarityQueries.ivfStagedPool(spark, sf0001, k = d)
+    val cos = SimilarityQueries.ivfStagedAdaptivePool(spark, sf0001, k = d)
       .collect().map(_.getLong(0)).zipWithIndex
       .map { case (id, i) => id -> (i + 1) }.toMap
     val k = RetrievalQueries.rrfK

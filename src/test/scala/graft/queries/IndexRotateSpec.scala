@@ -12,14 +12,28 @@ import graft.SparkSpec
   */
 class IndexRotateSpec extends SparkSpec {
 
-  test("rotation gate: decision row is coherent and the catalog holds exactly the live table") {
-    val row = SimilarityQueries.indexRotate(spark, sf0001).collect().head
-    val (v1Hits, v2Hits) = (row.getLong(1), row.getLong(3))
-    val swapped = row.getBoolean(5)
-    assert(swapped == (v2Hits >= v1Hits),
-      s"gate decision $swapped contradicts hits $v1Hits vs $v2Hits")
-    // recall fields derive from hits
-    assert(row.getDouble(2) == v1Hits / 10.0 && row.getDouble(4) == v2Hits / 10.0)
+  test("rotation gate: decision frame is coherent and the catalog holds exactly the live table") {
+    val rows = SimilarityQueries.indexRotate(spark, sf0001).collect()
+    // one row per gate query, each carrying its own recalls + the batch means
+    assert(rows.length == SimilarityQueries.rotateGateQueries)
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (0L until SimilarityQueries.rotateGateQueries.toLong))
+    val s1 = rows.map(_.getLong(2)).sum
+    val s2 = rows.map(_.getLong(4)).sum
+    val swapped = rows.head.getBoolean(8)
+    // the swap decision is the MEAN comparison (r16 verdict item 2), and
+    // every row repeats the same batch-level decision columns
+    assert(swapped == (s2 >= s1),
+      s"gate decision $swapped contradicts summed hits $s1 vs $s2")
+    rows.foreach { row =>
+      assert(row.getDouble(3) == row.getLong(2) / 10.0)
+      assert(row.getDouble(5) == row.getLong(4) / 10.0)
+      // mean columns are round-6 in the declared row
+      val denom = (SimilarityQueries.rotateGateQueries * 10).toDouble
+      assert(math.abs(row.getDouble(6) - s1 / denom) < 5e-7)
+      assert(math.abs(row.getDouble(7) - s2 / denom) < 5e-7)
+      assert(row.getBoolean(8) == swapped)
+    }
     val live = SimilarityQueries.rotateIvfTable(sf0001)
     assert(spark.catalog.tableExists(live), "live serving table missing")
     assert(!spark.catalog.tableExists(live + "_next"),

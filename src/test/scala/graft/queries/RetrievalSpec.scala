@@ -12,6 +12,28 @@ import graft.SparkSpec
   */
 class RetrievalSpec extends SparkSpec {
 
+  test("hybrid agreement row recomputes from the two fusions it measures") {
+    val full = RetrievalQueries.hybrid(spark, sf0001)
+      .collect().map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val staged = RetrievalQueries.hybridStaged(spark, sf0001)
+      .collect().map(_.getLong(0)).zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val common = full.keySet.intersect(staged.keySet)
+    val row = RetrievalQueries.hybridAgree(spark, sf0001).collect().head
+    assert(row.getInt(0) == 10)
+    assert(row.getLong(1) == common.size)
+    assert(row.getDouble(2) == common.size / 10.0)
+    val disps = common.toSeq.map(id => math.abs(full(id) - staged(id)))
+    assert(row.getLong(3) == disps.sum)
+    assert(row.getInt(4) == (if (disps.isEmpty) 0 else disps.max))
+  }
+
+  test("IVF-PQ deletion: served ADC results never contain a deleted residue") {
+    val ids = SimilarityQueries.indexPqDelete(spark, sf0001)
+      .collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    assert(!ids.exists(id => SimilarityQueries.deleteResidues.contains(id % 10)))
+  }
+
   test("hybrid RRF: results come from the arms' union; both-arm docs carry both ranks") {
     val out = RetrievalQueries.hybrid(spark, sf0001).collect()
     assert(out.length == 10)
