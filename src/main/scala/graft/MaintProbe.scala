@@ -15,10 +15,16 @@ import graft.queries.SimilarityQueries
   * — the degraded state compaction exists to fix), then run
   * [[graft.operators.Bucketing.compactDelta]] on a background thread while
   * the foreground loops the bucket-pruned probe, recording each probe's
-  * wall and row-identity vs the pre-maintenance answer. Install-before-
-  * delete means a concurrent reader may briefly see BOTH generations —
-  * the probe is a top-k, so duplicates could only surface as a duplicated
-  * id in the k frame; the identity check catches exactly that.
+  * wall, retry count, and row-identity vs the pre-maintenance answer.
+  *
+  * What the first run of this harness FOUND (the rehearsal's job): a read
+  * executing across the swap's superseded-file delete hits a transient
+  * `FAILED_READ_FILE` — the stale-plan race a parquet-directory table
+  * cannot close without a transaction log (lakehouse manifests) or
+  * refcounted segments (Lucene). The harness therefore does what a serving
+  * layer does — refresh + retry on that one error class — and REPORTS how
+  * often it fired; answers after retry must be identity-correct, so the
+  * race can cost a retry but never a wrong result.
   *
   *   SPARK_GRAFT_SF_DIR=/tmp/graft_sf10dc sbt "runMain graft.MaintProbe"
   */
@@ -49,9 +55,24 @@ object MaintProbe {
         graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
       .orderBy(desc("qcos"), asc("cid"))
       .limit(2).collect().map(_.getLong(0)).toSeq
-    def probe(): Seq[(Long, Double)] =
+    def probeOnce(): Seq[(Long, Double)] =
       Similarity.probeStagedIvf(spark, t, qe, probeCids, k = 10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def transientFileMiss(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => Option(c.getMessage).exists(_.contains("FAILED_READ_FILE")))
+    var retries = 0
+    def probe(): Seq[(Long, Double)] = {
+      var out: Seq[(Long, Double)] = null
+      while (out == null)
+        try out = probeOnce()
+        catch {
+          case e: Throwable if transientFileMiss(e) =>
+            retries += 1
+            spark.catalog.refreshTable(t)
+        }
+      out
+    }
     val reference = probe()
 
     @volatile var compactNanos = -1L
@@ -82,8 +103,8 @@ object MaintProbe {
     val post = probe()
     val postSec = (System.nanoTime() - t0) / 1e9
     require(post == reference, "post-maintenance probe diverged")
-    println(f"[maint] probes_during=$i%d worst_probe=$worst%.3f s " +
-      f"post_probe=$postSec%.3f s maxFiles=" +
+    println(f"[maint] probes_during=$i%d retries=$retries%d " +
+      f"worst_probe=$worst%.3f s post_probe=$postSec%.3f s maxFiles=" +
       Bucketing.maxFilesPerBucket(spark, t))
     spark.stop()
   }

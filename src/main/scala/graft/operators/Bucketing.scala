@@ -320,6 +320,15 @@ object Bucketing {
         new org.apache.hadoop.fs.Path(loc, f.getPath.getName)),
         s"bucket rewrite: failed to move ${f.getPath} into $loc")
     }
+    // Deletes happen BEFORE the refresh on purpose: until the refresh, a
+    // concurrent reader plans against the CACHED (old-generation) file
+    // list, which stays answer-consistent — refreshing mid-swap would
+    // instead expose both generations (duplicate ids inside a top-k).
+    // The residual race: a read EXECUTING across this delete hits a
+    // transient FAILED_READ_FILE on a superseded path — the window only a
+    // transaction log / refcounted-segment format closes completely.
+    // MaintProbe measures the hit rate; a serving layer retries (the
+    // retried answer is identity-correct, never silently wrong).
     superseded.foreach(f => fs.delete(f.getPath, false))
     spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
     if (fs.exists(tmpLoc)) fs.delete(tmpLoc, true)

@@ -458,6 +458,47 @@ object Similarity {
       withLshCode(batch, vecCol, planes).select(col(idCol), col(vecCol), col("lsh_code")),
       table, "lsh_code", buckets)
 
+  /** Record a DELETE batch against a [[stageLshBucketed]] index as
+    * TOMBSTONES — the LSH twin of [[deleteStagedIvf]], shaped by the arm's
+    * storage key: the CODE is the key, and a row's code is a pure function
+    * of its vector and the plane family, so the tombstone lands in exactly
+    * the bucket of the live row it shadows (coded over the batch only,
+    * cost ∝ batch) and probes prune BOTH sides by the same literal code
+    * list. Physical removal is [[Bucketing.compactDeletes]]'s business,
+    * keyed by `lsh_code`.
+    */
+  def deleteStagedLsh(batch: DataFrame, tombTable: String,
+                      planes: Int = lshPlanes, buckets: Int = 16,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit =
+    Bucketing.appendBucketed(
+      withLshCode(batch, vecCol, planes).select(col(idCol), col("lsh_code")),
+      tombTable, "lsh_code", buckets)
+
+  /** Probe a tombstone-carrying staged LSH index: both sides prune to the
+    * Hamming-≤1 probe-code buckets, the anti-join shadows deleted rows —
+    * deletes are visible the moment the tombstone lands, before any
+    * compaction ([[probeStagedIvfDeletes]]'s contract on the code-keyed
+    * arm).
+    */
+  def probeStagedLshDeletes(spark: SparkSession, table: String,
+                            tombTable: String, queryVec: Array[Float],
+                            qcode: Long, planes: Int = lshPlanes, k: Int = 10,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val probes = qcode +: (0 until planes).map(b => qcode ^ (1L << b))
+    val tomb = Bucketing.read(spark, tombTable)
+      .filter(col("lsh_code").isin(probes: _*))
+      .select(col(idCol))
+    Bucketing.read(spark, table)
+      .filter(col("lsh_code").isin(probes: _*))
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), typedlit(queryVec)), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc(idCol))
+      .limit(k)
+  }
+
   /** Probe a [[stageLshBucketed]] table: candidates = rows whose code is
     * within Hamming distance 1 of the query's code, fetched via the literal
     * probe-code list (bucket-pruned scan); exact cosine re-ranks survivors.
@@ -824,12 +865,24 @@ object Similarity {
     * added back at ranking time.
     */
   def residuals(emb: DataFrame, cent: DataFrame, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
-    val assigned = emb.crossJoin(broadcast(cent))
-      .select(col(idCol), col("cid"),
-        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
-      .groupBy(idCol)
-      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+                vecCol: String = "embedding",
+                centroidsN: Int = ivfCentroids): DataFrame = {
+    // coarse assignment: exact argmax at the floor; ROUTED above it (r16 —
+    // the residual-encoding paths were the last n·kc exact-assignment wall
+    // after the plain/trained/rotation stagings routed; SCALE_r16 §1
+    // measured it at 263 s for 2M vectors). Same regime split as
+    // [[stageIvfBucketedTwoLevel]]'s callers, so the kc-parameterized
+    // IVF-PQ oracles render the matching chain.
+    val assigned =
+      if (centroidsN > ivfCentroids)
+        assignTwoLevel(emb, cent, groupsFor(centroidsN), idCol, vecCol)
+          .select(col(idCol), col("cid"))
+      else
+        emb.crossJoin(broadcast(cent))
+          .select(col(idCol), col("cid"),
+            VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+          .groupBy(idCol)
+          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
     emb.join(assigned, idCol).join(broadcast(cent), "cid")
       .select(col(idCol), col("cid"),
         expr(s"zip_with($vecCol, ce, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))")
@@ -851,9 +904,16 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding",
                          centroidsN: Int = ivfCentroids): DataFrame =
+    // the window PRE-filters before the assignment: a row's (routed or
+    // exact) list id is a pure function of its own vector and the codebook,
+    // so assigning only the pqK window rows is identical to assigning the
+    // corpus and filtering — but provably bounded, instead of trusting the
+    // optimizer to push the window through the assignment chain's
+    // aggregates (measured: the un-pushed routed chain cost the 2M warm
+    // probe ~2.5 s per derivation)
     pqSubspaces(
-      residuals(emb, cent, idCol, vecCol)
-        .filter(col(idCol) >= centroidsN && col(idCol) < centroidsN + pqK),
+      residuals(emb.filter(col(idCol) >= centroidsN && col(idCol) < centroidsN + pqK),
+        cent, idCol, vecCol, centroidsN),
       "cw", idCol, "rv")
       .select(col("j"), col(idCol).cast("long").as("k"), col("cw"))
 
@@ -882,7 +942,7 @@ object Similarity {
     val stride = math.max(1L, n / sampleMax)
     val slices = pqSubspaces(
         residuals(emb.filter(pmod(col(idCol), lit(stride)) === 0), cent,
-          idCol, vecCol).select(col(idCol), col("rv")),
+          idCol, vecCol, centroidsN).select(col(idCol), col("rv")),
         "sv", idCol, "rv")
       .localCheckpoint(true)
     var cb = pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN)
@@ -989,7 +1049,7 @@ object Similarity {
     // where the codes quantize v − ce_cid against the residual codebook —
     // the coarse term is exact per probed list, the ADC sum explains only
     // the within-list remainder the codebook is now free to specialize on
-    val resid = residuals(emb, cent, idCol, vecCol)
+    val resid = residuals(emb, cent, idCol, vecCol, centroidsN)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
     val probes = cent.crossJoin(broadcast(q))
       .select(col("cid"), VectorOps.cosine(col("ce"), col("qe")).as("qcos"))
@@ -1036,9 +1096,11 @@ object Similarity {
     */
   def stageIvfPqBucketed(emb: DataFrame, cent: DataFrame, codebook: DataFrame,
                          table: String, buckets: Int = 8, idCol: String = "vec_id",
-                         vecCol: String = "embedding"): Unit =
+                         vecCol: String = "embedding",
+                         centroidsN: Int = ivfCentroids): Unit =
     Bucketing.writeBucketed(
-      ivfPqRows(emb, cent, codebook, idCol, vecCol), table, "cid", buckets)
+      ivfPqRows(emb, cent, codebook, idCol, vecCol, centroidsN),
+      table, "cid", buckets)
 
   /** Append a new batch into a [[stageIvfPqBucketed]] index: assignment and
     * encoding run against the SAME bounded centroid/codebook artifacts the
@@ -1048,9 +1110,11 @@ object Similarity {
     */
   def appendStagedIvfPq(batch: DataFrame, cent: DataFrame, codebook: DataFrame,
                         table: String, buckets: Int = 8, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): Unit =
+                        vecCol: String = "embedding",
+                        centroidsN: Int = ivfCentroids): Unit =
     Bucketing.appendBucketed(
-      ivfPqRows(batch, cent, codebook, idCol, vecCol), table, "cid", buckets)
+      ivfPqRows(batch, cent, codebook, idCol, vecCol, centroidsN),
+      table, "cid", buckets)
 
   /** Torn-append detection + repair for the ANN serving indexes — the
     * counterpart of [[TextIndex.recomputeStats]], shaped by a structural
@@ -1104,14 +1168,16 @@ object Similarity {
     */
   def reconcileStagedIvfPq(corpus: DataFrame, cent: DataFrame, codebook: DataFrame,
                            table: String, buckets: Int = 8, idCol: String = "vec_id",
-                           vecCol: String = "embedding"): (Long, Long) = {
+                           vecCol: String = "embedding",
+                           centroidsN: Int = ivfCentroids): (Long, Long) = {
     val idx = Bucketing.read(corpus.sparkSession, table)
     val dups = idx.groupBy(idCol).count().filter(col("count") > 1).count()
     val missing = corpus.join(idx.select(idCol), Seq(idCol), "left_anti")
       .select(col(idCol), col(vecCol))
     val nMissing = missing.count()
     if (nMissing > 0)
-      appendStagedIvfPq(missing, cent, codebook, table, buckets, idCol, vecCol)
+      appendStagedIvfPq(missing, cent, codebook, table, buckets, idCol, vecCol,
+        centroidsN)
     (nMissing, dups)
   }
 
@@ -1120,11 +1186,12 @@ object Similarity {
     * order [[probeStagedIvfPq]]'s ADC sum relies on).
     */
   private def ivfPqRows(emb: DataFrame, cent: DataFrame, codebook: DataFrame,
-                        idCol: String, vecCol: String): DataFrame = {
+                        idCol: String, vecCol: String,
+                        centroidsN: Int = ivfCentroids): DataFrame = {
     // `codebook` is the RESIDUAL codebook ([[pqCodebookResidual]], built on
     // the staged corpus and pinned across appends); the stored codes
     // quantize v − ce(cid), matching [[ivfPqTopK]]'s ranking decomposition
-    val resid = residuals(emb, cent, idCol, vecCol)
+    val resid = residuals(emb, cent, idCol, vecCol, centroidsN)
     val packed = pqEncode(resid, codebook, idCol, "rv")
       .groupBy(idCol)
       .agg(expr(

@@ -964,8 +964,11 @@ object SimilarityQueries {
       val tag = dir.split('/').last.replace('.', '_') +
         "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
       val t = s"graft_ann_ivfpq_k${kc}_$tag"
+      // v3: the coarse assignment routes above the floor (r16) — staged
+      // content differs from the v2 exact-argmax layout past kc = 16, so
+      // cross-JVM reuse of a v2 table would desync from the routed oracles
       val fp = Staging.fingerprint(s, dir,
-        s"ann_ivfpq:k$kc:pqk${Similarity.pqK}:res1:v2")
+        s"ann_ivfpq:k$kc:pqk${Similarity.pqK}:res1:v3")
       Staging.ensure(s, fp, Seq(t)) {
         val emb = Tables.embeddings(s, dir)
         import org.apache.spark.sql.functions.col
@@ -973,7 +976,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("cid"), col("embedding").as("ce"))
         Similarity.stageIvfPqBucketed(emb, cent,
           Similarity.pqCodebookResidual(emb, cent, centroidsN = kc), t,
-          buckets = kc)
+          buckets = kc, centroidsN = kc)
       }
       Seq(t)
     }.head
@@ -1383,6 +1386,54 @@ object SimilarityQueries {
     post
   }
 
+  def lshDeleteTable(dir: String): String =
+    "graft_ann_lshd_" + dir.split('/').last.replace('.', '_') +
+      "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
+
+  /** `sim_lsh_delete` — tombstone deletion for the staged LSH arm (r16),
+    * completing the deletion story across ALL FOUR staged index families
+    * (plain IVF = C205, IVF-PQ codes = C211, lexical = C208, LSH = this).
+    * The arm's storage key IS the code, so the case is bucket-local like
+    * C205/C211: delete batches are coded against the SAME plane family the
+    * index was staged with ([[Similarity.deleteStagedLsh]] — tombstone ∝
+    * batch, landing in exactly the buckets of the rows they shadow), the
+    * tombstoned probe drops deleted rows immediately, and
+    * [[graft.operators.Bucketing.compactDeletes]] (keyed by `lsh_code`)
+    * rewrites only the dirty buckets. Flow requires pre ≡ post; the
+    * declared result is the post-apply probe, oracled as the staged LSH
+    * probe over the corpus minus the deleted residues at the dir's
+    * resolved code width.
+    */
+  def indexLshDelete(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val planes = stagedWidth(s, dir)
+    val t = lshDeleteTable(dir)
+    val tomb = t + "_tomb"
+    val emb = Tables.embeddings(s, dir)
+    Similarity.stageLshBucketed(emb, t, planes, stagedLshBuckets)
+    graft.operators.Bucketing.dropStaged(s, tomb)
+    deleteResidues.foreach { r =>
+      Similarity.deleteStagedLsh(emb.filter(col("vec_id") % 10 === r), tomb,
+        planes, stagedLshBuckets)
+    }
+    val q = Similarity.withLshCode(
+        emb.filter(col("vec_id") === 0), "embedding", planes)
+      .select(col("embedding"), col("lsh_code")).head()
+    val (qe, qcode) = (q.getSeq[Float](0).toArray, q.getLong(1))
+    val pre = Similarity.probeStagedLshDeletes(s, t, tomb, qe, qcode, planes,
+      k = 10).collect().toSeq
+    val rewritten = graft.operators.Bucketing.compactDeletes(s, t, tomb,
+      "vec_id", "lsh_code", Seq("lsh_code"), stagedLshBuckets)
+    require(rewritten.nonEmpty,
+      "two tombstoned batches must dirty at least one bucket")
+    graft.operators.Bucketing.dropStaged(s, tomb)
+    val post = Similarity.probeStagedLsh(s, t, qe, qcode, planes, k = 10)
+    require(post.collect().toSeq == pre,
+      "applying tombstones changed the LSH probe answer — a live row was " +
+        "lost or a deleted one resurrected")
+    post
+  }
+
   def pqDeleteTable(dir: String): String =
     "graft_ann_ivfpqd_" + dir.split('/').last.replace('.', '_') +
       "_" + java.lang.Integer.toUnsignedString(dir.hashCode, 36)
@@ -1413,7 +1464,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     Similarity.stageIvfPqBucketed(emb, cent,
       Similarity.pqCodebookResidual(emb, cent, centroidsN = kc), t,
-      buckets = kc)
+      buckets = kc, centroidsN = kc)
     graft.operators.Bucketing.dropStaged(s, tomb)
     deleteResidues.foreach { r =>
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
@@ -2035,10 +2086,17 @@ object SimilarityQueries {
     val standIn = s"""cb0 AS (SELECT j, vec_id AS k, ${sliceSql("rv")} AS cw
        |       FROM rv, range(0, $m) t(j) WHERE vec_id >= $cN AND vec_id < ${cN + kk})""".stripMargin
     val cbFinal = if (cbChain.isEmpty) "cb0" else "cbt"
+    // coarse assignment: exact at the floor, ROUTED above it — matching
+    // [[Similarity.residuals]]'s regime split, so the staged codes and the
+    // oracle's re-derivation agree at every corpus size
+    val asnBlock =
+      if (cN <= Similarity.ivfCentroids)
+        s"""asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
+           |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
+           |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1)""".stripMargin
+      else twoLevelFrom("cent", Similarity.groupsFor(cN), "u", "a")
     s"""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $cN),
-       |asn AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM
-       |  (SELECT e.vec_id, c.cid, ${SqlGen.cosSql("e.embedding", "c.ce")} AS ccos FROM embeddings e, cent c) t),
-       |a AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |$asnBlock,
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qprobe AS (SELECT cid FROM
        |  (SELECT c.cid, ROW_NUMBER() OVER (ORDER BY ${SqlGen.cosSql("c.ce", "q.qe")} DESC, c.cid) AS rn
@@ -2668,6 +2726,16 @@ object SimilarityQueries {
          |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
          |FROM coded, q
          |WHERE bit_count(xor(lsh_code, qcode)) <= 1
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    // the LSH deletion lifecycle ends in the plain staged probe over the
+    // corpus minus the tombstoned residues, at the dir's resolved width
+    "sim_lsh_delete" ->
+      s"""WITH coded AS (SELECT vec_id, embedding, ${Similarity.lshCodeSql("embedding", stagedWidth.forOracle(dir))} AS lsh_code FROM embeddings),
+         |q AS (SELECT embedding AS qe, lsh_code AS qcode FROM coded WHERE vec_id = 0)
+         |SELECT vec_id, round(${SqlGen.cosSql("embedding", "qe")}, 6) AS cos_sim
+         |FROM coded, q
+         |WHERE bit_count(xor(lsh_code, qcode)) <= 1
+         |  AND vec_id % 10 NOT IN (${deleteResidues.mkString(", ")})
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     // filtered recall: both arms restricted to the predicate population;
     // the approx arm mirrors the ham≤2 pre-filtering probe

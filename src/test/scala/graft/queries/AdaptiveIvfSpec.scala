@@ -75,6 +75,14 @@ class AdaptiveIvfSpec extends SparkSpec {
       s"pre-run oracle render must resolve the corpus's 18 lists:\n$sql")
   }
 
+  test("above the floor the staged IVF-PQ arm equals the unstaged composition (routed on both sides)") {
+    val staged = SimilarityQueries.ivfPqStagedTopK(spark, bigDir).collect().toSeq
+    val emb = graft.Tables.embeddings(spark, bigDir)
+    val unstaged = Similarity.ivfPqTopK(emb, queryId = 0L, k = 10,
+      nOpt = Some(80000L)).collect().toSeq
+    assert(staged.nonEmpty && staged == unstaged)
+  }
+
   test("at the floor the adaptive arm and the fixed staged arm answer identically") {
     val adaptive = SimilarityQueries.ivfStagedAdaptiveTopK(spark, sf0001)
       .collect().toSeq

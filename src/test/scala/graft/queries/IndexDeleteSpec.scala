@@ -72,6 +72,13 @@ class IndexDeleteSpec extends SparkSpec {
     assert(post.toSeq == pre.toSeq)
   }
 
+  test("LSH deletion: served results never contain a deleted residue") {
+    val ids = SimilarityQueries.indexLshDelete(spark, sf0001)
+      .collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    assert(!ids.exists(id => SimilarityQueries.deleteResidues.contains(id % 10)))
+  }
+
   test("re-apply converges after a crash between install and delete (r16 ADVICE)") {
     val emb = Tables.embeddings(spark, sf0001)
     val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)

@@ -105,9 +105,12 @@ class PlanAuditSpec extends SparkSpec {
         "sim_batch_ivf_staged" -> 6,
         // the rerank's pool comes off the same 2-list pruned code scan
         "sim_ivfpq_staged_rerank" -> 2,
-        // the deletion lifecycle's declared result is the plain post-apply
-        // probe — still a 2-list pruned scan
+        // the deletion lifecycles' declared results are the plain
+        // post-apply probes — still pruned scans (2 lists for the IVF
+        // arms, the 9-code Hamming-1 ball for LSH)
         "sim_index_delete" -> 2,
+        "sim_ivfpq_delete" -> 2,
+        "sim_lsh_delete" -> 9,
         // frame probe: ≤ nprobe·|query frames| literal cids, must still
         // read strictly fewer than all 8 cid buckets
         "mm_search_maxsim" -> 7,
