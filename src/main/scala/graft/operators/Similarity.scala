@@ -733,12 +733,23 @@ object Similarity {
     */
   def deleteStagedIvf(batch: DataFrame, cent: DataFrame, tombTable: String,
                       buckets: Int = 8, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Unit = {
-    val assigned = batch.crossJoin(broadcast(cent))
-      .select(col(idCol), col("cid"),
-        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
-      .groupBy(idCol)
-      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+                      vecCol: String = "embedding",
+                      centroidsN: Int = ivfCentroids): Unit = {
+    // the tombstone's cid MUST reproduce the staged row's cid — same
+    // assignment regime as the staging (exact at the floor, routed above
+    // it): a tombstone on the wrong list would miss the pruned anti-join
+    // (deleted row still served) and dirty the wrong bucket (live row
+    // never rewritten — resurrection after the tombstones drop)
+    val assigned =
+      if (centroidsN > ivfCentroids)
+        assignTwoLevel(batch, cent, groupsFor(centroidsN), idCol, vecCol)
+          .select(col(idCol), col("cid"))
+      else
+        batch.crossJoin(broadcast(cent))
+          .select(col(idCol), col("cid"),
+            VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
+          .groupBy(idCol)
+          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
     Bucketing.appendBucketed(
       assigned.select(col(idCol), col("cid")), tombTable, "cid", buckets)
   }

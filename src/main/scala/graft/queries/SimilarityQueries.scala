@@ -1359,11 +1359,11 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, dir)
     val cent = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    Similarity.stageIvfBucketed(emb, cent, t, buckets = kc)
+    stageIvfAt(emb, cent, t, kc)
     graft.operators.Bucketing.dropStaged(s, tomb)
     deleteResidues.foreach { r =>
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
-        tomb, buckets = kc)
+        tomb, buckets = kc, centroidsN = kc)
     }
     val qe = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
@@ -1468,7 +1468,7 @@ object SimilarityQueries {
     graft.operators.Bucketing.dropStaged(s, tomb)
     deleteResidues.foreach { r =>
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
-        tomb, buckets = kc)
+        tomb, buckets = kc, centroidsN = kc)
     }
     val qe = emb.filter(col("vec_id") === 0).select("embedding")
       .head().getSeq[Float](0).toArray
@@ -1994,7 +1994,8 @@ object SimilarityQueries {
     * selection (bounded artifact, like the Spark side), pruned-list
     * cosine top-10.
     */
-  private def ivf2LevelProbeSql(kc: Int): String =
+  private def ivf2LevelProbeSql(kc: Int, where: String = "",
+                                limit: Int = 10): String =
     s"""WITH ${twoLevelAsnCtes(kc, Similarity.groupsFor(kc))},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |qprobe AS (SELECT cid FROM
@@ -2002,7 +2003,7 @@ object SimilarityQueries {
        |   FROM cent c, q) t WHERE rn <= 2)
        |SELECT e.vec_id, round(${SqlGen.cosSql("e.embedding", "q.qe")}, 6) AS cos_sim
        |FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id JOIN qprobe p ON p.cid = a2.cid, q
-       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+       |${if (where.isEmpty) "" else s"WHERE $where\n"}ORDER BY cos_sim DESC, e.vec_id LIMIT $limit""".stripMargin
 
   /** The agreement oracle: exact-argmax assignment vs the routed one,
     * joined per vector, one rollup row.
@@ -2713,8 +2714,14 @@ object SimilarityQueries {
     // the deletion lifecycle ends in the plain staged probe over the corpus
     // minus the tombstoned residues — delete → shadow → apply → drop
     // tombstones must land exactly there, which is the point
-    "sim_index_delete" -> ivfProbeSqlAt(kc,
-      s"e.vec_id % 10 NOT IN (${deleteResidues.mkString(", ")})"),
+    // at the floor the lifecycle stages/tombstones exact; above it both
+    // route (stageIvfAt + regime-consistent tombstones) and the oracle
+    // renders the routed chain
+    "sim_index_delete" -> {
+      val w = s"e.vec_id % 10 NOT IN (${deleteResidues.mkString(", ")})"
+      if (kc <= Similarity.ivfCentroids) ivfProbeSqlAt(kc, w)
+      else ivf2LevelProbeSql(kc, w)
+    },
     // the IVF-PQ deletion lifecycle ends in the plain staged ADC probe over
     // the corpus minus the tombstoned residues (codebook = the stage-time
     // artifact, so the ranking chain is the staged arm's own text)
