@@ -607,17 +607,40 @@ object Similarity {
                        buckets: Int = 8, idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        payloadCols: Seq[String] = Nil): Unit = {
-    val assigned = emb.crossJoin(broadcast(cent))
-      .select((Seq(col(idCol), col(vecCol)) ++ payloadCols.map(col) ++
-        Seq(col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))): _*)
-      .groupBy(idCol)
-      .agg(first(col(vecCol)).as(vecCol),
-        (payloadCols.map(c => first(col(c)).as(c)) :+
-          max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid")): _*)
+    // r16: the crossJoin(broadcast) → groupBy-argmax chain is replaced by
+    // the map-only [[nearestCidCol]] kernel over the driver-collected
+    // centroid artifact (bounded by construction) — bit-identical cid
+    // (IndexKernelsSpec pins parity incl. the tie and zero-norm rules),
+    // and the staging plan loses its Exchange + HashAggregate: it is now
+    // scan → project → bucketed write at any corpus size.
+    val (ids, vecs) = collectCent(cent)
     Bucketing.writeBucketed(
-      assigned.select((Seq(col(idCol), col(vecCol)) ++ payloadCols.map(col)
-        :+ col("cid")): _*), table, "cid", buckets)
+      emb.select((Seq(col(idCol), col(vecCol)) ++ payloadCols.map(col)
+        :+ nearestCidCol(col(vecCol), ids, vecs).as("cid")): _*),
+      table, "cid", buckets)
   }
+
+  /** Driver-collected centroid artifact in ascending-cid order — the input
+    * shape of the [[graft.expressions.NearestCentroidId]] kernel. Bounded
+    * by construction (≤ kc rows, the same artifact the replaced plans
+    * broadcast), so the collect is the same driver traffic class as a
+    * broadcast build.
+    */
+  def collectCent(cent: DataFrame): (Seq[Long], Seq[Seq[Float]]) = {
+    val rows = cent.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+  }
+
+  /** Map-only nearest-centroid assignment column (cosine, ties to the
+    * smaller cid) — the codegen kernel form of the crossJoin → max_by
+    * argmax, bit-identical by the kernel's contract.
+    */
+  def nearestCidCol(vec: Column, ids: Seq[Long], vecs: Seq[Seq[Float]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.NearestCentroidId(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec), ids, vecs))
 
   /** Append a new batch into a [[stageIvfBucketed]] index — the IVF
     * counterpart of [[appendStagedLsh]]: the batch is assigned against the
@@ -629,14 +652,14 @@ object Similarity {
   def appendStagedIvf(batch: DataFrame, cent: DataFrame, table: String,
                       buckets: Int = 8, idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
-    val assigned = batch.crossJoin(broadcast(cent))
-      .select(col(idCol), col(vecCol), col("cid"),
-        VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
-      .groupBy(idCol)
-      .agg(first(col(vecCol)).as(vecCol),
-        max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+    // r16: map-only kernel assignment (see [[stageIvfBucketed]]) — the
+    // per-ingest plan is project → append, no Exchange before the bucketed
+    // write's own shuffle.
+    val (ids, vecs) = collectCent(cent)
     Bucketing.appendBucketed(
-      assigned.select(col(idCol), col(vecCol), col("cid")), table, "cid", buckets)
+      batch.select(col(idCol), col(vecCol),
+        nearestCidCol(col(vecCol), ids, vecs).as("cid")),
+      table, "cid", buckets)
   }
 
   /** Probe a [[stageIvfBucketed]] table: read only the `probeCids` inverted
@@ -744,12 +767,12 @@ object Similarity {
       if (centroidsN > ivfCentroids)
         assignTwoLevel(batch, cent, groupsFor(centroidsN), idCol, vecCol)
           .select(col(idCol), col("cid"))
-      else
-        batch.crossJoin(broadcast(cent))
-          .select(col(idCol), col("cid"),
-            VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
-          .groupBy(idCol)
-          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
+      else {
+        // r16: map-only kernel assignment at the floor (see
+        // [[stageIvfBucketed]]) — tombstoning a batch is project → append
+        val (ids, vecs) = collectCent(cent)
+        batch.select(col(idCol), nearestCidCol(col(vecCol), ids, vecs).as("cid"))
+      }
     Bucketing.appendBucketed(
       assigned.select(col(idCol), col("cid")), tombTable, "cid", buckets)
   }
@@ -884,20 +907,28 @@ object Similarity {
     // measured it at 263 s for 2M vectors). Same regime split as
     // [[stageIvfBucketedTwoLevel]]'s callers, so the kc-parameterized
     // IVF-PQ oracles render the matching chain.
-    val assigned =
-      if (centroidsN > ivfCentroids)
-        assignTwoLevel(emb, cent, groupsFor(centroidsN), idCol, vecCol)
-          .select(col(idCol), col("cid"))
-      else
-        emb.crossJoin(broadcast(cent))
-          .select(col(idCol), col("cid"),
-            VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
-          .groupBy(idCol)
-          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
-    emb.join(assigned, idCol).join(broadcast(cent), "cid")
-      .select(col(idCol), col("cid"),
-        expr(s"zip_with($vecCol, ce, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))")
-          .as("rv"))
+    if (centroidsN > ivfCentroids) {
+      val assigned = assignTwoLevel(emb, cent, groupsFor(centroidsN), idCol, vecCol)
+        .select(col(idCol), col("cid"))
+      emb.join(assigned, idCol).join(broadcast(cent), "cid")
+        .select(col(idCol), col("cid"),
+          expr(s"zip_with($vecCol, ce, (x, c) -> CAST(x AS DOUBLE) - CAST(c AS DOUBLE))")
+            .as("rv"))
+    } else {
+      // r16: at the floor the whole residual derivation is ONE map-only
+      // projection — kernel cid (bit-identical argmax) + centroid lookup
+      // from a constant-folded map literal + the SAME zip_with subtraction.
+      // The replaced shape paid an Exchange + HashAggregate for the argmax
+      // and another join-back exchange to re-attach the vector.
+      val (ids, vecs) = collectCent(cent)
+      val ceOf = element_at(
+        map_from_arrays(typedlit(ids), typedlit(vecs)), col("cid"))
+      emb.select(col(idCol),
+          nearestCidCol(col(vecCol), ids, vecs).as("cid"), col(vecCol))
+        .select(col(idCol), col("cid"),
+          zip_with(col(vecCol), ceOf,
+            (x, c) => x.cast("double") - c.cast("double")).as("rv"))
+    }
   }
 
   /** Deterministic RESIDUAL codebook stand-in: codeword (j, k) is the j-th
