@@ -119,11 +119,17 @@ case class PqNearestCodes(child: Expression, ks: Seq[Seq[Long]],
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"PqNearestCodes needs an ARRAY<DOUBLE> residual input, got $t")
+      s"PqNearestCodes needs an ARRAY<FLOAT|DOUBLE> input, got $t")
   }
 
+  // float children are widened per element before the arithmetic, exactly
+  // like ArrayL2Sq's mixed-type fold
+  @transient private lazy val childIsFloat: Boolean =
+    child.dataType == ArrayType(FloatType, containsNull = false) ||
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   @transient private lazy val kArr: Array[Array[Long]] = ks.map(_.toArray).toArray
   @transient private lazy val cwArr: Array[Array[Array[Double]]] =
     cws.map(_.map(_.toArray).toArray).toArray
@@ -143,7 +149,9 @@ case class PqNearestCodes(child: Expression, ks: Seq[Seq[Long]],
         // ArrayL2Sq's left-to-right fold over the j-th slice
         var s = 0.0; var i = 0
         while (i < subDim) {
-          val d = rv.getDouble(base + i) - cw(i)
+          val x = if (childIsFloat) rv.getFloat(base + i).toDouble
+                  else rv.getDouble(base + i)
+          val d = x - cw(i)
           s += d * d
           i += 1
         }

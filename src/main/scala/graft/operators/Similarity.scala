@@ -1049,18 +1049,15 @@ object Similarity {
     */
   def pqTopK(emb: DataFrame, queryId: Long, k: Int = 10,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cb = pqCodebook(emb, idCol, vecCol)
-    val codes = pqEncode(emb, cb, idCol, vecCol)
-    val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
-      .join(broadcast(cb), "j")
-      .select(col("j").as("lj"), col("k").as("lk"),
-        expr(s"""aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)),
-            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("ip"))
-    codes.join(broadcast(lut), col("j") === col("lj") && col("code") === col("lk"))
-      .groupBy(idCol)
-      .agg(round(expr(
-        "aggregate(array_sort(collect_list(struct(j AS j, ip AS ip))), " +
-          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.ip)"), 6).as("adc"))
+    // r16: encode + ADC as kernels over the collected codebook/LUT (same
+    // folds, spec-pinned) — scan → project → TakeOrdered, where the
+    // replaced chain paid the n·M·K explode-join and three exchanges
+    val (ks, cws) = collectCodebook(pqCodebook(emb, idCol, vecCol))
+    val qe = emb.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    val ips = lutFor(qe, cws)
+    emb.select(col(idCol),
+        round(adcScoreCol(pqCodesCol(col(vecCol), ks, cws), ks, ips), 6).as("adc"))
       .orderBy(desc("adc"), asc(idCol))
       .limit(k)
   }
@@ -1090,39 +1087,33 @@ object Similarity {
     //   dot(q, v) ≈ dot(q, ce_cid) + Σ_j lut[j, code_j]
     // where the codes quantize v − ce_cid against the residual codebook —
     // the coarse term is exact per probed list, the ADC sum explains only
-    // the within-list remainder the codebook is now free to specialize on
+    // the within-list remainder the codebook is now free to specialize on.
+    // r16: probe-list selection, LUT and coarse term come from the
+    // driver-collected artifacts ([[nearestCidsFor]]/[[lutFor]]/[[qceFor]],
+    // identical folds, spec-pinned) and the encode+score are kernels — the
+    // query is residual projection → filter(2 lists) → project → TakeOrdered
     val resid = residuals(emb, cent, idCol, vecCol, centroidsN)
-    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
-    val probes = cent.crossJoin(broadcast(q))
-      .select(col("cid"), VectorOps.cosine(col("ce"), col("qe")).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(nprobe)
-      .select("cid")
-    // exact query·centroid inner product for each probed list — the coarse
-    // term of the decomposition (nprobe rows, broadcast)
-    val qce = cent.join(broadcast(probes), "cid").crossJoin(broadcast(q))
-      .select(col("cid"), VectorOps.dot(col("qe"), col("ce")).as("qce"))
-    val cands = resid.join(broadcast(probes), "cid")
-      .select(col(idCol), col("rv"))
+    val (cids, cvecs) = collectCent(cent)
+    val qe = emb.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    val probeCids = nearestCidsFor(qe, cids, cvecs, nprobe)
 
     // the stand-in codebook's window starts past the PROBE's list count, so
     // an adaptive (above-floor) composition never picks zero-residual
     // centroid rows as codewords
     val cb = cbOpt.getOrElse(pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN))
-    val codes = pqEncode(cands, cb, idCol, "rv")
-    val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
-      .join(broadcast(cb), "j")
-      .select(col("j").as("lj"), col("k").as("lk"),
-        expr(s"""aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)),
-            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("ip"))
-    codes.join(broadcast(lut), col("j") === col("lj") && col("code") === col("lk"))
-      .groupBy(idCol)
-      .agg(expr(
-        "aggregate(array_sort(collect_list(struct(j AS j, ip AS ip))), " +
-          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.ip)").as("radc"))
-      .join(resid.select(col(idCol), col("cid")), idCol)
-      .join(broadcast(qce), "cid")
-      .select(col(idCol), round(col("radc") + col("qce"), 6).as("adc"))
+    val (ks, cws) = collectCodebook(cb)
+    val ips = lutFor(qe, cws)
+    val qce = qceFor(qe, cids, cvecs)
+    val qceOf = element_at(
+      map_from_arrays(
+        typedlit(probeCids.sorted),
+        typedlit(probeCids.sorted.map(qce))),
+      col("cid"))
+    resid.filter(col("cid").isin(probeCids: _*))
+      .select(col(idCol),
+        round(adcScoreCol(pqCodesCol(col("rv"), ks, cws), ks, ips) + qceOf, 6)
+          .as("adc"))
       .orderBy(desc("adc"), asc(idCol))
       .limit(k)
   }
@@ -1227,20 +1218,120 @@ object Similarity {
     * list assignment + PQ codes packed into an ascending-j array (the fixed
     * order [[probeStagedIvfPq]]'s ADC sum relies on).
     */
+  /** Driver-collected PQ codebook in (ascending j, ascending k) order — the
+    * input shape of the [[graft.expressions.PqNearestCodes]] /
+    * [[graft.expressions.PqAdcScore]] kernels. Bounded by construction
+    * (M·K rows — the artifact the replaced plans broadcast); float
+    * codewords widen to double exactly, like the mixed-type folds did
+    * per element.
+    */
+  def collectCodebook(codebook: DataFrame): (Seq[Seq[Long]], Seq[Seq[Seq[Double]]]) = {
+    val rows = codebook
+      .select(col("j").cast("int"), col("k").cast("long"),
+        col("cw").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    val m = rows.map(_._1).max + 1
+    val byJ = rows.groupBy(_._1)
+    val perJ = (0 until m).map(j => byJ(j).sortBy(_._2))
+    (perJ.map(_.map(_._2).toSeq), perJ.map(_.map(_._3).toSeq))
+  }
+
+  /** Map-only per-subspace nearest-codeword encode (squared L2, ties to the
+    * smaller k) — the kernel form of the explode → broadcast-join →
+    * double-groupBy PQ encode chain, bit-identical by the kernel contract.
+    */
+  def pqCodesCol(rv: Column, ks: Seq[Seq[Long]],
+                 cws: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.PqNearestCodes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(rv),
+        ks, cws, pqSubDim))
+
+  /** Map-only ADC fold Σ_j lut(j)(code_j) — the kernel form of the
+    * posexplode → broadcast-join → collect_list-fold ADC chain.
+    */
+  def adcScoreCol(codes: Column, ks: Seq[Seq[Long]],
+                  ips: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.PqAdcScore(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
+        ks, ips))
+
+  /** The query's ADC lookup table, computed on the driver from the collected
+    * codebook: ip(j)(t) = Σ_i qv[j·subDim + i] · cw_t[i] — the identical
+    * left-to-right double fold of the `zip_with`/`aggregate` LUT expression
+    * it replaces (query elements widen float→double, codewords arrive
+    * already widened by [[collectCodebook]]).
+    */
+  def lutFor(qe: Array[Float], cws: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
+    cws.zipWithIndex.map { case (cands, j) =>
+      cands.map { cw =>
+        var s = 0.0; var i = 0
+        while (i < cw.length) {
+          s += qe(j * pqSubDim + i).toDouble * cw(i); i += 1
+        }
+        s
+      }
+    }
+
+  /** dot(q, centroid) for each collected centroid — [[FloatDotProduct]]'s
+    * fold (common-prefix length, left-to-right, per-element float→double).
+    */
+  def qceFor(qe: Array[Float], ids: Seq[Long],
+             vecs: Seq[Seq[Float]]): Map[Long, Double] =
+    ids.zip(vecs).map { case (cid, ce) =>
+      val n = math.min(qe.length, ce.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += qe(i).toDouble * ce(i).toDouble; i += 1 }
+      cid -> s
+    }.toMap
+
+  /** The query's `nprobe` nearest centroid lists, computed on the driver
+    * from the collected artifact: cosine with [[VectorOps.cosine]]'s exact
+    * arithmetic (FloatDotProduct folds, sqrt, zero-norm → 0.0), ordered by
+    * (cos DESC, cid ASC) under the same double total order Spark's
+    * TakeOrdered applies — bit-identical to the crossJoin + orderBy +
+    * limit(nprobe) selection it replaces (spec-pinned).
+    */
+  def nearestCidsFor(qe: Array[Float], ids: Seq[Long], vecs: Seq[Seq[Float]],
+                     nprobe: Int): Seq[Long] = {
+    var nq = 0.0
+    var i = 0
+    while (i < qe.length) { val x = qe(i).toDouble; nq += x * x; i += 1 }
+    val sq = math.sqrt(nq)
+    ids.zip(vecs).map { case (cid, ce) =>
+      var nb = 0.0; var j = 0
+      while (j < ce.length) { val x = ce(j).toDouble; nb += x * x; j += 1 }
+      val sb = math.sqrt(nb)
+      val cos =
+        if (sq == 0.0 || sb == 0.0) 0.0
+        else {
+          val n = math.min(qe.length, ce.length)
+          var s = 0.0; var t = 0
+          while (t < n) { s += qe(t).toDouble * ce(t).toDouble; t += 1 }
+          s / (sq * sb)
+        }
+      (cid, cos)
+    }.sortWith { case ((c1, s1), (c2, s2)) =>
+      val d = java.lang.Double.compare(s2, s1)
+      if (d != 0) d < 0 else c1 < c2
+    }.take(nprobe).map(_._1)
+  }
+
   private def ivfPqRows(emb: DataFrame, cent: DataFrame, codebook: DataFrame,
                         idCol: String, vecCol: String,
                         centroidsN: Int = ivfCentroids): DataFrame = {
     // `codebook` is the RESIDUAL codebook ([[pqCodebookResidual]], built on
     // the staged corpus and pinned across appends); the stored codes
-    // quantize v − ce(cid), matching [[ivfPqTopK]]'s ranking decomposition
-    val resid = residuals(emb, cent, idCol, vecCol, centroidsN)
-    val packed = pqEncode(resid, codebook, idCol, "rv")
-      .groupBy(idCol)
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(j AS j, code AS code))), e -> e.code)")
-        .as("codes"))
-    resid.select(col(idCol), col("cid")).join(packed, idCol)
-      .select(col(idCol), col("cid"), col("codes"))
+    // quantize v − ce(cid), matching [[ivfPqTopK]]'s ranking decomposition.
+    // r16: the encode is the [[pqCodesCol]] kernel over the collected
+    // codebook — the residual row already carries (cid, rv), so the whole
+    // stage is a projection; the replaced shape paid the n·M·K explode-join
+    // plus two exchanges (per-(id, j) argmin, per-id pack) and a join-back.
+    val (ks, cws) = collectCodebook(codebook)
+    residuals(emb, cent, idCol, vecCol, centroidsN)
+      .select(col(idCol), col("cid"), pqCodesCol(col("rv"), ks, cws).as("codes"))
   }
 
   /** Probe a [[stageIvfPqBucketed]] table: read only the `probeCids` lists
@@ -1264,18 +1355,27 @@ object Similarity {
     // same bounded artifacts the table was staged with: the prefix centroid
     // table (at the SAME list count the index was staged at) and the
     // residual codebook derived from it — `emb` supplies only the query row
-    // and these model artifacts, never a corpus-sized read
+    // and these model artifacts, never a corpus-sized read.
+    // r16: the artifacts are driver-collected and the ranking is the
+    // [[adcScoreCol]] kernel over a LUT computed with the identical folds
+    // ([[lutFor]]/[[qceFor]]), so the probe plan is pruned scan
+    // [→ broadcast anti-join] → project → TakeOrdered — the replaced shape
+    // paid a posexplode (rows ×M), two broadcast joins and a groupBy
+    // exchange per probe.
     val cent = emb.filter(col(idCol) < centroidsN)
       .select(col(idCol).as("cid"), col(vecCol).as("ce"))
-    val cb = pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN)
-    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
-    val qce = cent.filter(col("cid").isin(probeCids: _*)).crossJoin(broadcast(q))
-      .select(col("cid"), VectorOps.dot(col("qe"), col("ce")).as("qce"))
-    val lut = pqSubspaces(emb.filter(col(idCol) === queryId), "qv", idCol, vecCol)
-      .join(broadcast(cb), "j")
-      .select(col("j").as("lj"), col("k").as("lk"),
-        expr(s"""aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)),
-            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""").as("ip"))
+    val (cids, cvecs) = collectCent(cent)
+    val (ks, cws) = collectCodebook(
+      pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN))
+    val qe = emb.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    val ips = lutFor(qe, cws)
+    val qce = qceFor(qe, cids, cvecs)
+    val qceOf = element_at(
+      map_from_arrays(
+        typedlit(probeCids.sorted),
+        typedlit(probeCids.sorted.map(qce))),
+      col("cid"))
     val live = tombTableOpt.fold(
         Bucketing.read(spark, table).filter(col("cid").isin(probeCids: _*))) { tt =>
       val tomb = Bucketing.read(spark, tt)
@@ -1286,15 +1386,8 @@ object Similarity {
         .join(broadcast(tomb), Seq(idCol), "left_anti")
     }
     live
-      .select(col(idCol), col("cid"), posexplode(col("codes")))
-      .toDF(idCol, "cid", "j", "code")
-      .join(broadcast(lut), col("j") === col("lj") && col("code") === col("lk"))
-      .groupBy(idCol, "cid")
-      .agg(expr(
-        "aggregate(array_sort(collect_list(struct(j AS j, ip AS ip))), " +
-          "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.ip)").as("radc"))
-      .join(broadcast(qce), "cid")
-      .select(col(idCol), round(col("radc") + col("qce"), 6).as("adc"))
+      .select(col(idCol),
+        round(adcScoreCol(col("codes"), ks, ips) + qceOf, 6).as("adc"))
       .orderBy(desc("adc"), asc(idCol))
       .limit(k)
   }

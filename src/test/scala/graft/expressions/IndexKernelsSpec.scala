@@ -50,6 +50,83 @@ class IndexKernelsSpec extends SparkSpec {
     assert(got(11L) == 3L)
   }
 
+  test("PqNearestCodes + PqAdcScore equal the explode-join-aggregate PQ chain") {
+    val cent = centPrefix(16)
+    val cb = Similarity.pqCodebookResidual(emb, cent)
+    val resid = Similarity.residuals(emb, cent)
+    // the pre-r16 encode chain, inlined (pqEncode + the pack it fed)
+    val sub = resid.select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), j -> struct(j AS j, slice(rv, j*8+1, 8) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.j").as("j"), col("e.sv").as("sv"))
+    val oldCodes = sub.join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"), col("k"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.ArrayL2Sq(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("sv")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("cw"))))
+          .as("dist"))
+      .groupBy("vec_id", "j")
+      .agg(max_by(col("k"),
+        struct((-col("dist")).as("nd"), (-col("k")).as("tie"))).as("code"))
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(j AS j, code AS code))), e -> e.code)")
+        .as("codes"))
+    val (ks, cws) = Similarity.collectCodebook(cb)
+    val knl = resid.select(col("vec_id"),
+      Similarity.pqCodesCol(col("rv"), ks, cws).as("codes_k"))
+    val j1 = oldCodes.join(knl, "vec_id")
+    assert(j1.filter(not(col("codes") <=> col("codes_k"))).count() == 0)
+
+    // ADC: the old posexplode-join-fold vs the kernel, same LUT values
+    val qe = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val lutDf = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), j -> struct(j AS j, slice(embedding, j*8+1, 8) AS qv))")).as("e"))
+      .select(col("e.j").as("j"), col("e.qv").as("qv"))
+      .join(broadcast(cb), "j")
+      .select(col("j").as("lj"), col("k").as("lk"),
+        expr("aggregate(zip_with(qv, cw, (x, c) -> CAST(x AS DOUBLE)*CAST(c AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("ip"))
+    val oldAdc = knl.select(col("vec_id"), posexplode(col("codes_k")))
+      .toDF("vec_id", "j", "code")
+      .join(broadcast(lutDf), col("j") === col("lj") && col("code") === col("lk"))
+      .groupBy("vec_id")
+      .agg(expr("aggregate(array_sort(collect_list(struct(j AS j, ip AS ip))), " +
+        "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.ip)").as("adc"))
+    // driver-side LUT must equal the zip_with LUT bit-for-bit
+    val ips = Similarity.lutFor(qe, cws)
+    val lutGot = lutDf.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ks.zipWithIndex.foreach { case (krow, j) =>
+      krow.zipWithIndex.foreach { case (kk, t) =>
+        assert(lutGot((j, kk)) == ips(j)(t),
+          s"LUT drift at j=$j k=$kk") } }
+    val knlAdc = knl.select(col("vec_id"),
+      Similarity.adcScoreCol(col("codes_k"), ks, ips).as("adc_k"))
+    val j2 = oldAdc.join(knlAdc, "vec_id")
+    assert(j2.filter(col("adc") =!= col("adc_k")).count() == 0)
+  }
+
+  test("nearestCidsFor equals the crossJoin + orderBy + limit probe selection") {
+    val cent = centPrefix(16)
+    val qe = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val old = cent
+      .select(col("cid"),
+        VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
+      .orderBy(desc("qcos"), asc("cid"))
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    val (ids, vecs) = Similarity.collectCent(cent)
+    assert(Similarity.nearestCidsFor(qe, ids, vecs, 5) == old)
+    // qce must equal FloatDotProduct
+    val qceOld = cent.select(col("cid"),
+        VectorOps.dot(typedlit(qe), col("ce")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Similarity.qceFor(qe, ids, vecs) == qceOld)
+  }
+
   test("floor residuals (kernel form) equal the join-shaped derivation") {
     val cent = centPrefix(16)
     // the pre-r16 join-shaped derivation, inlined

@@ -197,10 +197,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("sim_rp_topk").contains("TakeOrderedAndProject"))
   }
 
-  test("PQ ranking: codebook and LUT ride broadcasts, encode argmax is window-free, top-k is TakeOrdered") {
+  test("PQ ranking: kernel encode/ADC keep the plan map-only — no exchange, no window, top-k is TakeOrdered") {
+    // pre-r16 these arms broadcast the codebook/LUT into join-aggregate
+    // chains; the r16 kernels fold the bounded artifacts inside a single
+    // projection, so the whole ranking must plan with NO exchange of any
+    // kind before the TakeOrdered
     Seq("sim_pq_topk", "sim_ivfpq_topk").foreach { n =>
       val p = plans(n)
-      assert(p.contains("BroadcastHashJoin"), n)
+      assert(!p.contains("Exchange hashpartitioning"), n)
       assert(!p.contains("windowspecdefinition"), n)
       assert(p.contains("TakeOrderedAndProject"), n)
     }
