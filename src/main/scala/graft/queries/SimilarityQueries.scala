@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Tables
 import graft.operators.{Similarity, Staging}
@@ -19,6 +20,42 @@ object SimilarityQueries {
     BackboneRegistry.scalarOrBuild(s, s"embCount:$dir") {
       Tables.embeddings(s, dir).count()
     }
+
+  /** Driver-collected prefix-centroid artifact at list count `kc` —
+    * ascending-cid (ids, vectors), cached per (session, dir, kc) like the
+    * other bounded model artifacts here (embCount, trainedCent, the
+    * whitened profile). This is the SAME kc-row artifact every staged arm
+    * broadcasts/collects for assignment; r16 also drives probe-list
+    * selection and the query vector from it (vec 0 is inside the prefix),
+    * so a staged probe spends zero Spark jobs on selection.
+    */
+  private[queries] def centArtifact(s: SparkSession, dir: String,
+                                    kc: Int): (Seq[Long], Seq[Seq[Float]]) =
+    BackboneRegistry.scalarOrBuild(s, s"ivfcentart:$kc:$dir") {
+      Similarity.collectCent(Tables.embeddings(s, dir)
+        .filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    }
+
+  /** Query vector `queryId` read from the prefix artifact (valid whenever
+    * queryId < kc, which every declared probe here satisfies).
+    */
+  private[queries] def queryVecFromArtifact(art: (Seq[Long], Seq[Seq[Float]]),
+                                            queryId: Long): Array[Float] =
+    art._2(art._1.indexOf(queryId)).toArray
+
+  /** The standard staged-probe selection: query vector = corpus row
+    * `queryId`, probe lists = its `nprobe` nearest centroids under the
+    * spec-pinned driver-side rule ([[Similarity.nearestCidsFor]] — the
+    * bit-identical TakeOrdered replacement).
+    */
+  private[queries] def probeSelection(s: SparkSession, dir: String, kc: Int,
+                                      nprobe: Int = 2, queryId: Long = 0L)
+      : (Array[Float], Seq[Long]) = {
+    val art = centArtifact(s, dir, kc)
+    val qe = queryVecFromArtifact(art, queryId)
+    (qe, Similarity.nearestCidsFor(qe, art._1, art._2, nprobe))
+  }
 
   /** ADAPTIVE code width for a query family whose DuckDB oracle must be
     * rendered at the SAME width the Spark plan used: [[apply]] resolves
@@ -645,20 +682,15 @@ object SimilarityQueries {
     // instead of the fixed arm's n/8-per-list reads
     val ivfT = annAdaptiveTable(s, dir)
     val kc = adaptiveIvfK(s, dir)
-    val emb = Tables.embeddings(s, dir)
-    val cent = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val qs = emb.filter(col("vec_id") < 3)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val queries = qs.map { case (qid, qv) =>
-      val cids = cent
-        .select(col("cid"),
-          graft.functions.VectorOps.cosine(col("ce"), typedlit(qv)).as("qcos"))
-        .orderBy(desc("qcos"), asc("cid"))
-        .limit(2).collect().map(_.getLong(0)).toSeq
-      (qid, qv, cids)
-    }.toSeq
+    // r16: batch queries and per-query probe lists come off the collected
+    // prefix artifact (the gate queries are inside the prefix), via the
+    // spec-pinned driver-side selection — zero Spark jobs before the one
+    // pruned probe scan
+    val art = centArtifact(s, dir, kc)
+    val queries = (0L until 3L).map { qid =>
+      val qv = queryVecFromArtifact(art, qid)
+      (qid, qv, Similarity.nearestCidsFor(qv, art._1, art._2, 2))
+    }
     Similarity.probeStagedIvfBatch(s, ivfT, queries, k = batchRecallK)
       .orderBy("query_id", "rn")
   }
@@ -889,14 +921,7 @@ object SimilarityQueries {
     import org.apache.spark.sql.functions._
     val t = annFilteredIvfTable(s, dir)
     val kc = adaptiveIvfK(s, dir)
-    val emb = Tables.embeddings(s, dir)
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(filterNprobe).collect().map(_.getLong(0)).toSeq
+    val (qe, probeCids) = probeSelection(s, dir, kc, nprobe = filterNprobe)
     Similarity.probeStagedIvfFiltered(s, t, qe, probeCids,
       col("label") === filterLabel && col("vec_id") =!= 0, k = 10)
   }
@@ -991,15 +1016,8 @@ object SimilarityQueries {
   def ivfPqStagedTopK(s: SparkSession, dir: String): DataFrame = {
     val t = pqTable(s, dir)
     val kc = adaptiveIvfK(s, dir)
-    import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(s, dir)
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (_, probeCids) = probeSelection(s, dir, kc)
     Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10, centroidsN = kc)
   }
 
@@ -1026,13 +1044,7 @@ object SimilarityQueries {
     val t = pqTable(s, dir)
     val kc = adaptiveIvfK(s, dir)
     val emb = Tables.embeddings(s, dir)
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (qe, probeCids) = probeSelection(s, dir, kc)
     val pool = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids,
       k = stagedRerankPool, centroidsN = kc).select("vec_id")
     emb.join(pool, "vec_id")
@@ -1061,15 +1073,7 @@ object SimilarityQueries {
   private[queries] def ivfStagedPool(s: SparkSession, dir: String,
                                      k: Int): DataFrame = {
     val (_, ivfT) = annTables(s, dir)
-    import org.apache.spark.sql.functions._
-    val emb = Tables.embeddings(s, dir)
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (qe, probeCids) = probeSelection(s, dir, Similarity.ivfCentroids)
     Similarity.probeStagedIvf(s, ivfT, qe, probeCids, k = k)
   }
 
@@ -1162,17 +1166,9 @@ object SimilarityQueries {
     */
   private[queries] def ivfStagedAdaptivePool(s: SparkSession, dir: String,
                                              k: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
     val kc = adaptiveIvfK(s, dir)
     val t = annAdaptiveTable(s, dir)
-    val emb = Tables.embeddings(s, dir)
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (qe, probeCids) = probeSelection(s, dir, kc)
     Similarity.probeStagedIvf(s, t, qe, probeCids, k = k)
   }
 
@@ -1218,17 +1214,9 @@ object SimilarityQueries {
     * the corpus-side assignment routes).
     */
   def ivfStaged2LevelTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val kc = adaptiveIvfK(s, dir)
     val t = annTwoLevelTable(s, dir)
-    val emb = Tables.embeddings(s, dir)
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (qe, probeCids) = probeSelection(s, dir, kc)
     Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
   }
 
@@ -1306,13 +1294,7 @@ object SimilarityQueries {
       Similarity.appendStagedIvf(emb.filter(col("vec_id") % 4 === m), cent, t,
         stagedIvfBuckets)
     }
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < Similarity.ivfCentroids)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (qe, probeCids) = probeSelection(s, dir, Similarity.ivfCentroids)
     val pre = Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
       .collect().toSeq
     val rewritten = graft.operators.Bucketing.compactDelta(s, t, "cid",
@@ -1365,13 +1347,7 @@ object SimilarityQueries {
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
         tomb, buckets = kc, centroidsN = kc)
     }
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (qe, probeCids) = probeSelection(s, dir, kc)
     val pre = Similarity.probeStagedIvfDeletes(s, t, tomb, qe, probeCids, k = 10)
       .collect().toSeq
     val rewritten = graft.operators.Bucketing.compactDeletes(s, t, tomb,
@@ -1470,13 +1446,7 @@ object SimilarityQueries {
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
         tomb, buckets = kc, centroidsN = kc)
     }
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
-    val probeCids = emb.filter(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
+    val (_, probeCids) = probeSelection(s, dir, kc)
     val pre = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10,
       centroidsN = kc, tombTableOpt = Some(tomb)).collect().toSeq
     val rewritten = graft.operators.Bucketing.compactDeletes(s, t, tomb,
@@ -1551,24 +1521,26 @@ object SimilarityQueries {
     stageIvfAt(emb, centV1, live, kc)
     stageIvfAt(emb, centV2, next, kc)
 
-    val gateQs = emb.filter(col("vec_id") < rotateGateQueries)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
-    def probeOf(table: String, cent: DataFrame, qe: Array[Float]): DataFrame = {
-      val cids = cent
-        .select(col("cid"),
-          graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
-        .orderBy(desc("qcos"), asc("cid"))
-        .limit(2).collect().map(_.getLong(0)).toSeq
-      Similarity.probeStagedIvf(s, table, qe, cids, k = recallK)
+    // r16: gate queries and both arms' probe-list selections come off the
+    // collected centroid artifacts (prefix cached per (dir, kc), trained
+    // per dir) via the spec-pinned driver-side rule — the gate's Spark
+    // jobs are the probes and truth scans themselves, not selections
+    val artV1 = centArtifact(s, dir, kc)
+    val artV2 = BackboneRegistry.scalarOrBuild(s, s"ivfcentart_trained:$dir")(
+      Similarity.collectCent(centV2))
+    val gateQs = (0L until rotateGateQueries).map { qid =>
+      (qid, queryVecFromArtifact(artV1, qid))
     }
+    def probeOf(table: String, art: (Seq[Long], Seq[Seq[Float]]),
+                qe: Array[Float]): DataFrame =
+      Similarity.probeStagedIvf(s, table, qe,
+        Similarity.nearestCidsFor(qe, art._1, art._2, 2), k = recallK)
     val perQuery = gateQs.map { case (qid, qe) =>
       val exact = Similarity.bruteForceTopK(emb, queryId = qid, k = recallK)
         .select("vec_id").collect().map(_.getLong(0)).toSet
-      val h1 = probeOf(live, centV1, qe)
+      val h1 = probeOf(live, artV1, qe)
         .select("vec_id").collect().map(_.getLong(0)).count(exact)
-      val h2 = probeOf(next, centV2, qe)
+      val h2 = probeOf(next, artV2, qe)
         .select("vec_id").collect().map(_.getLong(0)).count(exact)
       (qid, h1, h2)
     }
@@ -1585,10 +1557,10 @@ object SimilarityQueries {
     // codebook's answers for EVERY gate query — catches a swap that kept
     // the loser. The reference is assignment-consistent: exact argmax at
     // the floor, the routed chain above it (what the staging used).
-    val winCent = if (swapped) centV2 else centV1
+    val (winCent, winArt) = if (swapped) (centV2, artV2) else (centV1, artV1)
     gateQs.foreach { case (qid, qe) =>
-      val post = probeOf(live, winCent, qe).collect().toSeq
-      val ref = referenceProbe(s, emb, winCent, kc, qe).collect().toSeq
+      val post = probeOf(live, winArt, qe).collect().toSeq
+      val ref = referenceProbe(s, emb, winCent, winArt, kc, qe).collect().toSeq
       require(post == ref,
         s"post-swap probe for gate query $qid diverged from the winning " +
           "codebook's one-shot arm")
@@ -1614,25 +1586,19 @@ object SimilarityQueries {
     * reproduce.
     */
   private def referenceProbe(s: SparkSession, emb: DataFrame, cent: DataFrame,
-                             kc: Int, qe: Array[Float]): DataFrame = {
+                             art: (Seq[Long], Seq[Seq[Float]]), kc: Int,
+                             qe: Array[Float]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cids = cent
-      .select(col("cid"),
-        graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
-    val asn =
+    val cids = Similarity.nearestCidsFor(qe, art._1, art._2, 2)
+    val assigned =
       if (kc > Similarity.ivfCentroids)
-        Similarity.assignTwoLevel(emb, cent, Similarity.groupsFor(kc))
-          .select(col("vec_id"), col("cid"))
+        emb.join(Similarity.assignTwoLevel(emb, cent, Similarity.groupsFor(kc))
+          .select(col("vec_id"), col("cid")), "vec_id")
       else
-        emb.crossJoin(broadcast(cent))
-          .select(col("vec_id"),
-            graft.functions.VectorOps.cosine(col("embedding"), col("ce")).as("ccos"),
-            col("cid"))
-          .groupBy("vec_id")
-          .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
-    emb.join(asn, "vec_id")
+        // r16: kernel argmax — the reference is one projection + filter
+        emb.select(col("vec_id"), col("embedding"),
+          Similarity.nearestCidCol(col("embedding"), art._1, art._2).as("cid"))
+    assigned
       .filter(col("cid").isin(cids: _*))
       .select(col("vec_id"),
         round(graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)), 6)
@@ -1698,16 +1664,13 @@ object SimilarityQueries {
     * 2-probe rule), because staging must not change the answer.
     */
   def ivfTrainedStagedTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val t = annTrainedTable(s, dir)
-    val qe = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select("embedding").head().getSeq[Float](0).toArray
-    val probeCids = trainedCent(s, dir)
-      .select(col("cid"),
-        graft.functions.VectorOps.cosine(col("ce"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(2).collect().map(_.getLong(0)).toSeq
-    Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
+    val qe = queryVecFromArtifact(
+      centArtifact(s, dir, Similarity.ivfCentroids), 0L)
+    val art = BackboneRegistry.scalarOrBuild(s, s"ivfcentart_trained:$dir")(
+      Similarity.collectCent(trainedCent(s, dir)))
+    Similarity.probeStagedIvf(s, t, qe,
+      Similarity.nearestCidsFor(qe, art._1, art._2, 2), k = 10)
   }
 
   /** `sim_recall_ivf_trained` — the trained-IVF arm's own reading (every
