@@ -606,14 +606,16 @@ object Similarity {
   def stageIvfBucketed(emb: DataFrame, cent: DataFrame, table: String,
                        buckets: Int = 8, idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       payloadCols: Seq[String] = Nil): Unit = {
+                       payloadCols: Seq[String] = Nil,
+                       centArtOpt: Option[(Seq[Long], Seq[Seq[Float]])] = None)
+      : Unit = {
     // r16: the crossJoin(broadcast) → groupBy-argmax chain is replaced by
     // the map-only [[nearestCidCol]] kernel over the driver-collected
     // centroid artifact (bounded by construction) — bit-identical cid
     // (IndexKernelsSpec pins parity incl. the tie and zero-norm rules),
     // and the staging plan loses its Exchange + HashAggregate: it is now
     // scan → project → bucketed write at any corpus size.
-    val (ids, vecs) = collectCent(cent)
+    val (ids, vecs) = centArtOpt.getOrElse(collectCent(cent))
     Bucketing.writeBucketed(
       emb.select((Seq(col(idCol), col(vecCol)) ++ payloadCols.map(col)
         :+ nearestCidCol(col(vecCol), ids, vecs).as("cid")): _*),
@@ -651,11 +653,13 @@ object Similarity {
     */
   def appendStagedIvf(batch: DataFrame, cent: DataFrame, table: String,
                       buckets: Int = 8, idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Unit = {
+                      vecCol: String = "embedding",
+                      centArtOpt: Option[(Seq[Long], Seq[Seq[Float]])] = None)
+      : Unit = {
     // r16: map-only kernel assignment (see [[stageIvfBucketed]]) — the
     // per-ingest plan is project → append, no Exchange before the bucketed
     // write's own shuffle.
-    val (ids, vecs) = collectCent(cent)
+    val (ids, vecs) = centArtOpt.getOrElse(collectCent(cent))
     Bucketing.appendBucketed(
       batch.select(col(idCol), col(vecCol),
         nearestCidCol(col(vecCol), ids, vecs).as("cid")),
@@ -757,7 +761,9 @@ object Similarity {
   def deleteStagedIvf(batch: DataFrame, cent: DataFrame, tombTable: String,
                       buckets: Int = 8, idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      centroidsN: Int = ivfCentroids): Unit = {
+                      centroidsN: Int = ivfCentroids,
+                      centArtOpt: Option[(Seq[Long], Seq[Seq[Float]])] = None)
+      : Unit = {
     // the tombstone's cid MUST reproduce the staged row's cid — same
     // assignment regime as the staging (exact at the floor, routed above
     // it): a tombstone on the wrong list would miss the pruned anti-join
@@ -769,8 +775,10 @@ object Similarity {
           .select(col(idCol), col("cid"))
       else {
         // r16: map-only kernel assignment at the floor (see
-        // [[stageIvfBucketed]]) — tombstoning a batch is project → append
-        val (ids, vecs) = collectCent(cent)
+        // [[stageIvfBucketed]]) — tombstoning a batch is project → append;
+        // callers that already hold the collected artifact pass it so the
+        // batch pays zero selection jobs
+        val (ids, vecs) = centArtOpt.getOrElse(collectCent(cent))
         batch.select(col(idCol), nearestCidCol(col(vecCol), ids, vecs).as("cid"))
       }
     Bucketing.appendBucketed(
@@ -1351,7 +1359,10 @@ object Similarity {
                        queryId: Long, probeCids: Seq[Long], k: Int = 10,
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        centroidsN: Int = ivfCentroids,
-                       tombTableOpt: Option[String] = None): DataFrame = {
+                       tombTableOpt: Option[String] = None,
+                       centArtOpt: Option[(Seq[Long], Seq[Seq[Float]])] = None,
+                       cbArtOpt: Option[(Seq[Seq[Long]], Seq[Seq[Seq[Double]]])] = None)
+      : DataFrame = {
     // same bounded artifacts the table was staged with: the prefix centroid
     // table (at the SAME list count the index was staged at) and the
     // residual codebook derived from it — `emb` supplies only the query row
@@ -1362,13 +1373,21 @@ object Similarity {
     // [→ broadcast anti-join] → project → TakeOrdered — the replaced shape
     // paid a posexplode (rows ×M), two broadcast joins and a groupBy
     // exchange per probe.
-    val cent = emb.filter(col(idCol) < centroidsN)
-      .select(col(idCol).as("cid"), col(vecCol).as("ce"))
-    val (cids, cvecs) = collectCent(cent)
-    val (ks, cws) = collectCodebook(
-      pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN))
-    val qe = emb.filter(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0).toArray
+    val (cids, cvecs) = centArtOpt.getOrElse {
+      collectCent(emb.filter(col(idCol) < centroidsN)
+        .select(col(idCol).as("cid"), col(vecCol).as("ce")))
+    }
+    val (ks, cws) = cbArtOpt.getOrElse {
+      val cent = emb.filter(col(idCol) < centroidsN)
+        .select(col(idCol).as("cid"), col(vecCol).as("ce"))
+      collectCodebook(pqCodebookResidual(emb, cent, idCol, vecCol, centroidsN))
+    }
+    // the declared probes' query rows live inside the collected prefix;
+    // fall back to the corpus scan only for foreign query ids
+    val qe =
+      if (cids.contains(queryId)) cvecs(cids.indexOf(queryId)).toArray
+      else emb.filter(col(idCol) === queryId).select(col(vecCol))
+        .head().getSeq[Float](0).toArray
     val ips = lutFor(qe, cws)
     val qce = qceFor(qe, cids, cvecs)
     val qceOf = element_at(

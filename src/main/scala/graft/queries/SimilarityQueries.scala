@@ -37,6 +37,20 @@ object SimilarityQueries {
         .select(col("vec_id").as("cid"), col("embedding").as("ce")))
     }
 
+  /** Driver-collected residual PQ codebook at list count `kc`, cached per
+    * (session, dir, kc) — the bounded M·K model artifact the staged IVF-PQ
+    * arms encode and ADC-rank with.
+    */
+  private[queries] def pqCbArtifact(s: SparkSession, dir: String, kc: Int)
+      : (Seq[Seq[Long]], Seq[Seq[Seq[Double]]]) =
+    BackboneRegistry.scalarOrBuild(s, s"pqcbart:$kc:$dir") {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb.filter(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      Similarity.collectCodebook(
+        Similarity.pqCodebookResidual(emb, cent, centroidsN = kc))
+    }
+
   /** Query vector `queryId` read from the prefix artifact (valid whenever
     * queryId < kc, which every declared probe here satisfies).
     */
@@ -1018,7 +1032,9 @@ object SimilarityQueries {
     val kc = adaptiveIvfK(s, dir)
     val emb = Tables.embeddings(s, dir)
     val (_, probeCids) = probeSelection(s, dir, kc)
-    Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10, centroidsN = kc)
+    Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10,
+      centroidsN = kc, centArtOpt = Some(centArtifact(s, dir, kc)),
+      cbArtOpt = Some(pqCbArtifact(s, dir, kc)))
   }
 
   /** ADC pool for the composed staged re-rank — the pool where C179's
@@ -1046,7 +1062,9 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, dir)
     val (qe, probeCids) = probeSelection(s, dir, kc)
     val pool = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids,
-      k = stagedRerankPool, centroidsN = kc).select("vec_id")
+      k = stagedRerankPool, centroidsN = kc,
+      centArtOpt = Some(centArtifact(s, dir, kc)),
+      cbArtOpt = Some(pqCbArtifact(s, dir, kc))).select("vec_id")
     emb.join(pool, "vec_id")
       .select(col("vec_id"),
         round(graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)), 6)
@@ -1288,11 +1306,12 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, dir)
     val cent = emb.filter(col("vec_id") < Similarity.ivfCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val art = centArtifact(s, dir, Similarity.ivfCentroids)
     Similarity.stageIvfBucketed(emb.filter(col("vec_id") % 4 === 0), cent, t,
-      stagedIvfBuckets)
+      stagedIvfBuckets, centArtOpt = Some(art))
     (1 to 3).foreach { m =>
       Similarity.appendStagedIvf(emb.filter(col("vec_id") % 4 === m), cent, t,
-        stagedIvfBuckets)
+        stagedIvfBuckets, centArtOpt = Some(art))
     }
     val (qe, probeCids) = probeSelection(s, dir, Similarity.ivfCentroids)
     val pre = Similarity.probeStagedIvf(s, t, qe, probeCids, k = 10)
@@ -1341,11 +1360,12 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, dir)
     val cent = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    stageIvfAt(emb, cent, t, kc)
+    val art = centArtifact(s, dir, kc)
+    stageIvfAt(emb, cent, t, kc, centArtOpt = Some(art))
     graft.operators.Bucketing.dropStaged(s, tomb)
     deleteResidues.foreach { r =>
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
-        tomb, buckets = kc, centroidsN = kc)
+        tomb, buckets = kc, centroidsN = kc, centArtOpt = Some(art))
     }
     val (qe, probeCids) = probeSelection(s, dir, kc)
     val pre = Similarity.probeStagedIvfDeletes(s, t, tomb, qe, probeCids, k = 10)
@@ -1438,24 +1458,27 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, dir)
     val cent = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val art = centArtifact(s, dir, kc)
+    val cbArt = pqCbArtifact(s, dir, kc)
     Similarity.stageIvfPqBucketed(emb, cent,
       Similarity.pqCodebookResidual(emb, cent, centroidsN = kc), t,
       buckets = kc, centroidsN = kc)
     graft.operators.Bucketing.dropStaged(s, tomb)
     deleteResidues.foreach { r =>
       Similarity.deleteStagedIvf(emb.filter(col("vec_id") % 10 === r), cent,
-        tomb, buckets = kc, centroidsN = kc)
+        tomb, buckets = kc, centroidsN = kc, centArtOpt = Some(art))
     }
     val (_, probeCids) = probeSelection(s, dir, kc)
     val pre = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10,
-      centroidsN = kc, tombTableOpt = Some(tomb)).collect().toSeq
+      centroidsN = kc, tombTableOpt = Some(tomb), centArtOpt = Some(art),
+      cbArtOpt = Some(cbArt)).collect().toSeq
     val rewritten = graft.operators.Bucketing.compactDeletes(s, t, tomb,
       "vec_id", "cid", Seq("cid"), buckets = kc)
     require(rewritten.nonEmpty,
       "two tombstoned batches must dirty at least one bucket")
     graft.operators.Bucketing.dropStaged(s, tomb)
     val post = Similarity.probeStagedIvfPq(s, t, emb, 0L, probeCids, k = 10,
-      centroidsN = kc)
+      centroidsN = kc, centArtOpt = Some(art), cbArtOpt = Some(cbArt))
     require(post.collect().toSeq == pre,
       "applying tombstones changed the ADC probe answer — a live row was " +
         "lost or a deleted one resurrected")
@@ -1518,7 +1541,8 @@ object SimilarityQueries {
     val centV1 = emb.filter(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val centV2 = trainedCent(s, dir)
-    stageIvfAt(emb, centV1, live, kc)
+    stageIvfAt(emb, centV1, live, kc,
+      centArtOpt = Some(centArtifact(s, dir, kc)))
     stageIvfAt(emb, centV2, next, kc)
 
     // r16: gate queries and both arms' probe-list selections come off the
@@ -1628,12 +1652,15 @@ object SimilarityQueries {
     * that regime.
     */
   private def stageIvfAt(emb: DataFrame, cent: DataFrame, table: String,
-                         kc: Int): Unit =
+                         kc: Int,
+                         centArtOpt: Option[(Seq[Long], Seq[Seq[Float]])] = None)
+      : Unit =
     if (kc > Similarity.ivfCentroids)
       Similarity.stageIvfBucketedTwoLevel(emb, cent, Similarity.groupsFor(kc),
         table, buckets = kc)
     else
-      Similarity.stageIvfBucketed(emb, cent, table, buckets = kc)
+      Similarity.stageIvfBucketed(emb, cent, table, buckets = kc,
+        centArtOpt = centArtOpt)
 
   /** The staged TRAINED-IVF index: the corpus bucketed into the k-means‖-
     * trained lists instead of the prefix stand-in's — at the adaptive list
