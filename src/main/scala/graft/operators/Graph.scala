@@ -48,7 +48,10 @@ object Graph {
     */
   def pagerank(pairs: DataFrame, iters: Int): (DataFrame, Long) = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
-    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    // r16: no eager checkpoint of the raw pair projection — callers pass
+    // the backbone-checkpointed edge frame, and the only consumer (`routed`)
+    // is itself eagerly checkpointed right below
+    val p = pairs.select(col("src"), col("dst"))
     val sym = p.union(p.select(col("dst"), col("src"))).distinct()
     // routing table: every directed edge with its source's out-degree.
     // Window(partitionBy src) instead of groupBy+self-join: one shuffle, and
@@ -105,7 +108,7 @@ object Graph {
       iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(seedCount > 0, "personalized pagerank needs a non-empty seed set")
-    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    val p = pairs.select(col("src"), col("dst"))
     val sym = p.union(p.select(col("dst"), col("src"))).distinct()
     val routed = sym
       .withColumn("deg",
@@ -352,23 +355,29 @@ object Graph {
     */
   def bfsLevels(pairs: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
-    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    val p = pairs.select(col("src"), col("dst"))
     val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
-    var visited = sources.select(col("node"))
-      .withColumn("level", lit(0L)).localCheckpoint(true)
-    var frontier = visited.select("node")
+    // r16: ONE eager materialization per round (the new frontier), not two —
+    // the visited set is the union of the already-checkpointed per-round
+    // frames, so re-checkpointing it only re-copied every earlier level
+    // each round (rounds² blocks over the walk). The union's lineage stays
+    // flat: every leg is a checkpointed frame.
+    var visitedParts = List(sources.select(col("node"))
+      .withColumn("level", lit(0L)).localCheckpoint(true))
+    var frontier = visitedParts.head.select("node")
     for (k <- 1 to rounds) {
+      val visited = visitedParts.map(_.select("node")).reduce(_ union _)
       val next = frontier.join(sym, frontier("node") === sym("src"))
         .select(col("dst").as("node"))
         .distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .withColumn("level", lit(k.toLong))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      visitedParts = visitedParts :+ next
       frontier = next.select("node")
     }
-    visited
+    visitedParts.reduce(_ union _)
   }
 
   /** Canonical undirected edge list: (min, max) per pair, self-loops and
