@@ -85,4 +85,29 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a SCAN-STARVED input across the session's cores (r16, guide
+    * §2.5 "one huge unsplittable file"): the driver testdata ships each
+    * table as ONE parquet file with ONE row group, so every scan stage —
+    * decode, the per-row expressions fused into it, and the partial
+    * aggregation before the first exchange — runs on a single core no
+    * matter how many the session has. For queries whose per-row work is
+    * material (decimal moment casts, shingling, tokenization, regex), a
+    * round-robin repartition right after the scan is the guide's remedy:
+    * the exchange moves narrow rows once and the heavy expressions run on
+    * every core.
+    *
+    * Scale-adaptive, not local-tuned: the repartition fires only when the
+    * input's file count is below half the session's parallelism — a real
+    * multi-file corpus (any production table, any 100 TB layout) already
+    * scans wide and passes through untouched. Callers must be
+    * order-independent (every declared query here is — exact/integer
+    * aggregates plus a total ORDER BY) and must NOT be staging writers
+    * (bucketed staging controls its own file layout).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length >= math.max(1, target / 2)) df
+    else df.repartition(target)
+  }
 }

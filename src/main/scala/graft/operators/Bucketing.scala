@@ -29,7 +29,13 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     dropWithOrphanSweep(df.sparkSession, table)
-    df.write.mode("overwrite")
+    // r16: pre-shuffle into the bucket layout (same Murmur3 pmod as the
+    // bucket assignment, the writeBucketedSorted idiom) so every staged
+    // table holds ONE file per bucket regardless of the input's
+    // partitioning — probe I/O is then `files = pruned buckets` by
+    // construction, not `input partitions × pruned buckets`.
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)

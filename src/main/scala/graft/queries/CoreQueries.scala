@@ -133,7 +133,7 @@ object CoreQueries {
 
   /** Q11 — rollup (grouping sets). */
   def q11(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.spread(Tables.lineitem(s, dir))
       .rollup("l_returnflag", "l_linestatus")
       .agg(round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6).as("s"))
       .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
@@ -202,7 +202,7 @@ object CoreQueries {
 
   /** Q21 — cube (C5 closes the grouping-sets family next to Q11's rollup). */
   def q21(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
+    Tables.spread(Tables.orders(s, dir))
       .cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("c"),
         round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("s"))
@@ -454,7 +454,7 @@ object CoreQueries {
     * expansion (an Expand node, one pass, no self-union of scans).
     */
   def q36(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.spread(Tables.lineitem(s, dir))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
@@ -472,7 +472,7 @@ object CoreQueries {
     * most significant bit).
     */
   def q37(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.spread(Tables.lineitem(s, dir))
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
@@ -604,7 +604,10 @@ object CoreQueries {
     */
   def q44(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity"); val y = col("l_extendedprice")
-    Tables.lineitem(s, dir)
+    // r16: five exact-decimal casts + sums per row run inside the scan
+    // stage, and the input is one unsplittable row group — spread it
+    // (Tables.spread) so the moment pass uses every core
+    Tables.spread(Tables.lineitem(s, dir))
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -653,7 +656,7 @@ object CoreQueries {
     * stays ~7.5e31 — inside DECIMAL(38,6) like q44's headroom note.
     */
   def q62(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val ev = Tables.spread(Tables.events(s, dir))
       .withColumn("x", expr("(unix_micros(ts) % 86400000000L) div 1000000L"))
     val x = col("x"); val y = col("value")
     ev.groupBy("event_type")
@@ -795,7 +798,7 @@ object CoreQueries {
     * the row count.
     */
   def q49(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    Tables.spread(Tables.lineitem(s, dir))
       .unpivot(Array.empty, profileCols.map(col).toArray, "col_name", "value")
       .groupBy("col_name")
       .agg(
@@ -980,7 +983,7 @@ object CoreQueries {
     val rowStr = concat_ws("|",
       col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate").cast("string"))
-    Tables.lineitem(s, dir)
+    Tables.spread(Tables.lineitem(s, dir))
       .select(
         pmod(col("l_orderkey"), lit(16)).as("bucket"),
         conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long").as("h"))
@@ -2313,7 +2316,7 @@ object CoreQueries {
     * DECIMALs so the 9-way sum is order-independent in both engines.
     */
   def q100(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.orders(s, dir)
+    val d = Tables.spread(Tables.orders(s, dir))
       .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
         1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))

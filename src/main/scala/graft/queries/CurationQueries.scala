@@ -118,7 +118,7 @@ object CurationQueries {
     */
   def curateBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"), col("n_chars"),
         round(qualityScore(col("text")), 6).as("q"))
     val w = Window.partitionBy("source").orderBy(desc("q"), asc("doc_id"))
@@ -161,7 +161,7 @@ object CurationQueries {
     * model by this source", JS its bounded symmetric form.
     */
   def curateKl(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Importance.klDrift(Tables.documents(s, dir))
+    graft.operators.Importance.klDrift(Tables.spread(Tables.documents(s, dir)))
       .select(col("source"), col("kl"), col("js"))
       .orderBy("source")
 
@@ -335,7 +335,7 @@ object CurationQueries {
     */
   def mixDsir(s: SparkSession, dir: String): DataFrame =
     graft.operators.Importance.dsirSelect(
-      Tables.documents(s, dir), col("lang") === "en", dsirKeep)
+      Tables.spread(Tables.documents(s, dir)), col("lang") === "en", dsirKeep)
 
   /** Docs kept per source by the exact-count sampler. */
   val reservoirPerSource = 10

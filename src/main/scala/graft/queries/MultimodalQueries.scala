@@ -165,18 +165,17 @@ object MultimodalQueries {
     */
   def search(s: SparkSession, dir: String): DataFrame = {
     val t = mediaAnnTable(s, dir)
-    val emb = Tables.embeddings(s, dir)
-    val qe = emb.filter(col("vec_id") === 0).select("embedding")
-      .head().getSeq[Float](0).toArray
+    // query vector off the raw prefix artifact (vec 0 is inside it);
     // probe-list selection over the SAME centroid artifact the index was
     // staged with (the joined media corpus's prefix — using the raw
     // embeddings prefix would desync from the staged lists if a doc id
-    // were absent from the join); only the prefix records decode (r15)
-    val probeCids = mediaEmbPrefix(s, dir)
-      .select(col("vec_id").as("cid"),
-        graft.functions.VectorOps.cosine(col("embedding"), typedlit(qe)).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(searchNprobe).collect().map(_.getLong(0)).toSeq
+    // were absent from the join); only the prefix records decode (r15),
+    // and the collected artifact is session-cached (r16) so the selection
+    // costs zero Spark jobs
+    val qe = SimilarityQueries.queryVecFromArtifact(
+      SimilarityQueries.centArtifact(s, dir, Similarity.ivfCentroids), 0L)
+    val (ids, vecs) = mmCentArt(s, dir)
+    val probeCids = Similarity.nearestCidsFor(qe, ids, vecs, searchNprobe)
     Similarity.probeStagedIvfFiltered(s, t, qe, probeCids,
       col("kind") === searchKind && col("vec_id") =!= 0, k = searchK)
   }
@@ -243,6 +242,28 @@ object MultimodalQueries {
     * reason as [[mediaEmbPrefix]]. Kind is irrelevant to probe selection,
     * so the decode-kind join drops too.
     */
+  /** Driver-collected media-prefix centroid artifact (pooled arm), cached
+    * per (session, dir) like the sim family's prefix artifact — the kc
+    * decoded prefix rows the staged media lists were built from. Probe
+    * selection then costs zero Spark jobs ([[Similarity.nearestCidsFor]],
+    * the spec-pinned TakeOrdered replacement).
+    */
+  private def mmCentArt(s: SparkSession, dir: String): (Seq[Long], Seq[Seq[Float]]) =
+    BackboneRegistry.scalarOrBuild(s, s"mmcentart:$dir") {
+      Similarity.collectCent(mediaEmbPrefix(s, dir)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    }
+
+  /** Driver-collected FRAME-prefix artifact (multi-vector arm): the
+    * decoded prefix frames, (doc_id, frame_idx, fv) ascending.
+    */
+  private def mmFrameArt(s: SparkSession, dir: String): Seq[(Long, Long, Seq[Float])] =
+    BackboneRegistry.scalarOrBuild(s, s"mmframeart:$dir") {
+      frameEmbPrefix(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+
   private def frameEmbPrefix(s: SparkSession, dir: String): DataFrame =
     Media.sampleFrames(
         records(s, dir).filter(col("id") < SimilarityQueries.adaptiveKc(s, dir)),
@@ -289,26 +310,22 @@ object MultimodalQueries {
     * and summed as DECIMAL (order-independent), exactly like `sim_maxsim`.
     */
   def searchMaxSim(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val t = mediaFrameAnnTable(s, dir)
-    val fe = frameEmbPrefix(s, dir)
-    val cent = fe.filter(col("frame_idx") === 0)
-      .select(col("doc_id").as("cid"), col("fv").as("ce"))
-    val q = fe.filter(col("doc_id") === 0)
-      .select(col("frame_idx").as("qid"), col("fv").as("qv"))
-    // per-query-frame top-[[searchNprobe]] lists, unioned: the kind
-    // predicate thins every probed list, so the probe widens 2→4 like the
-    // other filtered arms (C168's compensation — more lists, each still
-    // bucket-pruned). Centroids × query frames is a bounded frame
-    // (≤ 16·4 rows); the collected cid list ≤ 16 literals.
-    val byQ = Window.partitionBy("qid").orderBy(desc("qcos"), asc("cid"))
-    val probeCids = cent.crossJoin(broadcast(q))
-      .select(col("cid"), col("qid"),
-        graft.functions.VectorOps.cosine(col("ce"), col("qv")).as("qcos"))
-      .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= searchNprobe)
-      .select("cid").distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+    // per-query-frame top-[[searchNprobe]] lists, unioned — the same
+    // selection the window formulation computed, now off the collected
+    // frame-prefix artifact (r16): per qid, nearestCidsFor is the
+    // spec-pinned (qcos DESC, cid ASC) top-nprobe, then union-distinct.
+    val art = mmFrameArt(s, dir)
+    val centRows = art.filter(_._2 == 0L).map(t3 => (t3._1, t3._3))
+    val (cids, cvecs) = (centRows.map(_._1), centRows.map(_._2))
+    val qFrames = art.filter(_._1 == 0L).map(t3 => (t3._2, t3._3))
+    val probeCids = qFrames
+      .flatMap { case (_, qv) =>
+        Similarity.nearestCidsFor(qv.toArray, cids, cvecs, searchNprobe)
+      }
+      .distinct.sorted
+    val q = qFrames.toDF("qid", "qv")
     Bucketing.read(s, t)
       .filter(col("cid").isin(probeCids: _*))
       .filter(col("kind") === searchKind && col("doc_id") =!= 0)
@@ -331,9 +348,10 @@ object MultimodalQueries {
     * invisible to the approximate arm's max.
     */
   def searchMaxSimRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val fe = frameEmb(s, dir)
-    val q = frameEmbPrefix(s, dir).filter(col("doc_id") === 0)
-      .select(col("frame_idx").as("qid"), col("fv").as("qv"))
+    val q = mmFrameArt(s, dir).filter(_._1 == 0L).map(t3 => (t3._2, t3._3))
+      .toDF("qid", "qv")
     val exact = fe.filter(col("kind") === searchKind && col("doc_id") =!= 0)
       .join(broadcast(q))
       .select(col("doc_id"), col("qid"),

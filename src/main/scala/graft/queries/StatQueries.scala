@@ -50,7 +50,7 @@ object StatQueries {
     * inputs, cast-once doubles, identical expression text.
     */
   def abtest(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(
+    val ev = Tables.spread(Tables.events(s, dir)).select(
       col("event_type"), (col("user_id") % 2).as("grp"), col("value"))
     val st = ev.groupBy("event_type", "grp").agg(
       count(lit(1)).as("n"),
@@ -95,7 +95,7 @@ object StatQueries {
     * vary.
     */
   def corr2(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.lineitem(s, dir).select(
+    val base = Tables.spread(Tables.lineitem(s, dir)).select(
       corrCols.map { case (a, c) => col(c).cast("decimal(18,6)").as(a) }: _*)
     val pairs = corrCols.map(_._1).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
     val moments = base.agg(

@@ -14,7 +14,7 @@ object TextQueries {
 
   /** Confusion-matrix style crosstab: labeled lang × heuristic prediction. */
   def langid(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("lang"), langId(col("text")).as("predicted"))
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("c"))
@@ -24,7 +24,7 @@ object TextQueries {
     * composite score).
     */
   def quality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(
         col("doc_id"),
         tokenCount(col("text")).as("toks"),
@@ -36,7 +36,7 @@ object TextQueries {
 
   /** Token counts per language: whitespace tokens + regex (BPE-ish) tokens. */
   def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("lang"),
         tokenCount(col("text")).as("t"),
         regexTokenCount(col("text")).as("rt"))
@@ -49,7 +49,7 @@ object TextQueries {
     * corpus-level dedup ops.
     */
   def repetition(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("text"), wsTokens(col("text")).as("W"))
       .select(
         col("doc_id"),
@@ -63,7 +63,7 @@ object TextQueries {
     * it untouched).
     */
   def rollingFp(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), rollingFingerprint(col("text")).as("rfp"))
       .orderBy("doc_id")
       .limit(200)
@@ -79,7 +79,7 @@ object TextQueries {
     */
   def tokenIdsArray(s: SparkSession, dir: String): DataFrame = {
     val v = vocab(s, dir).select(col("token"), col("id"))
-    Tables.documents(s, dir).filter(col("doc_id") < 20)
+    Tables.spread(Tables.documents(s, dir)).filter(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
       .toDF("doc_id", "pos", "token")
       .filter(col("token") =!= "")
@@ -111,7 +111,7 @@ object TextQueries {
     * by term), so Spark and the oracle rank identically.
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
     val toks = TextBackbone.unigrams(s, dir).select("doc_id", "w")
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val tf = toks.filter(col("doc_id") < 10).groupBy("doc_id", "w")
@@ -169,7 +169,7 @@ object TextQueries {
 
   /** Fingerprint clusters: docs whose sorted-distinct-word set collides. */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(count(lit(1)).as("c"), min("doc_id").as("keeper"))
@@ -345,7 +345,7 @@ object TextQueries {
     * in-line in the read stage of the indexing job.
     */
   def chunks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("W"))
       .withColumn("toks", size(col("W")).cast("long"))
       .withColumn("nc",
@@ -387,7 +387,7 @@ object TextQueries {
     // the tokenization is materialized once (CollapseProject keeps it — a
     // non-cheap expression with 4 references) instead of re-derived inside
     // each signal's CASE WHEN, where codegen CSE cannot share it.
-    val d = Tables.documents(s, dir)
+    val d = Tables.spread(Tables.documents(s, dir))
       .select(col("source"), col("text"), wsTokens(col("text")).as("W"))
       .select(col("source"),
         tokenCountOf(col("W")).as("t"),
@@ -530,7 +530,7 @@ object TextQueries {
   def qualityNorm(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("quality"), col("doc_id"))
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("source"),
         round(qualityScore(col("text")), 6).as("quality"))
       .withColumn("q_norm", round(percent_rank().over(w), 6))
@@ -547,7 +547,7 @@ object TextQueries {
     * pass scales exactly like the dedup family's shingle stage.
     */
   def novelty(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    val grams = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), split(lower(col("text")), " ").as("W"))
       .filter(size(col("W")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -599,7 +599,7 @@ object TextQueries {
   def rake(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stop = stopwords("en")
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "" && !col("w").isInCollection(stop))
@@ -696,7 +696,7 @@ object TextQueries {
   def trainedMerges(s: SparkSession,
                     dir: String): Seq[(Int, String, String, String, Long)] =
     BackboneRegistry.scalarOrBuild(s, s"bpe_merges:$dir") {
-      val wc = Tables.documents(s, dir)
+      val wc = Tables.spread(Tables.documents(s, dir))
         .select(explode(split(lower(col("text")), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -765,7 +765,9 @@ object TextQueries {
       case (c, (l, r)) => replace(c, lit(s" $l  $r "), lit(s" $l$r "))
     }
     // (the stx alias keeps the replace chain readable in the plan)
-    Tables.documents(s, dir)
+    // r16: the replace chain runs per row fused into the scan — spread the
+    // single-row-group input so it runs on every core (Tables.spread)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), applied.as("stx"))
       .select(col("doc_id"),
         expr("filter(split(stx, '  '), x -> x != '')").as("syms"))
