@@ -399,26 +399,28 @@ object Similarity {
         .select(col(idCol).as("cid"), col(vecCol).as("ce"))
     }
 
-    // assignment: nearest centroid per vector (ties -> smallest cid), as an
-    // aggregation argmax: max over (ccos, -cid) picks the highest cosine and
-    // breaks ties toward the smallest cid, without sorting n×centroids rows.
-    val assigned = emb.crossJoin(broadcast(cent))
-      .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("ce")).as("ccos"))
-      .groupBy(idCol)
-      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("tie"))).as("cid"))
-
-    // the query's nprobe nearest centroid lists
-    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qe"))
-    val probes = cent.crossJoin(broadcast(q))
-      .select(col("cid"), VectorOps.cosine(col("ce"), col("qe")).as("qcos"))
-      .orderBy(desc("qcos"), asc("cid"))
-      .limit(nprobe)
-      .select("cid")
-
-    emb.join(assigned, idCol)
-      .join(broadcast(probes), "cid")
-      .crossJoin(broadcast(q))
-      .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("qe")), 6).as("cos_sim"))
+    // assignment: nearest centroid per vector (ties -> smallest cid) — r16:
+    // the map-only [[nearestCidCol]] kernel over the collected artifact
+    // (bit-identical to the crossJoin → max_by argmax it replaces), and the
+    // query's nprobe lists from the same artifact via [[nearestCidsFor]]
+    // (bit-identical to the TakeOrdered selection). The whole query is one
+    // projection + filter + TakeOrdered over the corpus scan.
+    val (ids, vecs) = collectCent(cent)
+    // the prefix stand-in's cid IS the corpus vec_id, so the query row can
+    // come off the artifact; a TRAINED codebook's cid is a list id, not a
+    // row id — the query must then read from the corpus
+    val qe =
+      if (trained.isEmpty && ids.contains(queryId))
+        vecs(ids.indexOf(queryId)).toArray
+      else emb.filter(col(idCol) === queryId).select(col(vecCol))
+        .head().getSeq[Float](0).toArray
+    val probeCids = nearestCidsFor(qe, ids, vecs, nprobe)
+    emb
+      .select(col(idCol), col(vecCol),
+        nearestCidCol(col(vecCol), ids, vecs).as("cid"))
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col(idCol),
+        round(VectorOps.cosine(col(vecCol), typedlit(qe)), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc(idCol))
       .limit(k)
   }

@@ -20,7 +20,11 @@ object MultimodalQueries {
 
   private def records(s: SparkSession, dir: String) = {
     import s.implicits._
-    Tables.documents(s, dir)
+    // r16: the decode layer is a mapPartitions over this source — with the
+    // single-row-group testdata file it ran on ONE core; Tables.spread
+    // parallelizes the decode (staged-table layout is unaffected since
+    // writeBucketed pre-shuffles into its bucket layout)
+    Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id").as("id"), lit("image").as("kind"),
         col("text").cast("binary").as("payload"))
       .as[MediaRecord]
