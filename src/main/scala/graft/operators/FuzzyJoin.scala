@@ -54,7 +54,19 @@ object FuzzyJoin {
       .withColumn("_bs", count(lit(1)).over(bw))
       .filter(col("_bs") <= cap)
       .drop("_bs")
-    val x = b.as("x")
+    // The explicit ID-keyed repartition (r17, guide §2.5) pins the verify
+    // stage's width: the block-count window's exchange is AQE-coalesced to
+    // ~one partition at bench scale (blocks are tiny in BYTES), which ran
+    // the O(Σ block²) distance verification on a single core — measured
+    // as 7 single-task stages on link_parts. The pin must use a key the
+    // plan does not already hash by (a same-key repartition is ELIDED into
+    // the coalescible exchange above it); the record id is that key, and
+    // it is exactly what the best-match window below partitions by, so the
+    // pinned exchange is REUSED there rather than added. Only the probe
+    // side is pinned — the candidate side stays narrow and broadcasts.
+    val x = b
+      .repartition(records.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .as("x")
     val y = b.select(
       (col(idCol).as("_yid") +: col(payload).as("_ypay") +:
         blockCols.map(col)): _*).as("y")

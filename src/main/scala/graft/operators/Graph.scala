@@ -43,16 +43,25 @@ object Graph {
     * iteration count — on 100 TB you run the budgeted number of rounds and
     * ship, rather than gating a 1000-executor job on a convergence probe.
     *
+    * `mirrorDisjoint = true` declares that src and dst draw from DISJOINT
+    * id domains (the parity-encoded bipartite callers: src even, dst odd),
+    * so `p ∪ p.reverse` cannot contain duplicates and the symmetrizing
+    * `distinct` — a full exchange + aggregate over the edge list, per call
+    * — is skipped (r17, guide §2.4 "a distinct on data that is already
+    * unique"; the oracles' UNION ALL encode the same fact).
+    *
     * Returns the (node, u) frame (u in micro-units) plus the node count, so
     * callers can render [[normalized]] without re-counting the graph.
     */
-  def pagerank(pairs: DataFrame, iters: Int): (DataFrame, Long) = {
+  def pagerank(pairs: DataFrame, iters: Int,
+               mirrorDisjoint: Boolean = false): (DataFrame, Long) = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     // r16: no eager checkpoint of the raw pair projection — callers pass
     // the backbone-checkpointed edge frame, and the only consumer (`routed`)
     // is itself eagerly checkpointed right below
     val p = pairs.select(col("src"), col("dst"))
-    val sym = p.union(p.select(col("dst"), col("src"))).distinct()
+    val mirrored = p.union(p.select(col("dst"), col("src")))
+    val sym = if (mirrorDisjoint) mirrored else mirrored.distinct()
     // routing table: every directed edge with its source's out-degree.
     // Window(partitionBy src) instead of groupBy+self-join: one shuffle, and
     // the result is already hash-partitioned by src — the join key every
@@ -105,11 +114,13 @@ object Graph {
     * the same thing with a worse plan.
     */
   def personalizedPagerank(pairs: DataFrame, seeds: DataFrame, seedCount: Long,
-      iters: Int): DataFrame = {
+      iters: Int, mirrorDisjoint: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     require(seedCount > 0, "personalized pagerank needs a non-empty seed set")
     val p = pairs.select(col("src"), col("dst"))
-    val sym = p.union(p.select(col("dst"), col("src"))).distinct()
+    val mirrored = p.union(p.select(col("dst"), col("src")))
+    // same contract as [[pagerank]]'s mirrorDisjoint (r17)
+    val sym = if (mirrorDisjoint) mirrored else mirrored.distinct()
     val routed = sym
       .withColumn("deg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
@@ -143,12 +154,16 @@ object Graph {
     */
   def commonNeighbors(edges: DataFrame, cap: Int): DataFrame = {
     require(cap >= 2, s"cap must allow pairs, got $cap")
+    // NO eager checkpoint (r17, guide §5): the three consumers below — deg
+    // and both self-join sides — share IDENTICAL subtrees up to this frame,
+    // so ReuseExchange computes the distinct/window exchanges once within
+    // the single action; the checkpoint bought the same sharing for two
+    // extra driver-paced materialization jobs per call.
     val e = edges.select(col("g"), col("i")).distinct()
       .withColumn("_k",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("g")))
       .filter(col("_k") <= cap)
       .drop("_k")
-      .localCheckpoint(true)
     val deg = e.groupBy("i").agg(count(lit(1)).as("d"))
     val pairs = e.as("a")
       .join(e.select(col("g"), col("i").as("i2")).as("b"),
@@ -194,7 +209,10 @@ object Graph {
         greatest(col("a"), col("b")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true) // reused by deg and the orientation
+      // no eager checkpoint (r17): the census is ONE action, and every
+      // consumer of this frame (deg, orientation, n_edges) carries the
+      // identical distinct-exchange subtree — ReuseExchange materializes it
+      // once where the checkpoint paid an extra driver-paced job
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val e = und
@@ -205,13 +223,15 @@ object Graph {
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("t"))
       .select(col("t.u").as("u"), col("t.v").as("v"))
-      .localCheckpoint(true) // adjacency build AND the edge scan
+      // no eager checkpoint (r17): both consumers (adjacency build, closure
+      // edge scan) share this subtree's exchanges via ReuseExchange
     // adjacency lists SORTED at build so the per-edge closure count is a
     // two-pointer merge (SortedLongIntersectCount) — O(m^1.5) evaluations
     // pay no per-call hash set (the r13 profile fix, same as the dedup
     // verify's digest arrays)
     val adj = o.groupBy("u").agg(array_sort(collect_list("v")).as("nb"))
-      .localCheckpoint(true) // both sides of the closure join
+      // no eager checkpoint (r17): both closure-join sides reuse the
+      // groupBy exchange; only the list collection re-evaluates
     // inner joins are exact: an endpoint absent from adj has no out-edges
     // and contributes an empty intersection anyway
     val tri = o
@@ -235,9 +255,11 @@ object Graph {
     * degree — the one-scan shape check (hubs? saturation? orphan shards?)
     * run before committing to a join strategy on an unknown graph.
     */
-  def degreeProfile(pairs: DataFrame): DataFrame = {
+  def degreeProfile(pairs: DataFrame, mirrorDisjoint: Boolean = false): DataFrame = {
     val p = pairs.select(col("src"), col("dst"))
-    val sym = p.union(p.select(col("dst"), col("src"))).distinct()
+    val mirrored = p.union(p.select(col("dst"), col("src")))
+    // same contract as [[pagerank]]'s mirrorDisjoint (r17)
+    val sym = if (mirrorDisjoint) mirrored else mirrored.distinct()
     sym.groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
@@ -288,16 +310,29 @@ object Graph {
       .localCheckpoint(true)
     val out = Seq.newBuilder[(Int, Long, Long, Long)]
     for (r <- 1 to rounds) {
-      val survivors = sym.groupBy("src").agg(count(lit(1)).as("dg"))
+      // ONE eager materialization per round (r17, the bfs discipline): the
+      // survivor set stays LAZY — its two join probes carry identical
+      // degree-aggregate subtrees, so ReuseExchange materializes that
+      // shuffle once inside the round's checkpoint job where the old
+      // per-round survivor checkpoint paid a second driver-paced job. The
+      // trajectory's `nodes` count re-derives the survivor filter from the
+      // PREVIOUS round's checkpointed frame (one aggregate over pinned
+      // blocks) instead of counting a materialized survivor copy.
+      val prev = sym
+      val survivors = prev.groupBy("src").agg(count(lit(1)).as("dg"))
         .filter(col("dg") >= k)
         .select(col("src").as("v"))
-        .localCheckpoint(true)
-      sym = sym
+      sym = prev
         .join(survivors.select(col("v").as("src")), Seq("src"))
         .join(survivors.select(col("v").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
-      out += ((r, k, survivors.count(), sym.count() / 2))
+      // both trajectory scalars in ONE action: the survivor count and the
+      // (trivial, already-pinned) edge count cross-join into a single row
+      val row = survivors.agg(count(lit(1)).as("nodes"))
+        .crossJoin(sym.agg(count(lit(1)).as("dirEdges")))
+        .head()
+      out += ((r, k, row.getLong(0), row.getLong(1) / 2))
     }
     out.result().toDF("round", "k", "nodes", "edges")
   }
@@ -324,7 +359,6 @@ object Graph {
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       labels = sym
         .join(labels, sym("src") === labels("node"))
@@ -333,7 +367,11 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("m"))
         .select(col("node"), col("m.l").as("lbl"))
-        .localCheckpoint(true)
+      // r17: rounds chain LAZILY off the one checkpointed edge frame (the
+      // pagerank shape) — each per-round eager checkpoint was a driver-paced
+      // materialization job buying nothing: the bounded round count keeps
+      // the lineage shallow, and AQE materializes each round's exchanges
+      // exactly once inside the single action.
     }
     labels
   }
@@ -353,11 +391,14 @@ object Graph {
     * later sightings out), so the result is engine-exact against a
     * recursive-CTE oracle with no arithmetic caveats.
     */
-  def bfsLevels(pairs: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+  def bfsLevels(pairs: DataFrame, sources: DataFrame, rounds: Int,
+                mirrorDisjoint: Boolean = false): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds must be in [1,20], got $rounds")
     val p = pairs.select(col("src"), col("dst"))
-    val sym = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val mirrored = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    // same contract as [[pagerank]]'s mirrorDisjoint (r17)
+    val sym = (if (mirrorDisjoint) mirrored else mirrored.distinct())
+      .localCheckpoint(true)
     // r16: ONE eager materialization per round (the new frontier), not two —
     // the visited set is the union of the already-checkpointed per-round
     // frames, so re-checkpointing it only re-copied every earlier level

@@ -51,13 +51,17 @@ object GraphQueries {
     * trade graph; every node with its mean-1.0 normalized rank.
     */
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val (ranks, n) = Graph.pagerank(tradeEdges(s, dir), iters = pagerankIters)
+    // mirrorDisjoint: parity encoding makes src (even) and dst (odd)
+    // disjoint, so the symmetrizing distinct is a no-op — skipped (r17;
+    // the oracle's UNION ALL edge CTE states the same fact)
+    val (ranks, n) = Graph.pagerank(tradeEdges(s, dir), iters = pagerankIters,
+      mirrorDisjoint = true)
     Graph.normalized(ranks, n).orderBy("node")
   }
 
   /** `graph_degree` — degree histogram of the same graph. */
   def degree(s: SparkSession, dir: String): DataFrame =
-    Graph.degreeProfile(tradeEdges(s, dir))
+    Graph.degreeProfile(tradeEdges(s, dir), mirrorDisjoint = true)
       .orderBy("degree")
 
   val pprIters = 4
@@ -79,7 +83,8 @@ object GraphQueries {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .select(col("src").as("node")).distinct()
       .orderBy("node").limit(pprSeedCount)
-    Graph.personalizedPagerank(edges, seeds, pprSeedCount, pprIters)
+    Graph.personalizedPagerank(edges, seeds, pprSeedCount, pprIters,
+        mirrorDisjoint = true)
       .select(col("node"), col("u"),
         round(col("u").cast("double") / 1.0e15, 9).as("share"))
       .orderBy("node")
@@ -99,9 +104,14 @@ object GraphQueries {
     */
   def assortativity(s: SparkSession, dir: String): DataFrame = {
     val edges = tradeEdges(s, dir)
+    // parity encoding: the mirrored union cannot hold duplicates, so the
+    // old symmetrizing distinct was a pure exchange+agg — dropped (r17,
+    // matching the oracle's UNION ALL); the explicit spread pins the
+    // decimal-moment scan below at the session's width (its input is
+    // otherwise two narrow scan partitions)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+      .repartition(s.sparkContext.defaultParallelism)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
     val ed = sym
       .join(deg.select(col("src"), col("d").as("da")), "src")
@@ -141,7 +151,8 @@ object GraphQueries {
     val edges = tradeEdges(s, dir)
     val seedId = BackboneRegistry.scalarOrBuild(s, s"graph:bfsseed:$dir")(
       edges.agg(min(least(col("src"), col("dst")))).first().getLong(0))
-    Graph.bfsLevels(edges, Seq(seedId).toDF("node"), bfsRounds)
+    Graph.bfsLevels(edges, Seq(seedId).toDF("node"), bfsRounds,
+        mirrorDisjoint = true)
       .groupBy("level")
       .agg(count(lit(1)).as("nodes"),
         min("node").as("min_node"), max("node").as("max_node"))
@@ -188,7 +199,12 @@ object GraphQueries {
     val pairs = partPairs(s, dir)
       .filter(col("support") >= kcoreMinSupport)
       .select(col("a"), col("b"))
-    Graph.kcorePeel(pairs, Graph.coreThreshold(pairs), kcoreRounds)
+    // the data-derived threshold is a pure scalar of the staged edge
+    // backbone — session-cached like graph_bfs's seed (r17; it re-ran a
+    // full degree aggregation + exact percentile every call)
+    val k = BackboneRegistry.scalarOrBuild(s, s"graph:kcorek:$dir")(
+      Graph.coreThreshold(pairs))
+    Graph.kcorePeel(pairs, k, kcoreRounds)
       .orderBy("round")
   }
 
