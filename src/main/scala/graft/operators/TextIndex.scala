@@ -42,13 +42,20 @@ object TextIndex {
     docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
 
-  /** Postings for a doc set: (w, doc_id, tf, dl). */
-  private[graft] def buildPostings(docs: DataFrame): DataFrame = {
-    val toks = tokenize(docs)
-    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    tf.join(dl, "doc_id").select("w", "doc_id", "tf", "dl")
-  }
+  /** Postings for a doc set: (w, doc_id, tf, dl).
+    *
+    * ONE tokenize pass (r17, guide §2.4): `dl = Σ_w tf(doc, w)` rides a
+    * doc-keyed window over the aggregated postings — the previous
+    * `tf ⋈ (toks.groupBy(doc_id).count)` shape re-tokenized the whole
+    * corpus for the doc lengths and paid a join exchange to attach them.
+    * Identical rows by construction (a doc's token count IS the sum of its
+    * per-term counts).
+    */
+  private[graft] def buildPostings(docs: DataFrame): DataFrame =
+    tokenize(docs).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select("w", "doc_id", "tf", "dl")
 
   private def statsTable(table: String) = s"${table}_stats"
 
@@ -68,11 +75,22 @@ object TextIndex {
     * one-row exact stats sidecar. Idempotent (replaces any prior staging).
     */
   def stageIndex(docs: DataFrame, table: String, buckets: Int): Unit = {
-    Bucketing.writeBucketed(buildPostings(docs), table, "w", buckets)
-    val (n, totalDl) = batchStats(docs)
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Bucketing.writeTable(Seq((n, totalDl)).toDF("n", "total_dl"), statsTable(table))
+    // ONE tokenize pass (r17): the postings pin once and feed BOTH the
+    // bucketed write and the exact stats pair — the old shape re-tokenized
+    // the raw corpus for the stats (batchStats). Stats deliberately come
+    // from the pinned FRAME, not from reading the table back: a
+    // `spark.table` read here would seed the session's relation cache with
+    // the stage-time file listing, which later APPENDS do not reliably
+    // invalidate (measured: a streamed append arm served stage-time
+    // postings against the full ledger). Identical numbers by the shared
+    // zero-token-doc invariant (see recomputeStats).
+    val postings = buildPostings(docs).localCheckpoint(true)
+    Bucketing.writeBucketed(postings, table, "w", buckets)
+    Bucketing.writeTable(
+      postings.groupBy("doc_id").agg(max("dl").as("dl"))
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("total_dl")),
+      statsTable(table))
+    postings.unpersist(blocking = false)
   }
 
   /** Fold a batch of NEW docs into an existing index: postings append into
@@ -151,7 +169,12 @@ object TextIndex {
       .join(tomb, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     Bucketing.writeBucketed(kept, table, "w", buckets)
-    recomputeStats(spark, table)
+    // exact survivor stats from the already-pinned rows (r17) — same
+    // arithmetic as recomputeStats without re-reading the fresh table
+    Bucketing.writeTable(
+      kept.groupBy("doc_id").agg(max("dl").as("dl"))
+        .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("total_dl")),
+      statsTable(table))
     Bucketing.dropStaged(spark, tombTable(table))
   }
 

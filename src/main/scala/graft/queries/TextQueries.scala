@@ -34,9 +34,14 @@ object TextQueries {
       .orderBy("doc_id")
       .limit(200)
 
-  /** Token counts per language: whitespace tokens + regex (BPE-ish) tokens. */
+  /** Token counts per language: whitespace tokens + regex (BPE-ish) tokens.
+    * NOT spread (r17): driver-measured 0.76× vs r15 with the r16 spread —
+    * one hash/regex pass over short docs doesn't cover the round-robin
+    * exchange, and the 8-core bench beat the 32-core one (pure overhead at
+    * this work-per-row; a real multi-file corpus scans wide regardless).
+    */
   def tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("lang"),
         tokenCount(col("text")).as("t"),
         regexTokenCount(col("text")).as("rt"))
@@ -63,7 +68,8 @@ object TextQueries {
     * it untouched).
     */
   def rollingFp(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
+    // not spread — r17, same measured reasoning as [[tokens]] (0.63× vs r15)
+    Tables.documents(s, dir)
       .select(col("doc_id"), rollingFingerprint(col("text")).as("rfp"))
       .orderBy("doc_id")
       .limit(200)
@@ -167,9 +173,11 @@ object TextQueries {
       .groupBy("doc_id").agg(round(sum("ts"), 6).as("bm25"))
   }
 
-  /** Fingerprint clusters: docs whose sorted-distinct-word set collides. */
+  /** Fingerprint clusters: docs whose sorted-distinct-word set collides.
+    * Not spread — r17, same measured reasoning as [[tokens]] (0.58× vs r15).
+    */
   def fingerprints(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(count(lit(1)).as("c"), min("doc_id").as("keeper"))
@@ -774,7 +782,11 @@ object TextQueries {
   }
 
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
-    val withSyms = bpeTokens(s, dir)
+    // r17 (guide §5): BOTH consumers below — the vocab distinct and the
+    // per-doc surface — otherwise re-run the full [[bpeMerges]]-deep replace
+    // chain over every document (two corpus passes of the suite's heaviest
+    // per-row expression). One eager materialization makes it one pass.
+    val withSyms = bpeTokens(s, dir).localCheckpoint(true)
     val vocab = withSyms.select(explode(col("syms")).as("sym")).distinct()
       .withColumn("tok_id",
         row_number().over(graft.operators.BoundedWindow.ordered("vocab", col("sym"))))
