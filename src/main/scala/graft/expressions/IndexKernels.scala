@@ -22,10 +22,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Determinism parity (spec-pinned in `IndexKernelsSpec`): each kernel
   * reproduces the aggregation form it replaces bit-for-bit —
   *
-  *  - comparisons use `java.lang.Double.compare`, the SAME total order
-  *    (−0.0 < 0.0, NaN greatest) Spark's `max_by(struct(...))` ordering
-  *    applies, with candidates iterated in ascending id order so ties
-  *    resolve to the smaller id exactly like the `(key, -id)` structs;
+  *  - comparisons use `java.lang.Double.compare` (NaN greatest, −0.0 <
+  *    0.0), with candidates iterated in ascending id order so ties resolve
+  *    to the smaller id exactly like the `(key, -id)` structs. One pedantic
+  *    divergence from Spark's `max_by` ordering (r17, ADVICE):
+  *    `nanSafeCompareDoubles` treats −0.0 == 0.0 where `Double.compare`
+  *    distinguishes them — unreachable here, because the 0.0-seeded
+  *    left-to-right folds can never produce −0.0 as a score;
   *  - every dot / norm / squared-L2 fold is the left-to-right double fold
   *    of [[FloatDotProduct]] / [[ArrayL2Sq]] (and of the DuckDB oracles'
   *    `list_sum(list_transform(...))`);
@@ -54,6 +57,12 @@ object IndexKernels {
 case class NearestCentroidId(child: Expression, centIds: Seq[Long],
                              centVecs: Seq[Seq[Float]])
     extends UnaryExpression {
+
+  // an empty artifact would make nearest() read ids(0) of an empty array —
+  // fail at construction with the contract instead (r17, ADVICE; the
+  // replaced crossJoin plan yielded an empty frame, which no caller here
+  // ever relied on — every staged corpus has a non-empty centroid prefix)
+  require(centIds.nonEmpty, "NearestCentroidId needs a non-empty centroid artifact")
 
   override def dataType: DataType = LongType
 
@@ -180,8 +189,12 @@ case class PqNearestCodes(child: Expression, ks: Seq[Seq[Long]],
 /** Σ_j lut(j)(code_j) in ascending-j order — the map-only replacement for
   * the ADC chain `posexplode(codes) → join(broadcast(lut)) →
   * groupBy collect_list-sorted left fold`. `ks(j)` ascending; a (j, code)
-  * pair absent from the LUT contributes nothing, exactly like the inner
-  * join it replaces.
+  * pair absent from the LUT contributes nothing, like the inner join it
+  * replaces — with one divergence (r17, ADVICE): a row with NO matching
+  * pair at all scores 0.0 here where the inner join dropped it from the
+  * ranking entirely. Unreachable while codes and LUT derive from the same
+  * pinned codebook (every staged path here), but the parity is per-pair,
+  * not per-row.
   */
 case class PqAdcScore(child: Expression, ks: Seq[Seq[Long]],
                       ips: Seq[Seq[Double]])

@@ -412,8 +412,7 @@ object Similarity {
     val qe =
       if (trained.isEmpty && ids.contains(queryId))
         vecs(ids.indexOf(queryId)).toArray
-      else emb.filter(col(idCol) === queryId).select(col(vecCol))
-        .head().getSeq[Float](0).toArray
+      else queryVecOf(emb, idCol, vecCol, queryId)
     val probeCids = nearestCidsFor(qe, ids, vecs, nprobe)
     emb
       .select(col(idCol), col(vecCol),
@@ -635,6 +634,18 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
     (rows.map(_._1).toSeq, rows.map(_._2).toSeq)
+  }
+
+  /** The query row's vector, read from the corpus — with a descriptive
+    * failure for an absent id (r17, ADVICE: the bare `.head()` threw a
+    * blank NoSuchElementException where the replaced crossJoin-with-empty-q
+    * plans returned empty frames; an explicit require names the id).
+    */
+  private def queryVecOf(emb: DataFrame, idCol: String, vecCol: String,
+                         queryId: Long): Array[Float] = {
+    val rows = emb.filter(col(idCol) === queryId).select(col(vecCol)).head(1)
+    require(rows.nonEmpty, s"query id $queryId not found in the corpus")
+    rows(0).getSeq[Float](0).toArray
   }
 
   /** Map-only nearest-centroid assignment column (cosine, ties to the
@@ -1029,10 +1040,17 @@ object Similarity {
     * was the measured wall of the decade rehearsal (SCALE_r14 §2).
     */
   private def l2sq(a: String, b: String): Column =
+    // r17 (§4 kernel hygiene): both operands are vector columns with
+    // non-null elements by the staged-embedding contract, but slice()/
+    // collect_list() results type as containsNull=true — the static
+    // KnownNonNullElems re-declaration makes the n·M·K-evaluated fold
+    // compile branch-free (no per-element null check).
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.expressions.ArrayL2Sq(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(a)),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(b))))
+        graft.expressions.KnownNonNullElems(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(a))),
+        graft.expressions.KnownNonNullElems(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(b)))))
 
   /** PQ-encode a corpus: per (vector, subspace), the nearest codeword id by
     * squared L2 (ties toward the smaller id — the same aggregation-argmax as
@@ -1063,8 +1081,7 @@ object Similarity {
     // folds, spec-pinned) — scan → project → TakeOrdered, where the
     // replaced chain paid the n·M·K explode-join and three exchanges
     val (ks, cws) = collectCodebook(pqCodebook(emb, idCol, vecCol))
-    val qe = emb.filter(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0).toArray
+    val qe = queryVecOf(emb, idCol, vecCol, queryId)
     val ips = lutFor(qe, cws)
     emb.select(col(idCol),
         round(adcScoreCol(pqCodesCol(col(vecCol), ks, cws), ks, ips), 6).as("adc"))
@@ -1104,8 +1121,7 @@ object Similarity {
     // query is residual projection → filter(2 lists) → project → TakeOrdered
     val resid = residuals(emb, cent, idCol, vecCol, centroidsN)
     val (cids, cvecs) = collectCent(cent)
-    val qe = emb.filter(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0).toArray
+    val qe = queryVecOf(emb, idCol, vecCol, queryId)
     val probeCids = nearestCidsFor(qe, cids, cvecs, nprobe)
 
     // the stand-in codebook's window starts past the PROBE's list count, so
@@ -1356,6 +1372,16 @@ object Similarity {
     * like [[probeStagedIvfDeletes]] on the plain arm (r16: the IVF-PQ code
     * table takes deletion requests too — a GDPR erasure against it no
     * longer means a full restage).
+    *
+    * `centArtOpt` MUST be the PREFIX artifact (cid == corpus vec_id — the
+    * stand-in convention every staged IVF-PQ table here uses): the
+    * query-vector shortcut below reads the query row off the artifact when
+    * its id appears there, which is only a row vector under that
+    * convention (r17, ADVICE — a trained-style artifact, whose cid is a
+    * list id, would silently serve a centroid as the query). Every
+    * `probeCids` entry must come from the same artifact
+    * ([[nearestCidsFor]]); a foreign cid fails loudly below instead of
+    * throwing a blank NoSuchElementException on the driver.
     */
   def probeStagedIvfPq(spark: SparkSession, table: String, emb: DataFrame,
                        queryId: Long, probeCids: Seq[Long], k: Int = 10,
@@ -1388,10 +1414,13 @@ object Similarity {
     // fall back to the corpus scan only for foreign query ids
     val qe =
       if (cids.contains(queryId)) cvecs(cids.indexOf(queryId)).toArray
-      else emb.filter(col(idCol) === queryId).select(col(vecCol))
-        .head().getSeq[Float](0).toArray
+      else queryVecOf(emb, idCol, vecCol, queryId)
     val ips = lutFor(qe, cws)
     val qce = qceFor(qe, cids, cvecs)
+    require(probeCids.forall(qce.contains),
+      s"probe cids ${probeCids.filterNot(qce.contains).mkString(",")} are " +
+        s"not in the centroid artifact (${cids.size} entries) — probe lists " +
+        "must be selected from the artifact the table was staged with")
     val qceOf = element_at(
       map_from_arrays(
         typedlit(probeCids.sorted),
@@ -1510,11 +1539,16 @@ object Similarity {
     * wall of the decade rehearsal (SCALE_r14 §5).
     */
   def doubleCosine(a: String, b: String): Column = {
+    // r17 (§4): same KnownNonNullElems re-declaration as [[l2sq]] — the
+    // whitened/pooled vectors are zip_with products of non-null inputs, so
+    // the assignment scans' dot folds compile branch-free.
     def dot(x: String, y: String) =
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         graft.expressions.ArrayDotProduct(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(x)),
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(y))))
+          graft.expressions.KnownNonNullElems(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(x))),
+          graft.expressions.KnownNonNullElems(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(y)))))
     when(sqrt(dot(a, a)) === 0 || sqrt(dot(b, b)) === 0, lit(0.0))
       .otherwise(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
   }

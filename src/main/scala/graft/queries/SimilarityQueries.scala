@@ -55,8 +55,13 @@ object SimilarityQueries {
     * queryId < kc, which every declared probe here satisfies).
     */
   private[queries] def queryVecFromArtifact(art: (Seq[Long], Seq[Seq[Float]]),
-                                            queryId: Long): Array[Float] =
-    art._2(art._1.indexOf(queryId)).toArray
+                                            queryId: Long): Array[Float] = {
+    val i = art._1.indexOf(queryId)
+    // r17, ADVICE: name the id instead of an IndexOutOfBounds on -1
+    require(i >= 0, s"query id $queryId not in the centroid artifact " +
+      s"(${art._1.size} entries)")
+    art._2(i).toArray
+  }
 
   /** The standard staged-probe selection: query vector = corpus row
     * `queryId`, probe lists = its `nprobe` nearest centroids under the
