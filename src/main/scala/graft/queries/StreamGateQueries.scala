@@ -195,9 +195,24 @@ object StreamGateQueries {
 
   /** Symmetric multiset difference — 0 iff the streamed result equals the
     * batch twin exactly (values included).
+    *
+    * One pass (r17, guide §2.4): a ±1-weighted union into ONE
+    * partial-aggregable groupBy over the value columns, then Σ|Σw| — the
+    * same `Σ_rows |count_a − count_b|` that
+    * `a.exceptAll(b).count() + b.exceptAll(a).count()` computed with TWO
+    * full-frame aggregations and two driver actions. Every stream gate
+    * re-verifies its diff per call, so this halves the fixed re-verify
+    * cost of the whole family.
     */
-  private def diffCount(a: DataFrame, b: DataFrame): Long =
-    a.exceptAll(b).count() + b.exceptAll(a).count()
+  private def diffCount(a: DataFrame, b: DataFrame): Long = {
+    val cols = a.columns.toSeq
+    a.select(cols.map(col) :+ lit(1L).as("_graft_w"): _*)
+      .unionAll(b.select(cols.map(col) :+ lit(-1L).as("_graft_w"): _*))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_graft_w")).as("_graft_s"))
+      .agg(coalesce(sum(abs(col("_graft_s"))), lit(0L)))
+      .first().getLong(0)
+  }
 
   /** `stream_sessions` — C129 under the driver gate: the sessionization
     * twin replays in [[replayBatches]] batches (sessions must close across
