@@ -209,10 +209,12 @@ object Graph {
         greatest(col("a"), col("b")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      // no eager checkpoint (r17): the census is ONE action, and every
-      // consumer of this frame (deg, orientation, n_edges) carries the
-      // identical distinct-exchange subtree — ReuseExchange materializes it
-      // once where the checkpoint paid an extra driver-paced job
+      // no eager checkpoint here (r17): every consumer of this frame (deg,
+      // orientation, n_edges) carries the identical distinct-exchange
+      // subtree — ReuseExchange materializes it once where the checkpoint
+      // paid an extra driver-paced job (A/B: und-only 14 jobs, o-only 16,
+      // none 13; the one pin that PAID is adj below, whose post-exchange
+      // aggregation is what actually re-ran)
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     val e = und
@@ -229,9 +231,14 @@ object Graph {
     // two-pointer merge (SortedLongIntersectCount) — O(m^1.5) evaluations
     // pay no per-call hash set (the r13 profile fix, same as the dedup
     // verify's digest arrays)
+    // the ONE checkpoint the census keeps (r17, A/B'd over four shapes):
+    // ReuseExchange shares the groupBy EXCHANGE between the two closure-join
+    // sides, but the post-exchange aggregation — collect_list + array_sort
+    // over every adjacency list — re-ran once PER SIDE without a pin
+    // (probed: adj-only 1.72 s steady vs 1.92 s none, 2.32 s with the r16
+    // triple; checkpointing und or o instead measured worse than none)
     val adj = o.groupBy("u").agg(array_sort(collect_list("v")).as("nb"))
-      // no eager checkpoint (r17): both closure-join sides reuse the
-      // groupBy exchange; only the list collection re-evaluates
+      .localCheckpoint(true)
     // inner joins are exact: an endpoint absent from adj has no out-edges
     // and contributes an empty intersection anyway
     val tri = o

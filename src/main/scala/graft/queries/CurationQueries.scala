@@ -658,8 +658,19 @@ object CurationQueries {
     * (integer feature frame), returning the per-iteration trajectory
     * (scale-6 weights) and the final weights — `classifier` declares the
     * trajectory, `evalGate` applies the weights to the held-out slice.
+    *
+    * ONE scan per step (r17, guide §2.4): round k's accuracy is counted
+    * over `z15Of(w_k)`, and round k+1's gradient scan evaluates that SAME
+    * `z` (the pre-update weights of step k+1 ARE w_k) — so the accuracy
+    * count rides the next gradient aggregation instead of paying its own
+    * action, and only the final weights' accuracy needs a closing scan.
+    * `needTrajectory = false` (evalGate, which reads only the final
+    * weights) drops the accuracy column entirely: clfIters scans + the
+    * class-count head, down from 2·clfIters+1 actions. Identical numbers
+    * by construction — the fused count is the same expression over the
+    * same frame.
     */
-  private def descend(f: DataFrame):
+  private def descend(f: DataFrame, needTrajectory: Boolean = true):
       (Seq[(Int, Long, Long, Long, Long, Long, Long, Long)], Array[Long]) = {
     val dec = "decimal(38,0)"
     val head = f.agg(count(lit(1)).as("n"),
@@ -672,7 +683,10 @@ object CurationQueries {
     val cwNeg = bigDivHalfUp(BigInt(n) * E9, BigInt(2) * (n - pos)).toLong
     val xs = Seq("x1", "x2", "x3", "x4")
     val w = Array.fill(5)(0L)
-    val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long, Long)]
+    // per-step weight snapshots and accuracies, assembled into the
+    // trajectory after the loop (accuracy of step k arrives with scan k+1)
+    val snaps = Array.ofDim[Array[Long]](clfIters + 1)
+    val accs = Array.fill(clfIters + 1)(0L)
     for (k <- 1 to clfIters) {
       val z = z15Of(w)
       val az = abs(z)
@@ -690,20 +704,31 @@ object CurationQueries {
       val gj = xs.map { c =>
         sgd * divHalfUp(a0 * col(c).cast(dec), lit(E18).cast(dec))
       }
+      val accCol =
+        if (needTrajectory) Seq(count(when((z > 0) === (col("y") === 1L), 1)).as("acc"))
+        else Nil
       val gRow = f.agg(
         sum(g0.cast(dec)).as("g0"),
-        gj.zip(xs).map { case (g, c) => sum(g.cast(dec)).as(s"g_$c") }: _*)
+        gj.zip(xs).map { case (g, c) => sum(g.cast(dec)).as(s"g_$c") } ++ accCol: _*)
         .first()
+      // scan k's z carries the PREVIOUS step's post-update weights
+      if (needTrajectory && k > 1) accs(k - 1) = gRow.getLong(5)
       for (j <- 0 to 4) {
         val g = BigInt(gRow.getDecimal(j).toBigInteger)
         val d6 = g.signum * bigDivHalfUp(g.abs * clfLr, BigInt(n) * 1000)
         w(j) = (BigInt(w(j)) - d6).toLong
       }
-      val correct = f.agg(count(when((z15Of(w) > 0) === (col("y") === 1L), 1)))
-        .first().getLong(0)
-      out += ((k, w(0), w(1), w(2), w(3), w(4), correct, n))
+      snaps(k) = w.clone()
     }
-    (out.result(), w)
+    if (needTrajectory)
+      accs(clfIters) = f
+        .agg(count(when((z15Of(w) > 0) === (col("y") === 1L), 1)))
+        .first().getLong(0)
+    val out = (1 to clfIters).map { k =>
+      val s = snaps(k)
+      (k, s(0), s(1), s(2), s(3), s(4), accs(k), n)
+    }
+    (out, w)
   }
 
   /** Scale-6 long weight → display double: both operands of the division
@@ -892,7 +917,10 @@ object CurationQueries {
     */
   def evalGate(s: SparkSession, dir: String): DataFrame = {
     val f = clfFeatures(s, dir)
-    val (_, w) = descend(f.filter(col("split") =!= "test"))
+    // needTrajectory = false: the gate reads only the final weights, so
+    // the descent pays clfIters gradient scans and zero accuracy scans
+    val (_, w) = descend(f.filter(col("split") =!= "test"),
+      needTrajectory = false)
     f.filter(col("split") === "test")
       .select(when(col("y") === 1L, lit(1.0)).otherwise(lit(0.0)).as("label"),
         when(z15Of(w) > 0, lit(1.0)).otherwise(lit(0.0)).as("predicted"))

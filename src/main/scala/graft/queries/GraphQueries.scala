@@ -78,11 +78,18 @@ object GraphQueries {
     * only the reached neighborhood.
     */
   def ppr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val edges = tradeEdges(s, dir)
-    val seeds = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .select(col("src").as("node")).distinct()
-      .orderBy("node").limit(pprSeedCount)
+    // the 3 smallest node ids are a pure scalar artifact of the staged edge
+    // backbone — session-cached like graph_bfs's seed and graph_kcore's
+    // threshold (r17; the derivation re-ran a full symmetrize + distinct +
+    // global sort every call)
+    val seedIds = BackboneRegistry.scalarOrBuild(s, s"graph:pprseeds:$dir")(
+      edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .select(col("src").as("node")).distinct()
+        .orderBy("node").limit(pprSeedCount)
+        .collect().map(_.getLong(0)).toSeq)
+    val seeds = seedIds.toDF("node")
     Graph.personalizedPagerank(edges, seeds, pprSeedCount, pprIters,
         mirrorDisjoint = true)
       .select(col("node"), col("u"),
