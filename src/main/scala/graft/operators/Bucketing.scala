@@ -279,10 +279,27 @@ object Bucketing {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     require(sortCols.nonEmpty, "compactDeletes needs the table's sort columns")
     val tombIds = spark.table(tombTable).select(col(idCol))
-    // same hash the bucketed writer uses: bucket id = pmod(murmur3(key), n)
-    val dirty = spark.table(tombTable)
-      .select(pmod(hash(col(key)), lit(buckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // Dirty-bucket set from the tombstone FILES' bucket tags (r17, guide
+    // §2.4): tombstones are co-keyed AND co-bucketed with the table (the
+    // documented [[graft.operators.Similarity.deleteStagedIvf]] contract,
+    // every caller writes them through [[appendBucketed]]), so each
+    // tombstone file's name already carries the bucket id of every row
+    // inside it — the listing IS the exact dirty set, zero Spark jobs,
+    // where the previous derivation ran a full distinct-collect scan of
+    // the tombstone table per compaction. Falls back to that row scan
+    // (same Murmur3-pmod the bucketed writer assigns with) if any file
+    // lacks a tag (a foreign, non-bucketed tombstone table).
+    val tombLoc = tableLocation(spark, tombTable)
+    val tombFs = tombLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombTags =
+      (if (tombFs.exists(tombLoc)) tombFs.listStatus(tombLoc).toSeq else Nil)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(f => bucketIdOf(f.getPath.getName))
+    val dirty: Set[Int] =
+      if (tombTags.forall(_.isDefined)) tombTags.flatten.toSet
+      else spark.table(tombTable)
+        .select(pmod(hash(col(key)), lit(buckets)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
     if (dirty.isEmpty) return Set.empty
     val loc = tableLocation(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

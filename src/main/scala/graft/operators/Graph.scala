@@ -54,7 +54,8 @@ object Graph {
     * callers can render [[normalized]] without re-counting the graph.
     */
   def pagerank(pairs: DataFrame, iters: Int,
-               mirrorDisjoint: Boolean = false): (DataFrame, Long) = {
+               mirrorDisjoint: Boolean = false,
+               nOpt: Option[Long] = None): (DataFrame, Long) = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1,50], got $iters")
     // r16: no eager checkpoint of the raw pair projection — callers pass
     // the backbone-checkpointed edge frame, and the only consumer (`routed`)
@@ -70,7 +71,11 @@ object Graph {
       .withColumn("deg",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint(true)
-    val n = routed.select(countDistinct(col("src"))).first().getLong(0)
+    // node count: a pure scalar of the edge list — callers that derive it
+    // from a session-cached backbone pass it (r17, the bfs-seed/kcore-
+    // threshold pattern) so repeat calls skip this aggregate job
+    val n = nOpt.getOrElse(
+      routed.select(countDistinct(col("src"))).first().getLong(0))
     require(n > 0, "pagerank on an empty edge list")
     val baseU = massUnits * (100L - dampingPct) / 100L / n
     var ranks = routed.select(col("src").as("node")).distinct()

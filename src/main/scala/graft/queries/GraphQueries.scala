@@ -53,9 +53,17 @@ object GraphQueries {
   def pagerank(s: SparkSession, dir: String): DataFrame = {
     // mirrorDisjoint: parity encoding makes src (even) and dst (odd)
     // disjoint, so the symmetrizing distinct is a no-op — skipped (r17;
-    // the oracle's UNION ALL edge CTE states the same fact)
-    val (ranks, n) = Graph.pagerank(tradeEdges(s, dir), iters = pagerankIters,
-      mirrorDisjoint = true)
+    // the oracle's UNION ALL edge CTE states the same fact). The node
+    // count is a pure scalar of the staged edge backbone — session-cached
+    // like bfs's seed and ppr's seed set (r17), so repeat calls skip the
+    // count-distinct job.
+    val edges = tradeEdges(s, dir)
+    val nNodes = BackboneRegistry.scalarOrBuild(s, s"graph:nnodes:$dir")(
+      edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v")))
+        .agg(countDistinct(col("v"))).first().getLong(0))
+    val (ranks, n) = Graph.pagerank(edges, iters = pagerankIters,
+      mirrorDisjoint = true, nOpt = Some(nNodes))
     Graph.normalized(ranks, n).orderBy("node")
   }
 

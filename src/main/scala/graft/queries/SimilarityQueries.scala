@@ -790,6 +790,13 @@ object SimilarityQueries {
 
   private val stagedWidth = new AdaptiveWidth(stagedPlanes)
 
+  /** Dev-probe accessor (r17): [[graft.LifecycleProbe]] mirrors the LSH
+    * delete lifecycle phase-by-phase and must resolve the SAME adaptive
+    * width the declared query stages with.
+    */
+  private[graft] def stagedPlanesFor(s: SparkSession, dir: String): Int =
+    stagedWidth(s, dir)
+
   /** Storage buckets for the staged ANN tables. 16 means a 9-code Hamming-1
     * probe can touch at most 9 buckets — the pruning PlanAuditSpec asserts.
     * At 100 TB this would be thousands (bucket count sizes the per-bucket
