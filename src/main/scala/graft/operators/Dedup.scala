@@ -629,10 +629,20 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, w: Int = 3,
                     idCol: String = "doc_id", textCol: String = "text",
                     srcCol: String = "source"): DataFrame = {
-    val srcSpans = shingleHashes(docs, w, idCol, textCol)
-      .join(docs.select(col(idCol), col(srcCol)), idCol)
+    // Shingles are tagged with their row's source DIRECTLY (r17, guide
+    // §3.3 "join first on the un-exploded key and explode after", taken to
+    // its limit: no join at all) — shingling is purely per-row, so feeding
+    // srcCol as the carry column yields the same (src, m) multiset the old
+    // exploded-side ⋈ docs(doc_id, source) attachment produced, without
+    // re-scanning docs or hashing every shingle row through the join. The
+    // distinct span set is pinned once: without the pin the whole
+    // shingle → md5 → distinct pipeline ran TWICE, once per self-join side
+    // (the triangle-adjacency lesson — ReuseExchange shares the exchange,
+    // not the post-exchange aggregation).
+    val srcSpans = shingleHashes(docs, w, srcCol, textCol)
       .select(col(srcCol).as("src"), col("m"))
       .distinct()
+      .localCheckpoint(true)
     srcSpans.as("a")
       .join(srcSpans.as("b"),
         col("a.m") === col("b.m") && col("a.src") < col("b.src"))
